@@ -1,13 +1,39 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Aggregates the declared-query surface from the operator modules; every
+  * entry in `queries` that has a key in `oracleSql` is hash-checked by the
+  * driver against DuckDB at sf0.01.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Runs the cube-native insights engine (the reference's defining
+    * pipeline, SURVEY.md §2.1 O15 re-expressed as one shuffle). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("insights_orders_cube")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    ops.Relational.queries ++
+      insights.InsightsQueries.queries ++
+      ops.Dedup.queries ++
+      ops.Similarity.queries ++
+      ops.TextAnalysis.queries ++
+      ops.Events.queries ++
+      ops.Multimodal.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys get a rows-only check. */
+  def oracleSql: Map[String, String] =
+    ops.Relational.oracleSql ++
+      insights.InsightsQueries.oracleSql ++
+      ops.Dedup.oracleSql ++
+      ops.Similarity.oracleSql ++
+      ops.TextAnalysis.oracleSql ++
+      ops.Events.oracleSql ++
+      ops.Multimodal.oracleSql
 }

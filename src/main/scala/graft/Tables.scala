@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated parquet tables (TESTDATA.md) plus
+  * shared exact-arithmetic helpers used by the declared queries.
+  *
+  * Oracle-parity policy: every declared query must hash-match DuckDB on
+  * the same parquet. Floating-point accumulation order differs between
+  * engines, so sums over 2-decimal money columns are computed in integer
+  * cents (`round(x*100)` per row, then an exact Long sum). Per-row double
+  * arithmetic (same IEEE ops on the same operands) is deterministic and
+  * identical across engines, so row-level `round(expr*100)` is safe.
+  */
+object Tables {
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark
+    * only reads via the nanosAsLong legacy conf (as a Long of nanos).
+    * Normalize to TimestampType (µs, integer division — a double division
+    * would lose precision on 1.7e18-scale nanos). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Exact integer cents for a 2-decimal money expression. */
+  def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** Exact integer cents of `price * (1 - discount)` (per-row double math
+    * is bit-identical across engines; the sum of longs is exact). */
+  def revenueCents(price: Column, discount: Column): Column =
+    round(price * (lit(1.0) - discount) * 100).cast("long")
+}

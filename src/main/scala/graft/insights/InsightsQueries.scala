@@ -1,0 +1,102 @@
+package graft.insights
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Declared (oracle-checked) instantiations of the insights engine over
+  * the driver fixture tables. The Play-Store-shaped compat path (full
+  * 14-column powerset, `first()` semantics) is exercised by unit tests
+  * against the golden 5-row fixture instead (FIXTURES.md §3) — `first()`
+  * is nondeterministic and has no DuckDB-agreeable oracle (SURVEY.md §7.5).
+  */
+object InsightsQueries {
+
+  val ordersCfg: InsightsConfig = InsightsConfig(
+    groupingCols = Seq("o_orderstatus", "o_orderpriority", "o_totalprice"),
+    buckets = Map("o_totalprice" -> 100000L))
+
+  val customerCfg: InsightsConfig = InsightsConfig(
+    groupingCols = Seq("c_mktsegment", "c_nationkey", "c_acctbal"),
+    buckets = Map("c_acctbal" -> 2000L),
+    idValues = Map("c_nationkey" -> Seq("n_name")))
+
+  /** Cube-native insights over orders: all 7 subsets of 3 columns in one
+    * shuffle, 2% HAVING threshold, reference string format. */
+  def ordersCube(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir)
+    InsightsEngine.insightsCube(o, ordersCfg, o.count()).orderBy("insight")
+  }
+
+  /** Loop-compat mode (reference main.py:328-360 literally: one aggregate
+    * per subset + unionAll) on the same config — declared with
+    * deterministic `min` so the oracle agrees; A/Bs the two modes. */
+  def ordersLoop(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir)
+    InsightsEngine.enumerateLoop(o, ordersCfg, o.count(), useFirst = false)
+      .reduce(_ unionAll _).orderBy("insight")
+  }
+
+  /** Insights over customer⋈nation with id→value denormalization:
+    * c_nationkey groups but renders min(n_name) (reference main.py:77-84
+    * id_cols_with_value_cols semantics, deterministic variant). */
+  def customerNationCube(s: SparkSession, dir: String): DataFrame = {
+    val df = customer(s, dir)
+      .join(broadcast(nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+    InsightsEngine.insightsCube(df, customerCfg, df.count()).orderBy("insight")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "insights_orders_cube" -> ordersCube _,
+    "insights_orders_loop" -> ordersLoop _,
+    "insights_customer_nation" -> customerNationCube _,
+  )
+
+  private val ordersBucket =
+    "'[' || CAST(CAST(floor(o_totalprice/100000) AS BIGINT)*100000 AS VARCHAR)" +
+      " || '-' || CAST(CAST(floor(o_totalprice/100000) AS BIGINT)*100000 + 100000 AS VARCHAR) || ']'"
+
+  private val ordersInsightsSql: String =
+    s"""WITH base AS (
+       |  SELECT o_orderstatus AS st, o_orderpriority AS pri, $ordersBucket AS buck
+       |  FROM orders),
+       |n AS (SELECT CAST(floor(0.02 * count(*)) AS BIGINT) AS thr FROM base),
+       |g AS (
+       |  SELECT st, pri, buck, count(*) AS c,
+       |         GROUPING(st) AS gs, GROUPING(pri) AS gp, GROUPING(buck) AS gb
+       |  FROM base GROUP BY CUBE (st, pri, buck))
+       |SELECT concat_ws(';',
+       |    CASE WHEN gs = 0 THEN 'o_orderstatus=' || st END,
+       |    CASE WHEN gp = 0 THEN 'o_orderpriority=' || pri END,
+       |    CASE WHEN gb = 0 THEN 'o_totalprice=' || buck END,
+       |    CAST(c AS VARCHAR)) AS insight
+       |FROM g, n
+       |WHERE NOT (gs = 1 AND gp = 1 AND gb = 1) AND c >= thr
+       |ORDER BY insight""".stripMargin
+
+  private val customerBucket =
+    "'[' || CAST(CAST(floor(c_acctbal/2000) AS BIGINT)*2000 AS VARCHAR)" +
+      " || '-' || CAST(CAST(floor(c_acctbal/2000) AS BIGINT)*2000 + 2000 AS VARCHAR) || ']'"
+
+  val oracleSql: Map[String, String] = Map(
+    "insights_orders_cube" -> ordersInsightsSql,
+    "insights_orders_loop" -> ordersInsightsSql, // same result set by design
+    "insights_customer_nation" ->
+      s"""WITH base AS (
+         |  SELECT c_mktsegment AS seg, c_nationkey AS nk, n_name, $customerBucket AS bal
+         |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+         |n AS (SELECT CAST(floor(0.02 * count(*)) AS BIGINT) AS thr FROM base),
+         |g AS (
+         |  SELECT seg, nk, bal, min(n_name) AS nname, count(*) AS c,
+         |         GROUPING(seg) AS gs, GROUPING(nk) AS gn, GROUPING(bal) AS gb
+         |  FROM base GROUP BY CUBE (seg, nk, bal))
+         |SELECT concat_ws(';',
+         |    CASE WHEN gs = 0 THEN 'c_mktsegment=' || seg END,
+         |    CASE WHEN gb = 0 THEN 'c_acctbal=' || bal END,
+         |    CASE WHEN gn = 0 THEN 'n_name=' || nname END,
+         |    CAST(c AS VARCHAR)) AS insight
+         |FROM g, n
+         |WHERE NOT (gs = 1 AND gn = 1 AND gb = 1) AND c >= thr
+         |ORDER BY insight""".stripMargin,
+  )
+}

@@ -1,0 +1,356 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** Relational operator surface over the TPC-H-ish fixture tables:
+  * multi-key aggregation, equi/broadcast joins, semi/anti joins, top-k
+  * (TakeOrderedAndProject), window functions, rollup/grouping sets, set
+  * ops, distinct aggregation, scalar string/date/JSON functions.
+  *
+  * The reference (grey-h/app-insights-generator `main.py`) implements none
+  * of these (SURVEY.md §2.2) — they are the extension surface mandated by
+  * BASELINE.json. Every query here is deterministic and DuckDB-expressible
+  * (ties broken by unique keys; money summed in exact integer cents).
+  *
+  * Scale notes (100 TB posture): dimension joins use `broadcast(...)`
+  * explicitly; fact-fact joins shuffle on their join keys only after
+  * filters (which Catalyst pushes into the parquet scan); top-k uses
+  * orderBy+limit which plans as TakeOrderedAndProject (no global sort).
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary: single shuffle, partial aggregation
+    * map-side; sums in exact cents. */
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame = {
+    lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+        sum(revenueCents(col("l_extendedprice"), col("l_discount"))).as("sum_disc_cents"),
+        sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")) * 100)
+          .cast("long")).as("sum_charge_cents"),
+        (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** TPC-H Q3-style: top-10 highest-revenue open orders for a market
+    * segment. Dimension side (filtered customer) is broadcast. */
+  def q3TopRevenue(s: SparkSession, dir: String): DataFrame = {
+    val c = customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = orders(s, dir).filter(col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+    val l = lineitem(s, dir).filter(col("l_shipdate") > lit("1996-07-01").cast("timestamp"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"),
+        col("o_orderpriority"))
+      .agg(sum(revenueCents(col("l_extendedprice"), col("l_discount"))).as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** TPC-H Q4-style: order-priority count over orders that have at least
+    * one heavy lineitem — left-semi join (EXISTS). */
+  def q4OrderPriority(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val l = lineitem(s, dir).filter(col("l_quantity") > 45)
+    o.join(l, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** TPC-H Q5-style: revenue by nation through a 6-table star join;
+    * region/nation/supplier broadcast, customer-orders-lineitem shuffle. */
+  def q5NationRevenue(s: SparkSession, dir: String): DataFrame = {
+    val r = region(s, dir).filter(col("r_name") === "ASIA")
+    val n = nation(s, dir)
+    val c = customer(s, dir)
+    val sup = supplier(s, dir)
+    val o = orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val l = lineitem(s, dir)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(c, col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(revenueCents(col("l_extendedprice"), col("l_discount"))).as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("n_name"))
+  }
+
+  /** TPC-H Q6-style: single-pass filtered revenue sum (one row). */
+  def q6RevenueFilter(s: SparkSession, dir: String): DataFrame = {
+    lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum(round(col("l_extendedprice") * col("l_discount") * 100).cast("long"))
+        .as("revenue_cents"), count(lit(1)).as("n_rows"))
+  }
+
+  /** Anti join (NOT EXISTS): customers with no orders, counted by segment. */
+  def joinAntiCustomers(s: SparkSession, dir: String): DataFrame = {
+    customer(s, dir)
+      .join(orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Per-group top-k via window row_number (ties broken by key):
+    * top-3 customers by balance per nation. */
+  def topkCustomersPerNation(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    customer(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .join(broadcast(nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("rn"), col("c_custkey"), col("c_acctbal"))
+      .orderBy(col("n_name"), col("rn"))
+  }
+
+  /** Running total per customer (window frame sum, exact cents). */
+  def windowRunningTotal(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(cents(col("o_totalprice"))).over(w).as("running_cents"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** lag/lead over event streams per user (exact value pick, no math). */
+  def windowLagEvents(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    events(s, dir)
+      .select(col("event_id"), col("user_id"), col("value"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+      .orderBy(col("event_id"))
+  }
+
+  /** ROLLUP with grouping() — the declarative form of the reference's
+    * hand-rolled grouping-set enumeration (SURVEY.md §2.1 O15). */
+  def rollupLineitem(s: SparkSession, dir: String): DataFrame = {
+    lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("l_quantity")).as("sum_qty"),
+        (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+          .cast("long").as("gid"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("n_rows"), col("sum_qty"), col("gid"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Exact distinct aggregation (partial-distinct + final, two-phase). */
+  def distinctPartsPerFlag(s: SparkSession, dir: String): DataFrame = {
+    lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_partkey"), col("l_suppkey")).as("n_part_supp"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** INTERSECT: customers who ordered in both 1995 and 1996. */
+  def setIntersectCustomers(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir)
+    val y1995 = o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
+    val y1996 = o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey"))
+    y1995.intersect(y1996).orderBy(col("o_custkey"))
+  }
+
+  /** EXCEPT: customers who ordered in 1995 but not in 1996. */
+  def setExceptCustomers(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir)
+    val y1995 = o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
+    val y1996 = o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey"))
+    y1995.except(y1996).orderBy(col("o_custkey"))
+  }
+
+  /** Scalar string functions over part (projection only, codegen'd). */
+  def scalarStringPart(s: SparkSession, dir: String): DataFrame = {
+    part(s, dir).select(
+      col("p_partkey"),
+      upper(col("p_brand")).as("brand_upper"),
+      length(col("p_name")).cast("long").as("name_len"),
+      size(split(col("p_name"), " ")).cast("long").as("name_words"),
+      regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+      substring(col("p_type"), 1, 5).as("type_prefix"),
+      concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Scalar date functions: orders per (year, month) + month floor. */
+  def scalarDateOrders(s: SparkSession, dir: String): DataFrame = {
+    orders(s, dir)
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"),
+        month(col("o_orderdate")).cast("long").as("o_month"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month_start"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(cents(col("o_totalprice"))).as("total_cents"))
+      .orderBy(col("o_year"), col("o_month"))
+  }
+
+  /** JSON property extraction from the events `props` column (regexp-based
+    * so both engines share exact semantics; `from_json` is exercised in
+    * unit tests where no oracle parity is required). */
+  def jsonPropsEvents(s: SparkSession, dir: String): DataFrame = {
+    events(s, dir)
+      .withColumn("k", regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> q1PricingSummary _,
+    "q3_top_revenue" -> q3TopRevenue _,
+    "q4_order_priority" -> q4OrderPriority _,
+    "q5_nation_revenue" -> q5NationRevenue _,
+    "q6_revenue_filter" -> q6RevenueFilter _,
+    "join_anti_customers" -> joinAntiCustomers _,
+    "topk_customers_per_nation" -> topkCustomersPerNation _,
+    "window_running_total" -> windowRunningTotal _,
+    "window_lag_events" -> windowLagEvents _,
+    "rollup_lineitem" -> rollupLineitem _,
+    "distinct_parts_per_flag" -> distinctPartsPerFlag _,
+    "set_intersect_customers" -> setIntersectCustomers _,
+    "set_except_customers" -> setExceptCustomers _,
+    "scalar_string_part" -> scalarStringPart _,
+    "scalar_date_orders" -> scalarDateOrders _,
+    "json_props_events" -> jsonPropsEvents _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+        |  CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+        |  CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*(1.0+l_tax)*100) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
+        |  sum(l_quantity)/count(*) AS avg_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_top_revenue" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
+        |  CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  AND l_shipdate > TIMESTAMP '1996-07-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue_cents DESC, l_orderkey ASC
+        |LIMIT 10""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q5_nation_revenue" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue_cents DESC, n_name""".stripMargin,
+    "q6_revenue_filter" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice*l_discount*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "join_anti_customers" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "topk_customers_per_nation" ->
+      """SELECT n_name, rn, c_custkey, c_acctbal FROM (
+        |  SELECT c_nationkey, c_custkey, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+        |  FROM customer) t
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE rn <= 3 ORDER BY n_name, rn""".stripMargin,
+    "window_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "window_lag_events" ->
+      """SELECT event_id, user_id, value,
+        |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_value,
+        |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS next_type
+        |FROM events ORDER BY event_id""".stripMargin,
+    "rollup_lineitem" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |  count(*) AS n_rows, sum(l_quantity) AS sum_qty,
+        |  CAST(GROUPING(l_returnflag)*2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+    "distinct_parts_per_flag" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT (l_partkey, l_suppkey)) AS n_part_supp,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "set_intersect_customers" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |ORDER BY o_custkey""".stripMargin,
+    "set_except_customers" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |ORDER BY o_custkey""".stripMargin,
+    "scalar_string_part" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_upper,
+        |  CAST(length(p_name) AS BIGINT) AS name_len,
+        |  CAST(len(string_split(p_name, ' ')) AS BIGINT) AS name_words,
+        |  regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+        |  substr(p_type, 1, 5) AS type_prefix,
+        |  concat_ws('/', p_brand, p_type) AS brand_type
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "scalar_date_orders" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(month(o_orderdate) AS BIGINT) AS o_month,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders GROUP BY 1, 2, 3 ORDER BY o_year, o_month""".stripMargin,
+    "json_props_events" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(min(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS BIGINT) AS min_k,
+        |  CAST(max(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+  )
+}
