@@ -1,0 +1,101 @@
+package graft.insights
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types._
+
+/** The reference pipeline itself (grey-h/app-insights-generator
+  * `main.py:363-404`): Play-Store CSV → int casts → range filter →
+  * floor-bucket → all 2^14−1 grouping-set insights → CSV append →
+  * compaction. Config literals mirror `main.py:57-120`.
+  *
+  * Two execution modes (SURVEY.md §7.3):
+  *  - compat: the reference's literal loop — repartition(2), cache, one
+  *    aggregate per subset, 128-subset unionAll batches, two-phase write;
+  *  - scale: single-cube shuffle, no coalesce(1), partition count left to
+  *    AQE — the plan that survives 100 TB.
+  */
+object PlayStore {
+
+  /** Columns force-cast to int after inference (main.py:106-116,151-160). */
+  val numericCols: Seq[String] = Seq("minInstalls", "originalPrice", "price",
+    "ratings", "len screenshots", "reviews", "score", "releasedYear")
+
+  /** Bucket widths (main.py:106-115). NB `len screenshots` has a space. */
+  val buckets: Map[String, Long] = Map(
+    "minInstalls" -> 1000000L, "originalPrice" -> 100L, "price" -> 100L,
+    "ratings" -> 1000000L, "len screenshots" -> 5L, "reviews" -> 1000000L,
+    "score" -> 1L, "releasedYear" -> 5L)
+
+  /** Id cols group but display their value cols (main.py:77-84). */
+  val idValues: Map[String, Seq[String]] = Map(
+    "developerId" -> Seq("developer", "developerWebsite"),
+    "genreId" -> Seq("genre"))
+
+  /** The 14 grouping columns, canonical order (main.py:88-103). */
+  val groupingCols: Seq[String] = Seq("developerId", "free", "genreId",
+    "minInstalls", "offersIAP", "originalPrice", "price", "ratings",
+    "len screenshots", "adSupported", "containsAds", "reviews", "score",
+    "releasedYear")
+
+  val cfg: InsightsConfig = InsightsConfig(groupingCols, buckets, idValues,
+    thresholdPercent = 2.0)
+
+  /** Data-cleaning ranges (main.py:206-218; upper year hardcoded there). */
+  val rangeFilters: Seq[(String, Long, Long)] =
+    Seq(("ratings", 0L, 100L), ("releasedYear", 1971L, 2023L))
+
+  /** O1: CSV source. The reference passes a numPartitions read option the
+    * CSV source ignores — not replicated. Explicit schema optional;
+    * default mirrors the reference's header+inferSchema. */
+  def readCsv(spark: SparkSession, path: String, header: Boolean = true,
+      inferSchema: Boolean = true, schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read.option("header", header)
+    schema match {
+      case Some(st) => r.schema(st).csv(path)
+      case None     => r.option("inferSchema", inferSchema).csv(path)
+    }
+  }
+
+  /** O2/O17: CSV sink, append mode, optional single file. */
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true,
+      singleFile: Boolean = true): Unit = {
+    val out = if (singleFile) df.coalesce(1) else df
+    out.write.option("header", header).mode(SaveMode.Append).csv(path)
+  }
+
+  /** O3+O4: int casts then range filters. */
+  def clean(df: DataFrame): DataFrame =
+    InsightsEngine.rangeFilter(InsightsEngine.castInts(df, numericCols), rangeFilters)
+
+  /** O5: floor-bucket the numeric columns. */
+  def prepare(df: DataFrame): DataFrame = InsightsEngine.bucket(clean(df), buckets)
+
+  /** Full job, compat mode (reference main.py:363-404): batched loop with
+    * `first()` semantics and two-phase output (O20: append batches under
+    * `<out>_partitioned`, then compact to one CSV at `<out>`). */
+  def extractCompat(spark: SparkSession, csvPath: String, outPath: String,
+      batchSize: Int = 128, numPartitions: Int = 2): Unit = {
+    val prepared = prepare(readCsv(spark, csvPath))
+      .repartition(numPartitions) // O16
+      .cache()                    // O18
+    try {
+      val n = prepared.count()    // O19 — the single reused count
+      InsightsEngine.enumerateLoop(prepared, cfg, n, batchSize, useFirst = true)
+        .foreach(batch => writeCsv(batch, s"${outPath}_partitioned", header = false))
+      val all = readCsv(spark, s"${outPath}_partitioned", header = false,
+        inferSchema = false)      // O20 re-read
+      writeCsv(all, outPath, header = false)
+    } finally prepared.unpersist()
+  }
+
+  /** Full job, scale mode: one cube shuffle, parallel output. At 100 TB
+    * this is the only viable shape — 16 383 aggregate exchanges over the
+    * same cached input (compat mode) do not survive a real cluster. */
+  def extractScale(spark: SparkSession, csvPath: String, outPath: String,
+      useFirst: Boolean = true): Unit = {
+    val prepared = prepare(readCsv(spark, csvPath))
+    val n = prepared.count()
+    val insights = InsightsEngine.insightsCube(prepared, cfg, n, useFirst)
+    insights.write.mode(SaveMode.Overwrite).option("header", false).csv(outPath)
+  }
+}

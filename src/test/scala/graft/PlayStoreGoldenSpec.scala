@@ -1,0 +1,114 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.insights.{InsightsEngine, PlayStore}
+
+/** Golden tests pinning the reference pipeline's output semantics
+  * (SURVEY.md §2.4, verified against the reference's own functions;
+  * expected strings from FIXTURES.md §3).
+  */
+class PlayStoreGoldenSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  val fixtureCsv: String =
+    """_c0,appId,developer,developerId,developerWebsite,free,genre,genreId,minInstalls,offersIAP,originalPrice,price,ratings,len screenshots,adSupported,containsAds,reviews,score,releasedYear
+      |0,a.b.c,DevA,dev1,http://a.com,True,Action,ACTION,1500000,False,0,0,50,7,True,True,2500000,4,2019
+      |1,d.e.f,DevA,dev1,http://a.com,True,Action,ACTION,2500000,False,0,0,60,8,True,True,1500000,4,2019
+      |2,g.h.i,DevB,dev2,http://b.com,True,Action,ACTION,500000,False,0,0,70,3,True,True,500000,5,2021
+      |3,j.k.l,DevB,dev2,http://b.com,False,Puzzle,PUZZLE,500000,True,100,50,80,3,False,False,500000,3,2021
+      |4,m.n.o,DevC,dev3,,True,Puzzle,PUZZLE,999,False,0,0,90,12,False,False,100,4,2016
+      |""".stripMargin
+
+  lazy val csvPath: String = {
+    val dir = Files.createTempDirectory("graft_golden")
+    val f = dir.resolve("apps.csv")
+    Files.writeString(f, fixtureCsv)
+    f.toString
+  }
+
+  lazy val prepared = PlayStore.prepare(PlayStore.readCsv(spark, csvPath)).cache()
+
+  def loopSubset(subset: Seq[String]): Set[String] =
+    InsightsEngine
+      .insightsForSubset(prepared, PlayStore.cfg, subset, thresholdCount = 0)
+      .collect().map(_.getString(0)).toSet
+
+  test("subset (genreId): id col groups, value col displays, bare count") {
+    assert(loopSubset(Seq("genreId")) === Set("genre=Action;3", "genre=Puzzle;2"))
+  }
+
+  test("subset (developerId, free): lowercase booleans, null website skipped") {
+    assert(loopSubset(Seq("developerId", "free")) === Set(
+      "free=true;developer=DevA;developerWebsite=http://a.com;2",
+      "free=false;developer=DevB;developerWebsite=http://b.com;1",
+      "free=true;developer=DevB;developerWebsite=http://b.com;1",
+      "free=true;developer=DevC;1"))
+  }
+
+  test("subset (minInstalls, score): bucket labels [lo-(lo+width)]") {
+    val got = loopSubset(Seq("minInstalls", "score"))
+    assert(got.contains("minInstalls=[1000000-2000000];score=[4-5];1"))
+    assert(got.contains("minInstalls=[0-1000000];score=[3-4];1"))
+    assert(got.contains("minInstalls=[2000000-3000000];score=[4-5];1"))
+    assert(got === Set(
+      "minInstalls=[1000000-2000000];score=[4-5];1",
+      "minInstalls=[2000000-3000000];score=[4-5];1",
+      "minInstalls=[0-1000000];score=[5-6];1",
+      "minInstalls=[0-1000000];score=[3-4];1",
+      "minInstalls=[0-1000000];score=[4-5];1"))
+  }
+
+  test("cube mode over all 14 cols reproduces the per-subset golden strings") {
+    val cube = InsightsEngine
+      .insightsCube(prepared, PlayStore.cfg, totalCount = 5, useFirst = true)
+      .collect().map(_.getString(0)).toSet
+    val expected = loopSubset(Seq("genreId")) ++
+      loopSubset(Seq("developerId", "free")) ++
+      loopSubset(Seq("minInstalls", "score"))
+    assert(expected.subsetOf(cube))
+    // 14 cols on 5 distinct rows: every subset yields between 1 and 5 groups
+    assert(cube.size >= 16383 && cube.size <= 5 * 16383)
+  }
+
+  test("cube mode == loop mode on a 4-column universe") {
+    val cfg4 = PlayStore.cfg.copy(groupingCols =
+      Seq("developerId", "free", "genreId", "minInstalls"))
+    val loop = InsightsEngine
+      .enumerateLoop(prepared, cfg4, totalCount = 5, useFirst = true)
+      .reduce(_ unionAll _).collect().map(_.getString(0)).toSet
+    val cube = InsightsEngine
+      .insightsCube(prepared, cfg4, totalCount = 5, useFirst = true)
+      .collect().map(_.getString(0)).toSet
+    assert(loop === cube)
+  }
+
+  test("cleaning: range filters drop out-of-range rows; float score truncates") {
+    val extra = fixtureCsv +
+      "5,x.y.z,DevD,dev4,,True,Card,CARD,10,False,0,0,200,1,False,False,10,4.7,2020\n" +
+      "6,q.r.s,DevE,dev5,,True,Card,CARD,10,False,0,0,10,1,False,False,10,4.7,1950\n"
+    val dir = Files.createTempDirectory("graft_clean")
+    Files.writeString(dir.resolve("apps.csv"), extra)
+    val cleaned = PlayStore.clean(PlayStore.readCsv(spark, dir.toString + "/apps.csv"))
+    // row 5: ratings=200 out of [0,100]; row 6: releasedYear 1950 < 1971
+    assert(cleaned.count() === 5)
+    // float scores truncate to int under the cast (reference README.md:22)
+    val scores = cleaned.select("score").collect().map(_.getInt(0)).toSet
+    assert(scores === Set(3, 4, 5))
+  }
+
+  test("threshold: floor(2% of N), compare with >=") {
+    // N=5 -> floor(0.1)=0 -> all groups pass (asserted implicitly above);
+    // N=150 -> 3: groups of exactly 3 survive, 2 do not.
+    val big = spark.range(150).selectExpr(
+      "case when id < 3 then 'G3' when id < 5 then 'G2' else concat('U', id) end as genreId",
+      "'x' as genre")
+    val cfg = insights.InsightsConfig(Seq("genreId"),
+      idValues = Map("genreId" -> Seq("genre")))
+    val out = InsightsEngine
+      .insightsForSubset(big, cfg, Seq("genreId"),
+        thresholdCount = math.floor(0.02 * 150).toLong)
+      .collect().map(_.getString(0)).toSet
+    assert(out === Set("genre=x;3"))
+  }
+}
