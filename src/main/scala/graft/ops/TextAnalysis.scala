@@ -1,9 +1,164 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
 
-/** TextAnalysis operators — filled in incrementally (see SURVEY.md §2.2). */
+/** Text-analysis operators over `documents`: quality scoring, token
+  * counting (whitespace + BPE-ish subword estimate), language-ID
+  * heuristic, and content fingerprinting. All per-row projections /
+  * single-shuffle aggregations — embarrassingly parallel at 100 TB (no
+  * joins, no skew; filters and column pruning reach the parquet scan).
+  *
+  * Everything is built-in codegen'd expressions (no UDFs): higher-order
+  * functions (`transform`/`aggregate`/`filter`) cover the per-token math.
+  */
 object TextAnalysis {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracleSql: Map[String, String] = Map()
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+  private val stopwordArray = s"array(${stopwords.map(w => s"'$w'").mkString(",")})"
+
+  /** Per-document quality features + linear quality score. Deterministic
+    * integer/exact-double math only (oracle-parity). */
+  def textQuality(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir).select(
+        col("doc_id"), col("lang"), col("n_chars"),
+        split(col("text"), " ").as("toks"))
+      .select(
+        col("doc_id"), col("lang"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        expr("aggregate(toks, 0L, (acc, t) -> acc + length(t))").as("chars_in_tokens"),
+        expr(s"size(filter(toks, t -> array_contains($stopwordArray, t)))")
+          .cast("long").as("n_stopwords"))
+      .withColumn("avg_token_len",
+        col("chars_in_tokens").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("distinct_ratio",
+        col("n_distinct").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("stopword_ratio",
+        col("n_stopwords").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("quality_score",
+        col("distinct_ratio") * 50.0 + col("stopword_ratio") * 30.0 +
+          when(col("n_tokens") >= 50 && col("n_tokens") <= 2000, 20.0).otherwise(0.0))
+      .orderBy(col("doc_id"))
+
+  /** Token counting: whitespace tokens plus a BPE-ish subword estimate
+    * (ceil(len/4) pieces per word — the standard ~4-chars-per-token
+    * heuristic), and a regex token count (words vs punctuation). */
+  def textTokenCount(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir).select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        expr("aggregate(split(text, ' '), 0L, (acc, t) -> acc + (length(t) + 3) div 4)")
+          .as("bpe_est_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")).cast("long")
+          .as("regex_tokens"))
+      .orderBy(col("doc_id"))
+
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of"),
+    "es" -> Seq("el", "la", "los", "que"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "fr" -> Seq("le", "les", "des", "une"),
+    "zh" -> Seq("的", "是", "了", "和"))
+
+  /** Language-ID n-gram/marker heuristic: count marker-token occurrences
+    * per language, predict the argmax (ties → first language in fixed
+    * order, 'und' when all scores are 0). Aggregated into a per-(actual,
+    * predicted) confusion table. */
+  def textLangid(s: SparkSession, dir: String): DataFrame = {
+    val scored = langMarkers.foldLeft(
+      documents(s, dir).select(col("doc_id"), col("lang"),
+        split(col("text"), " ").as("toks"))) { case (d, (l, ms)) =>
+      val arr = s"array(${ms.map(m => s"'$m'").mkString(",")})"
+      d.withColumn(s"score_$l",
+        expr(s"size(filter(toks, t -> array_contains($arr, t)))").cast("long"))
+    }
+    val best = langMarkers.map { case (l, _) => col(s"score_$l") }
+      .reduce((a, b) => greatest(a, b))
+    // first-match-wins in declaration order (matches the oracle's CASE)
+    val predicted = langMarkers.foldRight(lit("und"): org.apache.spark.sql.Column) {
+      case ((l, _), acc) => when(col(s"score_$l") === best && best > 0, lit(l)).otherwise(acc)
+    }
+    scored.withColumn("predicted", predicted)
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("predicted"))
+  }
+
+  /** Content fingerprint: md5 over the sorted distinct token set — an
+    * order-insensitive semantic fingerprint both engines compute
+    * identically. The rolling-hash variant (unit-test only) lives in
+    * `rollingFingerprint`. */
+  def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir).select(
+        col("doc_id"),
+        md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " "))
+          .as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  /** Polynomial rolling hash over tokens, mod 1e9+7 (overflow-free in
+    * either ANSI mode). Spark-side only — DuckDB lacks a seeded reduce. */
+  def rollingFingerprint(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+      expr("""aggregate(split(text, ' '), 0L,
+             |  (acc, t) -> (acc * 31 + length(t) * 96 + ascii(substring(t, 1, 1)))
+             |              % 1000000007L)""".stripMargin).as("rolling_fp"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_quality" -> textQuality _,
+    "text_token_count" -> textTokenCount _,
+    "text_langid" -> textLangid _,
+    "text_fingerprint" -> textFingerprint _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "text_quality" ->
+      s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+         |f AS (SELECT doc_id, lang,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+         |  CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS chars_in_tokens,
+         |  CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in'], t))) AS BIGINT) AS n_stopwords
+         |FROM t)
+         |SELECT doc_id, lang, n_tokens, n_distinct, chars_in_tokens, n_stopwords,
+         |  CAST(chars_in_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_token_len,
+         |  CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS distinct_ratio,
+         |  CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+         |  (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 50.0 +
+         |  (CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 30.0 +
+         |  (CASE WHEN n_tokens >= 50 AND n_tokens <= 2000 THEN 20.0 ELSE 0.0 END) AS quality_score
+         |FROM f ORDER BY doc_id""".stripMargin,
+    "text_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(list_sum(list_transform(string_split(text, ' '),
+        |       t -> (length(t) + 3) // 4)) AS BIGINT) AS bpe_est_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+', 0)) AS BIGINT) AS regex_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |  CAST(len(list_filter(toks, x -> list_contains(['the','a','and','of'], x))) AS BIGINT) AS score_en,
+        |  CAST(len(list_filter(toks, x -> list_contains(['el','la','los','que'], x))) AS BIGINT) AS score_es,
+        |  CAST(len(list_filter(toks, x -> list_contains(['der','die','das','und'], x))) AS BIGINT) AS score_de,
+        |  CAST(len(list_filter(toks, x -> list_contains(['le','les','des','une'], x))) AS BIGINT) AS score_fr,
+        |  CAST(len(list_filter(toks, x -> list_contains(['的','是','了','和'], x))) AS BIGINT) AS score_zh
+        |FROM t),
+        |p AS (SELECT lang,
+        |  CASE
+        |    WHEN greatest(score_en, score_es, score_de, score_fr, score_zh) = 0 THEN 'und'
+        |    WHEN score_en = greatest(score_en, score_es, score_de, score_fr, score_zh) THEN 'en'
+        |    WHEN score_es = greatest(score_en, score_es, score_de, score_fr, score_zh) THEN 'es'
+        |    WHEN score_de = greatest(score_en, score_es, score_de, score_fr, score_zh) THEN 'de'
+        |    WHEN score_fr = greatest(score_en, score_es, score_de, score_fr, score_zh) THEN 'fr'
+        |    ELSE 'zh' END AS predicted
+        |FROM s)
+        |SELECT lang, predicted, count(*) AS n_docs FROM p
+        |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
 }
