@@ -39,20 +39,29 @@ object Dedup {
         .as("shingles"))
       .filter(size(col("shingles")) > 0)
 
-  private val jaccard: Column =
-    size(array_intersect(col("a.shingles"), col("b.shingles"))).cast("double") /
-      size(array_union(col("a.shingles"), col("b.shingles"))).cast("double")
-
-  /** Exact n-gram-Jaccard near-dup pairs (brute-force baseline, with a
-    * length-band blocking predicate). Quadratic — correct at fixture
-    * scale, superseded by LSH at 100 TB. */
+  /** Exact n-gram-Jaccard near-dup pairs via an inverted shingle index —
+    * the scalable exact set-similarity join: explode distinct shingles,
+    * equi-join on the shingle (so only pairs that share at least one
+    * shingle ever materialize), count matches per pair = |A∩B|, and
+    * derive |A∪B| = |A|+|B|−|A∩B| with no array ops at all. A pairwise
+    * cross join with array_intersect computes the same result ~100×
+    * slower and cannot scale; this shape shuffles once on the shingle
+    * and once on the pair. Pairs below Jaccard 0.5 or outside the
+    * length band are dropped; zero-overlap pairs never appear (J=0). */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val sh = shingled(documents(s, dir))
-    sh.as("a").join(sh.as("b"),
-        col("a.doc_id") < col("b.doc_id") &&
+      .select(col("doc_id"), col("n_chars"), size(col("shingles")).as("n_sh"),
+        explode(col("shingles")).as("shingle"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
           abs(col("a.n_chars") - col("b.n_chars")) <= lit(100))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        jaccard.as("jaccard"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.n_sh").as("a_n"), col("b.n_sh").as("b_n"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .select(col("a_id"), col("b_id"),
+        (col("n_inter").cast("double") /
+          (col("a_n") + col("b_n") - col("n_inter")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
       .orderBy(col("a_id"), col("b_id"))
   }

@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming forms of the event operators: the batch
+  * `window()` / sessionize queries in graft.ops.Events re-expressed as
+  * streams (readStream → watermark → windowed agg / custom state →
+  * writeStream). No DuckDB oracle can check a stream, so these are pinned
+  * by StreamingSpec: a file-source stream over the same events parquet
+  * must converge to exactly the batch answers.
+  *
+  * Scale: the watermark bounds state (10-min windows + 30-min gap
+  * sessions drop state once the watermark passes), so state size is
+  * O(active keys), not O(history) — the property that matters at 100 TB/day.
+  */
+object StreamingEvents {
+
+  /** Raw-schema stream over an events parquet directory (ts is long nanos
+    * under the nanosAsLong conf; normalize to µs TimestampType). */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(dir).schema
+    spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Streaming tumbling 10-min windows per event type, 20-min watermark.
+    * Append mode emits a window only once the watermark passes its end —
+    * exactly-once per window. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "20 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_timestamp(col("window.start")).as("window_start"),
+        col("event_type"), col("n_events"))
+
+  /** Streaming session windows via the built-in session_window (gap
+    * 30 min) — Spark merges/extends sessions in state. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_micros(col("sw.start")).as("session_start_us"),
+        unix_micros(col("sw.end")).as("session_end_us"), col("n_events"))
+
+  case class EventIn(user_id: Long, us: Long)
+  case class SessionState(startUs: Long, lastUs: Long, n: Long)
+  case class SessionOut(user_id: Long, session_start_us: Long,
+      session_end_us: Long, n_events: Long)
+
+  /** Custom sessionization with flatMapGroupsWithState — the explicit
+    * state-machine form (per-user open session; event-time timeout closes
+    * it when the watermark passes last+gap). Demonstrates arbitrary
+    * stateful processing beyond what session_window can express (e.g.
+    * per-session custom payloads). */
+  def sessionizeStateful(events: DataFrame, gapMinutes: Int = 30): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes.toLong * 60 * 1000000
+
+    def fn(userId: Long, rows: Iterator[EventIn],
+        state: GroupState[SessionState]): Iterator[SessionOut] = {
+      var out = List.empty[SessionOut]
+      if (state.hasTimedOut) {
+        val st = state.get
+        out ::= SessionOut(userId, st.startUs, st.lastUs, st.n)
+        state.remove()
+      } else {
+        val sorted = rows.toSeq.sortBy(_.us)
+        var cur = state.getOption
+        sorted.foreach { e =>
+          cur match {
+            case Some(st) if e.us - st.lastUs < gapUs =>
+              cur = Some(st.copy(lastUs = e.us, n = st.n + 1))
+            case Some(st) =>
+              out ::= SessionOut(userId, st.startUs, st.lastUs, st.n)
+              cur = Some(SessionState(e.us, e.us, 1))
+            case None =>
+              cur = Some(SessionState(e.us, e.us, 1))
+          }
+        }
+        cur.foreach { st =>
+          state.update(st)
+          state.setTimeoutTimestamp(st.lastUs / 1000 + gapMinutes.toLong * 60 * 1000)
+        }
+      }
+      out.reverseIterator
+    }
+
+    events
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .as[EventIn]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** Run a stream to completion against a static directory (test/batch
+    * harness): memory sink, processAllAvailable. */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append): Unit = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+}
