@@ -111,13 +111,19 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  /** 64-bit SimHash near-dup pairs: per-token xxhash64, signed bit votes,
-    * pairs at Hamming distance ≤ 8. No DuckDB oracle (xxhash64 is
+  /** 64-bit SimHash near-dup pairs: xxhash64 over word-BIGRAM features
+    * (unigram features on a shared-vocab corpus leave no hamming gap
+    * between near-dups and background — measured; bigrams separate
+    * planted pairs (≤10) from background (≥13)), signed bit votes, pairs
+    * at Hamming distance ≤ 12. No DuckDB oracle (xxhash64 is
     * Spark-specific) — correctness pinned by DedupSpec against the
     * Jaccard pair set. */
   def simhashSignatures(df: DataFrame): DataFrame = {
-    val tok = df.select(col("doc_id"),
-      explode(split(col("text"), " ")).as("t"))
+    val tok = df
+      .select(col("doc_id"),
+        explode(expr("""transform(sequence(0, size(split(text, ' ')) - 2),
+                       |  i -> concat_ws(' ', slice(split(text, ' '), i + 1, 2)))""".stripMargin))
+          .as("t"))
       .select(col("doc_id"), xxhash64(col("t")).as("h"))
     val bitSums = (0 until 64).map { k =>
       sum(when(shiftright(col("h"), k).bitwiseAND(1) === 1, 1).otherwise(-1))
@@ -137,7 +143,7 @@ object Dedup {
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long")
           .as("hamming"))
-      .filter(col("hamming") <= 8)
+      .filter(col("hamming") <= 12)
       .orderBy(col("a_id"), col("b_id"))
   }
 

@@ -49,11 +49,12 @@ object Similarity {
       .orderBy(col("query_id"), col("rn"))
   }
 
-  private val Planes = 12
+  private val Tables = 8 // hash tables
+  private val Planes = 4 // sign bits per table
 
-  /** Deterministic pseudo-random ±1 hyperplane weight for (plane p,
-    * dim i): parity of an LCG step — pure integer arithmetic both engines
-    * reproduce exactly. */
+  /** Deterministic pseudo-random ±1 hyperplane weight for (global plane
+    * p, dim i): parity of an LCG step — pure integer arithmetic both
+    * engines reproduce exactly. */
   private def planeBitExpr(p: Int): String = {
     // sum_i w(p,i) * q[i] > 0, w(p,i) = ±1 from LCG((p*64+i))
     s"""(aggregate(zip_with(q, sequence(0, 63),
@@ -62,34 +63,52 @@ object Similarity {
        | 0L, (acc, v) -> acc + v) > 0)""".stripMargin
   }
 
-  /** LSH bucket id: 12 sign bits → int in [0, 4096). */
-  private val bucketExpr: String =
-    (0 until Planes).map(p => s"(CASE WHEN ${planeBitExpr(p)} THEN ${1 << p} ELSE 0 END)")
-      .mkString("(", " + ", ")")
+  /** Bucket id for hash table t: 4 sign bits → [0, 16). Multi-table LSH:
+    * a candidate matches if it shares the query's bucket in ANY table —
+    * on weakly-clustered data (this fixture is near-random, top-5 cosine
+    * ≈ 0.32) a single long signature has ~0 recall, while 8 tables × 4
+    * bits gives P(candidate) = 1−(1−p_bit⁴)⁸ ≈ 0.67 at p_bit ≈ 0.6. */
+  private def bucketExpr(t: Int): String =
+    (0 until Planes).map { p =>
+      s"(CASE WHEN ${planeBitExpr(t * Planes + p)} THEN ${1 << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
 
-  /** Corpus histogram over LSH buckets (the data layout a bucketed ANN
-    * index would persist — bucket skew is the thing to watch at scale). */
-  def lshBuckets(s: SparkSession, dir: String): DataFrame =
+  /** (vec_id, q, norm2, tbl, bucket) — one row per (vector, hash table). */
+  private def bucketed(s: SparkSession, dir: String): DataFrame = {
+    val tables = (0 until Tables).map(t =>
+      struct(lit(t).cast("long").as("tbl"),
+        expr(bucketExpr(t)).cast("long").as("bucket")))
     embeddings(s, dir).select(col("vec_id"), quantize.as("q"))
-      .select(col("vec_id"), expr(bucketExpr).cast("long").as("bucket"))
-      .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec_id"))
-      .orderBy(col("bucket"))
-
-  /** ANN top-3 per query via bucket equi-join: candidates share the
-    * query's bucket; exact cosine only on candidates. Recall vs brute
-    * force is checked in SimilaritySpec. */
-  def lshAnnTopK(s: SparkSession, dir: String): DataFrame = {
-    val e = embeddings(s, dir).select(col("vec_id"), quantize.as("q"))
       .select(col("vec_id"), col("q"), dot("q", "q").as("norm2"),
-        expr(bucketExpr).cast("long").as("bucket"))
-    val queries = e.filter(col("vec_id") < 8)
+        explode(array(tables: _*)).as("tb"))
+      .select(col("vec_id"), col("q"), col("norm2"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+  }
+
+  /** Corpus histogram over LSH buckets per table (the data layout a
+    * bucketed ANN index persists — bucket skew is what to watch at scale). */
+  def lshBuckets(s: SparkSession, dir: String): DataFrame =
+    bucketed(s, dir)
+      .groupBy(col("tbl"), col("bucket"))
+      .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec_id"))
+      .orderBy(col("tbl"), col("bucket"))
+
+  /** ANN top-3 per query via multi-table bucket equi-join: candidates
+    * share the query's bucket in any table (dedup across tables); exact
+    * cosine only on candidates. Recall vs brute force is checked in
+    * SimilaritySpec. */
+  def lshAnnTopK(s: SparkSession, dir: String): DataFrame = {
+    val b = bucketed(s, dir)
+    val queries = b.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("q").as("qe"),
-        col("norm2").as("qn"), col("bucket"))
-    val cands = e.select(col("vec_id").as("cand_id"), col("q").as("ce"),
-      col("norm2").as("cn"), col("bucket"))
-    val scored = cands.join(broadcast(queries), Seq("bucket"))
+        col("norm2").as("qn"), col("tbl"), col("bucket"))
+    val cands = b.select(col("vec_id").as("cand_id"), col("q").as("ce"),
+      col("norm2").as("cn"), col("tbl"), col("bucket"))
+    val scored = cands.join(broadcast(queries), Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"), col("qe"), col("ce"),
+        col("qn"), col("cn"))
+      .dropDuplicates("query_id", "cand_id")
       .select(col("query_id"), col("cand_id"),
         (dot("qe", "ce").cast("double") /
           sqrt(col("qn").cast("double") * col("cn").cast("double"))).as("cosine"))
@@ -128,9 +147,15 @@ object Similarity {
     s"""(sum(CASE WHEN (CAST($p * 64 + (i - 1) AS BIGINT) * 1103515245 + 12345) % 65536 < 32768
        |          THEN v ELSE -v END) > 0)""".stripMargin
 
-  private val duckBucket =
+  private def duckBucket(t: Int) =
     "(" + (0 until Planes).map(p =>
-      s"(CASE WHEN ${duckBucketBit(p)} THEN ${1 << p} ELSE 0 END)").mkString(" + ") + ")"
+      s"(CASE WHEN ${duckBucketBit(t * Planes + p)} THEN ${1 << p} ELSE 0 END)").mkString(" + ") + ")"
+
+  /** One row per (vec_id, tbl, bucket), all tables unioned. */
+  private val duckBuckets =
+    "buckets AS (" + (0 until Tables).map(t =>
+      s"""SELECT vec_id, CAST($t AS BIGINT) AS tbl, CAST(${duckBucket(t)} AS BIGINT) AS bucket
+         |FROM qe GROUP BY vec_id""".stripMargin).mkString("\nUNION ALL\n") + ")"
 
   val oracleSql: Map[String, String] = Map(
     "similarity_cosine_topk" ->
@@ -155,23 +180,22 @@ object Similarity {
          |FROM ranked WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
     "similarity_lsh_buckets" ->
       s"""WITH $qElems,
-         |buckets AS (
-         |  SELECT vec_id, CAST($duckBucket AS BIGINT) AS bucket
-         |  FROM qe GROUP BY vec_id)
-         |SELECT bucket, count(*) AS n_vectors, min(vec_id) AS min_vec_id
-         |FROM buckets GROUP BY bucket ORDER BY bucket""".stripMargin,
+         |$duckBuckets
+         |SELECT tbl, bucket, count(*) AS n_vectors, min(vec_id) AS min_vec_id
+         |FROM buckets GROUP BY tbl, bucket ORDER BY tbl, bucket""".stripMargin,
     "similarity_lsh_ann" ->
       s"""WITH $qElems,
-         |buckets AS (
-         |  SELECT vec_id, CAST($duckBucket AS BIGINT) AS bucket
-         |  FROM qe GROUP BY vec_id),
+         |$duckBuckets,
+         |cand_pairs AS (
+         |  SELECT DISTINCT ba.vec_id AS query_id, bb.vec_id AS cand_id
+         |  FROM buckets ba
+         |  JOIN buckets bb ON ba.tbl = bb.tbl AND ba.bucket = bb.bucket
+         |  WHERE ba.vec_id < 8 AND ba.vec_id <> bb.vec_id),
          |dots AS (
-         |  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
-         |         CAST(sum(a.v * b.v) AS BIGINT) AS dot
-         |  FROM qe a JOIN qe b ON a.i = b.i
-         |  JOIN buckets ba ON ba.vec_id = a.vec_id
-         |  JOIN buckets bb ON bb.vec_id = b.vec_id AND ba.bucket = bb.bucket
-         |  WHERE a.vec_id < 8 AND a.vec_id <> b.vec_id
+         |  SELECT p.query_id, p.cand_id, CAST(sum(a.v * b.v) AS BIGINT) AS dot
+         |  FROM cand_pairs p
+         |  JOIN qe a ON a.vec_id = p.query_id
+         |  JOIN qe b ON b.vec_id = p.cand_id AND a.i = b.i
          |  GROUP BY 1, 2),
          |scored AS (
          |  SELECT query_id, cand_id,

@@ -47,7 +47,7 @@ object StreamingEvents {
       .select(col("user_id"), unix_micros(col("sw.start")).as("session_start_us"),
         unix_micros(col("sw.end")).as("session_end_us"), col("n_events"))
 
-  case class EventIn(user_id: Long, us: Long)
+  case class EventIn(user_id: Long, ts: java.sql.Timestamp, us: Long)
   case class SessionState(startUs: Long, lastUs: Long, n: Long)
   case class SessionOut(user_id: Long, session_start_us: Long,
       session_end_us: Long, n_events: Long)
@@ -91,9 +91,10 @@ object StreamingEvents {
       out.reverseIterator
     }
 
+    // the watermark column must survive projection for EventTimeTimeout
     events
       .withWatermark("ts", "1 hour")
-      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"))
       .as[EventIn]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)

@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  lazy val brutePairs: Set[(Long, Long)] =
+    Dedup.dedupNgramJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("planted near-dup pairs exist in the fixture") {
+    assert(brutePairs.nonEmpty)
+  }
+
+  test("MinHash-LSH pairs equal the exact Jaccard pairs (verified candidates)") {
+    val lsh = Dedup.dedupMinhashLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh === brutePairs)
+  }
+
+  test("SimHash (bigram features) finds every planted near-dup pair") {
+    val sim = Dedup.dedupSimhash(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brutePairs.subsetOf(sim), s"missing: ${brutePairs.diff(sim)}")
+  }
+
+  test("exact dedup groups every doc exactly once") {
+    val total = Dedup.dedupExact(spark, dir)
+      .agg(org.apache.spark.sql.functions.sum("n_copies")).collect()(0).getLong(0)
+    assert(total === graft.Tables.documents(spark, dir).count())
+  }
+
+  test("rolling fingerprint is deterministic and text-sensitive") {
+    import graft.ops.TextAnalysis
+    val fp1 = TextAnalysis.rollingFingerprint(Tables.documents(spark, dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val fp2 = TextAnalysis.rollingFingerprint(Tables.documents(spark, dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fp1 === fp2)
+    assert(fp1.values.toSet.size > 400) // near-unique across 500 docs
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.QueryExecution
+
+/** Physical-plan assertions — the 100 TB posture, enforced by test:
+  * dimension joins must broadcast, filters/pruning must reach the parquet
+  * scan, top-k must not global-sort, and the cube-native insights engine
+  * must aggregate in ONE exchange (vs the loop's one-per-subset).
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  /** Count distinct plan nodes of a kind via the formatted-details
+    * headers "(<id>) <Name>" (tree lines would double-count). */
+  private def countNodes(p: String, name: String): Int =
+    s"""\\(\\d+\\) $name\\b""".r.findAllIn(p).length
+
+  test("q3/q5: dimension sides broadcast (BroadcastHashJoin, no shuffle of dims)") {
+    assert(plan(ops.Relational.q3TopRevenue(spark, dir)).contains("BroadcastHashJoin"))
+    assert(plan(ops.Relational.q5NationRevenue(spark, dir)).contains("BroadcastHashJoin"))
+  }
+
+  test("q6: filters pushed into the parquet scan, schema pruned") {
+    val p = plan(ops.Relational.q6RevenueFilter(spark, dir))
+    assert(p.contains("PushedFilters:") && p.contains("GreaterThanOrEqual(l_shipdate"))
+    // projection needs only 4 of 11 lineitem columns
+    assert(p.contains("l_extendedprice") && !p.contains("l_orderkey"))
+  }
+
+  test("q3: top-k plans as TakeOrderedAndProject (no global sort)") {
+    val p = plan(ops.Relational.q3TopRevenue(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q1: partial aggregation before the exchange (two-phase agg)") {
+    val p = plan(ops.Relational.q1PricingSummary(spark, dir))
+    assert(p.contains("partial_sum") || p.contains("Partial"))
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("cube-native insights: exactly one shuffle for all 2^k-1 subsets") {
+    val o = Tables.orders(spark, dir)
+    val cube = insights.InsightsEngine.insightsCube(o,
+      insights.InsightsQueries.ordersCfg, 100)
+    val p = plan(cube)
+    // one Exchange for the cube agg (Expand feeds it); no per-subset shuffles
+    assert(p.contains("Expand"))
+    assert(countNodes(p, "Exchange") === 1, s"expected 1 Exchange, plan:\n$p")
+  }
+
+  test("loop-compat insights: one aggregate subtree per subset (reference shape)") {
+    val o = Tables.orders(spark, dir)
+    val batches = insights.InsightsEngine.enumerateLoop(o,
+      insights.InsightsQueries.ordersCfg, 100)
+    val p = plan(batches.reduce(_ unionAll _))
+    // 7 subsets of 3 cols -> >=7 aggregate subtrees above the union
+    assert(countNodes(p, "HashAggregate") + countNodes(p, "SortAggregate") >= 7)
+    assert(p.contains("Union"))
+  }
+
+  test("whole-stage codegen covers the scan→filter→project pipelines") {
+    val df = ops.Relational.q6RevenueFilter(spark, dir)
+    df.collect() // AQE finalizes the executed plan only after execution
+    val p = df.queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark WholeStageCodegen spans in the compact form
+    assert(p.contains("*(1)"), s"no codegen spans in:\n$p")
+    // and the parquet scan is vectorized
+    assert(p.contains("Batched: true"))
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.StreamingEvents
+
+/** Structured Streaming specs: a file-source stream over the static
+  * events parquet must converge to the batch answers (DuckDB cannot
+  * oracle a stream — SURVEY.md §7.5.5).
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+  // the file-source needs a directory; stage the single parquet file
+  lazy val eventsPath: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      d.resolve("events.parquet"))
+    d.toString
+  }
+
+  test("streaming tumbling counts (complete mode) == batch window counts") {
+    val stream = StreamingEvents.readEventsStream(spark, eventsPath)
+    StreamingEvents.runToMemory(StreamingEvents.tumblingCounts(stream),
+      "stream_tumbling", OutputMode.Complete)
+    val streamed = spark.table("stream_tumbling").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val batch = graft.ops.Events.tumblingWindows(spark, dir)
+      .select("window_start", "event_type", "n_events").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+  }
+
+  test("stateful flatMapGroupsWithState sessionize emits only closed sessions that match batch") {
+    val stream = StreamingEvents.readEventsStream(spark, eventsPath)
+    StreamingEvents.runToMemory(
+      StreamingEvents.sessionizeStateful(stream).toDF(), "stream_sessions")
+    val streamed = spark.table("stream_sessions").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = graft.ops.Events.sessionize(spark, dir)
+      .select("user_id", "session_start_us", "session_end_us", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // append mode can only emit sessions already closed by the final
+    // watermark; everything emitted must be a true batch session
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(batch),
+      s"phantom sessions: ${streamed.diff(batch).take(3)}")
+  }
+}
