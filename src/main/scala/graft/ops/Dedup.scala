@@ -77,33 +77,45 @@ object Dedup {
     * result provably matches `dedupNgramJaccard` (false-negative odds
     * ~1e-9 at the planted similarity levels). */
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    // The shingle set and signature tables are each referenced by two or
+    // more join sides below; without materialization Spark re-evaluates
+    // the (interpreted-HOF) shingling+hashing subtree once per reference
+    // (~3x the runtime measured at sf0.1). In production these ARE the
+    // persisted index; locally MEMORY_AND_DISK mirrors that.
     val sh = shingled(documents(s, dir))
-    // h_j(s) = (a_j * (xxhash64(s) mod P) + b_j) mod P; min over shingles
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // hash each shingle ONCE, then run the 32 cheap universal-hash perms
+    // over the long array (hashing strings 32× was the dominant cost)
+    val hashed = sh.withColumn("hs",
+      expr(s"transform(shingles, x -> pmod(xxhash64(x), ${P}L))"))
     val minhashes = (0 until MinhashPerms).map { j =>
       val a = 1103515245L * (j + 1) % P
       val b = 12345L * (j + 7919) % P
-      expr(s"""array_min(transform(shingles,
-              |  x -> ($a * pmod(xxhash64(x), ${P}L) + $b) % ${P}L))""".stripMargin)
-        .as(s"mh_$j")
+      expr(s"array_min(transform(hs, h -> ($a * h + $b) % ${P}L))").as(s"mh_$j")
     }
-    val sigs = sh.select(col("doc_id") +: col("shingles") +: minhashes: _*)
-    // band buckets: murmur hash of the band's 4 signature values
+    val sigs = hashed.select(col("doc_id") +: minhashes: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // band buckets: murmur hash of the band's 4 signature values; the
+    // banded relation carries ONLY (doc_id, band, bucket) — shingle
+    // arrays never enter the LSH shuffle
     val bands = (0 until Bands).map { bnd =>
       val cols = (0 until 4).map(r => col(s"mh_${bnd * 4 + r}"))
       struct(lit(bnd).as("band"), hash(cols: _*).as("bucket")).as(s"b_$bnd")
     }
     val banded = sigs
-      .select(col("doc_id"), col("shingles"), explode(array(bands: _*)).as("bb"))
-      .select(col("doc_id"), col("shingles"),
-        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .select(col("doc_id"), explode(array(bands: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val candidates = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        col("a.shingles").as("a_sh"), col("b.shingles").as("b_sh"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
-    candidates
+    // exact verification: attach shingles only for the (tiny) candidate set
+    val withSets = candidates
+      .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("a_sh")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("b_sh")), "b_id")
+    withSets
       .select(col("a_id"), col("b_id"),
         (size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
           size(array_union(col("a_sh"), col("b_sh"))).cast("double")).as("jaccard"))

@@ -1,0 +1,41 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Unified source/sink surface: the reference reads/writes only CSV
+  * (SURVEY.md §2.1 O1/O2); the engine generalizes the same options to
+  * CSV, JSON and Parquet with either schema inference (reference
+  * behavior) or an explicit StructType (the 100 TB default — inference
+  * costs an extra pass over the data and is nondeterministic under
+  * schema drift).
+  */
+object Sources {
+
+  def csv(spark: SparkSession, path: String, header: Boolean = true,
+      schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read.option("header", header)
+    schema.fold(r.option("inferSchema", true).csv(path))(st => r.schema(st).csv(path))
+  }
+
+  def json(spark: SparkSession, path: String,
+      schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read
+    schema.fold(r.json(path))(st => r.schema(st).json(path))
+  }
+
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true,
+      mode: SaveMode = SaveMode.Append): Unit =
+    df.write.option("header", header).mode(mode).csv(path)
+
+  def writeJson(df: DataFrame, path: String,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).json(path)
+
+  def writeParquet(df: DataFrame, path: String,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).parquet(path)
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.insights.InsightsEngine
+
+/** Property-based tests (SURVEY.md §5.2.3) for the pure invariants of
+  * the insights engine's arithmetic — the same formulas the Catalyst
+  * expressions implement (checked via plain ScalaCheck; the
+  * scalatest-scalacheck bridge isn't in the offline cache).
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  def bucket(x: Long, w: Long): Long = math.floorDiv(x, w) * w
+
+  test("bucketing is idempotent and bounds its input: lo <= x < lo+w") {
+    check(Prop.forAll(Gen.chooseNum(-2000000L, 2000000L), Gen.chooseNum(1L, 1000000L)) {
+      (x: Long, w: Long) =>
+        val lo = bucket(x, w)
+        bucket(lo, w) == lo && lo <= x && x < lo + w
+    })
+  }
+
+  test("threshold is monotone: raising the percent never lowers the cutoff") {
+    check(Prop.forAll(Gen.chooseNum(0L, 100000L), Gen.chooseNum(0.0, 50.0),
+      Gen.chooseNum(0.0, 50.0)) { (n: Long, p1: Double, p2: Double) =>
+      val (lo, hi) = if (p1 <= p2) (p1, p2) else (p2, p1)
+      math.floor(lo / 100.0 * n).toLong <= math.floor(hi / 100.0 * n).toLong
+    })
+  }
+
+  test("subset enumeration: 2^k - 1 subsets, all distinct, canonical order") {
+    check(Prop.forAll(Gen.chooseNum(1, 10)) { k =>
+      val cols = (1 to k).map(i => s"c$i")
+      val subsets = InsightsEngine.allSubsets(cols)
+      subsets.length == (1 << k) - 1 &&
+        subsets.distinct.length == subsets.length &&
+        subsets.forall(s => s == cols.filter(s.contains))
+    })
+  }
+
+  test("minhash merge (elementwise min) is associative and commutative") {
+    val sig = Gen.listOfN(8, Gen.chooseNum(0L, Long.MaxValue / 2)).map(_.toArray)
+    check(Prop.forAll(sig, sig, sig) { (a, b, c) =>
+      def m(x: Array[Long], y: Array[Long]) = x.zip(y).map { case (u, v) => math.min(u, v) }
+      m(m(a, b), c).toSeq == m(a, m(b, c)).toSeq && m(a, b).toSeq == m(b, a).toSeq
+    })
+  }
+
+  test("jaccard from intersection identity: |A∪B| = |A|+|B|-|A∩B|") {
+    val set = Gen.listOf(Gen.chooseNum(0, 500)).map(_.toSet)
+    check(Prop.forAll(set, set) { (a: Set[Int], b: Set[Int]) =>
+      a.size + b.size - (a & b).size == (a | b).size
+    })
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Coverage for built-ins whose engine-specific output has no DuckDB
+  * oracle (HLL sketch, from_json) plus cross-cutting sanity. */
+class RelationalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("approx_count_distinct (HLL++) lands within 5% of exact") {
+    val row = Tables.lineitem(spark, dir)
+      .agg(countDistinct(col("l_partkey")).as("exact"),
+        approx_count_distinct(col("l_partkey")).as("approx"))
+      .collect()(0)
+    val exact = row.getLong(0).toDouble
+    val approx = row.getLong(1).toDouble
+    assert(math.abs(approx - exact) / exact < 0.05, s"exact=$exact approx=$approx")
+  }
+
+  test("from_json parses event props into a typed struct") {
+    val schema = StructType(Seq(StructField("k", LongType)))
+    val parsed = Tables.events(spark, dir)
+      .withColumn("p", from_json(col("props"), schema))
+      .select(col("event_id"), col("p.k").as("k"))
+    assert(parsed.filter(col("k").isNull).count() === 0)
+    // agrees with the regexp-based declared query's per-type sums
+    val viaJson = parsed.agg(sum("k")).collect()(0).getLong(0)
+    val viaRegexp = graft.ops.Relational.jsonPropsEvents(spark, dir)
+      .agg(sum("sum_k")).collect()(0).getLong(0)
+    assert(viaJson === viaRegexp)
+  }
+
+  test("every declared query returns rows at sf0.001 except known-empty ones") {
+    val mayBeEmpty = Set("join_anti_customers", "dedup_simhash",
+      "dedup_ngram_jaccard", "dedup_minhash_lsh")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, dir).count()
+      assert(n > 0 || mayBeEmpty.contains(name), s"$name returned 0 rows")
+    }
+  }
+
+  test("entry() (driver smoke) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
