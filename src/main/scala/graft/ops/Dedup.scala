@@ -84,22 +84,21 @@ object Dedup {
     // persisted index; locally MEMORY_AND_DISK mirrors that.
     val sh = shingled(documents(s, dir))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // hash each shingle ONCE, then run the 32 cheap universal-hash perms
-    // over the long array (hashing strings 32× was the dominant cost)
+    // hash each shingle ONCE, then compute all 32 universal-hash minima
+    // in a single codegen'd pass over the long array (the HOF form —
+    // 32 × transform+array_min — evaluated interpreted lambdas and
+    // dominated the runtime; equivalence is pinned in DedupSpec)
     val hashed = sh.withColumn("hs",
       expr(s"transform(shingles, x -> pmod(xxhash64(x), ${P}L))"))
-    val minhashes = (0 until MinhashPerms).map { j =>
-      val a = 1103515245L * (j + 1) % P
-      val b = 12345L * (j + 7919) % P
-      expr(s"array_min(transform(hs, h -> ($a * h + $b) % ${P}L))").as(s"mh_$j")
-    }
-    val sigs = hashed.select(col("doc_id") +: minhashes: _*)
+    val sigs = hashed.select(col("doc_id"),
+        graft.functions.VectorExpressions
+          .universalMinhash(col("hs"), MinhashPerms, P).as("mh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // band buckets: murmur hash of the band's 4 signature values; the
     // banded relation carries ONLY (doc_id, band, bucket) — shingle
     // arrays never enter the LSH shuffle
     val bands = (0 until Bands).map { bnd =>
-      val cols = (0 until 4).map(r => col(s"mh_${bnd * 4 + r}"))
+      val cols = (0 until 4).map(r => col("mh").getItem(bnd * 4 + r))
       struct(lit(bnd).as("band"), hash(cols: _*).as("bucket")).as(s"b_$bnd")
     }
     val banded = sigs

@@ -27,8 +27,12 @@ object Similarity {
   private val quantize =
     expr("transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))")
 
+  /** Native codegen'd dot product (graft.functions.VectorExpressions) —
+    * same left-to-right Long math as the `zip_with`+`aggregate` HOF form
+    * (kept in SimilaritySpec as the equivalence oracle) but ~10× faster:
+    * HOF lambdas evaluate interpreted per element. */
   private def dot(a: String, b: String) =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+    graft.functions.VectorExpressions.dotLongs(col(a), col(b))
 
   /** Brute-force cosine top-5 per query (queries = vec_id < 8). */
   def cosineTopK(s: SparkSession, dir: String): DataFrame = {

@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.VectorExpressions
+
+/** The codegen'd vector expressions must agree exactly with the
+  * higher-order-function formulations they replace (same sequential
+  * Long arithmetic), in both codegen and interpreted eval paths. */
+class VectorExpressionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  lazy val quantized = Tables.embeddings(spark, dir)
+    .select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))").as("q"))
+
+  test("LongArrayDot == zip_with+aggregate HOF form") {
+    val both = quantized.select(col("vec_id"),
+      VectorExpressions.dotLongs(col("q"), col("q")).as("native"),
+      expr("aggregate(zip_with(q, q, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+        .as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() === 0)
+    // and in the interpreted path (codegen disabled)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try assert(both.filter(col("native") =!= col("hof")).count() === 0)
+    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
+  test("UniversalMinHash == per-perm transform+array_min HOF form") {
+    val P = 2147483647L
+    val k = 8
+    val hashed = Tables.documents(spark, dir).select(col("doc_id"),
+      expr(s"transform(split(text, ' '), x -> pmod(xxhash64(x), ${P}L))").as("hs"))
+    val native = hashed.select(col("doc_id"),
+      VectorExpressions.universalMinhash(col("hs"), k, P).as("mh"))
+    val hofCols = (0 until k).map { j =>
+      val a = 1103515245L * (j + 1) % P
+      val b = 12345L * (j + 7919) % P
+      expr(s"array_min(transform(hs, h -> ($a * h + $b) % ${P}L))").as(s"mh_$j")
+    }
+    val hof = hashed.select(col("doc_id") +: hofCols: _*)
+    val joined = native.join(hof, "doc_id")
+    val mismatches = (0 until k).map(j =>
+      joined.filter(col("mh").getItem(j) =!= col(s"mh_$j")).count()).sum
+    assert(mismatches === 0)
+  }
+
+  test("null inputs propagate as null") {
+    val df = spark.sql("SELECT CAST(NULL AS ARRAY<BIGINT>) AS a, array(1L, 2L) AS b")
+    val out = df.select(VectorExpressions.dotLongs(col("a"), col("b")).as("d")).collect()
+    assert(out(0).isNullAt(0))
+  }
+}
