@@ -219,7 +219,52 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** TPC-H Q13-style: order-count distribution over a LEFT OUTER join
+    * (customers with zero orders appear with c_count = 0). */
+  def q13CustomerDistribution(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir).filter(col("o_orderpriority") =!= "1-URGENT")
+    customer(s, dir)
+      .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count")) // count skips the null side
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q17-style via the SQL frontend: correlated scalar subquery
+    * (per-part average quantity), decorrelated by Catalyst into an
+    * aggregate + join — exercises spark.sql() + subquery planning. */
+  def q17SmallQuantityRevenue(s: SparkSession, dir: String): DataFrame = {
+    lineitem(s, dir).createOrReplaceTempView("graft_lineitem")
+    part(s, dir).createOrReplaceTempView("graft_part")
+    s.sql(
+      """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS sum_price_cents,
+        |       count(*) AS n_rows
+        |FROM graft_lineitem JOIN graft_part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#1'
+        |  AND l_quantity < (SELECT 0.5 * avg(l_quantity) FROM graft_lineitem l2
+        |                    WHERE l2.l_partkey = p_partkey)""".stripMargin)
+  }
+
+  /** Native relational pivot (`RelationalGroupedDataset.pivot` with a
+    * fixed value set → deterministic columns) — event counts per type
+    * by day. */
+  def pivotEventsDaily(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(expr("unix_micros(ts) div 86400000000").as("day_bucket"),
+        col("event_type"))
+      .groupBy(col("day_bucket"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("day_bucket"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q13_customer_distribution" -> q13CustomerDistribution _,
+    "q17_small_quantity_revenue" -> q17SmallQuantityRevenue _,
+    "pivot_events_daily" -> pivotEventsDaily _,
     "q1_pricing_summary" -> q1PricingSummary _,
     "q3_top_revenue" -> q3TopRevenue _,
     "q4_order_priority" -> q4OrderPriority _,
@@ -239,6 +284,29 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q13_customer_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) t
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q17_small_quantity_revenue" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS sum_price_cents,
+        |       count(*) AS n_rows
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#1'
+        |  AND l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+        |                    WHERE l2.l_partkey = p_partkey)""".stripMargin,
+    "pivot_events_daily" ->
+      """SELECT epoch_us(ts) // 86400000000 AS day_bucket,
+        |  CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+        |  CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view,
+        |  CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+        |  CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+        |  CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error
+        |FROM events GROUP BY 1 ORDER BY day_bucket""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
