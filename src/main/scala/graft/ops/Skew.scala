@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities for the 100 TB posture.
+  *
+  * AQE's skew-join splitting handles join skew at runtime; aggregation
+  * skew on a hot key (one key = billions of rows) still serializes into
+  * one reducer. `saltedAgg` is the standard fix: a two-phase aggregate
+  * over (key, salt) then key — correct for any algebraic aggregate
+  * (sum/count/min/max), equality-tested in SkewSpec.
+  */
+object Skew {
+
+  /** Two-phase salted aggregation: phase 1 aggregates (keys ++ salt)
+    * partitions the hot key's rows across `saltBuckets` reducers; phase 2
+    * re-aggregates the per-salt partials by key alone (tiny input:
+    * |distinct keys| × saltBuckets rows).
+    *
+    * @param aggs (inputCol → (phase1Agg, phase2Agg, outName)); both
+    *             phases must compose to the overall aggregate
+    *             (sum/sum, count/sum, min/min, max/max).
+    */
+  def saltedAgg(df: DataFrame, keys: Seq[String], saltBuckets: Int,
+      aggs: Seq[(Column, Column => Column, String)]): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+    val phase1 = salted
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(aggs.head._1.as(s"__p_${aggs.head._3}"),
+        aggs.tail.map { case (a, _, n) => a.as(s"__p_$n") }: _*)
+    phase1
+      .groupBy(keys.map(col): _*)
+      .agg(aggs.head._2(col(s"__p_${aggs.head._3}")).as(aggs.head._3),
+        aggs.tail.map { case (_, f, n) => f(col(s"__p_$n")).as(n) }: _*)
+  }
+
+  /** Convenience: salted sum+count (the common hot-key shape). */
+  def saltedSumCount(df: DataFrame, keys: Seq[String], valueCol: String,
+      saltBuckets: Int = 32): DataFrame =
+    saltedAgg(df, keys, saltBuckets, Seq(
+      (sum(col(valueCol)), (c: Column) => sum(c), s"sum_$valueCol"),
+      (count(lit(1)), (c: Column) => sum(c), "n_rows")))
+}
