@@ -148,13 +148,38 @@ object Dedup {
       .select(col("doc_id"), sig.as("simhash"))
   }
 
+  private val SimhashMaxHamming = 12
+  private val SimhashBands = 13 // > max hamming → pigeonhole guarantees recall
+
+  /** Pairs at Hamming ≤ 12 via banded equi-join: split the 64-bit
+    * signature into 13 bit-bands; two signatures within Hamming 12 differ
+    * in at most 12 bands, so they agree EXACTLY on at least one band
+    * (pigeonhole) — candidates from an equi-join on (band, bits) are a
+    * guaranteed superset, then the exact bit_count filter reproduces the
+    * all-pairs result without the O(n²) nested-loop join. */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     val sigs = simhashSignatures(documents(s, dir))
-    sigs.as("a").join(sigs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val width = 64 / SimhashBands + 1 // 5 bits (last band takes the remainder)
+    val bandCols = (0 until SimhashBands).map { b =>
+      val lo = b * width
+      val w = math.min(width, 64 - lo)
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), lo).bitwiseAND((1L << w) - 1).as("bits"))
+    }
+    val banded = sigs
+      .select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"),
+        col("bb.band").as("band"), col("bb.bits").as("bits"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+          col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long")
           .as("hamming"))
-      .filter(col("hamming") <= 12)
+      .filter(col("hamming") <= SimhashMaxHamming)
+      .dropDuplicates("a_id", "b_id")
       .orderBy(col("a_id"), col("b_id"))
   }
 
