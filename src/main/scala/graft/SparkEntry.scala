@@ -24,6 +24,7 @@ object SparkEntry {
       ops.Similarity.queries ++
       ops.TextAnalysis.queries ++
       ops.Events.queries ++
+      ops.Temporal.queries ++
       ops.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -35,5 +36,6 @@ object SparkEntry {
       ops.Similarity.oracleSql ++
       ops.TextAnalysis.oracleSql ++
       ops.Events.oracleSql ++
+      ops.Temporal.oracleSql ++
       ops.Multimodal.oracleSql
 }
