@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Temporal
+
+class TemporalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("asofJoin picks the latest right row at-or-before each left time") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "p1"), (1L, 250L, "p2"), (2L, 50L, "p3"))
+      .toDF("k", "t", "name")
+    val right = Seq((1L, 100L, 10L), (1L, 200L, 20L), (1L, 300L, 30L), (2L, 60L, 40L))
+      .toDF("k", "rt", "v")
+    val got = Temporal.asofJoin(left, right, "k", "t", "rt", "v")
+      .select("name", "asof_v").collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got("p1") === 10L) // simultaneous right row IS visible
+    assert(got("p2") === 20L) // 300 is after 250 -> 200 wins
+    assert(got("p3") === -1L) // no right row at/before 50 -> null
+  }
+
+  test("asofJoin ties on time resolve to the max value") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "p")).toDF("k", "t", "name")
+    val right = Seq((1L, 90L, 7L), (1L, 90L, 9L)).toDF("k", "rt", "v")
+    val got = Temporal.asofJoin(left, right, "k", "t", "rt", "v")
+      .select("asof_v").collect()(0).getLong(0)
+    assert(got === 9L)
+  }
+
+  test("attribution output: every asof view precedes its purchase") {
+    val dir = "/root/testdata/sf0.001"
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val rows = Temporal.eventsAsofAttribution(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.filter(!_.isNullAt(3)).foreach { r =>
+      assert(e(r.getLong(3)) <= r.getLong(2),
+        s"view ${r.getLong(3)} after purchase ${r.getLong(0)}")
+    }
+  }
+}
