@@ -52,9 +52,13 @@ object Dedup {
     val sh = shingled(documents(s, dir))
       .select(col("doc_id"), col("n_chars"), size(col("shingles")).as("n_sh"),
         explode(col("shingles")).as("shingle"))
+    // size-ratio bound: J ≥ 0.5 implies max(|A|,|B|) ≤ 2·min(|A|,|B|)
+    // (J ≤ min/max), so the predicate prunes pairs pre-aggregation
+    // without changing the result set — the oracle is unchanged
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
-          abs(col("a.n_chars") - col("b.n_chars")) <= lit(100))
+          abs(col("a.n_chars") - col("b.n_chars")) <= lit(100) &&
+          col("a.n_sh") <= col("b.n_sh") * 2 && col("b.n_sh") <= col("a.n_sh") * 2)
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         col("a.n_sh").as("a_n"), col("b.n_sh").as("b_n"))
       .agg(count(lit(1)).as("n_inter"))
