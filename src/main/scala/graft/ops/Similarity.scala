@@ -123,6 +123,56 @@ object Similarity {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  private val IvfProbes = 2
+
+  /** IVF (inverted-file) ANN — the other scale path besides LSH: assign
+    * every vector to its nearest "cell" (centroid), probe only the
+    * query's top-2 cells, exact cosine on the cell members. Cells are the
+    * per-label centroid SUM vectors (exact Longs — no k-means iterations
+    * needed for a deterministic, oracle-checkable index); cell affinity
+    * = dot(v, S_cell)/sqrt(|S_cell|²), a deterministic double over exact
+    * integer operands, ties → lowest label. At 100 TB: assignment is a
+    * broadcast cross of each vector with K centroid rows (map-only), the
+    * probe is an equi-join on cell id — candidates per query shrink by
+    * ~K/probes. */
+  def ivfAnnTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+      .select(col("vec_id"), col("label"), quantize.as("q"))
+      .select(col("vec_id"), col("label"), col("q"), dot("q", "q").as("norm2"))
+    // cell centroid sums: exact per-dim Long sums per label
+    val cellSums = e.select(col("label"), posexplode(col("q")).as(Seq("dim", "qv")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("qv")).as("s"))
+    val cells = cellSums.groupBy(col("label").as("cell"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, s))), x -> x.s)").as("cs"))
+      .select(col("cell"), col("cs"),
+        graft.functions.VectorExpressions.dotLongs(col("cs"), col("cs")).as("ss"))
+    // affinity of every vector to every cell (K=10 → broadcast, map-only)
+    val affinity = e.crossJoin(broadcast(cells))
+      .select(col("vec_id"), col("q"), col("norm2"), col("cell"),
+        (graft.functions.VectorExpressions.dotLongs(col("q"), col("cs")).cast("double") /
+          sqrt(col("ss").cast("double"))).as("score"))
+    val rankW = Window.partitionBy(col("vec_id"))
+      .orderBy(col("score").desc, col("cell").asc)
+    val ranked = affinity.withColumn("rn", row_number().over(rankW))
+    val assign = ranked.filter(col("rn") === 1)
+      .select(col("vec_id").as("cand_id"), col("q").as("ce"),
+        col("norm2").as("cn"), col("cell"))
+    val probes = ranked.filter(col("rn") <= IvfProbes && col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("q").as("qe"),
+        col("norm2").as("qn"), col("cell"))
+    val scored = assign.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        (dot("qe", "ce").cast("double") /
+          sqrt(col("qn").cast("double") * col("cn").cast("double"))).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(col("query_id"), col("rn").cast("long").as("rn"), col("cand_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   /** Per-label centroid, element-wise: posexplode → one shuffle keyed by
     * (label, dim). Exact integer sums; centroid as double. */
   def labelCentroids(s: SparkSession, dir: String): DataFrame =
@@ -136,6 +186,7 @@ object Similarity {
     "similarity_cosine_topk" -> cosineTopK _,
     "similarity_lsh_buckets" -> lshBuckets _,
     "similarity_lsh_ann" -> lshAnnTopK _,
+    "similarity_ivf_ann" -> ivfAnnTopK _,
     "similarity_label_centroids" -> labelCentroids _,
   )
 
@@ -213,6 +264,51 @@ object Similarity {
          |  FROM scored)
          |SELECT query_id, CAST(rn AS BIGINT) AS rn, cand_id, cosine
          |FROM ranked WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin,
+    "similarity_ivf_ann" ->
+      s"""WITH $qElems,
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |cellsums AS (
+         |  SELECT l.label AS cell, q.i, CAST(sum(q.v) AS BIGINT) AS s
+         |  FROM qe q JOIN lab l ON l.vec_id = q.vec_id
+         |  GROUP BY 1, 2),
+         |cellnorm AS (SELECT cell, CAST(sum(s * s) AS BIGINT) AS ss
+         |  FROM cellsums GROUP BY cell),
+         |aff AS (
+         |  SELECT q.vec_id, c.cell,
+         |    CAST(sum(q.v * c.s) AS BIGINT) AS dot
+         |  FROM qe q JOIN cellsums c ON q.i = c.i
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT a.vec_id, a.cell,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY CAST(a.dot AS DOUBLE) / sqrt(CAST(n.ss AS DOUBLE)) DESC,
+         |               a.cell ASC) AS rn
+         |  FROM aff a JOIN cellnorm n ON n.cell = a.cell),
+         |assign AS (SELECT vec_id AS cand_id, cell FROM ranked WHERE rn = 1),
+         |probes AS (SELECT vec_id AS query_id, cell FROM ranked
+         |           WHERE rn <= 2 AND vec_id < 8),
+         |cand AS (
+         |  SELECT DISTINCT p.query_id, a.cand_id
+         |  FROM probes p JOIN assign a ON a.cell = p.cell
+         |  WHERE a.cand_id <> p.query_id),
+         |dots AS (
+         |  SELECT c.query_id, c.cand_id, CAST(sum(a.v * b.v) AS BIGINT) AS dot
+         |  FROM cand c
+         |  JOIN qe a ON a.vec_id = c.query_id
+         |  JOIN qe b ON b.vec_id = c.cand_id AND a.i = b.i
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT query_id, cand_id,
+         |    CAST(dot AS DOUBLE) / sqrt(CAST(qn.n2 AS DOUBLE) * CAST(cn.n2 AS DOUBLE)) AS cosine
+         |  FROM dots
+         |  JOIN norms qn ON qn.vec_id = query_id
+         |  JOIN norms cn ON cn.vec_id = cand_id),
+         |final AS (
+         |  SELECT query_id, cand_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rn
+         |  FROM scored)
+         |SELECT query_id, CAST(rn AS BIGINT) AS rn, cand_id, cosine
+         |FROM final WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin,
     "similarity_label_centroids" ->
       """SELECT label, CAST(i - 1 AS BIGINT) AS dim,
         |  CAST(sum(CAST(round(e * 1000) AS BIGINT)) AS DOUBLE) /

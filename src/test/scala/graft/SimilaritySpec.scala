@@ -22,6 +22,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(precision >= 0.25, s"ANN precision vs exact top-5 too low: $precision")
   }
 
+  test("IVF-ANN results live in probed cells and overlap the exact top-5") {
+    val brute = Similarity.cosineTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.ivfAnnTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(ivf.nonEmpty)
+    val precision = ivf.count(brute.contains).toDouble / math.max(ivf.size, 1)
+    // near-random embeddings: cells carry little structure, but the
+    // 2-probe candidate set must still surface part of the true top-5
+    assert(precision >= 0.15, s"IVF precision vs exact top-5 too low: $precision")
+  }
+
   test("brute-force top-k: self excluded, cosine within [-1,1], ranks dense") {
     val rows = Similarity.cosineTopK(spark, dir).collect()
     assert(rows.forall(r => r.getLong(0) != r.getLong(2)))
