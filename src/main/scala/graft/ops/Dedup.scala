@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables._
 
 /** Deduplication operators over the `documents` table — the reference has
@@ -67,6 +68,43 @@ object Dedup {
         (col("n_inter").cast("double") /
           (col("a_n") + col("b_n") - col("n_inter")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Exact Jaccard pairs via PREFIX FILTERING (PPJoin-style): order each
+    * document's shingles rarest-first (global document frequency, then
+    * value) and join only on each side's prefix of length
+    * |S| − ceil(t·|S|) + 1. Theorem: J(A,B) ≥ t implies the prefixes
+    * intersect, so the candidate set is lossless; frequent shingles (the
+    * ones generating the quadratic pair blow-up) never enter the join.
+    * Candidates are then verified with the exact intersection count.
+    * Same result set (and oracle) as `dedupNgramJaccard`; far fewer
+    * pair-rows through the shuffle when shingle df is skewed. */
+  def dedupNgramJaccardPrefix(s: SparkSession, dir: String): DataFrame = {
+    val t = 0.5
+    val sh = shingled(documents(s, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = sh.select(col("doc_id"), col("n_chars"),
+      size(col("shingles")).as("n_sh"), explode(col("shingles")).as("shingle"))
+    val dfreq = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("shingle").asc)
+    val prefix = ex.join(dfreq, "shingle")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= col("n_sh") - ceil(col("n_sh") * t) + 1)
+      .select(col("doc_id"), col("n_chars"), col("n_sh"), col("shingle"))
+    val candidates = prefix.as("a").join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
+          abs(col("a.n_chars") - col("b.n_chars")) <= lit(100) &&
+          col("a.n_sh") <= col("b.n_sh") * 2 && col("b.n_sh") <= col("a.n_sh") * 2)
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .dropDuplicates("a_id", "b_id")
+    candidates
+      .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("a_sh")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("b_sh")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+          size(array_union(col("a_sh"), col("b_sh"))).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= t)
       .orderBy(col("a_id"), col("b_id"))
   }
 
@@ -190,6 +228,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact _,
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
+    "dedup_ngram_jaccard_prefix" -> dedupNgramJaccardPrefix _,
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
     "dedup_simhash" -> dedupSimhash _, // rows-only: Spark-specific hashes
   )
@@ -215,6 +254,7 @@ object Dedup {
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
     "dedup_ngram_jaccard" -> jaccardPairsSql,
+    "dedup_ngram_jaccard_prefix" -> jaccardPairsSql, // prefix filter is lossless
     "dedup_minhash_lsh" -> jaccardPairsSql, // verified-LSH == brute force by design
   )
 }

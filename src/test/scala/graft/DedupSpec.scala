@@ -15,6 +15,12 @@ class DedupSpec extends AnyFunSuite {
     assert(brutePairs.nonEmpty)
   }
 
+  test("prefix-filtered Jaccard join equals the inverted-index join (lossless)") {
+    val prefix = Dedup.dedupNgramJaccardPrefix(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(prefix === brutePairs)
+  }
+
   test("MinHash-LSH pairs equal the exact Jaccard pairs (verified candidates)") {
     val lsh = Dedup.dedupMinhashLsh(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
