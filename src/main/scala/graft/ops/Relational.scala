@@ -261,7 +261,23 @@ object Relational {
       .na.fill(0L)
       .orderBy(col("day_bucket"))
 
+  /** Exact percentiles (Spark `percentile` ≡ DuckDB `quantile_cont`:
+    * both linearly interpolate at p·(n−1) over the sorted values, so the
+    * doubles agree bit-for-bit) + min/max/exact-cents avg per group. */
+  def aggStatsOrders(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("median_price"),
+        expr("percentile(o_totalprice, 0.95)").as("p95_price"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        sum(cents(col("o_totalprice"))).as("sum_cents"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderstatus"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_stats_orders" -> aggStatsOrders _,
     "q13_customer_distribution" -> q13CustomerDistribution _,
     "q17_small_quantity_revenue" -> q17SmallQuantityRevenue _,
     "pivot_events_daily" -> pivotEventsDaily _,
@@ -284,6 +300,15 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "agg_stats_orders" ->
+      """SELECT o_orderstatus,
+        |  quantile_cont(o_totalprice, 0.5) AS median_price,
+        |  quantile_cont(o_totalprice, 0.95) AS p95_price,
+        |  min(o_totalprice) AS min_price,
+        |  max(o_totalprice) AS max_price,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q13_customer_distribution" ->
       """SELECT c_count, count(*) AS custdist FROM (
         |  SELECT c_custkey, count(o_orderkey) AS c_count

@@ -105,7 +105,28 @@ object TextAnalysis {
              |  (acc, t) -> (acc * 31 + length(t) * 96 + ascii(substring(t, 1, 1)))
              |              % 1000000007L)""".stripMargin).as("rolling_fp"))
 
+  /** Global token frequency top-20 (explode → count → top-k): the
+    * canonical flatten-aggregate pipeline; one shuffle on the token. */
+  def textWordCount(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(20)
+
+  /** Stratified sample by language (seeded — deterministic within Spark,
+    * engine-specific RNG so rows-only + spec-checked, no oracle). */
+  def textSampleStratified(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .stat.sampleBy("lang",
+        Map("en" -> 0.5, "fr" -> 0.5, "es" -> 0.2, "de" -> 0.2, "zh" -> 0.2), 42L)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_word_count" -> textWordCount _,
+    "text_sample_stratified" -> textSampleStratified _,
     "text_quality" -> textQuality _,
     "text_token_count" -> textTokenCount _,
     "text_langid" -> textLangid _,
@@ -113,6 +134,11 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "text_word_count" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+        |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
+    // text_sample_stratified: engine-specific RNG -> rows-only check
     "text_quality" ->
       s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
          |f AS (SELECT doc_id, lang,

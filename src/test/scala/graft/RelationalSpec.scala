@@ -45,4 +45,17 @@ class RelationalSpec extends AnyFunSuite {
   test("entry() (driver smoke) returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("stratified sample is seed-deterministic with plausible fractions") {
+    val s1 = graft.ops.TextAnalysis.textSampleStratified(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    val s2 = graft.ops.TextAnalysis.textSampleStratified(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    assert(s1 === s2) // same seed, same sample
+    val n_en = Tables.documents(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("lang") === "en").count()
+    val got_en = graft.ops.TextAnalysis.textSampleStratified(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("lang") === "en").count()
+    assert(math.abs(got_en - 0.5 * n_en) <= 0.2 * n_en + 5)
+  }
 }
