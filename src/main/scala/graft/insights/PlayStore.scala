@@ -74,13 +74,14 @@ object PlayStore {
     * `first()` semantics and two-phase output (O20: append batches under
     * `<out>_partitioned`, then compact to one CSV at `<out>`). */
   def extractCompat(spark: SparkSession, csvPath: String, outPath: String,
-      batchSize: Int = 128, numPartitions: Int = 2): Unit = {
+      batchSize: Int = 128, numPartitions: Int = 2,
+      config: InsightsConfig = cfg): Unit = {
     val prepared = prepare(readCsv(spark, csvPath))
       .repartition(numPartitions) // O16
       .cache()                    // O18
     try {
       val n = prepared.count()    // O19 — the single reused count
-      InsightsEngine.enumerateLoop(prepared, cfg, n, batchSize, useFirst = true)
+      InsightsEngine.enumerateLoop(prepared, config, n, batchSize, useFirst = true)
         .foreach(batch => writeCsv(batch, s"${outPath}_partitioned", header = false))
       val all = readCsv(spark, s"${outPath}_partitioned", header = false,
         inferSchema = false)      // O20 re-read
@@ -92,10 +93,10 @@ object PlayStore {
     * this is the only viable shape — 16 383 aggregate exchanges over the
     * same cached input (compat mode) do not survive a real cluster. */
   def extractScale(spark: SparkSession, csvPath: String, outPath: String,
-      useFirst: Boolean = true): Unit = {
+      useFirst: Boolean = true, config: InsightsConfig = cfg): Unit = {
     val prepared = prepare(readCsv(spark, csvPath))
     val n = prepared.count()
-    val insights = InsightsEngine.insightsCube(prepared, cfg, n, useFirst)
+    val insights = InsightsEngine.insightsCube(prepared, config, n, useFirst)
     insights.write.mode(SaveMode.Overwrite).option("header", false).csv(outPath)
   }
 }
