@@ -276,7 +276,40 @@ object Relational {
         count(lit(1)).as("n_orders"))
       .orderBy(col("o_orderstatus"))
 
+  /** Rank-family window functions: rank / dense_rank / ntile / cume_dist
+    * over customer balances per nation (deterministic: unique tiebreak). */
+  def windowRanksCustomers(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    customer(s, dir).select(
+        col("c_nationkey").cast("long").as("c_nationkey"), col("c_custkey"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        cume_dist().over(w).as("cdist"))
+      .orderBy(col("c_nationkey"), col("rnk"))
+  }
+
+  /** Date arithmetic across a join: average ship delay (days between
+    * order date and line ship date) per order year — datediff is exact
+    * integer math; avg = exact-int sum / count. */
+  def scalarDatediffShipping(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        sum(datediff(col("l_shipdate"), col("o_orderdate")).cast("long"))
+          .as("sum_delay_days"),
+        count(lit(1)).as("n_lines"),
+        max(datediff(col("l_shipdate"), col("o_orderdate")).cast("long"))
+          .as("max_delay_days"))
+      .withColumn("avg_delay_days",
+        col("sum_delay_days").cast("double") / col("n_lines").cast("double"))
+      .orderBy(col("o_year"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_ranks_customers" -> windowRanksCustomers _,
+    "scalar_datediff_shipping" -> scalarDatediffShipping _,
     "agg_stats_orders" -> aggStatsOrders _,
     "q13_customer_distribution" -> q13CustomerDistribution _,
     "q17_small_quantity_revenue" -> q17SmallQuantityRevenue _,
@@ -300,6 +333,24 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "window_ranks_customers" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_custkey,
+        |  CAST(rank() OVER w AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  cume_dist() OVER w AS cdist
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+        |ORDER BY c_nationkey, rnk""".stripMargin,
+    "scalar_datediff_shipping" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(datediff('day', o_orderdate, l_shipdate)) AS BIGINT) AS sum_delay_days,
+        |  count(*) AS n_lines,
+        |  CAST(max(datediff('day', o_orderdate, l_shipdate)) AS BIGINT) AS max_delay_days,
+        |  CAST(sum(datediff('day', o_orderdate, l_shipdate)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS avg_delay_days
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY o_year""".stripMargin,
     "agg_stats_orders" ->
       """SELECT o_orderstatus,
         |  quantile_cont(o_totalprice, 0.5) AS median_price,
