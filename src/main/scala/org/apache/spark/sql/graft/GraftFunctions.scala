@@ -1,0 +1,62 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.functions.VectorExpressions.{LongArrayDot, UniversalMinHash}
+
+/** SQL-surface registration for the graft custom expressions, so
+  * `spark.sql("SELECT dot_longs(a, b) ...")` works alongside the Column
+  * API. Two entry points:
+  *
+  *  - `GraftExtensions` for `spark.sql.extensions=` /
+  *    `builder.withExtensions(...)` (session-independent install);
+  *  - `GraftFunctions.registerAll(spark)` for an existing session
+  *    (bridges the private[sql] sessionState registry).
+  */
+object GraftFunctions {
+
+  private def dotBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, "dot_longs(arrayA, arrayB)")
+    LongArrayDot(exprs(0), exprs(1))
+  }
+
+  private def minhashBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3,
+      "universal_minhash(hashedArray, numPerms, primeModulus)")
+    val k = exprs(1) match {
+      case Literal(v: Int, _) => v
+      case other => sys.error(s"numPerms must be an int literal, got $other")
+    }
+    val p = exprs(2) match {
+      case Literal(v: Long, _) => v
+      case Literal(v: Int, _) => v.toLong
+      case other => sys.error(s"primeModulus must be a literal, got $other")
+    }
+    UniversalMinHash(exprs(0), k, p)
+  }
+
+  val all: Seq[(String, Seq[Expression] => Expression, String)] = Seq(
+    ("dot_longs", dotBuilder _, "sum of elementwise products of two array<bigint>"),
+    ("universal_minhash", minhashBuilder _,
+      "k universal-hash minima over an array<bigint> in one pass"))
+
+  /** Register into an existing session's function registry. */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    all.foreach { case (name, builder, _) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+  }
+}
+
+/** For `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `--conf spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, builder, usage) =>
+      e.injectFunction((new FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.VectorExpressions", name, usage),
+        builder))
+    }
+}

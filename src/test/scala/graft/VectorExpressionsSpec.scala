@@ -51,4 +51,22 @@ class VectorExpressionsSpec extends AnyFunSuite {
     val out = df.select(VectorExpressions.dotLongs(col("a"), col("b")).as("d")).collect()
     assert(out(0).isNullAt(0))
   }
+
+  test("SQL registration: dot_longs and universal_minhash callable from spark.sql") {
+    org.apache.spark.sql.graft.GraftFunctions.registerAll(spark)
+    val d = spark.sql("SELECT dot_longs(array(1L,2L,3L), array(4L,5L,6L)) AS d")
+      .collect()(0).getLong(0)
+    assert(d === 32L)
+    val mh = spark.sql(
+      "SELECT universal_minhash(array(7L, 11L, 13L), 4, 2147483647L) AS mh")
+      .collect()(0).getSeq[Long](0)
+    assert(mh.length === 4)
+    // matches the Column-API form
+    import org.apache.spark.sql.functions._
+    val viaCol = spark.range(1)
+      .select(graft.functions.VectorExpressions.universalMinhash(
+        expr("array(7L, 11L, 13L)"), 4, 2147483647L).as("mh"))
+      .collect()(0).getSeq[Long](0)
+    assert(mh === viaCol)
+  }
 }
