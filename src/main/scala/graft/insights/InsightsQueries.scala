@@ -43,7 +43,10 @@ object InsightsQueries {
   def customerNationCube(s: SparkSession, dir: String): DataFrame = {
     val df = customer(s, dir)
       .join(broadcast(nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
-    InsightsEngine.insightsCube(df, customerCfg, df.count()).orderBy("insight")
+    // dictValues: n_name is functional on c_nationkey, so the
+    // HashAggregate-friendly dictionary-join plan is exactly min()
+    InsightsEngine.insightsCube(df, customerCfg, df.count(), dictValues = true)
+      .orderBy("insight")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -111,4 +111,16 @@ class PlayStoreGoldenSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSet
     assert(out === Set("genre=x;3"))
   }
+
+  test("dictionary-join cube mode == standard cube mode (functional id->value)") {
+    val cfg4 = PlayStore.cfg.copy(groupingCols =
+      Seq("developerId", "free", "genreId", "minInstalls"))
+    val std = InsightsEngine
+      .insightsCube(prepared, cfg4, totalCount = 5, useFirst = false)
+      .collect().map(_.getString(0)).toSet
+    val dict = InsightsEngine
+      .insightsCube(prepared, cfg4, totalCount = 5, dictValues = true)
+      .collect().map(_.getString(0)).toSet
+    assert(dict === std)
+  }
 }
