@@ -123,4 +123,21 @@ class PlayStoreGoldenSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSet
     assert(dict === std)
   }
+
+  test("hybrid cube+loop enumeration == full cube (high-card split)") {
+    val cfg4 = PlayStore.cfg.copy(groupingCols =
+      Seq("developerId", "free", "genreId", "minInstalls"))
+    val full = InsightsEngine
+      .insightsCube(prepared, cfg4, totalCount = 5, useFirst = false)
+      .collect().map(_.getString(0)).toSet
+    val hybrid = InsightsEngine
+      .insightsHybrid(prepared, cfg4, totalCount = 5,
+        highCard = Set("developerId", "minInstalls"))
+      .collect().map(_.getString(0)).toSet
+    assert(hybrid === full)
+    // cardinality detector: everything in the 5-row fixture is low-card
+    assert(InsightsEngine.detectHighCard(prepared, cfg4) === Set.empty)
+    assert(InsightsEngine.detectHighCard(prepared, cfg4, maxGroupsPerCol = 1)
+      .nonEmpty)
+  }
 }
