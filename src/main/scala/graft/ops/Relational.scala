@@ -307,7 +307,64 @@ object Relational {
         col("sum_delay_days").cast("double") / col("n_lines").cast("double"))
       .orderBy(col("o_year"))
 
+  /** TPC-H Q19-style disjunctive predicate (OR of AND-blocks spanning
+    * both join sides) — exercises Catalyst's CNF extraction and partial
+    * pushdown of the common part. */
+  def q19DisjunctiveRevenue(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir).join(part(s, dir), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+          col("l_quantity").between(10, 40)))
+      .agg(sum(revenueCents(col("l_extendedprice"), col("l_discount")))
+        .as("revenue_cents"), count(lit(1)).as("n_rows"))
+
+  /** TPC-H Q22-style: customers with above-average balance and no
+    * orders — uncorrelated scalar subquery + anti join. */
+  def q22IdleRichCustomers(s: SparkSession, dir: String): DataFrame = {
+    val c = customer(s, dir)
+    val avgBal = c.filter(col("c_acctbal") > 0)
+      .agg(avg(col("c_acctbal"))).collect()(0).getDouble(0)
+    c.filter(col("c_acctbal") > avgBal)
+      .join(orders(s, dir).filter(year(col("o_orderdate")) === 1995),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(cents(col("c_acctbal"))).as("total_bal_cents"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): null keys match
+    * each other instead of vanishing. Keys made nullable via nullif. */
+  def joinNullSafe(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir)
+      .select(nullif(col("o_orderpriority"), lit("1-URGENT")).as("k"),
+        col("o_totalprice"))
+    val pri = o.select(col("k")).distinct()
+      .withColumn("rank_label", concat(lit("grp:"), coalesce(col("k"), lit("URGENT"))))
+    o.join(pri, o("k") <=> pri("k"))
+      .groupBy(col("rank_label"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(cents(col("o_totalprice"))).as("total_cents"))
+      .orderBy(col("rank_label"))
+  }
+
+  /** Deterministic string aggregation: sorted list of region names per
+    * nation-prefix group (collect_list is unordered — array_sort makes
+    * it deterministic, matching DuckDB's ORDER BY string_agg). */
+  def aggStringConcat(s: SparkSession, dir: String): DataFrame =
+    nation(s, dir)
+      .groupBy(col("n_regionkey").cast("long").as("n_regionkey"))
+      .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
+        count(lit(1)).as("n_nations"))
+      .orderBy(col("n_regionkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q19_disjunctive_revenue" -> q19DisjunctiveRevenue _,
+    "q22_idle_rich_customers" -> q22IdleRichCustomers _,
+    "join_null_safe" -> joinNullSafe _,
+    "agg_string_concat" -> aggStringConcat _,
     "window_ranks_customers" -> windowRanksCustomers _,
     "scalar_datediff_shipping" -> scalarDatediffShipping _,
     "agg_stats_orders" -> aggStatsOrders _,
@@ -333,6 +390,35 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q19_disjunctive_revenue" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT)
+        |         AS revenue_cents,
+        |       count(*) AS n_rows
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+        |       AND l_quantity BETWEEN 10 AND 40)""".stripMargin,
+    "q22_idle_rich_customers" ->
+      """SELECT c_mktsegment, count(*) AS n_customers,
+        |  CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS total_bal_cents
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND year(o_orderdate) = 1995)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "join_null_safe" ->
+      """WITH o AS (SELECT nullif(o_orderpriority, '1-URGENT') AS k, o_totalprice FROM orders),
+        |pri AS (SELECT DISTINCT k, 'grp:' || coalesce(k, 'URGENT') AS rank_label FROM o)
+        |SELECT rank_label, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM o JOIN pri ON o.k IS NOT DISTINCT FROM pri.k
+        |GROUP BY rank_label ORDER BY rank_label""".stripMargin,
+    "agg_string_concat" ->
+      """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |  count(*) AS n_nations
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
     "window_ranks_customers" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_custkey,
         |  CAST(rank() OVER w AS BIGINT) AS rnk,
