@@ -100,6 +100,25 @@ object StreamingEvents {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Streaming exact dedup: watermark-bounded dropDuplicates on the
+    * event id — state holds only ids newer than the watermark (the
+    * streaming form of the batch exact-dedup operator). */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** Stream-static join: enrich the event stream with the (static)
+    * customer dimension, count per market segment. The static side is
+    * re-broadcast per micro-batch — no stream state. */
+  def streamStaticJoin(events: DataFrame, customers: DataFrame): DataFrame =
+    events
+      .join(customers, events("user_id") === customers("c_custkey"), "inner")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"))
+
   /** Run a stream to completion against a static directory (test/batch
     * harness): memory sink, processAllAvailable. */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append): Unit = {

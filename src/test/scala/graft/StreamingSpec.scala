@@ -33,6 +33,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("streaming dedup + count (complete mode) == batch counts (ids are unique)") {
+    val stream = StreamingEvents.readEventsStream(spark, eventsPath)
+    StreamingEvents.runToMemory(StreamingEvents.dedupEvents(stream),
+      "stream_dedup", OutputMode.Complete)
+    val streamed = spark.table("stream_dedup").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val batch = Tables.events(spark, dir).groupBy("event_type").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(streamed === batch)
+  }
+
+  test("stream-static join == batch join") {
+    val stream = StreamingEvents.readEventsStream(spark, eventsPath)
+    StreamingEvents.runToMemory(
+      StreamingEvents.streamStaticJoin(stream, Tables.customer(spark, dir)),
+      "stream_join", OutputMode.Complete)
+    val streamed = spark.table("stream_join").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val batch = Tables.events(spark, dir)
+      .join(Tables.customer(spark, dir),
+        org.apache.spark.sql.functions.col("user_id") ===
+          org.apache.spark.sql.functions.col("c_custkey"))
+      .groupBy("c_mktsegment").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(streamed === batch)
+  }
+
   test("stateful flatMapGroupsWithState sessionize emits only closed sessions that match batch") {
     val stream = StreamingEvents.readEventsStream(spark, eventsPath)
     StreamingEvents.runToMemory(
