@@ -88,9 +88,40 @@ object Multimodal {
         max(col("channels")).cast("long").as("max_channels"))
       .orderBy(col("media_type"))
 
+  /** Full multimodal chain: media bytes → (stub) feature extraction →
+    * nearest neighbor by feature distance. Features are 8 deterministic
+    * integer moments of the byte stream (real pipelines put a model
+    * here; the CHAIN — binary column → per-row feature vector → pairwise
+    * search — is the part that must scale, and it is identical). Each of
+    * the first 8 docs finds its nearest same-type neighbor by exact L1
+    * distance over the integer features. */
+  def mediaNearestNeighbor(s: SparkSession, dir: String): DataFrame = {
+    val feats = mediaTable(s, dir).select(col("doc_id"), col("media_type"),
+      octet_length(col("media")).cast("long").as("nb"))
+      .select(col("doc_id"), col("media_type"),
+        expr("""array(nb % 251, (nb div 7) % 251, (nb div 13) % 251,
+               |      (nb div 29) % 251, nb % 127, nb % 83, nb % 61, nb % 37)"""
+          .stripMargin).as("feat"))
+    val queries = feats.filter(col("doc_id") < 8)
+      .select(col("doc_id").as("query_id"), col("media_type"), col("feat").as("qf"))
+    val cands = feats
+      .select(col("doc_id").as("cand_id"), col("media_type"), col("feat").as("cf"))
+    val l1 = expr("aggregate(zip_with(qf, cf, (x, y) -> abs(x - y)), 0L, (a, v) -> a + v)")
+    val scored = cands.join(broadcast(queries), Seq("media_type"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("media_type"), col("cand_id"), l1.as("l1_dist"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("l1_dist").asc, col("cand_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("query_id"), col("media_type"), col("cand_id"), col("l1_dist"))
+      .orderBy(col("query_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta" -> mediaMeta _,
     "multimodal_decode_stats" -> mediaDecodeStats _,
+    "multimodal_nearest_neighbor" -> mediaNearestNeighbor _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -110,6 +141,32 @@ object Multimodal {
         |  array_to_string([i * 256 FOR i IN range(0, CAST(least((n_bytes + 255) // 256 - 1, 3) AS INT) + 1)], ',')
         |    AS sampled_offsets
         |FROM b ORDER BY doc_id""".stripMargin,
+    "multimodal_nearest_neighbor" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS nb
+        |  FROM documents),
+        |feat AS (
+        |  SELECT doc_id, media_type,
+        |    [nb % 251, (nb // 7) % 251, (nb // 13) % 251, (nb // 29) % 251,
+        |     nb % 127, nb % 83, nb % 61, nb % 37] AS v
+        |  FROM f),
+        |pairs AS (
+        |  SELECT q.doc_id AS query_id, q.media_type, c.doc_id AS cand_id,
+        |    CAST(abs(q.v[1]-c.v[1]) + abs(q.v[2]-c.v[2]) + abs(q.v[3]-c.v[3])
+        |       + abs(q.v[4]-c.v[4]) + abs(q.v[5]-c.v[5]) + abs(q.v[6]-c.v[6])
+        |       + abs(q.v[7]-c.v[7]) + abs(q.v[8]-c.v[8]) AS BIGINT) AS l1_dist
+        |  FROM feat q JOIN feat c
+        |    ON q.media_type = c.media_type AND q.doc_id <> c.doc_id
+        |  WHERE q.doc_id < 8),
+        |ranked AS (
+        |  SELECT query_id, media_type, cand_id, l1_dist,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY l1_dist ASC, cand_id ASC) AS rn
+        |  FROM pairs)
+        |SELECT query_id, media_type, cand_id, l1_dist
+        |FROM ranked WHERE rn = 1 ORDER BY query_id""".stripMargin,
     "multimodal_decode_stats" ->
       """WITH d AS (
         |  SELECT doc_id,
