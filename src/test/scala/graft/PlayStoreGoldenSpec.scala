@@ -139,5 +139,11 @@ class PlayStoreGoldenSpec extends AnyFunSuite {
     assert(InsightsEngine.detectHighCard(prepared, cfg4) === Set.empty)
     assert(InsightsEngine.detectHighCard(prepared, cfg4, maxGroupsPerCol = 1)
       .nonEmpty)
+    // all-high-card edge: pure loop mode, still equals the full cube
+    val allLoop = InsightsEngine
+      .insightsHybrid(prepared, cfg4, totalCount = 5,
+        highCard = cfg4.groupingCols.toSet)
+      .collect().map(_.getString(0)).toSet
+    assert(allLoop === full)
   }
 }
