@@ -58,4 +58,14 @@ class RelationalSpec extends AnyFunSuite {
       .filter(org.apache.spark.sql.functions.col("lang") === "en").count()
     assert(math.abs(got_en - 0.5 * n_en) <= 0.2 * n_en + 5)
   }
+
+  test("approx_percentile lands within the exact percentile neighborhood") {
+    import org.apache.spark.sql.functions._
+    val row = Tables.orders(spark, dir).agg(
+      expr("percentile(o_totalprice, 0.5)").as("exact"),
+      expr("approx_percentile(o_totalprice, 0.5, 1000)").as("approx")).collect()(0)
+    val exact = row.getDouble(0)
+    val approx = row.getDouble(1)
+    assert(math.abs(approx - exact) / exact < 0.05, s"exact=$exact approx=$approx")
+  }
 }
