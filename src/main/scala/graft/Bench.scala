@@ -1,5 +1,17 @@
 package graft
+import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every declared query at SPARK_GRAFT_SF_DIR and
+  * emits ONE JSON line. The JSON is (a) written to a file —
+  * SPARK_GRAFT_BENCH_OUT if set, else BENCH_LAST.json in the cwd — so the
+  * driver can machine-read it without scraping sbt log noise, and (b)
+  * printed as the process's last stdout line (after spark.stop()).
+  *
+  * Queries are executed via the `noop` sink, not `.count()`: a count lets
+  * Catalyst's EliminateSorts drop a terminal orderBy, under-timing every
+  * sort-terminated query. The noop write runs the FULL plan (including
+  * final sorts) and discards rows executor-side — no driver collect. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -12,21 +24,29 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    def run(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
     // warm up codegen/classloading/parquet footer caches so the first
     // timed query doesn't absorb one-time JVM costs
     spark.range(1000000).selectExpr("sum(id)").collect()
-    SparkEntry.queries.headOption.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => }
+    SparkEntry.queries.headOption.foreach { case (name, _) =>
+      try run(name) catch { case _: Throwable => }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.map { case (name, _) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try run(name) catch { case _: Throwable => }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+    try Files.writeString(Paths.get(outPath), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] write failed: $e") }
     spark.stop()
+    println(json)
   }
 }

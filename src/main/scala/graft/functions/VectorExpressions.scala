@@ -112,10 +112,109 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** All LSH sign-random-projection bucket ids in ONE pass over the
+    * quantized vector: for hash table t in [0,nTables), bucket_t has bit
+    * p set iff Σ_i w(g,i)·q(i) > 0 for global plane g = t·nPlanes+p, with
+    * ±1 weight w(g,i) = parity of an LCG step at (g·dim+i) — the same
+    * constants the SQL/DuckDB-oracle form uses, so semantics (and the
+    * oracle) are unchanged. The per-plane weight signs are precomputed
+    * into one 64-bit mask per plane (dim ≤ 64); the generated code is a
+    * tight two-level primitive loop inside WholeStageCodegen, replacing
+    * nTables×nPlanes interpreted `zip_with`+`aggregate` lambdas (~10×,
+    * the same measured gap as LongArrayDot vs its HOF form). */
+  case class SignRandomProjection(child: Expression, nTables: Int,
+      nPlanes: Int, dim: Int) extends UnaryExpression {
+    require(dim <= 64, "plane weight mask packs one sign bit per dim into a Long")
+    require(nPlanes <= 62, "bucket id must fit a Long")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+
+    private def positiveWeight(g: Int, i: Int): Boolean =
+      ((g.toLong * dim + i) * 1103515245L + 12345L) % 65536L < 32768L
+
+    private lazy val masks: Array[Long] = Array.tabulate(nTables * nPlanes) { g =>
+      (0 until dim).foldLeft(0L) { (m, i) =>
+        if (positiveWeight(g, i)) m | (1L << i) else m
+      }
+    }
+
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = math.min(arr.numElements(), dim)
+      val planes = nTables * nPlanes
+      val acc = new Array[Long](planes)
+      var i = 0
+      while (i < n) {
+        val x = arr.getLong(i)
+        var g = 0
+        while (g < planes) {
+          acc(g) += (if (((masks(g) >>> i) & 1L) == 1L) x else -x)
+          g += 1
+        }
+        i += 1
+      }
+      val out = new Array[Long](nTables)
+      var t = 0
+      while (t < nTables) {
+        var b = 0L
+        var p = 0
+        while (p < nPlanes) {
+          if (acc(t * nPlanes + p) > 0L) b |= (1L << p)
+          p += 1
+        }
+        out(t) = b
+        t += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val planes = nTables * nPlanes
+        val maskInit = masks.mkString("{", "L,", "L}")
+        val ms = ctx.freshName("masks")
+        val acc = ctx.freshName("acc")
+        val out = ctx.freshName("out")
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val g = ctx.freshName("g")
+        val t = ctx.freshName("t")
+        val p = ctx.freshName("p")
+        val x = ctx.freshName("x")
+        val b = ctx.freshName("b")
+        s"""
+           |final long[] $ms = $maskInit;
+           |long[] $acc = new long[$planes];
+           |int $n = java.lang.Math.min($c.numElements(), $dim);
+           |for (int $i = 0; $i < $n; $i++) {
+           |  long $x = $c.getLong($i);
+           |  for (int $g = 0; $g < $planes; $g++) {
+           |    $acc[$g] += ((($ms[$g] >>> $i) & 1L) == 1L) ? $x : -$x;
+           |  }
+           |}
+           |long[] $out = new long[$nTables];
+           |for (int $t = 0; $t < $nTables; $t++) {
+           |  long $b = 0L;
+           |  for (int $p = 0; $p < $nPlanes; $p++) {
+           |    if ($acc[$t * $nPlanes + $p] > 0L) $b |= (1L << $p);
+           |  }
+           |  $out[$t] = $b;
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   def dotLongs(a: Column, b: Column): Column =
     ColumnBridge.column(LongArrayDot(ColumnBridge.expression(a),
       ColumnBridge.expression(b)))
 
   def universalMinhash(c: Column, k: Int, p: Long): Column =
     ColumnBridge.column(UniversalMinHash(ColumnBridge.expression(c), k, p))
+
+  def signBuckets(c: Column, nTables: Int, nPlanes: Int, dim: Int): Column =
+    ColumnBridge.column(
+      SignRandomProjection(ColumnBridge.expression(c), nTables, nPlanes, dim))
 }

@@ -49,10 +49,39 @@ object InsightsQueries {
       .orderBy("insight")
   }
 
+  /** Play-Store-SHAPED configuration: 5 grouping columns (31 subsets),
+    * two bucketed numerics, and an id→value mapping rendered through the
+    * dictionary-join cube — the same structural features as the flagship
+    * 14-column pipeline (buckets + idValues + threshold), at a width
+    * DuckDB's CUBE can oracle, so the flagship pipeline shape itself is
+    * under the driver's hash check beyond 3 columns. */
+  val playstoreShapeCfg: InsightsConfig = InsightsConfig(
+    groupingCols = Seq("o_orderstatus", "o_orderpriority", "nk",
+      "o_totalprice", "o_year"),
+    buckets = Map("o_totalprice" -> 100000L, "o_year" -> 5L),
+    idValues = Map("nk" -> Seq("n_name")))
+
+  /** Deterministic Play-Store-shaped frame from the fixture tables:
+    * orders ⋈ customer (shuffle) ⋈ nation (broadcast), with nationkey as
+    * the id column displaying n_name. */
+  def playstoreShapeCube(s: SparkSession, dir: String): DataFrame = {
+    val df = orders(s, dir)
+      .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("o_orderstatus"), col("o_orderpriority"),
+        col("c_nationkey").cast("long").as("nk"),
+        col("o_totalprice"),
+        year(col("o_orderdate")).cast("long").as("o_year"),
+        col("n_name"))
+    InsightsEngine.insightsCube(df, playstoreShapeCfg, df.count(),
+      dictValues = true).orderBy("insight")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "insights_orders_cube" -> ordersCube _,
     "insights_orders_loop" -> ordersLoop _,
     "insights_customer_nation" -> customerNationCube _,
+    "insights_playstore_shape" -> playstoreShapeCube _,
   )
 
   private val ordersBucket =
@@ -81,9 +110,44 @@ object InsightsQueries {
     "'[' || CAST(CAST(floor(c_acctbal/2000) AS BIGINT)*2000 AS VARCHAR)" +
       " || '-' || CAST(CAST(floor(c_acctbal/2000) AS BIGINT)*2000 + 2000 AS VARCHAR) || ']'"
 
+  private val psTotalBucket =
+    "'[' || CAST(CAST(floor(o_totalprice/100000) AS BIGINT)*100000 AS VARCHAR)" +
+      " || '-' || CAST(CAST(floor(o_totalprice/100000) AS BIGINT)*100000 + 100000 AS VARCHAR) || ']'"
+
+  private val psYearBucket =
+    "'[' || CAST(CAST(floor(year(o_orderdate)/5) AS BIGINT)*5 AS VARCHAR)" +
+      " || '-' || CAST(CAST(floor(year(o_orderdate)/5) AS BIGINT)*5 + 5 AS VARCHAR) || ']'"
+
+  private val playstoreShapeSql: String =
+    s"""WITH base AS (
+       |  SELECT o_orderstatus AS st, o_orderpriority AS pri,
+       |         c_nationkey AS nk, n_name,
+       |         $psTotalBucket AS buck, $psYearBucket AS yb
+       |  FROM orders
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey),
+       |n AS (SELECT CAST(floor(0.02 * count(*)) AS BIGINT) AS thr FROM base),
+       |g AS (
+       |  SELECT st, pri, nk, buck, yb, min(n_name) AS nname, count(*) AS c,
+       |         GROUPING(st) AS gs, GROUPING(pri) AS gp, GROUPING(nk) AS gn,
+       |         GROUPING(buck) AS gb, GROUPING(yb) AS gy
+       |  FROM base GROUP BY CUBE (st, pri, nk, buck, yb))
+       |SELECT concat_ws(';',
+       |    CASE WHEN gs = 0 THEN 'o_orderstatus=' || st END,
+       |    CASE WHEN gp = 0 THEN 'o_orderpriority=' || pri END,
+       |    CASE WHEN gb = 0 THEN 'o_totalprice=' || buck END,
+       |    CASE WHEN gy = 0 THEN 'o_year=' || yb END,
+       |    CASE WHEN gn = 0 THEN 'n_name=' || nname END,
+       |    CAST(c AS VARCHAR)) AS insight
+       |FROM g, n
+       |WHERE NOT (gs = 1 AND gp = 1 AND gn = 1 AND gb = 1 AND gy = 1)
+       |  AND c >= thr
+       |ORDER BY insight""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "insights_orders_cube" -> ordersInsightsSql,
     "insights_orders_loop" -> ordersInsightsSql, // same result set by design
+    "insights_playstore_shape" -> playstoreShapeSql,
     "insights_customer_nation" ->
       s"""WITH base AS (
          |  SELECT c_mktsegment AS seg, c_nationkey AS nk, n_name, $customerBucket AS bal

@@ -44,6 +44,24 @@ object PlayStore {
   val rangeFilters: Seq[(String, Long, Long)] =
     Seq(("ratings", 0L, 100L), ("releasedYear", 1971L, 2023L))
 
+  /** Explicit Play-Store CSV schema — the engine default (SURVEY.md §1.2):
+    * schema inference costs an extra full pass over the input and is
+    * nondeterministic under data drift at 100 TB. Types are the widest
+    * the reference's inference produces on the public dataset; the
+    * numeric columns are cast to int by `clean` afterwards either way,
+    * so schema-read and inference-read pipelines agree (golden-tested). */
+  val schema: StructType = StructType(Seq(
+    StructField("_c0", LongType), StructField("appId", StringType),
+    StructField("developer", StringType), StructField("developerId", StringType),
+    StructField("developerWebsite", StringType), StructField("free", BooleanType),
+    StructField("genre", StringType), StructField("genreId", StringType),
+    StructField("minInstalls", LongType), StructField("offersIAP", BooleanType),
+    StructField("originalPrice", DoubleType), StructField("price", DoubleType),
+    StructField("ratings", LongType), StructField("len screenshots", LongType),
+    StructField("adSupported", BooleanType), StructField("containsAds", BooleanType),
+    StructField("reviews", LongType), StructField("score", DoubleType),
+    StructField("releasedYear", LongType)))
+
   /** O1: CSV source. The reference passes a numPartitions read option the
     * CSV source ignores — not replicated. Explicit schema optional;
     * default mirrors the reference's header+inferSchema. */
@@ -72,7 +90,10 @@ object PlayStore {
 
   /** Full job, compat mode (reference main.py:363-404): batched loop with
     * `first()` semantics and two-phase output (O20: append batches under
-    * `<out>_partitioned`, then compact to one CSV at `<out>`). */
+    * `<out>_partitioned`, then compact to one CSV at `<out>`). The
+    * reference writes every CSV with header=True and names the single
+    * output column "Insights" (main.py:312,358,393) — reproduced here so
+    * compat-mode files are format-identical. */
   def extractCompat(spark: SparkSession, csvPath: String, outPath: String,
       batchSize: Int = 128, numPartitions: Int = 2,
       config: InsightsConfig = cfg): Unit = {
@@ -82,10 +103,11 @@ object PlayStore {
     try {
       val n = prepared.count()    // O19 — the single reused count
       InsightsEngine.enumerateLoop(prepared, config, n, batchSize, useFirst = true)
-        .foreach(batch => writeCsv(batch, s"${outPath}_partitioned", header = false))
-      val all = readCsv(spark, s"${outPath}_partitioned", header = false,
-        inferSchema = false)      // O20 re-read
-      writeCsv(all, outPath, header = false)
+        .foreach(batch => writeCsv(batch.withColumnRenamed("insight", "Insights"),
+          s"${outPath}_partitioned", header = true))
+      val all = readCsv(spark, s"${outPath}_partitioned", header = true,
+        inferSchema = true)       // O20 re-read (main.py:393 passes True, True)
+      writeCsv(all, outPath, header = true)
     } finally prepared.unpersist()
   }
 
@@ -94,7 +116,8 @@ object PlayStore {
     * same cached input (compat mode) do not survive a real cluster. */
   def extractScale(spark: SparkSession, csvPath: String, outPath: String,
       useFirst: Boolean = true, config: InsightsConfig = cfg): Unit = {
-    val prepared = prepare(readCsv(spark, csvPath))
+    // scale mode reads with the explicit schema: no inference pass
+    val prepared = prepare(readCsv(spark, csvPath, schema = Some(schema)))
     val n = prepared.count()
     val insights = InsightsEngine.insightsCube(prepared, config, n, useFirst)
     insights.write.mode(SaveMode.Overwrite).option("header", false).csv(outPath)

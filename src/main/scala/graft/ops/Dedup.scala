@@ -31,14 +31,18 @@ object Dedup {
       .select(col("keep_id"), col("n_copies"))
       .orderBy(col("keep_id"))
 
-  /** Distinct 3-word shingles per document. */
+  /** Distinct 3-word shingles per document. Documents with fewer than 3
+    * words are excluded BEFORE the sequence is built (sequence(0, -1)
+    * descends and slice() then throws at runtime) — mirroring the
+    * oracle's `WHERE len(words) >= 3` guard. */
   private def shingled(df: DataFrame): DataFrame =
-    df.select(col("doc_id"), col("n_chars"),
-      expr("""array_distinct(transform(
-             |  sequence(0, size(split(text, ' ')) - 3),
-             |  i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3))))""".stripMargin)
-        .as("shingles"))
-      .filter(size(col("shingles")) > 0)
+    df.select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("words"))
+      .filter(size(col("words")) >= 3)
+      .select(col("doc_id"), col("n_chars"),
+        expr("""array_distinct(transform(
+               |  sequence(0, size(words) - 3),
+               |  i -> concat_ws(' ', slice(words, i + 1, 3))))""".stripMargin)
+          .as("shingles"))
 
   /** Exact n-gram-Jaccard near-dup pairs via an inverted shingle index —
     * the scalable exact set-similarity join: explode distinct shingles,
@@ -49,19 +53,50 @@ object Dedup {
     * slower and cannot scale; this shape shuffles once on the shingle
     * and once on the pair. Pairs below Jaccard 0.5 or outside the
     * length band are dropped; zero-overlap pairs never appear (J=0). */
-  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    dedupNgramJaccardCapped(s, dir, hotDf = 256L, saltBuckets = 8)
+
+  /** Result-identical variant of the inverted-index join with a HOT-
+    * SHINGLE document-frequency cap: a shingle appearing in f documents
+    * yields C(f,2) join rows, so one viral shingle at corpus scale is one
+    * straggler reducer. Mitigation (result-preserving — the oracle is
+    * shared): compute per-shingle df in one linear shuffle, broadcast the
+    * (tiny) list of shingles with df > hotDf, and route their posting
+    * lists through a BLOCK-SPLIT self-join — the left side replicates
+    * each (shingle, doc) entry once per target block, the right side
+    * keys by hash(doc_id) % saltBuckets, so every pair still materializes
+    * exactly once but the C(f,2) work spreads over saltBuckets reducers
+    * (the same two-phase trick as `Skew.saltedAgg`, applied to pair
+    * generation). Cold shingles join exactly as before; the union feeds
+    * one pair-count aggregate, so |A∩B| is unchanged. */
+  def dedupNgramJaccardCapped(s: SparkSession, dir: String, hotDf: Long,
+      saltBuckets: Int): DataFrame = {
     val sh = shingled(documents(s, dir))
       .select(col("doc_id"), col("n_chars"), size(col("shingles")).as("n_sh"),
         explode(col("shingles")).as("shingle"))
+    val hotShingles = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > hotDf).select(col("shingle"))
+    val cold = sh.join(broadcast(hotShingles), Seq("shingle"), "left_anti")
+    val hot = sh.join(broadcast(hotShingles), Seq("shingle"), "left_semi")
     // size-ratio bound: J ≥ 0.5 implies max(|A|,|B|) ≤ 2·min(|A|,|B|)
     // (J ≤ min/max), so the predicate prunes pairs pre-aggregation
     // without changing the result set — the oracle is unchanged
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
+    def joinPairs(a: DataFrame, b: DataFrame, extra: Column): DataFrame =
+      a.as("a").join(b.as("b"),
+        col("a.shingle") === col("b.shingle") && extra &&
+          col("a.doc_id") < col("b.doc_id") &&
           abs(col("a.n_chars") - col("b.n_chars")) <= lit(100) &&
           col("a.n_sh") <= col("b.n_sh") * 2 && col("b.n_sh") <= col("a.n_sh") * 2)
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        col("a.n_sh").as("a_n"), col("b.n_sh").as("b_n"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          col("a.n_sh").as("a_n"), col("b.n_sh").as("b_n"))
+    val coldPairs = joinPairs(cold, cold, lit(true))
+    val hotL = hot.withColumn("blk",
+      explode(sequence(lit(0L), lit(saltBuckets - 1L))))
+    val hotR = hot.withColumn("blk",
+      pmod(xxhash64(col("doc_id")), lit(saltBuckets.toLong)))
+    val hotPairs = joinPairs(hotL, hotR, col("a.blk") === col("b.blk"))
+    val inter = coldPairs.unionByName(hotPairs)
+      .groupBy(col("a_id"), col("b_id"), col("a_n"), col("b_n"))
       .agg(count(lit(1)).as("n_inter"))
     inter
       .select(col("a_id"), col("b_id"),
@@ -164,22 +199,32 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  /** 64-bit SimHash near-dup pairs: xxhash64 over word-BIGRAM features
-    * (unigram features on a shared-vocab corpus leave no hamming gap
-    * between near-dups and background — measured; bigrams separate
-    * planted pairs (≤10) from background (≥13)), signed bit votes, pairs
-    * at Hamming distance ≤ 12. No DuckDB oracle (xxhash64 is
-    * Spark-specific) — correctness pinned by DedupSpec against the
-    * Jaccard pair set. */
+  /** 64-bit SimHash near-dup pairs over word-BIGRAM features (unigram
+    * features on a shared-vocab corpus leave no hamming gap between
+    * near-dups and background — measured; bigrams separate planted pairs
+    * from background), signed bit votes, pairs at Hamming distance ≤ 12.
+    *
+    * Feature hash = two 32-bit halves parsed from the bigram's md5 hex —
+    * md5 is identical in every engine, so (unlike round 1's Spark-only
+    * xxhash64) the WHOLE simhash pipeline has a DuckDB oracle; recall is
+    * additionally pinned against the Jaccard pair set in DedupSpec.
+    * Documents with < 2 words are excluded before the bigram sequence is
+    * built (sequence(0, -1) descends and slice() throws), mirroring the
+    * oracle's len(words) >= 2 guard. */
   def simhashSignatures(df: DataFrame): DataFrame = {
     val tok = df
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .filter(size(col("words")) >= 2)
       .select(col("doc_id"),
-        explode(expr("""transform(sequence(0, size(split(text, ' ')) - 2),
-                       |  i -> concat_ws(' ', slice(split(text, ' '), i + 1, 2)))""".stripMargin))
-          .as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+        explode(expr("""transform(sequence(0, size(words) - 2),
+                       |  i -> md5(concat_ws(' ', slice(words, i + 1, 2))))""".stripMargin))
+          .as("m"))
+      .select(col("doc_id"),
+        conv(substring(col("m"), 1, 8), 16, 10).cast("long").as("h_hi"),
+        conv(substring(col("m"), 9, 8), 16, 10).cast("long").as("h_lo"))
     val bitSums = (0 until 64).map { k =>
-      sum(when(shiftright(col("h"), k).bitwiseAND(1) === 1, 1).otherwise(-1))
+      val h = if (k < 32) col("h_lo") else col("h_hi")
+      sum(when(shiftright(h, k % 32).bitwiseAND(1) === 1, 1).otherwise(-1))
         .as(s"s_$k")
     }
     val sig = (0 until 64).map { k =>
@@ -230,8 +275,43 @@ object Dedup {
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "dedup_ngram_jaccard_prefix" -> dedupNgramJaccardPrefix _,
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
-    "dedup_simhash" -> dedupSimhash _, // rows-only: Spark-specific hashes
+    "dedup_simhash" -> dedupSimhash _,
   )
+
+  /** DuckDB oracle for the simhash pipeline: brute-force all-pairs over
+    * per-document bit votes (fine at sf0.01), same md5-derived feature
+    * bits as the Spark side. The banded equi-join is exact-recall by
+    * pigeonhole, so the two result sets agree. */
+  private def simhashOracleSql: String = {
+    val bitCols = (0 until 64).map { k =>
+      val h = if (k < 32) "h_lo" else "h_hi"
+      val div = 1L << (k % 32)
+      s"CASE WHEN sum(CASE WHEN ($h // $div) % 2 = 1 THEN 1 ELSE -1 END) > 0" +
+        s" THEN 1 ELSE 0 END AS b$k"
+    }.mkString(", ")
+    val hamming = (0 until 64).map(k => s"abs(a.b$k - b2.b$k)").mkString(" + ")
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 2),
+       |f AS (
+       |  SELECT doc_id, md5(bg) AS m FROM (
+       |    SELECT doc_id,
+       |      unnest([array_to_string(words[i:i+1], ' ')
+       |              FOR i IN range(1, len(words))]) AS bg
+       |    FROM w)),
+       |h AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(m, 1, 8))::BIGINT AS h_hi,
+       |    ('0x' || substr(m, 9, 8))::BIGINT AS h_lo
+       |  FROM f),
+       |b AS (SELECT doc_id, $bitCols FROM h GROUP BY doc_id),
+       |p AS (
+       |  SELECT a.doc_id AS a_id, b2.doc_id AS b_id,
+       |         CAST($hamming AS BIGINT) AS hamming
+       |  FROM b a JOIN b b2 ON a.doc_id < b2.doc_id)
+       |SELECT a_id, b_id, hamming FROM p
+       |WHERE hamming <= 12 ORDER BY a_id, b_id""".stripMargin
+  }
 
   private val jaccardPairsSql =
     """WITH sh AS (
@@ -256,5 +336,6 @@ object Dedup {
     "dedup_ngram_jaccard" -> jaccardPairsSql,
     "dedup_ngram_jaccard_prefix" -> jaccardPairsSql, // prefix filter is lossless
     "dedup_minhash_lsh" -> jaccardPairsSql, // verified-LSH == brute force by design
+    "dedup_simhash" -> simhashOracleSql,
   )
 }

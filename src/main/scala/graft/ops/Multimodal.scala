@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables._
@@ -36,8 +36,14 @@ object Multimodal {
         octet_length(col("media")).cast("long").as("n_bytes"),
         lower(hex(substring(col("media"), 1, 4))).as("magic_hex"))
       .withColumn("n_frames", expr("(n_bytes + 255) div 256"))
+      // zero-byte media: n_frames = 0 must yield an EMPTY offset list
+      // (sequence(0, -1) would descend to [0, -1]); guarded to agree with
+      // the oracle's range(0, 0) = []
       .withColumn("sampled_frames",
-        expr("transform(sequence(0, CAST(least(n_frames - 1, 3) AS INT)), i -> CAST(i * 256 AS STRING))"))
+        expr("""IF(n_frames > 0,
+               |   transform(sequence(0, CAST(least(n_frames - 1, 3) AS INT)),
+               |             i -> CAST(i * 256 AS STRING)),
+               |   CAST(array() AS ARRAY<STRING>))""".stripMargin))
       .select(col("doc_id"), col("media_type"), col("n_bytes"), col("magic_hex"),
         col("n_frames"), array_join(col("sampled_frames"), ",").as("sampled_offsets"))
       .orderBy(col("doc_id"))
@@ -45,10 +51,15 @@ object Multimodal {
   /** STUB DECODE — deterministic fake standing in for a real codec
     * (none available in this container). Produces the metadata struct a
     * real decoder would: dimensions derived arithmetically from the
-    * bytes. Runs as a partition-preserving batch transform over rows
-    * (`mapPartitions`), the Scala analogue of `mapInPandas`: the decode
-    * "library" is invoked once per partition (amortized init), rows
-    * stream through in batches, schema declared explicitly. */
+    * bytes. Runs as a partition-preserving typed batch transform
+    * (`Dataset.mapPartitions` with an encoder — the Scala analogue of
+    * `mapInPandas`): the decode "library" is invoked once per partition
+    * (amortized init), rows stream through the partition iterator, the
+    * output schema comes from the encoder. Staying on the Dataset API
+    * (vs the round-1 `.rdd` + `createDataFrame` round-trip) keeps the
+    * plan inside Catalyst — AQE still re-plans around it and there is no
+    * RDD scan boundary (asserted in PlanSpec); a real 100 TB decoder
+    * would use `mapInArrow` for columnar batches with the same shape. */
   val decodedSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("media_type", StringType, nullable = true),
@@ -59,20 +70,21 @@ object Multimodal {
 
   def decodeStub(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
-    val rdd = media.select("doc_id", "media_type", "media").rdd.mapPartitions { it =>
-      // per-partition init of the (fake) codec — where a real libjpeg /
-      // ffmpeg handle would be opened once
-      val codecReady = true
-      it.map { r =>
-        val id = r.getLong(0)
-        val bytes = r.getAs[Array[Byte]](2)
-        val w = 16 + (bytes.length % 113)          // ??? real: decode header
-        val h = 16 + ((bytes.length / 7) % 97)     // ??? real: decode header
-        val c = if (r.getString(1) == "audio") 1 else 3
-        Row(id, r.getString(1), w, h, c, codecReady && bytes.nonEmpty)
+    import spark.implicits._
+    media.select("doc_id", "media_type", "media")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition init of the (fake) codec — where a real libjpeg /
+        // ffmpeg handle would be opened once
+        val codecReady = true
+        it.map { case (id, mediaType, bytes) =>
+          val w = 16 + (bytes.length % 113)          // real: decode header
+          val h = 16 + ((bytes.length / 7) % 97)     // real: decode header
+          val c = if (mediaType == "audio") 1 else 3
+          (id, mediaType, w, h, c, codecReady && bytes.nonEmpty)
+        }
       }
-    }
-    spark.createDataFrame(rdd, decodedSchema)
+      .toDF(decodedSchema.fieldNames.toSeq: _*)
   }
 
   /** Decode + aggregate: media stats per type through the stubbed decode

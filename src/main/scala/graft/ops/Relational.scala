@@ -219,6 +219,34 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** Typed JSON parsing via `from_json` (the declared counterpart of the
+    * regexp form above — DuckDB's json_extract_string oracles it fine):
+    * parse props into a struct, bucket k into deciles, aggregate. */
+  def jsonParseEvents(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    events(s, dir)
+      .select(col("event_type"),
+        from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+          .getField("k").as("k"))
+      .groupBy(pmod(col("k"), lit(10L)).as("k_decile"))
+      .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"),
+        countDistinct(col("event_type")).as("n_types"))
+      .orderBy(col("k_decile"))
+  }
+
+  /** Approximate sketches: HLL++ distinct count + quantile summaries.
+    * Estimator internals are engine-specific (no DuckDB oracle —
+    * rows-only declared check); estimates are pinned against exact
+    * values in RelationalSpec. */
+  def aggApproxOrders(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(approx_count_distinct(col("o_custkey")).as("approx_custs"),
+        expr("approx_percentile(o_totalprice, array(0.5, 0.95))")
+          .as("approx_price_q"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("o_orderstatus"))
+
   /** TPC-H Q13-style: order-count distribution over a LEFT OUTER join
     * (customers with zero orders appear with c_count = 0). */
   def q13CustomerDistribution(s: SparkSession, dir: String): DataFrame = {
@@ -321,12 +349,16 @@ object Relational {
         .as("revenue_cents"), count(lit(1)).as("n_rows"))
 
   /** TPC-H Q22-style: customers with above-average balance and no
-    * orders — uncorrelated scalar subquery + anti join. */
+    * orders — uncorrelated scalar subquery + anti join. The scalar is
+    * modeled as a broadcast cross join of the 1-row aggregate (not a
+    * driver-side collect), so the whole query is ONE plan / one job. */
   def q22IdleRichCustomers(s: SparkSession, dir: String): DataFrame = {
     val c = customer(s, dir)
     val avgBal = c.filter(col("c_acctbal") > 0)
-      .agg(avg(col("c_acctbal"))).collect()(0).getDouble(0)
-    c.filter(col("c_acctbal") > avgBal)
+      .agg(avg(col("c_acctbal")).as("__avg_bal"))
+    c.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("__avg_bal"))
+      .drop("__avg_bal")
       .join(orders(s, dir).filter(year(col("o_orderdate")) === 1995),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("c_mktsegment"))
@@ -387,6 +419,8 @@ object Relational {
     "scalar_string_part" -> scalarStringPart _,
     "scalar_date_orders" -> scalarDateOrders _,
     "json_props_events" -> jsonPropsEvents _,
+    "json_parse_events" -> jsonParseEvents _,
+    "agg_approx_orders" -> aggApproxOrders _, // rows-only: engine sketches
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -582,5 +616,14 @@ object Relational {
         |  CAST(min(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS BIGINT) AS min_k,
         |  CAST(max(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS BIGINT) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "json_parse_events" ->
+      """WITH t AS (
+        |  SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT CAST(k % 10 AS BIGINT) AS k_decile, count(*) AS n_events,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+        |FROM t GROUP BY 1 ORDER BY k_decile""".stripMargin,
   )
 }

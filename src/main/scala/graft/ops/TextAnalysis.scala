@@ -124,9 +124,26 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
 
+  /** Hash-based stratified sampling — the engine-portable variant: the
+    * per-row coin is an LCG step on doc_id (pure integer arithmetic any
+    * engine reproduces exactly, unlike Spark's Bernoulli RNG above), with
+    * per-language keep percentages. Deterministic, join-free, map-only —
+    * and at 100 TB a re-run selects the SAME sample, which is what a
+    * training-data pipeline actually wants from sampling. Overflow-safe
+    * under ANSI for doc_id < ~8.3e9. */
+  def textSampleHash(s: SparkSession, dir: String): DataFrame = {
+    val pct = when(col("lang").isin("en", "fr"), lit(50L)).otherwise(lit(20L))
+    documents(s, dir)
+      .filter(pmod((col("doc_id") * 1103515245L + 12345L) % 2147483647L,
+        lit(100L)) < pct)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_word_count" -> textWordCount _,
     "text_sample_stratified" -> textSampleStratified _,
+    "text_sample_hash" -> textSampleHash _,
     "text_quality" -> textQuality _,
     "text_token_count" -> textTokenCount _,
     "text_langid" -> textLangid _,
@@ -139,6 +156,11 @@ object TextAnalysis {
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
     // text_sample_stratified: engine-specific RNG -> rows-only check
+    "text_sample_hash" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ((doc_id * 1103515245 + 12345) % 2147483647) % 100 <
+        |      (CASE WHEN lang IN ('en', 'fr') THEN 50 ELSE 20 END)
+        |ORDER BY doc_id""".stripMargin,
     "text_quality" ->
       s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
          |f AS (SELECT doc_id, lang,

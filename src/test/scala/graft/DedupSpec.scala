@@ -33,6 +33,24 @@ class DedupSpec extends AnyFunSuite {
     assert(brutePairs.subsetOf(sim), s"missing: ${brutePairs.diff(sim)}")
   }
 
+  test("hot-shingle df-cap + salted pair generation is result-identical") {
+    // hotDf = 1 forces EVERY pair-producing shingle (df >= 2) through the
+    // block-split salted path; the result must still equal the plain
+    // inverted-index join
+    val capped = Dedup.dedupNgramJaccardCapped(spark, dir,
+        hotDf = 1L, saltBuckets = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === brutePairs)
+  }
+
+  test("simhash signatures: <2-word docs are excluded, not crashed on") {
+    import spark.implicits._
+    val df = Seq((1L, "solo"), (2L, "two words"), (3L, "three word doc"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.simhashSignatures(df).collect()
+    assert(sigs.map(_.getLong(0)).toSet === Set(2L, 3L))
+  }
+
   test("exact dedup groups every doc exactly once") {
     val total = Dedup.dedupExact(spark, dir)
       .agg(org.apache.spark.sql.functions.sum("n_copies")).collect()(0).getLong(0)

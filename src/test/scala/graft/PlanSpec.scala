@@ -65,6 +65,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Union"))
   }
 
+  test("IVF-ANN: cell assignment is map-side (no Exchange keyed by vec_id)") {
+    val p = plan(ops.Similarity.ivfAnnTopK(spark, dir))
+    assert(!p.contains("hashpartitioning(vec_id"),
+      s"corpus shuffled by vec_id for assignment:\n$p")
+  }
+
+  test("multimodal decode stays on the Dataset API (no RDD scan boundary)") {
+    val p = plan(ops.Multimodal.mediaDecodeStats(spark, dir))
+    assert(!p.contains("ExistingRDD"), s"RDD round-trip in decode plan:\n$p")
+    assert(p.contains("MapPartitions"))
+  }
+
+  test("LSH-ANN: signature relation is persisted (computed once, not per join side)") {
+    val p = ops.Similarity.lshAnnTopK(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      s"signatures not cached:\n$p")
+  }
+
+  test("q22: scalar average is one plan (broadcast cross join, no driver collect)") {
+    val p = plan(ops.Relational.q22IdleRichCustomers(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipelines") {
     val df = ops.Relational.q6RevenueFilter(spark, dir)
     df.collect() // AQE finalizes the executed plan only after execution

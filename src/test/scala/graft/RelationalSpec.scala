@@ -59,6 +59,25 @@ class RelationalSpec extends AnyFunSuite {
     assert(math.abs(got_en - 0.5 * n_en) <= 0.2 * n_en + 5)
   }
 
+  test("hash-based stratified sample: deterministic and near target fractions") {
+    import org.apache.spark.sql.functions._
+    val s1 = graft.ops.TextAnalysis.textSampleHash(spark, dir).collect()
+    val s2 = graft.ops.TextAnalysis.textSampleHash(spark, dir).collect()
+    assert(s1.map(_.getLong(0)).sameElements(s2.map(_.getLong(0)))) // re-run == same sample
+    val n_en = Tables.documents(spark, dir).filter(col("lang") === "en").count()
+    val got_en = s1.count(_.getString(1) == "en")
+    assert(math.abs(got_en - 0.5 * n_en) <= 0.2 * n_en + 5)
+  }
+
+  test("approx_count_distinct lands within HLL error of the exact count") {
+    import org.apache.spark.sql.functions._
+    val row = Tables.orders(spark, dir).agg(
+      countDistinct(col("o_custkey")).as("exact"),
+      approx_count_distinct(col("o_custkey")).as("approx")).collect()(0)
+    val exact = row.getLong(0).toDouble
+    assert(math.abs(row.getLong(1) - exact) / exact < 0.1)
+  }
+
   test("approx_percentile lands within the exact percentile neighborhood") {
     import org.apache.spark.sql.functions._
     val row = Tables.orders(spark, dir).agg(

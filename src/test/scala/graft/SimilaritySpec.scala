@@ -34,6 +34,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(precision >= 0.15, s"IVF precision vs exact top-5 too low: $precision")
   }
 
+  test("codegen'd SignRandomProjection equals the interpreted HOF plane math") {
+    // the HOF form is the round-1 implementation (and mirrors the DuckDB
+    // oracle's per-plane SQL); the codegen'd one-pass expression must
+    // produce identical buckets for every table
+    val nTables = 8; val nPlanes = 4
+    def hofBucket(t: Int): String = (0 until nPlanes).map { p =>
+      val g = t * nPlanes + p
+      s"""(CASE WHEN (aggregate(zip_with(q, sequence(0, 63),
+         |   (x, i) -> CASE WHEN (($g * 64 + i) * 1103515245L + 12345) % 65536 < 32768
+         |             THEN x ELSE -x END),
+         | 0L, (acc, v) -> acc + v) > 0) THEN ${1 << p} ELSE 0 END)""".stripMargin
+    }.mkString("(", " + ", ")")
+    val q = Tables.embeddings(spark, dir)
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS q")
+    val hof = q.selectExpr("vec_id" +: (0 until nTables)
+      .map(t => s"CAST(${hofBucket(t)} AS BIGINT) AS b$t"): _*)
+      .collect().map(r => r.getLong(0) -> (1 to nTables).map(r.getLong).toSeq).toMap
+    val native = q.select(col("vec_id"),
+        graft.functions.VectorExpressions.signBuckets(col("q"), nTables, nPlanes, 64)
+          .as("bs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(native === hof)
+  }
+
   test("brute-force top-k: self excluded, cosine within [-1,1], ranks dense") {
     val rows = Similarity.cosineTopK(spark, dir).collect()
     assert(rows.forall(r => r.getLong(0) != r.getLong(2)))
