@@ -207,6 +207,80 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** Contiguous word n-grams ("shingles") of a space-separated text in
+    * one pass: split on single spaces (trailing empties kept — the exact
+    * semantics of `split(text, ' ')` and DuckDB's string_split), join n
+    * consecutive words with a space, optionally de-duplicate keeping
+    * first-occurrence order (= `array_distinct`). Replaces the
+    * interpreted `transform(sequence(...), i -> concat_ws(' ',
+    * slice(words, i+1, n)))` HOF — one lambda dispatch per position per
+    * row — with a compiled loop; the equivalence is pinned in
+    * VectorExpressionsSpec. The caller guards size(words) >= n (as the
+    * HOF pipeline and the oracle both do); shorter inputs yield an
+    * empty array here rather than throwing. */
+  case class WordShingles(child: Expression, n: Int, distinct: Boolean)
+      extends UnaryExpression {
+    require(n >= 1)
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+
+    def compute(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+      val words = s.toString.split(" ", -1)
+      if (words.length < n) return new GenericArrayData(Array.empty[Any])
+      val count = words.length - n + 1
+      val sb = new java.lang.StringBuilder
+      if (distinct) {
+        val seen = new java.util.LinkedHashSet[String]()
+        var i = 0
+        while (i < count) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(words(i + j)); j += 1
+          }
+          seen.add(sb.toString)
+          i += 1
+        }
+        val out = new Array[Any](seen.size)
+        val it = seen.iterator()
+        var k = 0
+        while (it.hasNext) {
+          out(k) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next())
+          k += 1
+        }
+        new GenericArrayData(out)
+      } else {
+        val out = new Array[Any](count)
+        var i = 0
+        while (i < count) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(words(i + j)); j += 1
+          }
+          out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+          i += 1
+        }
+        new GenericArrayData(out)
+      }
+    }
+
+    override def nullSafeEval(v: Any): Any =
+      compute(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      // the loop body lives in compiled Scala (`compute`); embedding a
+      // reference keeps the call inside the WholeStageCodegen stage
+      val ref = ctx.addReferenceObj("shingler", this, classOf[WordShingles].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = $ref.compute($c);")
+    }
+
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   def dotLongs(a: Column, b: Column): Column =
     ColumnBridge.column(LongArrayDot(ColumnBridge.expression(a),
       ColumnBridge.expression(b)))
@@ -217,4 +291,7 @@ object VectorExpressions {
   def signBuckets(c: Column, nTables: Int, nPlanes: Int, dim: Int): Column =
     ColumnBridge.column(
       SignRandomProjection(ColumnBridge.expression(c), nTables, nPlanes, dim))
+
+  def wordShingles(c: Column, n: Int, distinct: Boolean): Column =
+    ColumnBridge.column(WordShingles(ColumnBridge.expression(c), n, distinct))
 }

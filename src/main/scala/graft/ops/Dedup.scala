@@ -36,13 +36,13 @@ object Dedup {
     * descends and slice() then throws at runtime) — mirroring the
     * oracle's `WHERE len(words) >= 3` guard. */
   private def shingled(df: DataFrame): DataFrame =
-    df.select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("words"))
-      .filter(size(col("words")) >= 3)
+    df.filter(size(split(col("text"), " ")) >= 3)
+      // codegen'd one-pass shingler (≡ array_distinct ∘ transform ∘
+      // slice HOF pipeline — equivalence pinned in VectorExpressionsSpec;
+      // the HOF form dispatched an interpreted lambda per word position)
       .select(col("doc_id"), col("n_chars"),
-        expr("""array_distinct(transform(
-               |  sequence(0, size(words) - 3),
-               |  i -> concat_ws(' ', slice(words, i + 1, 3))))""".stripMargin)
-          .as("shingles"))
+        graft.functions.VectorExpressions
+          .wordShingles(col("text"), 3, distinct = true).as("shingles"))
 
   /** Exact n-gram-Jaccard near-dup pairs via an inverted shingle index —
     * the scalable exact set-similarity join: explode distinct shingles,
@@ -71,9 +71,14 @@ object Dedup {
     * one pair-count aggregate, so |A∩B| is unchanged. */
   def dedupNgramJaccardCapped(s: SparkSession, dir: String, hotDf: Long,
       saltBuckets: Int): DataFrame = {
+    // the exploded index is referenced by the df pass, both cold join
+    // sides, and both hot join sides — materialize it once (it IS the
+    // inverted index; unpersisted, the interpreted-HOF shingling subtree
+    // re-evaluates per reference, ~5×)
     val sh = shingled(documents(s, dir))
       .select(col("doc_id"), col("n_chars"), size(col("shingles")).as("n_sh"),
         explode(col("shingles")).as("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hotShingles = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") > hotDf).select(col("shingle"))
     val cold = sh.join(broadcast(hotShingles), Seq("shingle"), "left_anti")
@@ -123,10 +128,13 @@ object Dedup {
       size(col("shingles")).as("n_sh"), explode(col("shingles")).as("shingle"))
     val dfreq = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("shingle").asc)
+    // both sides of the candidate self-join read the prefix relation —
+    // materialize it so the df-join + rank window run once, not twice
     val prefix = ex.join(dfreq, "shingle")
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= col("n_sh") - ceil(col("n_sh") * t) + 1)
       .select(col("doc_id"), col("n_chars"), col("n_sh"), col("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candidates = prefix.as("a").join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
           abs(col("a.n_chars") - col("b.n_chars")) <= lit(100) &&
@@ -213,12 +221,11 @@ object Dedup {
     * oracle's len(words) >= 2 guard. */
   def simhashSignatures(df: DataFrame): DataFrame = {
     val tok = df
-      .select(col("doc_id"), split(col("text"), " ").as("words"))
-      .filter(size(col("words")) >= 2)
+      .filter(size(split(col("text"), " ")) >= 2)
       .select(col("doc_id"),
-        explode(expr("""transform(sequence(0, size(words) - 2),
-                       |  i -> md5(concat_ws(' ', slice(words, i + 1, 2))))""".stripMargin))
-          .as("m"))
+        explode(graft.functions.VectorExpressions
+          .wordShingles(col("text"), 2, distinct = false)).as("bg"))
+      .select(col("doc_id"), md5(col("bg")).as("m"))
       .select(col("doc_id"),
         conv(substring(col("m"), 1, 8), 16, 10).cast("long").as("h_hi"),
         conv(substring(col("m"), 9, 8), 16, 10).cast("long").as("h_lo"))

@@ -46,6 +46,34 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(mismatches === 0)
   }
 
+  test("WordShingles == array_distinct/transform/slice HOF pipeline") {
+    val docs = Tables.documents(spark, dir)
+      .filter(size(split(col("text"), " ")) >= 3)
+    val both = docs.select(col("doc_id"),
+      VectorExpressions.wordShingles(col("text"), 3, distinct = true).as("native"),
+      expr("""array_distinct(transform(
+             |  sequence(0, size(split(text, ' ')) - 3),
+             |  i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3))))""".stripMargin)
+        .as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() === 0)
+    // non-distinct bigrams too (the simhash feature stream)
+    val bg = docs.select(
+      VectorExpressions.wordShingles(col("text"), 2, distinct = false).as("native"),
+      expr("""transform(sequence(0, size(split(text, ' ')) - 2),
+             |  i -> concat_ws(' ', slice(split(text, ' '), i + 1, 2)))""".stripMargin)
+        .as("hof"))
+    assert(bg.filter(col("native") =!= col("hof")).count() === 0)
+    // edge semantics: too-short input -> empty array (not a throw);
+    // consecutive/trailing spaces keep empty words like split(' ', -1)
+    import spark.implicits._
+    val edge = Seq("one", "a  b", "x y ").toDF("text")
+      .select(VectorExpressions.wordShingles(col("text"), 2, distinct = false).as("s"))
+      .collect()
+    assert(edge(0).getSeq[String](0).isEmpty)
+    assert(edge(1).getSeq[String](0) === Seq("a ", " b"))
+    assert(edge(2).getSeq[String](0) === Seq("x y", "y "))
+  }
+
   test("null inputs propagate as null") {
     val df = spark.sql("SELECT CAST(NULL AS ARRAY<BIGINT>) AS a, array(1L, 2L) AS b")
     val out = df.select(VectorExpressions.dotLongs(col("a"), col("b")).as("d")).collect()
