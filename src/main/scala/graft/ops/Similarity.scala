@@ -183,6 +183,33 @@ object Similarity {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** Embedding-cosine near-duplicate pairs — the last dedup modality:
+    * pairs with exact quantized cosine ≥ 0.4, query side restricted to
+    * vec_id < 200 (broadcast), corpus side map-only — the same
+    * never-shuffle-the-corpus shape as `cosineTopK`. This is the EXACT
+    * verification pass of an embedding-dedup pipeline; at full-corpus ×
+    * full-corpus scale the candidate set comes from the sign-LSH bucket
+    * join above (sign-LSH recall at a cosine threshold is < 1, so a
+    * bucketed variant is approximate by construction — the exact-τ pair
+    * set needs this verify pass, which is why production pipelines run
+    * LSH candidates + exact re-check, exactly as `dedupMinhashLsh`
+    * does for Jaccard). */
+  def dedupEmbeddingCosine(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir).select(col("vec_id"), quantize.as("q"))
+      .select(col("vec_id"), col("q"), dot("q", "q").as("norm2"))
+    val queries = e.filter(col("vec_id") < 200)
+      .select(col("vec_id").as("a_id"), col("q").as("qa"), col("norm2").as("na"))
+    val cand = e.select(col("vec_id").as("b_id"), col("q").as("qb"),
+      col("norm2").as("nb"))
+    cand.crossJoin(broadcast(queries))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (dot("qa", "qb").cast("double") /
+          sqrt(col("na").cast("double") * col("nb").cast("double"))).as("cosine"))
+      .filter(col("cosine") >= 0.4)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** Per-label centroid, element-wise: posexplode → one shuffle keyed by
     * (label, dim). Exact integer sums; centroid as double. */
   def labelCentroids(s: SparkSession, dir: String): DataFrame =
@@ -198,6 +225,7 @@ object Similarity {
     "similarity_lsh_ann" -> lshAnnTopK _,
     "similarity_ivf_ann" -> ivfAnnTopK _,
     "similarity_label_centroids" -> labelCentroids _,
+    "dedup_embedding_cosine" -> dedupEmbeddingCosine _,
   )
 
   // Shared oracle scaffolding: per-element quantized views.
@@ -319,6 +347,22 @@ object Similarity {
          |  FROM scored)
          |SELECT query_id, CAST(rn AS BIGINT) AS rn, cand_id, cosine
          |FROM final WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin,
+    "dedup_embedding_cosine" ->
+      s"""WITH $qElems,
+         |dots AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |         CAST(sum(a.v * b.v) AS BIGINT) AS dot
+         |  FROM qe a JOIN qe b ON a.i = b.i
+         |  WHERE a.vec_id < 200 AND a.vec_id < b.vec_id
+         |  GROUP BY 1, 2),
+         |sc AS (
+         |  SELECT a_id, b_id,
+         |    CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cosine
+         |  FROM dots
+         |  JOIN norms na ON na.vec_id = a_id
+         |  JOIN norms nb ON nb.vec_id = b_id)
+         |SELECT a_id, b_id, cosine FROM sc
+         |WHERE cosine >= 0.4 ORDER BY a_id, b_id""".stripMargin,
     "similarity_label_centroids" ->
       """SELECT label, CAST(i - 1 AS BIGINT) AS dim,
         |  CAST(sum(CAST(round(e * 1000) AS BIGINT)) AS DOUBLE) /
