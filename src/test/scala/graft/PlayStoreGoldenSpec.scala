@@ -112,6 +112,25 @@ class PlayStoreGoldenSpec extends AnyFunSuite {
     assert(out === Set("genre=x;3"))
   }
 
+  test("cube min aggregates the NATIVE value type (no lexicographic '10'<'9' trap)") {
+    // value col is numeric with {9, 10} inside one group: numeric min = 9,
+    // but a pre-aggregation string cast would make min("10","9") = "10".
+    // Cube must agree with loop mode (which always aggregated natively).
+    val df = spark.range(8).selectExpr(
+      "concat('g', cast(id % 2 as string)) as cat",
+      "cast(case when id < 4 then 9 else 10 end as long) as v")
+    val cfg = insights.InsightsConfig(Seq("cat"),
+      idValues = Map("cat" -> Seq("v")))
+    val loop = InsightsEngine
+      .enumerateLoop(df, cfg, totalCount = 8, useFirst = false)
+      .reduce(_ unionAll _).collect().map(_.getString(0)).toSet
+    val cube = InsightsEngine
+      .insightsCube(df, cfg, totalCount = 8, useFirst = false)
+      .collect().map(_.getString(0)).toSet
+    assert(cube === loop)
+    assert(cube === Set("v=9;4")) // both groups contain a 9 → numeric min
+  }
+
   test("dictionary-join cube mode == standard cube mode (functional id->value)") {
     val cfg4 = PlayStore.cfg.copy(groupingCols =
       Seq("developerId", "free", "genreId", "minInstalls"))
