@@ -89,6 +89,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
   }
 
+  test("per-group top-k: WindowGroupLimit prunes map-side before the shuffle") {
+    // Spark 4 plans rank()/row_number() <= k as a Partial WindowGroupLimit
+    // BELOW the exchange — each task forwards at most k rows per group, so
+    // the shuffle volume is bounded by groups×k, not the input size
+    val p = ops.Relational.topkCustomersPerNation(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), s"no map-side group limit:\n$p")
+    assert(p.contains("Partial"), s"group limit not pushed below exchange:\n$p")
+  }
+
+  test("embedding-cosine dedup: threshold fused into the broadcast join") {
+    val p = ops.Similarity.dedupEmbeddingCosine(spark, dir)
+      .queryExecution.executedPlan.toString
+    // corpus side stays map-only: broadcast join with the cosine predicate
+    // in the join condition — no shuffle of candidates before filtering
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipelines") {
     val df = ops.Relational.q6RevenueFilter(spark, dir)
     df.collect() // AQE finalizes the executed plan only after execution
