@@ -25,7 +25,8 @@ object SparkEntry {
       ops.TextAnalysis.queries ++
       ops.Events.queries ++
       ops.Temporal.queries ++
-      ops.Multimodal.queries
+      ops.Multimodal.queries ++
+      ops.Skew.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -37,5 +38,6 @@ object SparkEntry {
       ops.TextAnalysis.oracleSql ++
       ops.Events.oracleSql ++
       ops.Temporal.oracleSql ++
-      ops.Multimodal.oracleSql
+      ops.Multimodal.oracleSql ++
+      ops.Skew.oracleSql
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Skew-mitigation utilities for the 100 TB posture.
@@ -42,4 +42,27 @@ object Skew {
     saltedAgg(df, keys, saltBuckets, Seq(
       (sum(col(valueCol)), (c: Column) => sum(c), s"sum_$valueCol"),
       (count(lit(1)), (c: Column) => sum(c), "n_rows")))
+
+  /** Declared query: salted sum/count of event value cents per type.
+    * The salted two-phase result is algebraically identical to the
+    * direct aggregate, so the oracle is the plain GROUP BY — which puts
+    * the skew-mitigation path itself under the driver's hash check. */
+  def skewSaltedEvents(s: SparkSession, dir: String): DataFrame =
+    saltedSumCount(
+      graft.Tables.events(s, dir)
+        .select(col("event_type"), graft.Tables.cents(col("value")).as("vc")),
+      Seq("event_type"), "vc", saltBuckets = 16)
+      .orderBy(col("event_type"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "skew_salted_agg" -> skewSaltedEvents _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "skew_salted_agg" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_vc,
+        |  count(*) AS n_rows
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+  )
 }
