@@ -38,4 +38,15 @@ object Sources {
   def writeParquet(df: DataFrame, path: String,
       mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).parquet(path)
+
+  /** Hive-style partitioned parquet layout (`path/col=value/...`). At
+    * 100 TB this is the coarse-grained data-skipping lever: a filter on
+    * the partition column prunes entire directories at PLANNING time
+    * (`PartitionFilters` in the scan — asserted in SourcesSpec), before
+    * row groups or column chunks are even considered. Choose partition
+    * columns with bounded cardinality (day, region), never high-card
+    * keys — millions of tiny directories defeat the listing. */
+  def writeParquetPartitioned(df: DataFrame, path: String,
+      partitionCols: Seq[String], mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
 }

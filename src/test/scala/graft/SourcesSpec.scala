@@ -23,6 +23,27 @@ class SourcesSpec extends AnyFunSuite {
       orig.select(key.map(col): _*).collect().toSet)
   }
 
+  test("partitioned parquet: planning-time partition pruning reaches the scan") {
+    val tmp = Files.createTempDirectory("graft_part").toString
+    val events = Tables.events(spark, dir)
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+    Sources.writeParquetPartitioned(events, s"$tmp/events_by_day", Seq("day"))
+    val all = Sources.parquet(spark, s"$tmp/events_by_day")
+    // partition-dir values are re-inferred on read (int here, long on write)
+    val days = all.select(col("day").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(days.length > 1) // fixture spans multiple days
+    val one = all.filter(col("day") === days.head)
+    val plan = one.queryExecution.executedPlan.toString
+    // the day predicate must prune directories at planning time, not
+    // filter rows post-scan
+    assert(plan.contains("PartitionFilters"), s"no partition pruning:\n$plan")
+    assert(plan.contains(s"day#") || plan.contains("(day = "),
+      s"day filter not in PartitionFilters:\n$plan")
+    assert(one.count() ===
+      events.filter(col("day") === days.head).count())
+  }
+
   test("CSV schema inference matches explicit schema on clean data") {
     val tmp = Files.createTempDirectory("graft_src2").toString
     Sources.writeCsv(Tables.region(spark, dir), s"$tmp/region_csv")
