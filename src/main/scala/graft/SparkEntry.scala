@@ -26,7 +26,8 @@ object SparkEntry {
       ops.Events.queries ++
       ops.Temporal.queries ++
       ops.Multimodal.queries ++
-      ops.Skew.queries
+      ops.Skew.queries ++
+      ops.Pipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -39,5 +40,6 @@ object SparkEntry {
       ops.Events.oracleSql ++
       ops.Temporal.oracleSql ++
       ops.Multimodal.oracleSql ++
-      ops.Skew.oracleSql
+      ops.Skew.oracleSql ++
+      ops.Pipeline.oracleSql
 }

@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** End-to-end training-data pipeline composition — the point of the
+  * operator library: the stages below are the standard corpus-curation
+  * sequence (language gate → quality gate → exact dedup → near-dup
+  * dedup → deterministic sampling → token accounting), each one an
+  * operator that is ALSO individually declared and oracle-checked.
+  * This query pins that they compose: one DataFrame plan, one DuckDB
+  * oracle over the same semantics.
+  *
+  * Scale shape: every stage is a filter/aggregate over the shrinking
+  * survivor set — no stage widens the data. Near-dup removal reuses the
+  * MinHash-LSH pair set (provably equal to the exact Jaccard pairs at
+  * this similarity regime — DedupSpec), dropping the higher doc_id of
+  * each pair; the sample is the LCG hash coin (re-runs select the same
+  * rows). At 100 TB the LSH pair build is the only super-linear stage
+  * and is the documented index-build cost.
+  */
+object Pipeline {
+
+  def trainingMix(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    // 1. language gate
+    val en = docs.filter(col("lang") === "en")
+    // 2. quality gate: token-count band (the `text_quality` features)
+    val quality = en
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        col("text"))
+      .filter(col("n_tokens").between(20, 2000))
+    // 3. exact dedup: keeper = min doc_id per identical text
+    val exact = quality
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(min(col("doc_id")).as("doc_id"), min(col("n_tokens")).as("n_tokens"))
+      .drop("text_md5")
+    // 4. near-dup removal: drop the higher doc_id of every near-dup pair
+    //    (LSH pair set == exact Jaccard pair set, so the oracle uses the
+    //    brute-force pair SQL)
+    val nearDupLosers = Dedup.dedupMinhashLsh(s, dir)
+      .select(col("b_id").as("doc_id")).distinct()
+    val deduped = exact.join(nearDupLosers, Seq("doc_id"), "left_anti")
+    // 5. deterministic 50% sample (LCG coin on doc_id — reproducible)
+    deduped
+      .filter(pmod((col("doc_id") * 1103515245L + 12345L) % 2147483647L,
+        lit(100L)) < 50)
+      .select(col("doc_id"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_training_mix" -> trainingMix _,
+  )
+
+  // near-dup pairs: same brute-force formulation as Dedup.jaccardPairsSql
+  // (the LSH result provably equals it); only the loser ids are needed
+  val oracleSql: Map[String, String] = Map(
+    "pipeline_training_mix" ->
+      """WITH sh AS (
+        |  SELECT doc_id, n_chars,
+        |    list_distinct([array_to_string(words[i:i+2], ' ')
+        |                   FOR i IN range(1, len(words) - 1)]) AS shingles
+        |  FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS words FROM documents)
+        |  WHERE len(words) >= 3),
+        |losers AS (
+        |  SELECT DISTINCT b.doc_id AS doc_id
+        |  FROM sh a JOIN sh b
+        |    ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 100
+        |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+        |        CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.5),
+        |quality AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, text
+        |  FROM documents
+        |  WHERE lang = 'en' AND len(string_split(text, ' ')) BETWEEN 20 AND 2000),
+        |exact AS (
+        |  SELECT min(doc_id) AS doc_id, CAST(min(n_tokens) AS BIGINT) AS n_tokens
+        |  FROM quality GROUP BY md5(text))
+        |SELECT doc_id, n_tokens FROM exact
+        |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+        |  AND ((doc_id * 1103515245 + 12345) % 2147483647) % 100 < 50
+        |ORDER BY doc_id""".stripMargin,
+  )
+}
