@@ -73,6 +73,10 @@ object InsightsQueries {
         col("o_totalprice"),
         year(col("o_orderdate")).cast("long").as("o_year"),
         col("n_name"))
+      // the threshold count (O19) and the cube both consume the join —
+      // materialize it so the 3-table join runs once, mirroring the
+      // reference's cache() + single count() discipline
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     InsightsEngine.insightsCube(df, playstoreShapeCfg, df.count(),
       dictValues = true).orderBy("insight")
   }
