@@ -112,6 +112,44 @@ class PlayStoreGoldenSpec extends AnyFunSuite {
     assert(out === Set("genre=x;3"))
   }
 
+  test("extractCompat end-to-end: two-phase CSV output with the reference's Insights header") {
+    val out = Files.createTempDirectory("graft_compat").toString + "/insights"
+    val cfg2 = PlayStore.cfg.copy(groupingCols = Seq("genreId", "free"))
+    PlayStore.extractCompat(spark, csvPath, out, config = cfg2)
+    // final compacted file: header line "Insights" (reference writes
+    // header=True and names the concat column Insights, main.py:312,358)
+    val files = new java.io.File(out).listFiles().filter(_.getName.endsWith(".csv"))
+    assert(files.nonEmpty)
+    val lines = files.flatMap(f =>
+      scala.io.Source.fromFile(f).getLines().toSeq).toSeq
+    assert(lines.contains("Insights"))
+    val rows = lines.filterNot(_ == "Insights").toSet
+    // 3 subsets of {genreId, free}: genre-only, free-only, both
+    assert(rows.contains("genre=Action;3") && rows.contains("free=true;4"))
+    assert(rows.exists(_.startsWith("free=true;genre=")))
+    // the intermediate partitioned dir also carries headers (O20 re-read
+    // uses header=true like main.py:393)
+    val partFiles = new java.io.File(out + "_partitioned").listFiles()
+      .filter(_.getName.endsWith(".csv"))
+    assert(partFiles.forall(f =>
+      scala.io.Source.fromFile(f).getLines().next() == "Insights"))
+  }
+
+  test("extractScale end-to-end: explicit-schema read, cube output matches compat rows") {
+    val out = Files.createTempDirectory("graft_scale").toString + "/insights"
+    val cfg2 = PlayStore.cfg.copy(groupingCols = Seq("genreId", "free"))
+    PlayStore.extractScale(spark, csvPath, out, useFirst = true, config = cfg2)
+    val rows = spark.read.option("header", false).csv(out)
+      .collect().map(_.getString(0)).toSet
+    assert(rows.contains("genre=Action;3") && rows.contains("free=true;4"))
+    // schema-read pipeline == inference-read pipeline on the fixture
+    val viaSchema = PlayStore.prepare(
+      PlayStore.readCsv(spark, csvPath, schema = Some(PlayStore.schema)))
+    val viaInfer = PlayStore.prepare(PlayStore.readCsv(spark, csvPath))
+    assert(viaSchema.select("genreId", "free", "minInstalls", "score").collect().toSet
+      === viaInfer.select("genreId", "free", "minInstalls", "score").collect().toSet)
+  }
+
   test("cube min aggregates the NATIVE value type (no lexicographic '10'<'9' trap)") {
     // value col is numeric with {9, 10} inside one group: numeric min = 9,
     // but a pre-aggregation string cast would make min("10","9") = "10".
