@@ -281,6 +281,42 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** Per-element `pmod(xxhash64(s), p)` over an array<string> in one
+    * compiled pass — hash values come from Spark's own XxHash64Function
+    * (seed 42, the `xxhash64` SQL builtin), so results are bit-identical
+    * to the interpreted `transform(arr, x -> pmod(xxhash64(x), p))` HOF
+    * it replaces (equivalence pinned in VectorExpressionsSpec). */
+  case class XxHashModArray(child: Expression, p: Long)
+      extends UnaryExpression {
+    require(p > 0)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+
+    def compute(arr: ArrayData): ArrayData = {
+      val n = arr.numElements()
+      val out = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(arr.getUTF8String(i), StringType, 42L)
+        val m = h % p
+        out(i) = if (m < 0) m + p else m // pmod
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override def nullSafeEval(v: Any): Any =
+      compute(v.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("hasher", this, classOf[XxHashModArray].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   def dotLongs(a: Column, b: Column): Column =
     ColumnBridge.column(LongArrayDot(ColumnBridge.expression(a),
       ColumnBridge.expression(b)))
@@ -294,4 +330,7 @@ object VectorExpressions {
 
   def wordShingles(c: Column, n: Int, distinct: Boolean): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(c), n, distinct))
+
+  def xxhashModArray(c: Column, p: Long): Column =
+    ColumnBridge.column(XxHashModArray(ColumnBridge.expression(c), p))
 }

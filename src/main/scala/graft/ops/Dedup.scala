@@ -169,12 +169,13 @@ object Dedup {
     // persisted index; locally MEMORY_AND_DISK mirrors that.
     val sh = shingled(documents(s, dir))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // hash each shingle ONCE, then compute all 32 universal-hash minima
-    // in a single codegen'd pass over the long array (the HOF form —
-    // 32 × transform+array_min — evaluated interpreted lambdas and
-    // dominated the runtime; equivalence is pinned in DedupSpec)
+    // hash each shingle ONCE (codegen'd per-element xxhash64+pmod), then
+    // compute all 32 universal-hash minima in a single codegen'd pass
+    // over the long array (the HOF forms — transform per element, 32 ×
+    // transform+array_min — evaluated interpreted lambdas and dominated
+    // the runtime; equivalences are pinned in the specs)
     val hashed = sh.withColumn("hs",
-      expr(s"transform(shingles, x -> pmod(xxhash64(x), ${P}L))"))
+      graft.functions.VectorExpressions.xxhashModArray(col("shingles"), P))
     val sigs = hashed.select(col("doc_id"),
         graft.functions.VectorExpressions
           .universalMinhash(col("hs"), MinhashPerms, P).as("mh"))

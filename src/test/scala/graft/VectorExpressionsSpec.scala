@@ -74,6 +74,16 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(edge(2).getSeq[String](0) === Seq("x y", "y "))
   }
 
+  test("XxHashModArray == transform(pmod(xxhash64)) HOF form") {
+    val P = 2147483647L
+    val both = Tables.documents(spark, dir)
+      .select(split(col("text"), " ").as("toks"))
+      .select(
+        VectorExpressions.xxhashModArray(col("toks"), P).as("native"),
+        expr(s"transform(toks, x -> pmod(xxhash64(x), ${P}L))").as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() === 0)
+  }
+
   test("null inputs propagate as null") {
     val df = spark.sql("SELECT CAST(NULL AS ARRAY<BIGINT>) AS a, array(1L, 2L) AS b")
     val out = df.select(VectorExpressions.dotLongs(col("a"), col("b")).as("d")).collect()
