@@ -143,6 +143,24 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** RANGE-frame window: per-user trailing-hour event value — the frame
+    * is bounded by the ORDER BY VALUE (seconds), not row counts, so
+    * peers at equal timestamps aggregate identically regardless of
+    * intra-frame order (sum/count over exact cents = deterministic). */
+  def windowRangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_sec"))
+      .rangeBetween(-3600L, 0L) // trailing hour, inclusive
+    events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        expr("unix_micros(ts) div 1000000").as("ts_sec"),
+        cents(col("value")).as("vc"))
+      .select(col("event_id"), col("user_id"), col("ts_sec"),
+        sum(col("vc")).over(w).as("hour_cents"),
+        count(lit(1)).over(w).cast("long").as("hour_events"))
+      .orderBy(col("event_id"))
+  }
+
   /** ROLLUP with grouping() — the declarative form of the reference's
     * hand-rolled grouping-set enumeration (SURVEY.md §2.1 O15). */
   def rollupLineitem(s: SparkSession, dir: String): DataFrame = {
@@ -412,6 +430,7 @@ object Relational {
     "topk_customers_per_nation" -> topkCustomersPerNation _,
     "window_running_total" -> windowRunningTotal _,
     "window_lag_events" -> windowLagEvents _,
+    "window_range_frame" -> windowRangeFrame _,
     "rollup_lineitem" -> rollupLineitem _,
     "distinct_parts_per_flag" -> distinctPartsPerFlag _,
     "set_intersect_customers" -> setIntersectCustomers _,
@@ -573,6 +592,15 @@ object Relational {
         |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_value,
         |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS next_type
         |FROM events ORDER BY event_id""".stripMargin,
+    "window_range_frame" ->
+      """SELECT event_id, user_id, ts_sec,
+        |  CAST(sum(vc) OVER w AS BIGINT) AS hour_cents,
+        |  count(*) OVER w AS hour_events
+        |FROM (SELECT event_id, user_id, epoch_us(ts) // 1000000 AS ts_sec,
+        |             CAST(round(value*100) AS BIGINT) AS vc FROM events) t
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "rollup_lineitem" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
         |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
