@@ -100,6 +100,25 @@ object Multimodal {
         max(col("channels")).cast("long").as("max_channels"))
       .orderBy(col("media_type"))
 
+  /** RESIZE stage over decoded dimensions: fit each medium into a
+    * 224×224 box preserving aspect ratio — pure integer arithmetic
+    * (scale = 224/max(w,h), floor, min dimension clamped to 1), the
+    * geometry a real thumbnailer computes before invoking the codec's
+    * scaler. Chained onto the decode stub; per-row projection, no
+    * shuffle until the stats aggregate. */
+  def mediaResizeStats(s: SparkSession, dir: String): DataFrame =
+    decodeStub(mediaTable(s, dir))
+      .withColumn("fit_w",
+        expr("greatest(CAST(width * 224 div greatest(width, height) AS INT), 1)"))
+      .withColumn("fit_h",
+        expr("greatest(CAST(height * 224 div greatest(width, height) AS INT), 1)"))
+      .groupBy(col("media_type"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("fit_w").cast("long")).as("sum_fit_w"),
+        sum(col("fit_h").cast("long")).as("sum_fit_h"),
+        max(greatest(col("fit_w"), col("fit_h")).cast("long")).as("max_fit_side"))
+      .orderBy(col("media_type"))
+
   /** Full multimodal chain: media bytes → (stub) feature extraction →
     * nearest neighbor by feature distance. Features are 8 deterministic
     * integer moments of the byte stream (real pipelines put a model
@@ -133,6 +152,7 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta" -> mediaMeta _,
     "multimodal_decode_stats" -> mediaDecodeStats _,
+    "multimodal_resize_stats" -> mediaResizeStats _,
     "multimodal_nearest_neighbor" -> mediaNearestNeighbor _,
   )
 
@@ -179,6 +199,27 @@ object Multimodal {
         |  FROM pairs)
         |SELECT query_id, media_type, cand_id, l1_dist
         |FROM ranked WHERE rn = 1 ORDER BY query_id""".stripMargin,
+    "multimodal_resize_stats" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+        |    octet_length(encode(text)) AS n_bytes
+        |  FROM documents),
+        |wh AS (
+        |  SELECT media_type,
+        |    16 + (n_bytes % 113) AS w,
+        |    16 + ((n_bytes // 7) % 97) AS h
+        |  FROM d),
+        |fit AS (
+        |  SELECT media_type,
+        |    greatest((w * 224) // greatest(w, h), 1) AS fit_w,
+        |    greatest((h * 224) // greatest(w, h), 1) AS fit_h
+        |  FROM wh)
+        |SELECT media_type, count(*) AS n_media,
+        |  CAST(sum(fit_w) AS BIGINT) AS sum_fit_w,
+        |  CAST(sum(fit_h) AS BIGINT) AS sum_fit_h,
+        |  CAST(max(greatest(fit_w, fit_h)) AS BIGINT) AS max_fit_side
+        |FROM fit GROUP BY media_type ORDER BY media_type""".stripMargin,
     "multimodal_decode_stats" ->
       """WITH d AS (
         |  SELECT doc_id,
