@@ -3,7 +3,7 @@ package org.apache.spark.sql.graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.VectorExpressions.{LongArrayDot, UniversalMinHash}
+import graft.functions.VectorExpressions.{LongArrayDot, SignRandomProjection, UniversalMinHash, WordShingles, XxHashModArray}
 
 /** SQL-surface registration for the graft custom expressions, so
   * `spark.sql("SELECT dot_longs(a, b) ...")` works alongside the Column
@@ -36,10 +36,48 @@ object GraftFunctions {
     UniversalMinHash(exprs(0), k, p)
   }
 
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => sys.error(s"$what must be an int literal, got $other")
+  }
+
+  private def longLit(e: Expression, what: String): Long = e match {
+    case Literal(v: Long, _) => v
+    case Literal(v: Int, _) => v.toLong
+    case other => sys.error(s"$what must be a literal, got $other")
+  }
+
+  private def signBucketsBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 4,
+      "sign_buckets(quantizedArray, numTables, numPlanes, dim)")
+    SignRandomProjection(exprs(0), intLit(exprs(1), "numTables"),
+      intLit(exprs(2), "numPlanes"), intLit(exprs(3), "dim"))
+  }
+
+  private def shinglesBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3, "word_shingles(text, n, distinct)")
+    val distinct = exprs(2) match {
+      case Literal(v: Boolean, _) => v
+      case other => sys.error(s"distinct must be a boolean literal, got $other")
+    }
+    WordShingles(exprs(0), intLit(exprs(1), "n"), distinct)
+  }
+
+  private def xxhashModBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, "xxhash_mod_array(stringArray, primeModulus)")
+    XxHashModArray(exprs(0), longLit(exprs(1), "primeModulus"))
+  }
+
   val all: Seq[(String, Seq[Expression] => Expression, String)] = Seq(
     ("dot_longs", dotBuilder _, "sum of elementwise products of two array<bigint>"),
     ("universal_minhash", minhashBuilder _,
-      "k universal-hash minima over an array<bigint> in one pass"))
+      "k universal-hash minima over an array<bigint> in one pass"),
+    ("sign_buckets", signBucketsBuilder _,
+      "sign-random-projection LSH bucket ids, one per hash table"),
+    ("word_shingles", shinglesBuilder _,
+      "contiguous word n-grams of a space-separated text"),
+    ("xxhash_mod_array", xxhashModBuilder _,
+      "pmod(xxhash64(s), p) per element of an array<string>"))
 
   /** Register into an existing session's function registry. */
   def registerAll(spark: SparkSession): Unit = {

@@ -106,5 +106,20 @@ class VectorExpressionsSpec extends AnyFunSuite {
         expr("array(7L, 11L, 13L)"), 4, 2147483647L).as("mh"))
       .collect()(0).getSeq[Long](0)
     assert(mh === viaCol)
+    // r2 expressions are SQL-registered too
+    val sh = spark.sql("SELECT word_shingles('a b c d', 2, true) AS s")
+      .collect()(0).getSeq[String](0)
+    assert(sh === Seq("a b", "b c", "c d"))
+    val sb = spark.sql(
+      "SELECT sign_buckets(array(1L, -2L, 3L, -4L), 8, 4, 4) AS b")
+      .collect()(0).getSeq[Long](0)
+    assert(sb.length === 8 && sb.forall(b => b >= 0 && b < 16))
+    val xh = spark.sql(
+      "SELECT xxhash_mod_array(array('x', 'y'), 2147483647L) AS h")
+      .collect()(0).getSeq[Long](0)
+    val xhHof = spark.sql(
+      "SELECT transform(array('x', 'y'), s -> pmod(xxhash64(s), 2147483647L)) AS h")
+      .collect()(0).getSeq[Long](0)
+    assert(xh === xhHof)
   }
 }
