@@ -175,6 +175,26 @@ object Relational {
       .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** Explicit GROUPING SETS (the general form behind rollup/cube — and
+    * the declarative equivalent of the reference's hand-picked subset
+    * lists): three chosen subsets in ONE aggregate pass via Expand,
+    * driven through the SQL frontend. */
+  def groupingSetsOrders(s: SparkSession, dir: String): DataFrame = {
+    orders(s, dir).createOrReplaceTempView("graft_orders_gs")
+    s.sql(
+      """SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+        |       coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS total_cents,
+        |       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+        |         AS BIGINT) AS gid
+        |FROM graft_orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderstatus), ())
+        |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin)
+  }
+
   /** Exact distinct aggregation (partial-distinct + final, two-phase). */
   def distinctPartsPerFlag(s: SparkSession, dir: String): DataFrame = {
     lineitem(s, dir)
@@ -432,6 +452,7 @@ object Relational {
     "window_lag_events" -> windowLagEvents _,
     "window_range_frame" -> windowRangeFrame _,
     "rollup_lineitem" -> rollupLineitem _,
+    "grouping_sets_orders" -> groupingSetsOrders _,
     "distinct_parts_per_flag" -> distinctPartsPerFlag _,
     "set_intersect_customers" -> setIntersectCustomers _,
     "set_except_customers" -> setExceptCustomers _,
@@ -608,6 +629,18 @@ object Relational {
         |  CAST(GROUPING(l_returnflag)*2 + GROUPING(l_linestatus) AS BIGINT) AS gid
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+    "grouping_sets_orders" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+        |       coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS total_cents,
+        |       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+        |         AS BIGINT) AS gid
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderstatus), ())
+        |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin,
     "distinct_parts_per_flag" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         |  count(DISTINCT (l_partkey, l_suppkey)) AS n_part_supp,
