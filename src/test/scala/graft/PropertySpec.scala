@@ -52,6 +52,28 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("WordShingles.compute == sliding-window reference on random texts") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    // texts with empty words (double/leading/trailing spaces) included
+    val textGen = Gen.listOf(Gen.oneOf(Gen.stringOfN(3, Gen.alphaLowerChar), Gen.const("")))
+      .map(_.mkString(" "))
+    check(Prop.forAll(textGen, Gen.chooseNum(1, 4), Gen.oneOf(true, false)) {
+      (text: String, n: Int, distinct: Boolean) =>
+        val words = text.split(" ", -1)
+        val ref0 =
+          if (words.length < n) Seq.empty[String]
+          else words.sliding(n).map(_.mkString(" ")).toSeq
+        val ref = if (distinct) ref0.distinct else ref0
+        val e = graft.functions.VectorExpressions.WordShingles(
+          org.apache.spark.sql.catalyst.expressions.Literal(text), n, distinct)
+        val got = e.compute(UTF8String.fromString(text))
+          .asInstanceOf[ArrayData].toArray[UTF8String](
+            org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+        got == ref
+    })
+  }
+
   test("jaccard from intersection identity: |A∪B| = |A|+|B|-|A∩B|") {
     val set = Gen.listOf(Gen.chooseNum(0, 500)).map(_.toSet)
     check(Prop.forAll(set, set) { (a: Set[Int], b: Set[Int]) =>
