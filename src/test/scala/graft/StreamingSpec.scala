@@ -60,6 +60,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("streaming curation pipeline over a DOUBLED corpus == single-copy batch answer") {
+    import graft.streaming.StreamingPipeline
+    // stage the documents parquet TWICE: every document arrives as a
+    // duplicate, so the result only matches batch if the watermarked
+    // digest-dedup state actually deduplicates across files
+    val d = java.nio.file.Files.createTempDirectory("graft_stream_docs")
+    for (n <- Seq("a", "b")) java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      d.resolve(s"documents_$n.parquet"))
+    val stream = StreamingPipeline.readDocumentsStream(spark, d.toString)
+    StreamingEvents.runToMemory(StreamingPipeline.curate(stream),
+      "stream_curate", OutputMode.Complete)
+    val streamed = spark.table("stream_curate").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = Tables.documents(spark, dir)
+      .filter(size(split(col("text"), " ")).between(20, 2000))
+      .dropDuplicates("text")
+      .filter(pmod((col("doc_id") * 1103515245L + 12345L) % 2147483647L,
+        lit(100L)) < 50)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+  }
+
   test("stateful flatMapGroupsWithState sessionize emits only closed sessions that match batch") {
     val stream = StreamingEvents.readEventsStream(spark, eventsPath)
     StreamingEvents.runToMemory(
