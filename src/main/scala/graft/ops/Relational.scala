@@ -175,6 +175,24 @@ object Relational {
       .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** Array-function surface: per-customer sorted distinct order years
+    * (collect_set → array_sort makes the unordered aggregate
+    * deterministic), with cardinality / membership / endpoint lookups.
+    * The array is serialized to CSV text for engine-portable comparison
+    * (array column hashing differs across engines). */
+  def arrayOrderYears(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(array_sort(collect_set(year(col("o_orderdate")).cast("long")))
+        .as("years"))
+      .select(col("o_custkey"),
+        array_join(col("years"), ",").as("years_csv"),
+        size(col("years")).cast("long").as("n_years"),
+        array_contains(col("years"), 1995L).as("has_1995"),
+        element_at(col("years"), 1).as("first_year"),
+        element_at(col("years"), -1).as("last_year"))
+      .orderBy(col("o_custkey"))
+
   /** Explicit GROUPING SETS (the general form behind rollup/cube — and
     * the declarative equivalent of the reference's hand-picked subset
     * lists): three chosen subsets in ONE aggregate pass via Expand,
@@ -453,6 +471,7 @@ object Relational {
     "window_range_frame" -> windowRangeFrame _,
     "rollup_lineitem" -> rollupLineitem _,
     "grouping_sets_orders" -> groupingSetsOrders _,
+    "array_order_years" -> arrayOrderYears _,
     "distinct_parts_per_flag" -> distinctPartsPerFlag _,
     "set_intersect_customers" -> setIntersectCustomers _,
     "set_except_customers" -> setExceptCustomers _,
@@ -629,6 +648,18 @@ object Relational {
         |  CAST(GROUPING(l_returnflag)*2 + GROUPING(l_linestatus) AS BIGINT) AS gid
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+    "array_order_years" ->
+      """WITH y AS (
+        |  SELECT o_custkey,
+        |    list_sort(list_distinct(list(CAST(year(o_orderdate) AS BIGINT)))) AS years
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT o_custkey,
+        |  array_to_string(years, ',') AS years_csv,
+        |  CAST(len(years) AS BIGINT) AS n_years,
+        |  list_contains(years, 1995) AS has_1995,
+        |  years[1] AS first_year,
+        |  years[-1] AS last_year
+        |FROM y ORDER BY o_custkey""".stripMargin,
     "grouping_sets_orders" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
         |       coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
