@@ -59,6 +59,20 @@ class RelationalSpec extends AnyFunSuite {
     assert(math.abs(got_en - 0.5 * n_en) <= 0.2 * n_en + 5)
   }
 
+  test("map functions: construction, lookup, keys, concat, value transform") {
+    val r = spark.sql(
+      """SELECT m['b'] AS b_val,
+        |       array_sort(map_keys(m)) AS ks,
+        |       map_concat(m, map('c', 30))['c'] AS c_val,
+        |       transform_values(m, (k, v) -> v * 10)['a'] AS a10
+        |FROM (SELECT map_from_arrays(array('a', 'b'), array(1, 2)) AS m)""".stripMargin)
+      .collect()(0)
+    assert(r.getInt(0) === 2)
+    assert(r.getSeq[String](1) === Seq("a", "b"))
+    assert(r.getInt(2) === 30)
+    assert(r.getInt(3) === 10)
+  }
+
   test("hash-based stratified sample: deterministic and near target fractions") {
     import org.apache.spark.sql.functions._
     val s1 = graft.ops.TextAnalysis.textSampleHash(spark, dir).collect()
