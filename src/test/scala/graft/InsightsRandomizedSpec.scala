@@ -52,4 +52,34 @@ class InsightsRandomizedSpec extends AnyFunSuite {
       df.unpersist()
     }
   }
+
+  test("two id-columns with multi-value display: all modes agree") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(2026L)
+    val rows = Seq.fill(250)((
+      if (rnd.nextInt(8) == 0) null else s"c${rnd.nextInt(4)}",
+      if (rnd.nextInt(8) == 0) null else s"id${rnd.nextInt(3)}",
+      if (rnd.nextInt(8) == 0) null else s"jd${rnd.nextInt(2)}",
+      if (rnd.nextInt(8) == 0) None else Some(rnd.nextInt(1000).toLong)))
+    val df = rows.toDF("cat", "idc", "jdc", "num")
+      .withColumn("val", when(col("idc").isNotNull, concat(lit("v_"), col("idc"))))
+      .withColumn("val2", when(col("idc").isNotNull, concat(lit("w_"), col("idc"))))
+      .withColumn("jal", when(col("jdc").isNotNull, concat(lit("j_"), col("jdc"))))
+      .cache()
+    val cfg4 = InsightsConfig(
+      groupingCols = Seq("cat", "idc", "jdc", "num"),
+      buckets = Map("num" -> 50L),
+      idValues = Map("idc" -> Seq("val", "val2"), "jdc" -> Seq("jal")),
+      thresholdPercent = 2.0)
+    val n = df.count()
+    val loop = InsightsEngine.enumerateLoop(df, cfg4, n, useFirst = false)
+      .reduce(_ unionAll _).collect().map(_.getString(0)).toSet
+    val cube = InsightsEngine.insightsCube(df, cfg4, n)
+      .collect().map(_.getString(0)).toSet
+    val dict = InsightsEngine.insightsCube(df, cfg4, n, dictValues = true)
+      .collect().map(_.getString(0)).toSet
+    assert(cube === loop)
+    assert(dict === loop)
+    df.unpersist()
+  }
 }
