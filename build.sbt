@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify driver scrapes the LAST stdout line for the JSON
+// result. Two sbt behaviors break that: the "[success] Total time"
+// footer printed after the forked process exits, and the "[info] "
+// prefix added to forked stdout. Disable both so `runMain graft.Bench`
+// ends with the bare JSON line.
+ThisBuild / showSuccess := false
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

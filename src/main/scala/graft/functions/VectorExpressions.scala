@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -18,11 +19,30 @@ import org.apache.spark.sql.types._
   */
 object VectorExpressions {
 
-  /** Σ a(i)*b(i) over two array<long> (length = min of the two). */
+  /** Analysis-time input check shared by the array<bigint> expressions.
+    * These are registered on the public SQL surface (GraftFunctions), so
+    * a wrong input type must fail descriptively at analysis, not as a
+    * runtime ClassCastException. */
+  private def requireLongArray(fn: String, dt: DataType): TypeCheckResult =
+    dt match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$fn requires array<bigint> input, got ${other.catalogString}")
+    }
+
+  /** Σ a(i)*b(i) over two array<long> (length = min of the two).
+    * NULL elements contribute 0 (the pair is skipped). */
   case class LongArrayDot(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = LongType
     override def nullable: Boolean = left.nullable || right.nullable
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireLongArray("dot_longs", left.dataType) match {
+        case TypeCheckResult.TypeCheckSuccess =>
+          requireLongArray("dot_longs", right.dataType)
+        case fail => fail
+      }
 
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
@@ -30,7 +50,10 @@ object VectorExpressions {
       val n = math.min(x.numElements(), y.numElements())
       var acc = 0L
       var i = 0
-      while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
+      while (i < n) {
+        if (!x.isNullAt(i) && !y.isNullAt(i)) acc += x.getLong(i) * y.getLong(i)
+        i += 1
+      }
       acc
     }
 
@@ -42,7 +65,9 @@ object VectorExpressions {
            |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
            |long ${ev.value}Acc = 0L;
            |for (int $i = 0; $i < $n; $i++) {
-           |  ${ev.value}Acc += $a.getLong($i) * $b.getLong($i);
+           |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+           |    ${ev.value}Acc += $a.getLong($i) * $b.getLong($i);
+           |  }
            |}
            |${ev.value} = ${ev.value}Acc;
          """.stripMargin
@@ -61,21 +86,28 @@ object VectorExpressions {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullable: Boolean = child.nullable
 
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireLongArray("universal_minhash", child.dataType)
+
     private def aConst(j: Int): Long = 1103515245L * (j + 1) % p
     private def bConst(j: Int): Long = 12345L * (j + 7919) % p
 
+    // NULL elements are skipped (an absent shingle hash contributes no
+    // minimum), matching transform+array_min which ignores nulls
     override def nullSafeEval(v: Any): Any = {
       val arr = v.asInstanceOf[ArrayData]
       val n = arr.numElements()
       val out = Array.fill(k)(Long.MaxValue)
       var i = 0
       while (i < n) {
-        val h = arr.getLong(i)
-        var j = 0
-        while (j < k) {
-          val cand = (aConst(j) * h + bConst(j)) % p
-          if (cand < out(j)) out(j) = cand
-          j += 1
+        if (!arr.isNullAt(i)) {
+          val h = arr.getLong(i)
+          var j = 0
+          while (j < k) {
+            val cand = (aConst(j) * h + bConst(j)) % p
+            if (cand < out(j)) out(j) = cand
+            j += 1
+          }
         }
         i += 1
       }
@@ -99,6 +131,7 @@ object VectorExpressions {
            |final long[] $as = $aInit;
            |final long[] $bs = $bInit;
            |for (int $i = 0; $i < $c.numElements(); $i++) {
+           |  if ($c.isNullAt($i)) continue;
            |  long $h = $c.getLong($i);
            |  for (int $j = 0; $j < $k; $j++) {
            |    long $cand = ($as[$j] * $h + $bs[$j]) % ${p}L;
@@ -129,6 +162,9 @@ object VectorExpressions {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullable: Boolean = child.nullable
 
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireLongArray("sign_buckets", child.dataType)
+
     private def positiveWeight(g: Int, i: Int): Boolean =
       ((g.toLong * dim + i) * 1103515245L + 12345L) % 65536L < 32768L
 
@@ -144,12 +180,15 @@ object VectorExpressions {
       val planes = nTables * nPlanes
       val acc = new Array[Long](planes)
       var i = 0
+      // NULL elements are skipped (a missing dim contributes 0 to every plane)
       while (i < n) {
-        val x = arr.getLong(i)
-        var g = 0
-        while (g < planes) {
-          acc(g) += (if (((masks(g) >>> i) & 1L) == 1L) x else -x)
-          g += 1
+        if (!arr.isNullAt(i)) {
+          val x = arr.getLong(i)
+          var g = 0
+          while (g < planes) {
+            acc(g) += (if (((masks(g) >>> i) & 1L) == 1L) x else -x)
+            g += 1
+          }
         }
         i += 1
       }
@@ -187,6 +226,7 @@ object VectorExpressions {
            |long[] $acc = new long[$planes];
            |int $n = java.lang.Math.min($c.numElements(), $dim);
            |for (int $i = 0; $i < $n; $i++) {
+           |  if ($c.isNullAt($i)) continue;
            |  long $x = $c.getLong($i);
            |  for (int $g = 0; $g < $planes; $g++) {
            |    $acc[$g] += ((($ms[$g] >>> $i) & 1L) == 1L) ? $x : -$x;
@@ -223,6 +263,12 @@ object VectorExpressions {
     require(n >= 1)
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def nullable: Boolean = child.nullable
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"word_shingles requires a string input, got ${other.catalogString}")
+    }
 
     def compute(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
       val words = s.toString.split(" ", -1)
@@ -289,18 +335,34 @@ object VectorExpressions {
   case class XxHashModArray(child: Expression, p: Long)
       extends UnaryExpression {
     require(p > 0)
-    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    // a NULL input element propagates as a NULL output element (the
+    // behavior of the transform+xxhash64 HOF this replaces), so
+    // containsNull mirrors the child's element nullability
+    override def dataType: DataType = ArrayType(LongType,
+      containsNull = child.dataType match {
+        case ArrayType(_, cn) => cn
+        case _ => true
+      })
     override def nullable: Boolean = child.nullable
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"xxhash_mod_array requires array<string> input, got ${other.catalogString}")
+    }
 
     def compute(arr: ArrayData): ArrayData = {
       val n = arr.numElements()
-      val out = new Array[Long](n)
+      val out = new Array[Any](n)
       var i = 0
       while (i < n) {
-        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
-          .hash(arr.getUTF8String(i), StringType, 42L)
-        val m = h % p
-        out(i) = if (m < 0) m + p else m // pmod
+        if (arr.isNullAt(i)) out(i) = null
+        else {
+          val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+            .hash(arr.getUTF8String(i), StringType, 42L)
+          val m = h % p
+          out(i) = if (m < 0) m + p else m // pmod
+        }
         i += 1
       }
       new GenericArrayData(out)

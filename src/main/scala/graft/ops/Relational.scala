@@ -293,7 +293,9 @@ object Relational {
   /** Approximate sketches: HLL++ distinct count + quantile summaries.
     * Estimator internals are engine-specific (no DuckDB oracle —
     * rows-only declared check); estimates are pinned against exact
-    * values in RelationalSpec. */
+    * values in RelationalSpec. The quantile pair is projected to two
+    * scalar columns (not an array) so the verification driver's
+    * rows-only sort works — pandas cannot sort an ndarray cell. */
   def aggApproxOrders(s: SparkSession, dir: String): DataFrame =
     orders(s, dir)
       .groupBy(col("o_orderstatus"))
@@ -301,6 +303,10 @@ object Relational {
         expr("approx_percentile(o_totalprice, array(0.5, 0.95))")
           .as("approx_price_q"),
         count(lit(1)).as("n_rows"))
+      .select(col("o_orderstatus"), col("approx_custs"),
+        element_at(col("approx_price_q"), 1).as("approx_price_p50"),
+        element_at(col("approx_price_q"), 2).as("approx_price_p95"),
+        col("n_rows"))
       .orderBy(col("o_orderstatus"))
 
   /** TPC-H Q13-style: order-count distribution over a LEFT OUTER join

@@ -29,17 +29,35 @@ object StreamingPipeline {
 
   /** docs → curated per-language stats. `ingest_ts` is synthesized
     * deterministically from doc_id (the fixture has no ingest time);
-    * a real feed supplies its own arrival timestamp. */
+    * a real feed supplies its own arrival timestamp.
+    *
+    * Dedup uses `dropDuplicatesWithinWatermark`, so state really is
+    * bounded: a digest is evicted once the watermark passes its event
+    * time (plain `dropDuplicates` would keep every digest forever
+    * despite the watermark). The sample coin is keyed on the text
+    * digest — not doc_id — so WHICH physical row survives dedup
+    * (first-arrival in the stream, arbitrary in batch) cannot change
+    * the sample. */
   def curate(docs: DataFrame): DataFrame =
     docs
       .filter(size(split(col("text"), " ")).between(20, 2000)) // quality gate
       .withColumn("text_md5", md5(col("text")))
-      .withColumn("ingest_ts", timestamp_micros(col("doc_id") * 1000000L))
+      // +1 day so no synthesized ts sits at epoch 0 — the initial
+      // watermark: dropDuplicatesWithinWatermark treats ts <= watermark
+      // as late and would silently drop doc_id 0
+      .withColumn("ingest_ts",
+        timestamp_micros((col("doc_id") + 86400L) * 1000000L))
       .withWatermark("ingest_ts", "1 hour")
-      .dropDuplicates("text_md5")                              // exact dedup
-      .filter(pmod((col("doc_id") * 1103515245L + 12345L) % 2147483647L,
-        lit(100L)) < 50)                                       // LCG sample
+      .dropDuplicatesWithinWatermark("text_md5")               // exact dedup
+      .filter(digestCoin(col("text_md5")) < 50)                // hash sample
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+
+  /** Deterministic 0..99 coin from an md5 hex digest: first 15 hex
+    * chars (< 2^60, no overflow under ANSI) mod 100. Row-content-keyed,
+    * so it is reproducible across engines and independent of dedup
+    * keeper choice. */
+  def digestCoin(md5Hex: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(conv(substring(md5Hex, 1, 15), 16, 10).cast("long"), lit(100L))
 }

@@ -74,11 +74,12 @@ class StreamingSpec extends AnyFunSuite {
       "stream_curate", OutputMode.Complete)
     val streamed = spark.table("stream_curate").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // the sample coin is keyed on the text digest (not doc_id), so the
+    // arbitrary dedup keeper cannot flip the sample on either side
     val batch = Tables.documents(spark, dir)
       .filter(size(split(col("text"), " ")).between(20, 2000))
       .dropDuplicates("text")
-      .filter(pmod((col("doc_id") * 1103515245L + 12345L) % 2147483647L,
-        lit(100L)) < 50)
+      .filter(graft.streaming.StreamingPipeline.digestCoin(md5(col("text"))) < 50)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
