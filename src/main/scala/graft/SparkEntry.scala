@@ -27,7 +27,8 @@ object SparkEntry {
       ops.Temporal.queries ++
       ops.Multimodal.queries ++
       ops.Skew.queries ++
-      ops.Pipeline.queries
+      ops.Pipeline.queries ++
+      ops.Curation.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -41,5 +42,6 @@ object SparkEntry {
       ops.Temporal.oracleSql ++
       ops.Multimodal.oracleSql ++
       ops.Skew.oracleSql ++
-      ops.Pipeline.oracleSql
+      ops.Pipeline.oracleSql ++
+      ops.Curation.oracleSql
 }

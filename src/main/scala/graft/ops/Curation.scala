@@ -1,0 +1,273 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.storage.StorageLevel
+import graft.Tables._
+
+/** Training-corpus curation operators beyond the dedup/similarity/text
+  * families: near-dup CLUSTERING (connected components), repetition-based
+  * quality filtering, PII redaction, token-budget sequence packing, and
+  * embedding normalization/quantization. The reference implements none of
+  * these (its only pipeline is the Play-Store insights job,
+  * /root/reference/main.py:259-360); they are the LLM-pipeline extension
+  * surface mandated by BASELINE.json.
+  */
+object Curation {
+
+  /** Connected components over the near-dup pair graph — production
+    * near-dup dedup keeps ONE doc per component, not one per pair (pair
+    * A~B, B~C must collapse {A,B,C} together even when A~C was never
+    * emitted). Edges are the verified MinHash-LSH pairs (provably equal
+    * to the exact Jaccard pair set — Dedup.scala); labels converge by
+    * iterated min-label propagation.
+    *
+    * Scale: each iteration is one shuffle join keyed by node (the classic
+    * large-star/small-star shape); iterations ≤ component diameter, and
+    * near-dup components are shallow (duplicates of a common source), so
+    * 2–4 iterations in practice. The convergence check is a count()
+    * action per iteration — O(iterations) jobs, each over the (tiny
+    * relative to the corpus) set of docs that appear in any pair. */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.dedupMinhashLsh(s, dir).select(col("a_id"), col("b_id"))
+    val edges = pairs
+      .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var iterations = 0
+    var converged = false
+    while (!converged && iterations < 50) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src").as("node"))
+        .agg(min(col("label")).as("nbr_min"))
+      val updated = labels
+        .join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = updated.as("u")
+        .join(labels.as("l"), Seq("node"))
+        .filter(col("u.label") =!= col("l.label"))
+        .limit(1).count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0L
+      iterations += 1
+    }
+    labels
+      .groupBy(col("label").as("component"))
+      .agg(count(lit(1)).as("n_docs"),
+        array_join(sort_array(collect_list(col("node"))), ",").as("members"))
+      .orderBy(col("component"))
+  }
+
+  /** Gopher-style repetition quality signal: fraction of repeated word
+    * bigrams per document. High duplicate-gram ratio marks boilerplate /
+    * low-quality generated text. Pure per-row projection (shingle +
+    * distinct count), no shuffle before the final sort. */
+  def textRepetition(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .filter(size(split(col("text"), " ")) >= 2)
+      .select(col("doc_id"),
+        graft.functions.VectorExpressions
+          .wordShingles(col("text"), 2, distinct = false).as("grams"))
+      .select(col("doc_id"),
+        size(col("grams")).cast("long").as("n_grams"),
+        size(array_distinct(col("grams"))).cast("long").as("n_unique"))
+      // per-row double math is engine-deterministic (Tables scaladoc)
+      .withColumn("dup_ratio",
+        round((col("n_grams") - col("n_unique")).cast("double") /
+          col("n_grams").cast("double"), 4))
+      .filter(col("dup_ratio") > 0.1)
+      .orderBy(col("doc_id"))
+
+  private val EmailPat = "[A-Za-z0-9._]+@[A-Za-z0-9.]+"
+  private val PhonePat = "555-[0-9]+"
+
+  /** PII redaction: scrub email/phone patterns out of free text and
+    * account the redactions. The fixture has no PII columns, so the note
+    * text is synthesized deterministically from customer attributes (both
+    * engines build the identical string); the scrub itself —
+    * regexp_extract_all to count, regexp_replace to redact — is the real
+    * operator and runs the same patterns a corpus scrub would. Per-row
+    * projection + one small aggregate: scales as a map-only pass. */
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val note = concat(col("c_name"), lit(" email "), col("c_custkey"),
+      lit("@example.com phone 555-"), lpad(col("c_custkey"), 7, "0"))
+    customer(s, dir)
+      .select(col("c_mktsegment"), note.as("note"))
+      .select(col("c_mktsegment"),
+        // group 0 = whole match (Spark defaults to group 1; DuckDB to 0)
+        size(regexp_extract_all(col("note"), lit(EmailPat), lit(0))).cast("long")
+          .as("n_emails"),
+        size(regexp_extract_all(col("note"), lit(PhonePat), lit(0))).cast("long")
+          .as("n_phones"),
+        length(regexp_replace(regexp_replace(col("note"), EmailPat, "[EMAIL]"),
+          PhonePat, "[PHONE]")).cast("long").as("scrubbed_len"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_notes"),
+        sum(col("n_emails")).as("n_emails"),
+        sum(col("n_phones")).as("n_phones"),
+        sum(col("scrubbed_len")).as("scrubbed_len"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private val PackBudget = 2048L
+
+  /** Token-budget sequence packing: assign documents (in deterministic
+    * doc_id order) to training bins of ~2048 tokens by binning the
+    * running token count. Partitioned by lang — packing runs per shard,
+    * so the window never needs a single global ordering (the 100 TB
+    * shape: pack within partition/shard, never a global sort; a single
+    * unpartitioned cumulative window would serialize on one task). */
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"cum_before div $PackBudget"))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .orderBy(col("lang"), col("bin"))
+  }
+
+  /** Embedding normalization + int8 quantization — the standard prep for
+    * a compact ANN index: exact squared norm over the 1000x-quantized
+    * longs (deterministic across engines), then per-element
+    * q_i = round(127·x_i / ‖x‖) with an exact integer checksum
+    * Σ i·q_i and a saturation count. Map-only pass; the codegen'd
+    * LongArrayDot computes the norm in one traversal. */
+  def embeddingQuantize(s: SparkSession, dir: String): DataFrame = {
+    val q1000 = transform(col("embedding"),
+      x => round(x.cast("double") * 1000).cast("long"))
+    embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.VectorExpressions.dotLongs(q1000, q1000).as("norm_sq_q"))
+      .withColumn("norm", sqrt(col("norm_sq_q").cast("double")) / 1000.0)
+      .select(col("vec_id"), col("norm_sq_q"),
+        transform(col("embedding"), x =>
+          round(x.cast("double") * 127.0 / col("norm")).cast("long")).as("q8"))
+      .select(col("vec_id"), col("norm_sq_q"),
+        aggregate(zip_with(col("q8"),
+            sequence(lit(1L), size(col("q8")).cast("long")), (q, i) => q * i),
+          lit(0L), (acc, x) => acc + x).as("q8_checksum"),
+        size(filter(col("q8"), q => abs(q) >= 127)).cast("long").as("n_saturated"))
+      .orderBy(col("vec_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_clusters" -> dedupClusters _,
+    "text_repetition" -> textRepetition _,
+    "pii_scrub" -> piiScrub _,
+    "pack_sequences" -> packSequences _,
+    "embedding_quantize" -> embeddingQuantize _,
+  )
+
+  // cluster oracle: transitive closure by recursive CTE over the same
+  // brute-force Jaccard pair set the LSH result provably equals
+  private val clustersSql =
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id, n_chars,
+      |    list_distinct([array_to_string(words[i:i+2], ' ')
+      |                   FOR i IN range(1, len(words) - 1)]) AS shingles
+      |  FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS words FROM documents)
+      |  WHERE len(words) >= 3),
+      |pairs AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM sh a JOIN sh b
+      |    ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 100
+      |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+      |        CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.5),
+      |edges AS (
+      |  SELECT a_id AS src, b_id AS dst FROM pairs
+      |  UNION ALL SELECT b_id, a_id FROM pairs),
+      |reach(node, label) AS (
+      |  SELECT DISTINCT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node),
+      |comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node)
+      |SELECT component, count(*) AS n_docs,
+      |       array_to_string(list_sort(list(node)), ',') AS members
+      |FROM comp GROUP BY component ORDER BY component""".stripMargin
+
+  private val repetitionSql =
+    """SELECT doc_id,
+      |  CAST(len(grams) AS BIGINT) AS n_grams,
+      |  CAST(len(list_distinct(grams)) AS BIGINT) AS n_unique,
+      |  round(CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) /
+      |        CAST(len(grams) AS DOUBLE), 4) AS dup_ratio
+      |FROM (
+      |  SELECT doc_id,
+      |    [array_to_string(words[i:i+1], ' ') FOR i IN range(1, len(words))] AS grams
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+      |  WHERE len(words) >= 2)
+      |WHERE round(CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) /
+      |            CAST(len(grams) AS DOUBLE), 4) > 0.1
+      |ORDER BY doc_id""".stripMargin
+
+  private val piiSql =
+    s"""WITH notes AS (
+       |  SELECT c_mktsegment,
+       |    c_name || ' email ' || c_custkey || '@example.com phone 555-' ||
+       |      lpad(CAST(c_custkey AS VARCHAR), 7, '0') AS note
+       |  FROM customer)
+       |SELECT c_mktsegment, count(*) AS n_notes,
+       |  CAST(sum(len(regexp_extract_all(note, '$EmailPat'))) AS BIGINT) AS n_emails,
+       |  CAST(sum(len(regexp_extract_all(note, '$PhonePat'))) AS BIGINT) AS n_phones,
+       |  CAST(sum(len(regexp_replace(regexp_replace(note, '$EmailPat', '[EMAIL]', 'g'),
+       |    '$PhonePat', '[PHONE]', 'g'))) AS BIGINT) AS scrubbed_len
+       |FROM notes GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  private val packSql =
+    s"""WITH docs AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |binned AS (
+       |  SELECT lang, n_tokens,
+       |    COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      // $PackBudget AS bin
+       |  FROM docs)
+       |SELECT lang, bin, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+       |FROM binned GROUP BY lang, bin ORDER BY lang, bin""".stripMargin
+
+  private val quantizeSql =
+    """WITH q AS (
+      |  SELECT vec_id, embedding,
+      |    CAST(list_sum([CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) *
+      |                   CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+      |                   FOR x IN embedding]) AS BIGINT) AS norm_sq_q
+      |  FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, norm_sq_q,
+      |    sqrt(CAST(norm_sq_q AS DOUBLE)) / 1000.0 AS norm
+      |  FROM q),
+      |q8 AS (
+      |  SELECT n.vec_id, n.norm_sq_q,
+      |    [CAST(round(CAST(q.embedding[i] AS DOUBLE) * 127.0 / n.norm) AS BIGINT)
+      |     FOR i IN range(1, len(q.embedding) + 1)] AS q8
+      |  FROM n JOIN q ON n.vec_id = q.vec_id)
+      |SELECT vec_id, norm_sq_q,
+      |  CAST(list_sum([q8[i] * i FOR i IN range(1, len(q8) + 1)]) AS BIGINT)
+      |    AS q8_checksum,
+      |  CAST(len(list_filter(q8, x -> abs(x) >= 127)) AS BIGINT) AS n_saturated
+      |FROM q8 ORDER BY vec_id""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_clusters" -> clustersSql,
+    "text_repetition" -> repetitionSql,
+    "pii_scrub" -> piiSql,
+    "pack_sequences" -> packSql,
+    "embedding_quantize" -> quantizeSql,
+  )
+}

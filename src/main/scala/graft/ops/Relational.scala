@@ -358,12 +358,17 @@ object Relational {
     orders(s, dir)
       .groupBy(col("o_orderstatus"))
       .agg(
-        expr("percentile(o_totalprice, 0.5)").as("median_price"),
-        expr("percentile(o_totalprice, 0.95)").as("p95_price"),
+        // one percentile buffer for both quantiles (array form), not two
+        // independent sort buffers per group
+        expr("percentile(o_totalprice, array(0.5, 0.95))").as("pcts"),
         min(col("o_totalprice")).as("min_price"),
         max(col("o_totalprice")).as("max_price"),
         sum(cents(col("o_totalprice"))).as("sum_cents"),
         count(lit(1)).as("n_orders"))
+      .select(col("o_orderstatus"),
+        element_at(col("pcts"), 1).as("median_price"),
+        element_at(col("pcts"), 2).as("p95_price"),
+        col("min_price"), col("max_price"), col("sum_cents"), col("n_orders"))
       .orderBy(col("o_orderstatus"))
 
   /** Rank-family window functions: rank / dense_rank / ntile / cume_dist
