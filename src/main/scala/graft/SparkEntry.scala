@@ -28,7 +28,8 @@ object SparkEntry {
       ops.Multimodal.queries ++
       ops.Skew.queries ++
       ops.Pipeline.queries ++
-      ops.Curation.queries
+      ops.Curation.queries ++
+      ops.RelationalExt.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -43,5 +44,6 @@ object SparkEntry {
       ops.Multimodal.oracleSql ++
       ops.Skew.oracleSql ++
       ops.Pipeline.oracleSql ++
-      ops.Curation.oracleSql
+      ops.Curation.oracleSql ++
+      ops.RelationalExt.oracleSql
 }

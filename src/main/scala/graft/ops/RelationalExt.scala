@@ -1,0 +1,158 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** SQL-surface widening beyond Relational.scala: correlated EXISTS,
+  * lateral explode with ordinality, union-by-name with missing-column
+  * fill, value-navigation window functions, and regexp extraction.
+  * The reference has none of these (its only operators are the insights
+  * pipeline's, SURVEY.md §2.1); they round out the engine's relational
+  * coverage (§2.2 categories).
+  */
+object RelationalExt {
+
+  /** Correlated EXISTS through the SQL frontend — Catalyst rewrites it
+    * to a left-semi hash join on o_custkey (no per-row subquery
+    * execution; the orders side aggregates nothing and shuffles only the
+    * key column). */
+  def subqueryExistsOrders(s: SparkSession, dir: String): DataFrame = {
+    customer(s, dir).createOrReplaceTempView("graft_customer_ex")
+    orders(s, dir).createOrReplaceTempView("graft_orders_ex")
+    s.sql(
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM graft_customer_ex
+        |WHERE EXISTS (SELECT 1 FROM graft_orders_ex
+        |              WHERE o_custkey = c_custkey
+        |                AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  /** Lateral explode with ordinality: posexplode over the words of
+    * p_name (1-based position to match SQL ordinality), then a
+    * positional word histogram. Explode is a narrow operation — rows fan
+    * out within the partition, no shuffle until the aggregate. */
+  def lateralExplodeParts(s: SparkSession, dir: String): DataFrame =
+    part(s, dir)
+      .select(posexplode(split(col("p_name"), " ")).as(Seq("pos0", "word")))
+      .select((col("pos0") + 1).cast("long").as("pos"), col("word"))
+      .groupBy(col("pos"), col("word"))
+      .agg(count(lit(1)).as("n_parts"))
+      .orderBy(col("pos"), col("word"))
+
+  /** unionByName with allowMissingColumns: the 1996 leg carries no
+    * provenance column and different column order; union aligns by NAME
+    * (a positional union would silently mis-bind) and fills the missing
+    * column with NULL. */
+  def unionByNameOrders(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir)
+    val a = o.filter(year(col("o_orderdate")) === 1995)
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_cents"),
+        lit("y1995").as("src"))
+    val b = o.filter(year(col("o_orderdate")) === 1996)
+      .select(cents(col("o_totalprice")).as("price_cents"), col("o_orderkey"))
+    a.unionByName(b, allowMissingColumns = true)
+      .groupBy(coalesce(col("src"), lit("y1996")).as("src"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("price_cents")).as("sum_cents"))
+      .orderBy(col("src"))
+  }
+
+  /** Value-navigation window family: first_value / last_value /
+    * nth_value over the full partition frame plus lead, per customer in
+    * order-date order (o_orderkey tiebreak — parity rule). One shuffle
+    * on o_custkey serves all four functions. */
+  def windowValueOrders(s: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        cents(col("o_totalprice")).as("price_cents"),
+        first(cents(col("o_totalprice"))).over(full).as("first_cents"),
+        last(cents(col("o_totalprice"))).over(full).as("last_cents"),
+        nth_value(cents(col("o_totalprice")), 2).over(full).as("second_cents"),
+        lead(cents(col("o_totalprice")), 1).over(ord).as("next_cents"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Regexp extraction aggregates over part names: per brand, the count
+    * of 'o…' word fragments (regexp_extract_all) and the distinct last
+    * words (anchored regexp_extract). Map-side projections + one small
+    * aggregate. */
+  def regexpParts(s: SparkSession, dir: String): DataFrame =
+    part(s, dir)
+      .select(col("p_brand"),
+        size(regexp_extract_all(col("p_name"), lit("o[a-z]+"), lit(0)))
+          .cast("long").as("n_o_frags"),
+        regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("n_o_frags")).as("n_o_frags"),
+        countDistinct(col("last_word")).as("n_last_words"))
+      .orderBy(col("p_brand"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "subquery_exists_orders" -> subqueryExistsOrders _,
+    "lateral_explode_parts" -> lateralExplodeParts _,
+    "union_by_name_orders" -> unionByNameOrders _,
+    "window_value_orders" -> windowValueOrders _,
+    "regexp_parts" -> regexpParts _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "subquery_exists_orders" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey
+        |                AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "lateral_explode_parts" ->
+      """SELECT s.pos, s.word, count(*) AS n_parts
+        |FROM (
+        |  SELECT unnest([{'pos': CAST(i AS BIGINT), 'word': words[i]}
+        |                 FOR i IN range(1, len(words) + 1)]) AS s
+        |  FROM (SELECT string_split(p_name, ' ') AS words FROM part))
+        |GROUP BY s.pos, s.word ORDER BY s.pos, s.word""".stripMargin,
+    "union_by_name_orders" ->
+      """WITH u AS (
+        |  SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |    'y1995' AS src
+        |  FROM orders WHERE year(o_orderdate) = 1995
+        |  UNION ALL
+        |  SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT),
+        |    NULL
+        |  FROM orders WHERE year(o_orderdate) = 1996)
+        |SELECT COALESCE(src, 'y1996') AS src, count(*) AS n_orders,
+        |  CAST(sum(price_cents) AS BIGINT) AS sum_cents
+        |FROM u GROUP BY 1 ORDER BY src""".stripMargin,
+    "window_value_orders" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |  first_value(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w_full
+        |    AS first_cents,
+        |  last_value(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w_full
+        |    AS last_cents,
+        |  nth_value(CAST(round(o_totalprice * 100) AS BIGINT), 2) OVER w_full
+        |    AS second_cents,
+        |  lead(CAST(round(o_totalprice * 100) AS BIGINT), 1) OVER w_ord
+        |    AS next_cents
+        |FROM orders
+        |WINDOW
+        |  w_full AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+        |  w_ord AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "regexp_parts" ->
+      """SELECT p_brand, count(*) AS n_parts,
+        |  CAST(sum(len(regexp_extract_all(p_name, 'o[a-z]+'))) AS BIGINT)
+        |    AS n_o_frags,
+        |  CAST(count(DISTINCT regexp_extract(p_name, '([a-z]+)$', 1)) AS BIGINT)
+        |    AS n_last_words
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+  )
+}
