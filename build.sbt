@@ -17,6 +17,7 @@ run / fork := true
 // prefix added to forked stdout. Disable both so `runMain graft.Bench`
 // ends with the bare JSON line.
 ThisBuild / showSuccess := false
+Global / excludeLintKeys += showSuccess
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

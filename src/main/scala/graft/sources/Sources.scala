@@ -27,6 +27,11 @@ object Sources {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** ORC — the other columnar format Spark reads vectorized; same
+    * predicate-pushdown/column-pruning behavior as parquet. */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   def writeCsv(df: DataFrame, path: String, header: Boolean = true,
       mode: SaveMode = SaveMode.Append): Unit =
     df.write.option("header", header).mode(mode).csv(path)
@@ -38,6 +43,10 @@ object Sources {
   def writeParquet(df: DataFrame, path: String,
       mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).parquet(path)
+
+  def writeOrc(df: DataFrame, path: String,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).orc(path)
 
   /** Hive-style partitioned parquet layout (`path/col=value/...`). At
     * 100 TB this is the coarse-grained data-skipping lever: a filter on

@@ -23,6 +23,15 @@ class SourcesSpec extends AnyFunSuite {
       orig.select(key.map(col): _*).collect().toSet)
   }
 
+  test("ORC round-trip preserves the relation") {
+    val tmp = Files.createTempDirectory("graft_orc").toString
+    val orig = Tables.customer(spark, dir)
+    Sources.writeOrc(orig, s"$tmp/customer_orc")
+    val back = Sources.orc(spark, s"$tmp/customer_orc")
+    assert(back.schema === orig.schema)
+    assert(back.collect().toSet === orig.collect().toSet)
+  }
+
   test("partitioned parquet: planning-time partition pruning reaches the scan") {
     val tmp = Files.createTempDirectory("graft_part").toString
     val events = Tables.events(spark, dir)
