@@ -80,11 +80,48 @@ object Events {
         sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_error"))
       .orderBy(col("hour_bucket"))
 
+  /** Cohort retention matrix: users cohorted by first-activity day,
+    * distinct active users per (cohort_day, day_offset). Two shuffles,
+    * both keyed by user_id — the first-activity aggregate and the join
+    * back are co-partitioned, so AQE plans the join without a second
+    * exchange of the fact side; the final (cohort, offset) aggregate is
+    * small. The canonical product-analytics operator. */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+    val cohorts = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    e.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  /** Top user journeys: the first three event types per user in time
+    * order, counted by path. Order inside collect_list is made
+    * deterministic by sorting (ts, event_id, type) structs AFTER
+    * collection — collect_list itself has no ordering guarantee across
+    * shuffled partitions. One user_id shuffle; path strings stay tiny. */
+  def topEventPaths(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("user_id"),
+        struct(expr("unix_micros(ts)").as("us"), col("event_id"),
+          col("event_type")).as("ev"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("ev"))).as("evs"))
+      .select(concat_ws(">",
+        transform(slice(col("evs"), 1, 3), e => e.getField("event_type")))
+        .as("path3"))
+      .groupBy(col("path3"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("path3"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_tumbling_windows" -> tumblingWindows _,
     "events_sessionize" -> sessionize _,
     "events_funnel" -> signupPurchaseFunnel _,
     "events_hourly_pivot" -> hourlyTypePivot _,
+    "events_retention" -> cohortRetention _,
+    "events_top_paths" -> topEventPaths _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -119,6 +156,22 @@ object Events {
         |WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
         |  AND s.first_us < p.first_us
         |ORDER BY s.user_id""".stripMargin,
+    "events_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id)
+        |SELECT c.cohort_day, e.day - c.cohort_day AS day_offset,
+        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM e JOIN c ON e.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+    "events_top_paths" ->
+      """WITH p AS (
+        |  SELECT user_id,
+        |    array_to_string(
+        |      list(event_type ORDER BY epoch_us(ts), event_id)[1:3], '>') AS path3
+        |  FROM events GROUP BY user_id)
+        |SELECT path3, count(*) AS n_users
+        |FROM p GROUP BY path3 ORDER BY path3""".stripMargin,
     "events_hourly_pivot" ->
       """SELECT epoch_us(ts) // 3600000000 AS hour_bucket,
         |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
