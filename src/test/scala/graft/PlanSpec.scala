@@ -108,6 +108,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("correlated EXISTS plans as a semi join, not per-row subqueries") {
+    val p = plan(ops.RelationalExt.subqueryExistsOrders(spark, dir))
+    assert(p.contains("LeftSemi"), s"no semi join in:\n$p")
+  }
+
+  test("sequence packing: the cumulative window is partitioned (no global sort)") {
+    val p = plan(ops.Curation.packSequences(spark, dir))
+    // a single-partition window would appear as Exchange SinglePartition
+    // feeding the Window node; per-lang packing must hash-partition
+    val winSection = p.split("ORDER BY").head
+    assert(!winSection.contains("SinglePartition"),
+      s"packing window serializes on one task:\n$p")
+  }
+
+  test("pii scrub / repetition / quantize are map-only before their final agg or sort") {
+    // projection-only operators: exactly one Exchange for the small
+    // aggregate (pii) and only the final sort's Exchange otherwise
+    val pii = plan(ops.Curation.piiScrub(spark, dir))
+    assert(countNodes(pii, "Exchange") <= 2, s"pii scrub over-shuffles:\n$pii")
+    val rep = plan(ops.Curation.textRepetition(spark, dir))
+    assert(countNodes(rep, "Exchange") <= 1, s"repetition over-shuffles:\n$rep")
+    val qz = plan(ops.Curation.embeddingQuantize(spark, dir))
+    assert(countNodes(qz, "Exchange") <= 1, s"quantize over-shuffles:\n$qz")
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipelines") {
     val df = ops.Relational.q6RevenueFilter(spark, dir)
     df.collect() // AQE finalizes the executed plan only after execution
