@@ -93,7 +93,28 @@ object RelationalExt {
         countDistinct(col("last_word")).as("n_last_words"))
       .orderBy(col("p_brand"))
 
+  /** Mergeable HLL sketches (Datasketches HllSketch): per-group distinct
+    * sketches UNIONED into a global estimate without touching rows
+    * again — the re-aggregation pattern that makes 100 TB distinct
+    * counts incremental (store sketch bytes per partition/day, merge on
+    * read). Rows-only check: sketch internals are engine-specific
+    * (estimates pinned vs exact in SketchSpec). */
+  def aggHllOrders(s: SparkSession, dir: String): DataFrame = {
+    val sk = orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"),
+        count(lit(1)).as("n_rows"))
+    val per = sk.select(col("o_orderstatus"),
+      hll_sketch_estimate(col("sk")).as("approx_custs"), col("n_rows"))
+    val all = sk
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_custs"),
+        sum(col("n_rows")).as("n_rows"))
+      .select(lit("ALL").as("o_orderstatus"), col("approx_custs"), col("n_rows"))
+    per.unionByName(all).orderBy(col("o_orderstatus"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_hll_orders" -> aggHllOrders _, // rows-only: engine sketches
     "subquery_exists_orders" -> subqueryExistsOrders _,
     "lateral_explode_parts" -> lateralExplodeParts _,
     "union_by_name_orders" -> unionByNameOrders _,
