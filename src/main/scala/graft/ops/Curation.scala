@@ -38,6 +38,11 @@ object Curation {
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // labels only ever DECREASE, so Σlabel is a strictly decreasing
+    // potential: the fixpoint is reached exactly when the sum stops
+    // moving. One narrow aggregate per round doubles as the convergence
+    // check AND the materialization action — no per-round diff join.
+    var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
     var iterations = 0
     var converged = false
     while (!converged && iterations < 50) {
@@ -50,13 +55,11 @@ object Curation {
         .select(col("node"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = updated.as("u")
-        .join(labels.as("l"), Seq("node"))
-        .filter(col("u.label") =!= col("l.label"))
-        .limit(1).count()
+      val newSum = updated.agg(sum(col("label"))).head().getLong(0)
       labels.unpersist()
       labels = updated
-      converged = changed == 0L
+      converged = newSum == prevSum
+      prevSum = newSum
       iterations += 1
     }
     labels

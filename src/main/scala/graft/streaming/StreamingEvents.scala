@@ -119,6 +119,31 @@ object StreamingEvents {
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_events"))
 
+  /** STREAM-STREAM interval join: views matched to same-user clicks
+    * within the following 10 minutes. Both sides carry watermarks and
+    * the join condition bounds event-time distance, so each side's
+    * buffered state is evictable once the watermark passes
+    * `ts + interval` — state is O(watermark window × arrival rate), the
+    * only safe shape for joining two unbounded streams. Inner join:
+    * matches emit as soon as both rows arrive. */
+  def streamStreamIntervalJoin(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", "30 minutes")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "30 minutes")
+    views.join(clicks,
+        col("v_user") === col("c_user") &&
+          col("c_ts") >= col("v_ts") &&
+          col("c_ts") <= col("v_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("v_user").as("user_id"), col("view_id"), col("click_id"),
+        unix_micros(col("v_ts")).as("view_us"),
+        unix_micros(col("c_ts")).as("click_us"))
+  }
+
   /** Run a stream to completion against a static directory (test/batch
     * harness): memory sink, processAllAvailable. */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append): Unit = {

@@ -87,6 +87,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("stream-stream interval join == batch interval join") {
+    val stream = StreamingEvents.readEventsStream(spark, eventsPath)
+    StreamingEvents.runToMemory(
+      StreamingEvents.streamStreamIntervalJoin(stream), "stream_ss_join")
+    val streamed = spark.table("stream_ss_join").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val e = Tables.events(spark, dir)
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    val batch = v.join(c,
+        col("v_user") === col("c_user") &&
+          col("c_ts") >= col("v_ts") &&
+          col("c_ts") <= col("v_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("v_user"), col("view_id"), col("click_id"),
+        unix_micros(col("v_ts")), unix_micros(col("c_ts")))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(batch.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("stateful flatMapGroupsWithState sessionize emits only closed sessions that match batch") {
     val stream = StreamingEvents.readEventsStream(spark, eventsPath)
     StreamingEvents.runToMemory(

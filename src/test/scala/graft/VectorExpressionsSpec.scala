@@ -122,4 +122,30 @@ class VectorExpressionsSpec extends AnyFunSuite {
       .collect()(0).getSeq[Long](0)
     assert(xh === xhHof)
   }
+
+  test("SQL surface: NULL array elements are handled, wrong types fail at analysis") {
+    // a NULL element propagates as a NULL element (the HOF behavior),
+    // not an NPE — these functions are user-callable via SQL
+    val xh = spark.sql(
+      "SELECT xxhash_mod_array(array('x', CAST(NULL AS STRING), 'y'), 97L) AS h")
+      .collect()(0).getSeq[Any](0)
+    assert(xh.length === 3 && xh(1) == null && xh(0) != null)
+    // numeric expressions skip NULL elements instead of throwing
+    val dot = spark.sql(
+      "SELECT dot_longs(array(1L, NULL, 3L), array(2L, 5L, NULL)) AS d")
+      .collect()(0).getLong(0)
+    assert(dot === 2L) // only index 0 has both sides non-null
+    val mh = spark.sql(
+      "SELECT universal_minhash(array(7L, NULL), 4, 2147483647L) AS m")
+      .collect()(0).getSeq[Long](0)
+    val mhRef = spark.sql(
+      "SELECT universal_minhash(array(7L), 4, 2147483647L) AS m")
+      .collect()(0).getSeq[Long](0)
+    assert(mh === mhRef)
+    // wrong input type → descriptive analysis error, not ClassCastException
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT dot_longs(array('a'), array('b'))").collect()
+    }
+    assert(err.getMessage.contains("array<bigint>"))
+  }
 }
