@@ -43,6 +43,26 @@ object Skew {
       (sum(col(valueCol)), (c: Column) => sum(c), s"sum_$valueCol"),
       (count(lit(1)), (c: Column) => sum(c), "n_rows")))
 
+  /** Salted equi-join for a skewed probe side when the build side is too
+    * large to broadcast: each probe row gets one deterministic-enough
+    * salt in [0, saltBuckets); the build side is replicated once per
+    * salt value. A hot join key's probe rows then spread over
+    * saltBuckets reducers instead of serializing into one. Cost:
+    * saltBuckets× replication of the build side — the classic trade
+    * when AQE's runtime skew splitting can't apply (e.g. the join feeds
+    * a co-partitioning requirement). Result-identical to the plain
+    * join (each probe row joins exactly its salt's build copy) —
+    * equality-tested in SkewSpec. */
+  def saltedJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
+      saltBuckets: Int = 16): DataFrame = {
+    val probeS = probe.withColumn("__salt",
+      pmod(spark_partition_id().cast("long") + monotonically_increasing_id(),
+        lit(saltBuckets.toLong)))
+    val buildS = build.withColumn("__salt",
+      explode(sequence(lit(0L), lit(saltBuckets.toLong - 1))))
+    probeS.join(buildS, keys :+ "__salt").drop("__salt")
+  }
+
   /** Declared query: salted sum/count of event value cents per type.
     * The salted two-phase result is algebraically identical to the
     * direct aggregate, so the oracle is the plain GROUP BY — which puts

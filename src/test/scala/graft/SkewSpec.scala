@@ -20,6 +20,61 @@ class SkewSpec extends AnyFunSuite {
     assert(salted === direct)
   }
 
+  test("salted join equals plain join (build side replicated per salt)") {
+    val e = Tables.events(spark, dir).select(col("user_id"), col("event_id"))
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val plain = e.join(c, Seq("user_id"))
+      .select("user_id", "event_id", "c_mktsegment")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val salted = ops.Skew.saltedJoin(e, c, Seq("user_id"), saltBuckets = 8)
+      .select("user_id", "event_id", "c_mktsegment")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(salted === plain)
+    assert(salted.nonEmpty)
+  }
+
+  test("AQE splits a skewed join partition at runtime (skew=true in the plan)") {
+    val old = Seq(
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // fixture-sized "skew": thresholds lowered so the hot key's
+      // partition is detected relative to its siblings
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      import spark.implicits._
+      // 95% of left rows share key 0 — one massive shuffle partition
+      val left = spark.range(0, 300000)
+        .select(when(pmod(col("id"), lit(20)) =!= 0, lit(0L))
+          .otherwise(col("id")).as("k"), col("id").as("v"))
+      val right = spark.range(0, 2000).select(col("id").as("k"),
+        (col("id") * 2).as("w"))
+      // global count: the partial aggregate above the join has no
+      // required distribution, so AQE is free to split the hot
+      // partition (a groupBy(k) directly above would pin hash
+      // partitioning on k and veto the split)
+      val j = left.join(right, Seq("k")).groupBy().count()
+      val n = j.collect()(0).getLong(0)
+      assert(n > 0)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"no skew split in:\n${plan.take(2500)}")
+    } finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted min/max compose correctly") {
     val li = Tables.lineitem(spark, dir)
     val direct = li.groupBy("l_returnflag")
