@@ -113,8 +113,44 @@ object RelationalExt {
     per.unionByName(all).orderBy(col("o_orderstatus"))
   }
 
+  /** TPC-H Q18-style large-volume orders: HAVING over an aggregate
+    * subquery feeding a semi join — the aggregate runs once (one
+    * l_orderkey shuffle), the big lineitem table is filtered by the
+    * (small) qualifying-key set, which Spark broadcasts. */
+  def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    val big = lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 150)
+    orders(s, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        cents(col("o_totalprice")).as("price_cents"),
+        col("total_qty").cast("long").as("total_qty"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** NOT IN over a nullable-free subquery — Spark plans a NULL-AWARE
+    * anti join (NOT IN semantics differ from NOT EXISTS when the
+    * subquery can yield NULL; here keys are non-null, so the plan's
+    * null-aware machinery is exercised with deterministic results):
+    * customers who never placed an urgent order, counted per nation. */
+  def notInUrgentCustomers(s: SparkSession, dir: String): DataFrame = {
+    customer(s, dir).createOrReplaceTempView("graft_customer_ni")
+    orders(s, dir).createOrReplaceTempView("graft_orders_ni")
+    s.sql(
+      """SELECT c_nationkey, count(*) AS n_customers
+        |FROM graft_customer_ni
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM graft_orders_ni
+        |                        WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+      .withColumn("c_nationkey", col("c_nationkey").cast("long"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_hll_orders" -> aggHllOrders _, // rows-only: engine sketches
+    "q18_large_orders" -> q18LargeOrders _,
+    "not_in_urgent_customers" -> notInUrgentCustomers _,
     "subquery_exists_orders" -> subqueryExistsOrders _,
     "lateral_explode_parts" -> lateralExplodeParts _,
     "union_by_name_orders" -> unionByNameOrders _,
@@ -123,6 +159,22 @@ object RelationalExt {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(l_quantity) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+        |SELECT o_orderkey, o_custkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |  CAST(total_qty AS BIGINT) AS total_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "not_in_urgent_customers" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        |  count(*) AS n_customers
+        |FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                        WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "subquery_exists_orders" ->
       """SELECT c_mktsegment, count(*) AS n_customers
         |FROM customer

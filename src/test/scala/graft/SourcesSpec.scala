@@ -23,6 +23,38 @@ class SourcesSpec extends AnyFunSuite {
       orig.select(key.map(col): _*).collect().toSet)
   }
 
+  test("malformed CSV rows: PERMISSIVE captures, DROPMALFORMED drops, FAILFAST throws") {
+    import org.apache.spark.sql.types._
+    val tmp = Files.createTempDirectory("graft_bad").toString
+    Files.writeString(java.nio.file.Paths.get(s"$tmp/data.csv"),
+      "id,qty\n1,10\n2,notanumber\n3,30\n")
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("qty", IntegerType),
+      StructField("_corrupt", StringType)))
+    val permissive = spark.read.option("header", true).schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(s"$tmp/data.csv").cache()
+    assert(permissive.count() === 3)
+    assert(permissive.filter(col("_corrupt").isNotNull).count() === 1)
+    assert(permissive.filter(col("qty").isNull && col("_corrupt").isNotNull)
+      .select("id").collect().map(_.getInt(0)).toSeq === Seq(2))
+    val dropped = spark.read.option("header", true)
+      .schema(StructType(schema.dropRight(1)))
+      .option("mode", "DROPMALFORMED").csv(s"$tmp/data.csv")
+    // a bare count() prunes every column, so nothing is parsed and no
+    // row can be judged malformed — materialize the columns instead
+    assert(dropped.select("id", "qty").collect()
+      .map(_.getInt(0)).toSeq.sorted === Seq(1, 3))
+    val ex = intercept[org.apache.spark.SparkException] {
+      spark.read.option("header", true)
+        .schema(StructType(schema.dropRight(1)))
+        .option("mode", "FAILFAST").csv(s"$tmp/data.csv").collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("malformed") ||
+      ex.getCause != null)
+  }
+
   test("ORC round-trip preserves the relation") {
     val tmp = Files.createTempDirectory("graft_orc").toString
     val orig = Tables.customer(spark, dir)
