@@ -75,9 +75,39 @@ object Temporal {
       .orderBy(col("user_id"))
   }
 
+  /** Time-series resample + gap fill: hourly series per event type over
+    * a dense grid spanning the observed range, empty slots filled with
+    * n=0 and last-observation-carried-forward for the value (NULL until
+    * a series' first observation — both engines agree).
+    *
+    * Scale: the grid is |series| × hours (tiny next to the events); the
+    * LOCF window partitions by series key, so filling parallelizes
+    * across series and never needs a global sort. A per-user resample is
+    * the same plan with user_id as the series key. */
+  def eventsResampleLocf(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("event_type"),
+      expr("unix_micros(ts) div 3600000000").as("hour"),
+      cents(col("value")).as("vc"))
+    val hourly = e.groupBy(col("event_type"), col("hour"))
+      .agg(sum(col("vc")).as("sum_vc"), count(lit(1)).as("n"))
+    val bounds = e.agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+    val grid = e.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"))).as("hour"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("event_type", "hour"), "left")
+      .select(col("event_type"), col("hour"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        last(col("sum_vc"), ignoreNulls = true).over(w).as("locf_sum_vc"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_asof_attribution" -> eventsAsofAttribution _,
     "events_range_pairs" -> eventsRangePairs _,
+    "events_resample_locf" -> eventsResampleLocf _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -98,5 +128,23 @@ object Temporal {
         |FROM e a JOIN e b ON a.user_id = b.user_id AND a.event_id < b.event_id
         |WHERE abs(b.us - a.us) <= 300000000
         |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
+    "events_resample_locf" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+        |           CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+        |h AS (SELECT event_type, hour, CAST(sum(vc) AS BIGINT) AS sum_vc,
+        |             count(*) AS n
+        |      FROM e GROUP BY 1, 2),
+        |b AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM e),
+        |grid AS (SELECT t.event_type, g.hour
+        |         FROM (SELECT DISTINCT event_type FROM e) t, b,
+        |              unnest(range(b.h0, b.h1 + 1)) AS g(hour)),
+        |j AS (SELECT grid.event_type, grid.hour, h.sum_vc, h.n
+        |      FROM grid LEFT JOIN h
+        |        ON grid.event_type = h.event_type AND grid.hour = h.hour)
+        |SELECT event_type, hour, COALESCE(n, 0) AS n_events,
+        |  last_value(sum_vc IGNORE NULLS) OVER (PARTITION BY event_type
+        |    ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS locf_sum_vc
+        |FROM j ORDER BY event_type, hour""".stripMargin,
   )
 }
