@@ -149,14 +149,51 @@ object Multimodal {
       .orderBy(col("query_id"))
   }
 
+  /** Chunk-level media dedup — the content-addressable-storage shape:
+    * fingerprint fixed 256-byte chunks of every blob, find chunks shared
+    * across the corpus (dedup unit for media storage and transfer). The
+    * blob is hexed once and md5'd per 512-hex-char slice — per-row
+    * projection + explode; only (chunk_md5, doc_id) pairs shuffle, never
+    * media bytes. At 100 TB, swap fixed-offset slicing for
+    * content-defined chunk boundaries (rolling hash) in the same plan. */
+  def mediaChunkDedup(s: SparkSession, dir: String): DataFrame =
+    mediaTable(s, dir)
+      .select(col("doc_id"), lower(hex(col("media"))).as("hx"))
+      .filter(length(col("hx")) > 0) // sequence(0,-1) would descend
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, CAST((length(hx) + 511) div 512 - 1 AS INT)),
+          |          i -> md5(substring(hx, i * 512 + 1, 512)))""".stripMargin))
+        .as("chunk_md5"))
+      .groupBy(col("chunk_md5"))
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_copies") > 1)
+      .orderBy(col("chunk_md5"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta" -> mediaMeta _,
     "multimodal_decode_stats" -> mediaDecodeStats _,
     "multimodal_resize_stats" -> mediaResizeStats _,
     "multimodal_nearest_neighbor" -> mediaNearestNeighbor _,
+    "multimodal_chunk_dedup" -> mediaChunkDedup _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "multimodal_chunk_dedup" ->
+      """WITH m AS (
+        |  SELECT doc_id, lower(hex(text)) AS hx FROM documents
+        |  WHERE len(text) > 0),
+        |c AS (
+        |  SELECT doc_id, unnest([md5(substr(hx, i * 512 + 1, 512))
+        |                         FOR i IN range(0, (len(hx) + 511) // 512)])
+        |    AS chunk_md5
+        |  FROM m)
+        |SELECT chunk_md5, count(*) AS n_copies,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  min(doc_id) AS first_doc
+        |FROM c GROUP BY chunk_md5 HAVING count(*) > 1
+        |ORDER BY chunk_md5""".stripMargin,
     "multimodal_meta" ->
       """WITH m AS (
         |  SELECT doc_id,
