@@ -62,6 +62,11 @@ object Curation {
       prevSum = newSum
       iterations += 1
     }
+    // never return a silently-unconverged clustering (50 rounds covers a
+    // component diameter far beyond any near-dup graph; a pathological
+    // chain should fail loudly, not emit wrong components)
+    require(converged,
+      s"label propagation did not converge in $iterations iterations")
     labels
       .groupBy(col("label").as("component"))
       .agg(count(lit(1)).as("n_docs"),
