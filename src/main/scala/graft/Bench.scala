@@ -37,6 +37,10 @@ object Bench {
       try run(name) catch { case _: Throwable => }
     }
     val results = SparkEntry.queries.map { case (name, _) =>
+      // drop persisted intermediates from the previous query: leaked
+      // caches otherwise pile up across 80+ queries and evict/spill
+      // later queries' working sets (measured as ±2 s per-query jitter)
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try run(name) catch { case _: Throwable => }
       name -> (System.nanoTime() - t0) / 1e9

@@ -147,10 +147,36 @@ object RelationalExt {
       .withColumn("c_nationkey", col("c_nationkey").cast("long"))
   }
 
+  /** TPC-H Q7-style volume shipping: a 6-relation star with the nation
+    * dimension playing TWO roles (supplier's and customer's nation —
+    * aliased broadcasts, no self-join shuffle). Fact side shuffles only
+    * on the lineitem⋈orders key after pushed year filters; all four
+    * dimensions broadcast. */
+  def q7NationTrade(s: SparkSession, dir: String): DataFrame = {
+    val supNation = nation(s, dir)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val custNation = nation(s, dir)
+      .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    lineitem(s, dir)
+      .filter(year(col("l_shipdate")).between(1995, 1996))
+      .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(supNation), col("s_nationkey") === col("sn_key"))
+      .join(broadcast(custNation), col("c_nationkey") === col("cn_key"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(revenueCents(col("l_extendedprice"), col("l_discount")))
+        .as("revenue_cents"), count(lit(1)).as("n_rows"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_hll_orders" -> aggHllOrders _, // rows-only: engine sketches
     "q18_large_orders" -> q18LargeOrders _,
     "not_in_urgent_customers" -> notInUrgentCustomers _,
+    "q7_nation_trade" -> q7NationTrade _,
     "subquery_exists_orders" -> subqueryExistsOrders _,
     "lateral_explode_parts" -> lateralExplodeParts _,
     "union_by_name_orders" -> unionByNameOrders _,
@@ -159,6 +185,21 @@ object RelationalExt {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q7_nation_trade" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |      AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE year(l_shipdate) BETWEEN 1995 AND 1996
+        |  AND sn.n_name <> cn.n_name
+        |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
     "q18_large_orders" ->
       """WITH big AS (
         |  SELECT l_orderkey, sum(l_quantity) AS total_qty
