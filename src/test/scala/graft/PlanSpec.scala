@@ -108,6 +108,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q7: all four dimensions broadcast; fact side never re-shuffles for them") {
+    val p = plan(ops.RelationalExt.q7NationTrade(spark, dir))
+    // all four dimensions broadcast (at sf0.001 even orders fits under
+    // the broadcast threshold, so Spark may broadcast five sides)
+    assert(countNodes(p, "BroadcastHashJoin") >= 4, s"plan:\n$p")
+    assert(countNodes(p, "SortMergeJoin") === 0, s"dim shuffled:\n$p")
+    // no shuffle beyond the aggregate + the final sort
+    assert(countNodes(p, "Exchange") <= 4, s"over-shuffles:\n$p")
+  }
+
   test("correlated EXISTS plans as a semi join, not per-row subqueries") {
     val p = plan(ops.RelationalExt.subqueryExistsOrders(spark, dir))
     assert(p.contains("LeftSemi"), s"no semi join in:\n$p")
