@@ -75,6 +75,28 @@ class SkewSpec extends AnyFunSuite {
     }
   }
 
+  test("salted join == plain join on randomized skewed data (seeded)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // ~80% of probe rows land on 3 hot keys; build has multi-row keys
+    val probe = (0 until 5000).map { i =>
+      val k = if (rnd.nextInt(10) < 8) rnd.nextInt(3).toLong
+              else rnd.nextInt(200).toLong
+      (k, i.toLong)
+    }.toDF("k", "pid")
+    val build = (0 until 400).map { i =>
+      (rnd.nextInt(220).toLong, i.toLong)
+    }.toDF("k", "bid")
+    val plain = probe.join(build, Seq("k")).select("k", "pid", "bid")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val salted = ops.Skew.saltedJoin(probe, build, Seq("k"), saltBuckets = 7)
+      .select("k", "pid", "bid")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // multiset equality: duplicate (k, pid, bid) matches must be preserved
+    assert(salted.groupBy(identity).view.mapValues(_.length).toMap ===
+      plain.groupBy(identity).view.mapValues(_.length).toMap)
+  }
+
   test("salted min/max compose correctly") {
     val li = Tables.lineitem(spark, dir)
     val direct = li.groupBy("l_returnflag")
