@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables._
 
 /** Text-analysis operators over `documents`: quality scoring, token
@@ -140,7 +141,36 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** TF-IDF-style term salience: top-3 most characteristic terms per
+    * document. The score is the EXACT rational tf·N/df scaled to an
+    * integer — `(tf · N · 1e6) div df` — a monotone transform of
+    * tf·(N/df) that avoids cross-engine `ln` ulp differences entirely
+    * (same ranking as tf·idf for fixed tf when df varies; integer math
+    * is hash-identical in any engine). Two shuffles: term counts per
+    * (doc, term) and document frequency per term, then a broadcast-sized
+    * df join and a per-doc top-k window. */
+  def textTfidfTopterms(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val n = docs.count()
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_q").desc, col("term").asc)
+    tf.join(broadcast(df), Seq("term"))
+      .withColumn("score_q", expr(s"tf * ${n}L * 1000000L div df"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk").cast("long").as("rnk"),
+        col("term"), col("tf"), col("df"), col("score_q"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tfidf_topterms" -> textTfidfTopterms _,
     "text_word_count" -> textWordCount _,
     "text_sample_stratified" -> textSampleStratified _,
     "text_sample_hash" -> textSampleHash _,
@@ -151,6 +181,26 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "text_tfidf_topterms" ->
+      """WITH n AS (SELECT count(*) AS n_docs FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM documents) t
+        |  GROUP BY doc_id, term),
+        |df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |       FROM tf GROUP BY term),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    (tf.tf * n.n_docs * 1000000) // df.df AS score_q
+        |  FROM tf JOIN df ON tf.term = df.term, n),
+        |ranked AS (
+        |  SELECT doc_id, term, tf, df, score_q,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score_q DESC, term ASC) AS BIGINT) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, rnk, term, tf, df, score_q
+        |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
     "text_word_count" ->
       """SELECT token, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
