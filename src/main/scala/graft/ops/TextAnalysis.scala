@@ -151,7 +151,9 @@ object TextAnalysis {
     * df join and a per-doc top-k window. */
   def textTfidfTopterms(s: SparkSession, dir: String): DataFrame = {
     val docs = documents(s, dir)
-    val n = docs.count()
+    // N enters the plan as a broadcast scalar (one plan, no driver
+    // round-trip — the q22 scalar-subquery discipline)
+    val nDf = docs.agg(count(lit(1)).as("n_docs"))
     val tf = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy(col("doc_id"), col("term"))
@@ -161,7 +163,8 @@ object TextAnalysis {
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score_q").desc, col("term").asc)
     tf.join(broadcast(df), Seq("term"))
-      .withColumn("score_q", expr(s"tf * ${n}L * 1000000L div df"))
+      .crossJoin(broadcast(nDf))
+      .withColumn("score_q", expr("tf * n_docs * 1000000L div df"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
       .select(col("doc_id"), col("rnk").cast("long").as("rnk"),
