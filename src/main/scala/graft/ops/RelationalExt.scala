@@ -172,7 +172,61 @@ object RelationalExt {
       .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
   }
 
+  /** Column profiling — the data-quality sweep run before any pipeline
+    * touches a new table: per column, null count, distinct count, and
+    * string-rendered min/max, emitted as one row per column. ONE pass
+    * over the table computes every column's aggregates (Spark fuses
+    * them into a single HashAggregate); the per-column rows are pivoted
+    * out of that single result row, not re-scanned. */
+  def profileOrders(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir)
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val aggs = cols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__distinct"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val one = o.agg(aggs.head, aggs.tail: _*)
+    val entries = cols.map { c =>
+      struct(lit(c).as("col_name"), col(s"${c}__nulls").as("n_nulls"),
+        col(s"${c}__distinct").as("n_distinct"),
+        col(s"${c}__min").as("min_str"), col(s"${c}__max").as("max_str"))
+    }
+    one.select(explode(array(entries: _*)).as("p"))
+      .select(col("p.col_name"), col("p.n_nulls"), col("p.n_distinct"),
+        col("p.min_str"), col("p.max_str"))
+      .orderBy(col("col_name"))
+  }
+
+  /** Z-score outlier detection with EXACT cross-engine arithmetic: the
+    * per-type mean/variance come from exact integer sums (Σvc, Σvc², n
+    * are Longs — no double accumulation), and each row's test
+    * (n·vc − Σvc)² > k²·n·(n·Σvc² − (Σvc)²) is one deterministic
+    * double expression over those exact integers. Flags |z| > 3 events
+    * per type. Two passes over events sharing one shuffle key. */
+  def eventsOutliers(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+      .select(col("event_type"), col("event_id"), cents(col("value")).as("vc"))
+    val stats = e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("vc")).as("s"),
+        sum(col("vc") * col("vc")).as("sq"))
+    e.join(broadcast(stats), Seq("event_type"))
+      // z² = (n·vc − Σvc)² / (n·Σvc² − (Σvc)²); flag z² > 9
+      .filter(
+        pow(col("n").cast("double") * col("vc") - col("s"), 2.0) >
+          lit(9.0) * (col("n").cast("double") * col("sq") -
+            pow(col("s").cast("double"), 2.0)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_outliers"), min(col("vc")).as("min_vc"),
+        max(col("vc")).as("max_vc"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "profile_orders" -> profileOrders _,
+    "events_outliers" -> eventsOutliers _,
     "agg_hll_orders" -> aggHllOrders _, // rows-only: engine sketches
     "q18_large_orders" -> q18LargeOrders _,
     "not_in_urgent_customers" -> notInUrgentCustomers _,
@@ -184,7 +238,32 @@ object RelationalExt {
     "regexp_parts" -> regexpParts _,
   )
 
+  private def profileColSql(c: String): String =
+    s"""SELECT '$c' AS col_name,
+       |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+       |  CAST(min($c) AS VARCHAR) AS min_str,
+       |  CAST(max($c) AS VARCHAR) AS max_str
+       |FROM orders""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "profile_orders" ->
+      (Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+        .map(profileColSql).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")),
+    "events_outliers" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |           CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+        |st AS (SELECT event_type, count(*) AS n,
+        |              CAST(sum(vc) AS BIGINT) AS s,
+        |              CAST(sum(vc * vc) AS BIGINT) AS sq
+        |       FROM e GROUP BY 1)
+        |SELECT e.event_type, count(*) AS n_outliers,
+        |  min(vc) AS min_vc, max(vc) AS max_vc
+        |FROM e JOIN st USING (event_type)
+        |WHERE pow(CAST(n AS DOUBLE) * vc - s, 2) >
+        |      9.0 * (CAST(n AS DOUBLE) * sq - pow(CAST(s AS DOUBLE), 2))
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q7_nation_trade" ->
       """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
         |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
