@@ -224,9 +224,43 @@ object RelationalExt {
       .orderBy(col("event_type"))
   }
 
+  /** TPC-H Q8-style market share: the share of one supplier-nation's
+    * revenue within a customer region, per order year. Both the
+    * numerator (conditional sum) and denominator come out of ONE
+    * aggregate over exact integer cents; the share is a single
+    * deterministic double division per output row — no double
+    * accumulation anywhere. */
+  def q8MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val custRegion = customer(s, dir)
+      .join(broadcast(nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "AMERICA")
+      .select(col("c_custkey"))
+    val supNation = supplier(s, dir)
+      .join(broadcast(nation(s, dir)
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("sn_name"))),
+        col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("sn_name"))
+    lineitem(s, dir)
+      .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custRegion), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        sum(when(col("sn_name") === "NATION_3",
+          revenueCents(col("l_extendedprice"), col("l_discount")))
+          .otherwise(0L)).as("focal_cents"),
+        sum(revenueCents(col("l_extendedprice"), col("l_discount")))
+          .as("total_cents"))
+      .withColumn("mkt_share", round(
+        col("focal_cents").cast("double") / col("total_cents").cast("double"), 6))
+      .orderBy(col("o_year"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "profile_orders" -> profileOrders _,
     "events_outliers" -> eventsOutliers _,
+    "q8_market_share" -> q8MarketShare _,
     "agg_hll_orders" -> aggHllOrders _, // rows-only: engine sketches
     "q18_large_orders" -> q18LargeOrders _,
     "not_in_urgent_customers" -> notInUrgentCustomers _,
@@ -247,6 +281,26 @@ object RelationalExt {
        |FROM orders""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q8_market_share" ->
+      """WITH f AS (
+        |  SELECT year(o_orderdate) AS o_year, sn.n_name AS sn_name,
+        |    CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)
+        |      AS rc
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN region ON cn.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  WHERE r_name = 'AMERICA')
+        |SELECT CAST(o_year AS BIGINT) AS o_year,
+        |  CAST(sum(CASE WHEN sn_name = 'NATION_3' THEN rc ELSE 0 END)
+        |    AS BIGINT) AS focal_cents,
+        |  CAST(sum(rc) AS BIGINT) AS total_cents,
+        |  round(CAST(sum(CASE WHEN sn_name = 'NATION_3' THEN rc ELSE 0 END)
+        |          AS DOUBLE) / CAST(sum(rc) AS DOUBLE), 6) AS mkt_share
+        |FROM f GROUP BY o_year ORDER BY o_year""".stripMargin,
     "profile_orders" ->
       (Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")

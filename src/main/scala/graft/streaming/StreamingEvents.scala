@@ -144,6 +144,37 @@ object StreamingEvents {
         unix_micros(col("c_ts")).as("click_us"))
   }
 
+  /** foreachBatch parquet sink with idempotent batch commits — the
+    * production pattern for exactly-once output to a non-transactional
+    * store: each micro-batch writes to a batch-id-named directory and
+    * commits by atomic rename, so a REPLAYED batch (restart after a
+    * sink failure, before checkpoint advance) finds its directory
+    * already committed and becomes a no-op instead of double-writing.
+    * Readers see `path/batch=<id>/` directories, each complete-or-absent. */
+  def batchCommit(batch: DataFrame, batchId: Long, path: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+    val committed = new org.apache.hadoop.fs.Path(s"$path/batch=$batchId")
+    if (!fs.exists(committed)) {
+      val staging = new org.apache.hadoop.fs.Path(s"$path/.staging-$batchId")
+      batch.write.mode("overwrite").parquet(staging.toString)
+      if (!fs.rename(staging, committed)) {
+        // lost the race to a concurrent attempt of the SAME batch — the
+        // committed result is identical by determinism; drop ours
+        fs.delete(staging, true)
+      }
+    }
+  }
+
+  def sinkIdempotent(df: DataFrame, path: String,
+      mode: OutputMode = OutputMode.Update): Unit = {
+    val q = df.writeStream.outputMode(mode)
+      .foreachBatch((b: DataFrame, id: Long) => batchCommit(b, id, path))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Run a stream to completion against a static directory (test/batch
     * harness): memory sink, processAllAvailable. */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append): Unit = {

@@ -114,6 +114,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("foreachBatch idempotent sink: replayed batch is a no-op, result == batch answer") {
+    import graft.streaming.StreamingEvents
+    val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val stream = StreamingEvents.readEventsStream(spark, eventsPath)
+    val counts = stream.withWatermark("ts", "1 hour")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_events"))
+    StreamingEvents.sinkIdempotent(counts, out,
+      org.apache.spark.sql.streaming.OutputMode.Complete)
+    def read() = spark.read.parquet(s"$out/batch=*").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val first = read()
+    val batch = Tables.events(spark, dir).groupBy("event_type").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(first === batch)
+    // replay batch 0 with different (stale) content: the committed
+    // directory must win — no double write, no overwrite
+    val stale = Tables.events(spark, dir).groupBy("event_type")
+      .agg((count(lit(1)) * 2).as("n_events"))
+    StreamingEvents.batchCommit(stale, 0L, out)
+    assert(read() === batch)
+  }
+
   test("stateful flatMapGroupsWithState sessionize emits only closed sessions that match batch") {
     val stream = StreamingEvents.readEventsStream(spark, eventsPath)
     StreamingEvents.runToMemory(
