@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables._
@@ -257,10 +257,63 @@ object RelationalExt {
       .orderBy(col("o_year"))
   }
 
+  /** TPC-H Q10-style returned-item losers: top-20 customers by revenue
+    * lost to returns ('R' lineitems) in one quarter, with their nation.
+    * Fact side filters push to the scans; nation broadcasts; the top-20
+    * plans as TakeOrderedAndProject (no global sort). */
+  def q10ReturnedItems(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir)
+      .filter(col("o_orderdate").between("1995-01-01", "1995-03-31"))
+    lineitem(s, dir).filter(col("l_returnflag") === "R")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(revenueCents(col("l_extendedprice"), col("l_discount")))
+        .as("lost_cents"), count(lit(1)).as("n_items"))
+      .orderBy(col("lost_cents").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
+  case class OrderRow(o_orderkey: Long, o_custkey: Long, o_orderstatus: String,
+      o_totalprice: Double, o_orderpriority: String)
+
+  /** The typed Dataset[T] surface as a DECLARED query: case-class rows,
+    * lambda filter, groupByKey + typed Aggregator (exact cents sum) —
+    * same answer, same oracle style, as the untyped DataFrame form.
+    * Typed lambdas are opaque to Catalyst (no pushdown through the
+    * filter closure), which is why the engine keeps them at the edges:
+    * here the filter runs after a columnar scan of only the five
+    * selected columns. */
+  def typedOrdersStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ds = orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderpriority"))
+      .as[OrderRow]
+    val sumCents = new org.apache.spark.sql.expressions.Aggregator[OrderRow, Long, Long] {
+      def zero: Long = 0L
+      def reduce(acc: Long, r: OrderRow): Long =
+        acc + math.round(r.o_totalprice * 100)
+      def merge(a: Long, b: Long): Long = a + b
+      def finish(acc: Long): Long = acc
+      def bufferEncoder: org.apache.spark.sql.Encoder[Long] = Encoders.scalaLong
+      def outputEncoder: org.apache.spark.sql.Encoder[Long] = Encoders.scalaLong
+    }
+    ds.filter(r => r.o_orderpriority == "1-URGENT" && r.o_totalprice > 100000.0)
+      .groupByKey(_.o_orderstatus)
+      .agg(sumCents.toColumn.name("sum_cents"),
+        org.apache.spark.sql.functions.count(lit(1)).as("n_orders").as[Long])
+      .toDF("o_orderstatus", "sum_cents", "n_orders")
+      .orderBy(col("o_orderstatus"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "profile_orders" -> profileOrders _,
     "events_outliers" -> eventsOutliers _,
     "q8_market_share" -> q8MarketShare _,
+    "q10_returned_items" -> q10ReturnedItems _,
+    "typed_orders_stats" -> typedOrdersStats _,
     "agg_hll_orders" -> aggHllOrders _, // rows-only: engine sketches
     "q18_large_orders" -> q18LargeOrders _,
     "not_in_urgent_customers" -> notInUrgentCustomers _,
@@ -281,6 +334,27 @@ object RelationalExt {
        |FROM orders""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS lost_cents,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'
+        |GROUP BY 1, 2, 3
+        |ORDER BY lost_cents DESC, c_custkey ASC LIMIT 20""".stripMargin,
+    "typed_orders_stats" ->
+      """SELECT o_orderstatus,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  count(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 100000.0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q8_market_share" ->
       """WITH f AS (
         |  SELECT year(o_orderdate) AS o_year, sn.n_name AS sn_name,
