@@ -86,6 +86,78 @@ class CurationSpec extends AnyFunSuite {
     assert(got.getLong(2) === checksum)
   }
 
+  test("randomized packing: query == reference packer for random budgets/sizes") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.Curation
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 3) {
+      val budget = Seq(64L, 512L, 4096L)(trial)
+      val docs = (0 until 500).map { i =>
+        (i.toLong, s"g${rnd.nextInt(4)}", 1L + rnd.nextInt(300))
+      }
+      val df = docs.toDF("doc_id", "lang", "n_tokens")
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val got = df
+        .withColumn("cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .withColumn("bin", expr(s"cum div $budget"))
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("n_tokens")).as("t"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      val expected = docs.groupBy(_._2).toSeq.flatMap { case (lang, ds) =>
+        var cum = 0L
+        ds.sortBy(_._1).map { case (_, _, n) =>
+          val bin = cum / budget; cum += n; (lang, bin, n)
+        }
+      }.groupBy(t => (t._1, t._2)).map { case ((lang, bin), ts) =>
+        (lang, bin, ts.size.toLong, ts.map(_._3).sum)
+      }.toSet
+      assert(got === expected, s"budget=$budget")
+    }
+  }
+
+  test("LOCF resample matches a driver-side reference on random sparse series") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(11)
+    // sparse (series, slot, value) observations with gaps
+    val obs = (for {
+      s <- 0 until 4
+      t <- 0 until 50 if rnd.nextInt(4) == 0
+    } yield (s"s$s", t.toLong, rnd.nextInt(1000).toLong)).toSeq
+    val df = obs.toDF("series", "slot", "v")
+    val hourly = df.groupBy(col("series"), col("slot"))
+      .agg(sum(col("v")).as("sv"))
+    val grid = df.select(col("series")).distinct()
+      .crossJoin(broadcast(df.agg(min(col("slot")).as("lo"),
+        max(col("slot")).as("hi"))))
+      .select(col("series"), explode(sequence(col("lo"), col("hi"))).as("slot"))
+    val w = Window.partitionBy(col("series")).orderBy(col("slot"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val got = grid.join(hourly, Seq("series", "slot"), "left")
+      .select(col("series"), col("slot"),
+        last(col("sv"), ignoreNulls = true).over(w).as("locf"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]))).toSet
+    val lo = obs.map(_._2).min
+    val hi = obs.map(_._2).max
+    val bySeries = obs.groupBy(_._1).view
+      .mapValues(_.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap).toMap
+    val expected = (for {
+      s <- bySeries.keySet
+      t <- lo to hi
+    } yield {
+      val vals = bySeries(s)
+      val locf = (lo to t).reverse.collectFirst {
+        case u if vals.contains(u) => vals(u)
+      }
+      (s, t, locf)
+    }).toSet
+    assert(got === expected)
+  }
+
   test("repetition ratios are in (0.1, 1] and unique <= total grams") {
     val rows = ops.Curation.textRepetition(spark, dir).collect()
     assert(rows.nonEmpty)
