@@ -48,6 +48,22 @@ object Sources {
       mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).orc(path)
 
+  /** Clustered parquet layout: hive-partitioned by coarse columns AND
+    * sorted within each output file by fine-grained columns. The sort
+    * makes parquet row-group min/max statistics selective, so a filter
+    * on the sort column skips entire row groups at scan time — the
+    * within-partition analogue of directory pruning, and the main lever
+    * (after partitioning) for 100 TB scan locality. `repartition` on
+    * the partition columns first, so each output partition directory is
+    * written by one task as one sorted file run, not `shuffle.partitions`
+    * interleaved fragments. */
+  def writeParquetClustered(df: DataFrame, path: String,
+      partitionCols: Seq[String], sortCols: Seq[String],
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.repartition(partitionCols.map(df.col): _*)
+      .sortWithinPartitions(sortCols.map(df.col): _*)
+      .write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
+
   /** Hive-style partitioned parquet layout (`path/col=value/...`). At
     * 100 TB this is the coarse-grained data-skipping lever: a filter on
     * the partition column prunes entire directories at PLANNING time

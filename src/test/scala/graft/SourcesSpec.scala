@@ -85,6 +85,26 @@ class SourcesSpec extends AnyFunSuite {
       events.filter(col("day") === days.head).count())
   }
 
+  test("clustered parquet: every output file is internally sorted by the sort key") {
+    val tmp = Files.createTempDirectory("graft_clustered").toString
+    val events = Tables.events(spark, dir)
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      .withColumn("us", expr("unix_micros(ts)"))
+      .select("day", "us", "event_id", "event_type")
+    Sources.writeParquetClustered(events, s"$tmp/ev", Seq("day"), Seq("us"))
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
+      .filter(p => p.toString.endsWith(".parquet")).toArray.map(_.toString)
+    assert(files.length > 1)
+    files.foreach { f =>
+      val us = spark.read.parquet(f).select("us").collect().map(_.getLong(0))
+      assert(us.sameElements(us.sorted), s"unsorted file $f")
+    }
+    // and the round-trip preserves the relation
+    val back = spark.read.parquet(s"$tmp/ev")
+      .select(col("event_id")).collect().map(_.getLong(0)).toSet
+    assert(back === events.select("event_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("CSV schema inference matches explicit schema on clean data") {
     val tmp = Files.createTempDirectory("graft_src2").toString
     Sources.writeCsv(Tables.region(spark, dir), s"$tmp/region_csv")
