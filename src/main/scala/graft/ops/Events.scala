@@ -115,7 +115,47 @@ object Events {
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("path3"))
 
+  /** A/B experiment readout: users deterministically assigned to
+    * variants by an LCG coin on user_id (reproducible in any engine —
+    * the same property the sampling operators use), conversion = user
+    * has ≥1 purchase event, and the two-proportion z-statistic computed
+    * from the exact counts in one deterministic double expression
+    * (rounded to 6 dp). Two shuffles: per-user conversion, then the
+    * two-row variant aggregate collapsed to one readout row. */
+  def abTestReadout(s: SparkSession, dir: String): DataFrame = {
+    // scale-invariant conversion: the user's purchase SHARE exceeds the
+    // uniform expectation (5 types → 20%) — exact integer comparison,
+    // and roughly half the users convert at any scale factor (a fixed
+    // absolute count would saturate as events-per-user grows with sf)
+    val perUser = events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(when(
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) * 5 >
+          count(lit(1)), 1L).otherwise(0L).as("converted"))
+      .withColumn("variant",
+        when(pmod((col("user_id") * 1103515245L + 12345L) % 2147483647L,
+          lit(2L)) === 0, "A").otherwise("B"))
+    perUser
+      .groupBy()
+      .agg(
+        sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === "A", col("converted")).otherwise(0L))
+          .as("conv_a"),
+        sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("variant") === "B", col("converted")).otherwise(0L))
+          .as("conv_b"))
+      .withColumn("z_q", round(
+        (col("conv_a").cast("double") / col("n_a") -
+          col("conv_b").cast("double") / col("n_b")) /
+          sqrt(((col("conv_a") + col("conv_b")).cast("double") /
+            (col("n_a") + col("n_b"))) *
+            (lit(1.0) - (col("conv_a") + col("conv_b")).cast("double") /
+              (col("n_a") + col("n_b"))) *
+            (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_ab_test" -> abTestReadout _,
     "events_tumbling_windows" -> tumblingWindows _,
     "events_sessionize" -> sessionize _,
     "events_funnel" -> signupPurchaseFunnel _,
@@ -156,6 +196,33 @@ object Events {
         |WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
         |  AND s.first_us < p.first_us
         |ORDER BY s.user_id""".stripMargin,
+    "events_ab_test" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |              * 5 > count(*) THEN 1 ELSE 0 END AS converted
+        |  FROM events GROUP BY user_id),
+        |v AS (
+        |  SELECT CASE WHEN ((user_id * 1103515245 + 12345) % 2147483647) % 2 = 0
+        |              THEN 'A' ELSE 'B' END AS variant, converted
+        |  FROM pu),
+        |agg AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(sum(CASE WHEN variant = 'A' THEN converted ELSE 0 END)
+        |      AS BIGINT) AS conv_a,
+        |    CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b,
+        |    CAST(sum(CASE WHEN variant = 'B' THEN converted ELSE 0 END)
+        |      AS BIGINT) AS conv_b
+        |  FROM v)
+        |SELECT n_a, conv_a, n_b, conv_b,
+        |  round((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b) /
+        |    sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) *
+        |         (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) *
+        |         (1.0 / n_a + 1.0 / n_b)), 6) AS z_q
+        |FROM agg""".stripMargin,
     "events_retention" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
