@@ -67,6 +67,9 @@ object Curation {
     // chain should fail loudly, not emit wrong components)
     require(converged,
       s"label propagation did not converge in $iterations iterations")
+    // the final labels relation is persisted and materialized; the edge
+    // list is no longer reachable from the returned plan
+    edges.unpersist()
     labels
       .groupBy(col("label").as("component"))
       .agg(count(lit(1)).as("n_docs"),
