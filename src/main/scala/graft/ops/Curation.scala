@@ -42,7 +42,11 @@ object Curation {
     // potential: the fixpoint is reached exactly when the sum stops
     // moving. One narrow aggregate per round doubles as the convergence
     // check AND the materialization action — no per-round diff join.
-    var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
+    // sum() over an EMPTY relation is NULL (no near-dup pairs at all) —
+    // coalesce so the empty graph converges on round one instead of NPE
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
+    var prevSum = labelSum(labels)
     var iterations = 0
     var converged = false
     while (!converged && iterations < 50) {
@@ -55,7 +59,7 @@ object Curation {
         .select(col("node"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val newSum = updated.agg(sum(col("label"))).head().getLong(0)
+      val newSum = labelSum(updated)
       labels.unpersist()
       labels = updated
       converged = newSum == prevSum
@@ -163,9 +167,13 @@ object Curation {
       .select(col("vec_id"), col("embedding"),
         graft.functions.VectorExpressions.dotLongs(q1000, q1000).as("norm_sq_q"))
       .withColumn("norm", sqrt(col("norm_sq_q").cast("double")) / 1000.0)
+      // a zero/near-zero vector has norm 0: dividing yields NaN/Infinity
+      // whose long cast throws under ANSI — quantize it to all-zeros
       .select(col("vec_id"), col("norm_sq_q"),
         transform(col("embedding"), x =>
-          round(x.cast("double") * 127.0 / col("norm")).cast("long")).as("q8"))
+          when(col("norm") > 0.0,
+            round(x.cast("double") * 127.0 / col("norm")).cast("long"))
+            .otherwise(lit(0L))).as("q8"))
       .select(col("vec_id"), col("norm_sq_q"),
         aggregate(zip_with(col("q8"),
             sequence(lit(1L), size(col("q8")).cast("long")), (q, i) => q * i),
@@ -265,7 +273,10 @@ object Curation {
       |  FROM q),
       |q8 AS (
       |  SELECT n.vec_id, n.norm_sq_q,
-      |    [CAST(round(CAST(q.embedding[i] AS DOUBLE) * 127.0 / n.norm) AS BIGINT)
+      |    [CASE WHEN n.norm > 0.0
+      |          THEN CAST(round(CAST(q.embedding[i] AS DOUBLE) * 127.0 / n.norm)
+      |               AS BIGINT)
+      |          ELSE 0 END
       |     FOR i IN range(1, len(q.embedding) + 1)] AS q8
       |  FROM n JOIN q ON n.vec_id = q.vec_id)
       |SELECT vec_id, norm_sq_q,

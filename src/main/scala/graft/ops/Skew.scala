@@ -55,9 +55,14 @@ object Skew {
     * equality-tested in SkewSpec. */
   def saltedJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
       saltBuckets: Int = 16): DataFrame = {
+    // salt from ROW CONTENT, not monotonically_increasing_id: a stage
+    // retry recomputes partition-position-based ids differently (the
+    // SPARK-23207 class of bug), which could route a re-emitted row to
+    // a reducer that already finished — duplicating or losing it.
+    // Content-derived salt is retry-stable; identical rows sharing a
+    // salt is harmless (the join result is per-row identical).
     val probeS = probe.withColumn("__salt",
-      pmod(spark_partition_id().cast("long") + monotonically_increasing_id(),
-        lit(saltBuckets.toLong)))
+      pmod(xxhash64(probe.columns.map(probe.col): _*), lit(saltBuckets.toLong)))
     val buildS = build.withColumn("__salt",
       explode(sequence(lit(0L), lit(saltBuckets.toLong - 1))))
     probeS.join(buildS, keys :+ "__salt").drop("__salt")

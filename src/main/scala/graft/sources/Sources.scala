@@ -61,7 +61,13 @@ object Sources {
       partitionCols: Seq[String], sortCols: Seq[String],
       mode: SaveMode = SaveMode.Overwrite): Unit =
     df.repartition(partitionCols.map(df.col): _*)
-      .sortWithinPartitions(sortCols.map(df.col): _*)
+      // partition columns lead the sort: the file writer REQUIRES an
+      // ordering on them and would otherwise insert its own sort above
+      // ours — Spark's sort is not spill-stable, so that second sort
+      // could silently destroy the sortCols order at scale. Sorting
+      // (partitionCols ++ sortCols) satisfies the writer's requirement
+      // directly, so exactly one sort runs.
+      .sortWithinPartitions((partitionCols ++ sortCols).map(df.col): _*)
       .write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
 
   /** Hive-style partitioned parquet layout (`path/col=value/...`). At

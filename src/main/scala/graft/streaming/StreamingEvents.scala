@@ -146,21 +146,33 @@ object StreamingEvents {
 
   /** foreachBatch parquet sink with idempotent batch commits — the
     * production pattern for exactly-once output to a non-transactional
-    * store: each micro-batch writes to a batch-id-named directory and
-    * commits by atomic rename, so a REPLAYED batch (restart after a
-    * sink failure, before checkpoint advance) finds its directory
-    * already committed and becomes a no-op instead of double-writing.
-    * Readers see `path/batch=<id>/` directories, each complete-or-absent. */
+    * store: each micro-batch writes to a batch-id-named staging
+    * directory and commits by rename, so a REPLAYED batch (restart
+    * after a sink failure, before the checkpoint advanced) finds its
+    * directory already committed and becomes a no-op instead of
+    * double-writing. Readers see `path/batch=<id>/` directories, each
+    * complete-or-absent. Scope of the guarantee: Structured Streaming
+    * runs foreachBatch serially on ONE active driver, so replays are
+    * sequential (restart-after-crash), not concurrent — each attempt
+    * still stages under a unique name and re-checks the committed
+    * directory right before renaming, so even an unexpected racing
+    * attempt of the same batch leaves one complete directory (HDFS
+    * renames INTO an existing directory rather than replacing it,
+    * which the re-check avoids). */
   def batchCommit(batch: DataFrame, batchId: Long, path: String): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
+    val out = new org.apache.hadoop.fs.Path(path)
+    // the path's OWN filesystem — FileSystem.get(conf) would resolve
+    // fs.defaultFS and break for any non-default scheme (s3a on HDFS)
+    val fs = out.getFileSystem(
       batch.sparkSession.sparkContext.hadoopConfiguration)
-    val committed = new org.apache.hadoop.fs.Path(s"$path/batch=$batchId")
+    val committed = new org.apache.hadoop.fs.Path(out, s"batch=$batchId")
     if (!fs.exists(committed)) {
-      val staging = new org.apache.hadoop.fs.Path(s"$path/.staging-$batchId")
+      val staging = new org.apache.hadoop.fs.Path(out,
+        s".staging-$batchId-${java.util.UUID.randomUUID}")
       batch.write.mode("overwrite").parquet(staging.toString)
-      if (!fs.rename(staging, committed)) {
-        // lost the race to a concurrent attempt of the SAME batch — the
-        // committed result is identical by determinism; drop ours
+      if (fs.exists(committed) || !fs.rename(staging, committed)) {
+        // another attempt of the SAME batch won — its content is
+        // identical by determinism; drop ours
         fs.delete(staging, true)
       }
     }

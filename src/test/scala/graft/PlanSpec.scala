@@ -124,11 +124,11 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("sequence packing: the cumulative window is partitioned (no global sort)") {
+    // the per-lang cumulative window must hash-partition by lang; the
+    // only SinglePartition exchange allowed anywhere in this plan would
+    // be none at all (the final orderBy plans as rangepartitioning)
     val p = plan(ops.Curation.packSequences(spark, dir))
-    // a single-partition window would appear as Exchange SinglePartition
-    // feeding the Window node; per-lang packing must hash-partition
-    val winSection = p.split("ORDER BY").head
-    assert(!winSection.contains("SinglePartition"),
+    assert(!p.contains("SinglePartition"),
       s"packing window serializes on one task:\n$p")
   }
 

@@ -31,6 +31,7 @@ class RuntimeFilterSpec extends AnyFunSuite {
       "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10GB",
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      import Tables.cents
       val li = Tables.lineitem(spark, dir)
       val o = Tables.orders(spark, dir)
         .filter(col("o_orderpriority") === "1-URGENT")
@@ -52,9 +53,6 @@ class RuntimeFilterSpec extends AnyFunSuite {
       assert(got === expected)
     }
   }
-
-  private def cents(c: org.apache.spark.sql.Column) =
-    round(c * 100).cast("long")
 
   test("HLL sketches: estimates near exact, sketch union == re-scan") {
     val rows = ops.RelationalExt.aggHllOrders(spark, dir).collect()
