@@ -308,12 +308,57 @@ object RelationalExt {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** TPC-H Q15-style top supplier(s): per-supplier quarterly revenue,
+    * keeping every supplier tied at the maximum — a max-of-aggregate
+    * scalar subquery. The revenue aggregate runs ONCE (a CTE both the
+    * max and the filter read); Catalyst reuses the exchange rather than
+    * recomputing the aggregate per reference. */
+  def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    lineitem(s, dir).createOrReplaceTempView("graft_lineitem_q15")
+    supplier(s, dir).createOrReplaceTempView("graft_supplier_q15")
+    s.sql(
+      """WITH rev AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |      AS BIGINT)) AS BIGINT) AS total_cents
+        |  FROM graft_lineitem_q15
+        |  WHERE l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_cents
+        |FROM graft_supplier_q15 JOIN rev ON s_suppkey = supplier_no
+        |WHERE total_cents = (SELECT max(total_cents) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin)
+  }
+
+  /** Centered moving average over the daily revenue series — the
+    * bounded-both-sides ROWS frame (the running-total and RANGE frames
+    * are covered elsewhere). Ratio of exact sums per row. The
+    * unpartitioned window is deliberate and bounded: it runs over the
+    * ALREADY-AGGREGATED daily series (|calendar days| rows, ~2.5k),
+    * not the fact table — the single-task sort is capped by the
+    * calendar regardless of data scale. */
+  def windowMovingAvg(s: SparkSession, dir: String): DataFrame = {
+    val daily = orders(s, dir)
+      .groupBy(col("o_orderdate").as("d"))
+      .agg(sum(cents(col("o_totalprice"))).as("day_cents"))
+    val w = Window.orderBy(col("d")).rowsBetween(-3, 3)
+    daily
+      .select(col("d"), col("day_cents"),
+        sum(col("day_cents")).over(w).as("win_cents"),
+        count(lit(1)).over(w).as("win_days"))
+      .withColumn("ma_cents",
+        round(col("win_cents").cast("double") / col("win_days"), 2))
+      .orderBy(col("d"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "profile_orders" -> profileOrders _,
     "events_outliers" -> eventsOutliers _,
     "q8_market_share" -> q8MarketShare _,
     "q10_returned_items" -> q10ReturnedItems _,
     "typed_orders_stats" -> typedOrdersStats _,
+    "q15_top_supplier" -> q15TopSupplier _,
+    "window_moving_avg" -> windowMovingAvg _,
     "agg_hll_orders" -> aggHllOrders _, // rows-only: engine sketches
     "q18_large_orders" -> q18LargeOrders _,
     "not_in_urgent_customers" -> notInUrgentCustomers _,
@@ -334,6 +379,32 @@ object RelationalExt {
        |FROM orders""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |      AS BIGINT)) AS BIGINT) AS total_cents
+        |  FROM lineitem
+        |  WHERE l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_cents
+        |FROM supplier JOIN rev ON s_suppkey = supplier_no
+        |WHERE total_cents = (SELECT max(total_cents) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "window_moving_avg" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate AS d,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS day_cents
+        |  FROM orders GROUP BY o_orderdate)
+        |SELECT d, day_cents,
+        |  CAST(sum(day_cents) OVER w AS BIGINT) AS win_cents,
+        |  CAST(count(*) OVER w AS BIGINT) AS win_days,
+        |  round(CAST(sum(day_cents) OVER w AS DOUBLE) / (count(*) OVER w), 2)
+        |    AS ma_cents
+        |FROM daily
+        |WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        |ORDER BY d""".stripMargin,
     "q10_returned_items" ->
       """SELECT c_custkey, c_name, n_name,
         |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
