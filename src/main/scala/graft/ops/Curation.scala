@@ -182,7 +182,34 @@ object Curation {
       .orderBy(col("vec_id"))
   }
 
+  /** Edit-distance (Levenshtein) near-dup detection with BLOCKING — the
+    * title/short-string dedup pattern: an all-pairs edit-distance scan
+    * is O(n²·len²) and impossible at corpus scale, so candidates are
+    * restricted to pairs sharing a cheap blocking key (p_size here; in
+    * production: length band + first-character class + a phonetic or
+    * shingle key). Within each block the self-join is an equi-join on
+    * the key — the quadratic cost is per block, bounded by the largest
+    * block, not the corpus. Distances aggregate to a per-block edit-
+    * distance histogram. */
+  def dedupLevenshteinNames(s: SparkSession, dir: String): DataFrame = {
+    val p = part(s, dir).select(col("p_partkey"), col("p_size"), col("p_name"))
+    p.as("a").join(p.as("b"),
+        col("a.p_size") === col("b.p_size") &&
+          col("a.p_partkey") < col("b.p_partkey"))
+      .select(col("a.p_size").as("p_size"),
+        levenshtein(col("a.p_name"), col("b.p_name")).as("lev"))
+      .filter(col("lev") <= 3)
+      .groupBy(col("p_size"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("lev") === 0, 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("lev") === 1, 1L).otherwise(0L)).as("n_d1"),
+        sum(when(col("lev") === 2, 1L).otherwise(0L)).as("n_d2"),
+        sum(when(col("lev") === 3, 1L).otherwise(0L)).as("n_d3"))
+      .orderBy(col("p_size"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_levenshtein_names" -> dedupLevenshteinNames _,
     "dedup_clusters" -> dedupClusters _,
     "text_repetition" -> textRepetition _,
     "pii_scrub" -> piiScrub _,
@@ -286,6 +313,18 @@ object Curation {
       |FROM q8 ORDER BY vec_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_levenshtein_names" ->
+      """WITH pairs AS (
+        |  SELECT a.p_size, levenshtein(a.p_name, b.p_name) AS lev
+        |  FROM part a JOIN part b
+        |    ON a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+        |  WHERE levenshtein(a.p_name, b.p_name) <= 3)
+        |SELECT p_size, count(*) AS n_pairs,
+        |  CAST(sum(CASE WHEN lev = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+        |  CAST(sum(CASE WHEN lev = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_d1,
+        |  CAST(sum(CASE WHEN lev = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_d2,
+        |  CAST(sum(CASE WHEN lev = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_d3
+        |FROM pairs GROUP BY p_size ORDER BY p_size""".stripMargin,
     "dedup_clusters" -> clustersSql,
     "text_repetition" -> repetitionSql,
     "pii_scrub" -> piiSql,

@@ -351,6 +351,24 @@ object RelationalExt {
       .orderBy(col("d"))
   }
 
+  /** Percent-of-total via an unordered window aggregate: each
+    * (status, priority) cell's share of its status group — sum over the
+    * PARTITION frame with no ordering, divided per row. One shuffle on
+    * the group key serves both the cell aggregate and the window total
+    * (the window partitions by a prefix of the grouping key, so no
+    * second exchange). */
+  def windowShareOfTotal(s: SparkSession, dir: String): DataFrame = {
+    val cells = orders(s, dir)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(sum(cents(col("o_totalprice"))).as("cell_cents"))
+    val w = Window.partitionBy(col("o_orderstatus"))
+    cells
+      .withColumn("status_cents", sum(col("cell_cents")).over(w))
+      .withColumn("share", round(
+        col("cell_cents").cast("double") / col("status_cents"), 6))
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "profile_orders" -> profileOrders _,
     "events_outliers" -> eventsOutliers _,
@@ -359,6 +377,7 @@ object RelationalExt {
     "typed_orders_stats" -> typedOrdersStats _,
     "q15_top_supplier" -> q15TopSupplier _,
     "window_moving_avg" -> windowMovingAvg _,
+    "window_share_of_total" -> windowShareOfTotal _,
     "agg_hll_orders" -> aggHllOrders _, // rows-only: engine sketches
     "q18_large_orders" -> q18LargeOrders _,
     "not_in_urgent_customers" -> notInUrgentCustomers _,
@@ -391,6 +410,18 @@ object RelationalExt {
         |FROM supplier JOIN rev ON s_suppkey = supplier_no
         |WHERE total_cents = (SELECT max(total_cents) FROM rev)
         |ORDER BY s_suppkey""".stripMargin,
+    "window_share_of_total" ->
+      """WITH cells AS (
+        |  SELECT o_orderstatus, o_orderpriority,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cell_cents
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_orderstatus, o_orderpriority, cell_cents,
+        |  CAST(sum(cell_cents) OVER (PARTITION BY o_orderstatus) AS BIGINT)
+        |    AS status_cents,
+        |  round(CAST(cell_cents AS DOUBLE) /
+        |    (sum(cell_cents) OVER (PARTITION BY o_orderstatus)), 6) AS share
+        |FROM cells ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
     "window_moving_avg" ->
       """WITH daily AS (
         |  SELECT o_orderdate AS d,
