@@ -192,19 +192,37 @@ object Curation {
     * block, not the corpus. Distances aggregate to a per-block edit-
     * distance histogram. */
   def dedupLevenshteinNames(s: SparkSession, dir: String): DataFrame = {
-    val p = part(s, dir).select(col("p_partkey"), col("p_size"), col("p_name"))
-    p.as("a").join(p.as("b"),
+    // short-string corpora are heavily duplicated (64 distinct names
+    // across 20k parts at sf0.1) — run the O(len²) DP once per DISTINCT
+    // name pair and weight by multiplicity, instead of once per row
+    // pair (40× fewer DPs here; the bigger the corpus, the bigger the
+    // win). Result-identical to the row-pair formulation:
+    //   same-name row pairs  = C(cnt, 2), edit distance 0
+    //   cross-name row pairs = cnt_a · cnt_b, distance of the names
+    // |len(a) − len(b)| ≤ 3 is necessary for lev ≤ 3, pruning most
+    // candidates before the DP.
+    val g = part(s, dir)
+      .groupBy(col("p_size"), col("p_name"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("len", length(col("p_name")))
+    val same = g.filter(col("cnt") >= 2)
+      .select(col("p_size"), lit(0).as("lev"),
+        expr("cnt * (cnt - 1) div 2").as("n"))
+    val cross = g.as("a").join(g.as("b"),
         col("a.p_size") === col("b.p_size") &&
-          col("a.p_partkey") < col("b.p_partkey"))
+          col("a.p_name") < col("b.p_name") &&
+          abs(col("a.len") - col("b.len")) <= 3)
       .select(col("a.p_size").as("p_size"),
-        levenshtein(col("a.p_name"), col("b.p_name")).as("lev"))
+        levenshtein(col("a.p_name"), col("b.p_name")).as("lev"),
+        (col("a.cnt") * col("b.cnt")).as("n"))
       .filter(col("lev") <= 3)
+    same.unionByName(cross)
       .groupBy(col("p_size"))
-      .agg(count(lit(1)).as("n_pairs"),
-        sum(when(col("lev") === 0, 1L).otherwise(0L)).as("n_exact"),
-        sum(when(col("lev") === 1, 1L).otherwise(0L)).as("n_d1"),
-        sum(when(col("lev") === 2, 1L).otherwise(0L)).as("n_d2"),
-        sum(when(col("lev") === 3, 1L).otherwise(0L)).as("n_d3"))
+      .agg(sum(col("n")).as("n_pairs"),
+        sum(when(col("lev") === 0, col("n")).otherwise(0L)).as("n_exact"),
+        sum(when(col("lev") === 1, col("n")).otherwise(0L)).as("n_d1"),
+        sum(when(col("lev") === 2, col("n")).otherwise(0L)).as("n_d2"),
+        sum(when(col("lev") === 3, col("n")).otherwise(0L)).as("n_d3"))
       .orderBy(col("p_size"))
   }
 
