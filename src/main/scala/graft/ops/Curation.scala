@@ -29,7 +29,10 @@ object Curation {
     * 2–4 iterations in practice. The convergence check is a count()
     * action per iteration — O(iterations) jobs, each over the (tiny
     * relative to the corpus) set of docs that appear in any pair. */
-  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+  /** (node, label) component assignment for every doc that appears in a
+    * near-dup pair — the propagation core shared by `dedupClusters` and
+    * the cluster-based pipeline dedup. */
+  def clusterLabels(s: SparkSession, dir: String): DataFrame = {
     val pairs = Dedup.dedupMinhashLsh(s, dir).select(col("a_id"), col("b_id"))
     val edges = pairs
       .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
@@ -75,10 +78,32 @@ object Curation {
     // list is no longer reachable from the returned plan
     edges.unpersist()
     labels
+  }
+
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    clusterLabels(s, dir)
       .groupBy(col("label").as("component"))
       .agg(count(lit(1)).as("n_docs"),
         array_join(sort_array(collect_list(col("node"))), ",").as("members"))
       .orderBy(col("component"))
+
+  /** Cluster-based corpus dedup — the production near-dup removal: keep
+    * ONE representative (the min doc_id = its component label) per
+    * connected component, drop every other member, and account the
+    * surviving corpus per language. Pair-based removal (drop the b side
+    * of each pair, `Pipeline.trainingMix`) over-deletes on chains
+    * (A~B, B~C drops B AND C); component-based removal keeps exactly
+    * one per group. */
+  def pipelineClusterDedup(s: SparkSession, dir: String): DataFrame = {
+    val losers = clusterLabels(s, dir)
+      .filter(col("node") =!= col("label"))
+      .select(col("node").as("doc_id"))
+    documents(s, dir)
+      .join(losers, Seq("doc_id"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      .orderBy(col("lang"))
   }
 
   /** Gopher-style repetition quality signal: fraction of repeated word
@@ -229,6 +254,7 @@ object Curation {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_levenshtein_names" -> dedupLevenshteinNames _,
     "dedup_clusters" -> dedupClusters _,
+    "pipeline_cluster_dedup" -> pipelineClusterDedup _,
     "text_repetition" -> textRepetition _,
     "pii_scrub" -> piiScrub _,
     "pack_sequences" -> packSequences _,
@@ -261,6 +287,36 @@ object Curation {
       |SELECT component, count(*) AS n_docs,
       |       array_to_string(list_sort(list(node)), ',') AS members
       |FROM comp GROUP BY component ORDER BY component""".stripMargin
+
+  // shared recursive-closure prefix, aggregated per-language after
+  // dropping every non-representative component member
+  private val clusterDedupSql =
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id, n_chars,
+      |    list_distinct([array_to_string(words[i:i+2], ' ')
+      |                   FOR i IN range(1, len(words) - 1)]) AS shingles
+      |  FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS words FROM documents)
+      |  WHERE len(words) >= 3),
+      |pairs AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM sh a JOIN sh b
+      |    ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 100
+      |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+      |        CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.5),
+      |edges AS (
+      |  SELECT a_id AS src, b_id AS dst FROM pairs
+      |  UNION ALL SELECT b_id, a_id FROM pairs),
+      |reach(node, label) AS (
+      |  SELECT DISTINCT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node),
+      |comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+      |losers AS (SELECT node AS doc_id FROM comp WHERE node <> component)
+      |SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |FROM documents
+      |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+      |GROUP BY lang ORDER BY lang""".stripMargin
 
   private val repetitionSql =
     """SELECT doc_id,
@@ -344,6 +400,7 @@ object Curation {
         |  CAST(sum(CASE WHEN lev = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_d3
         |FROM pairs GROUP BY p_size ORDER BY p_size""".stripMargin,
     "dedup_clusters" -> clustersSql,
+    "pipeline_cluster_dedup" -> clusterDedupSql,
     "text_repetition" -> repetitionSql,
     "pii_scrub" -> piiSql,
     "pack_sequences" -> packSql,
