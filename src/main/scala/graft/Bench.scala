@@ -45,15 +45,37 @@ object Bench {
       try run(name) catch { case _: Throwable => }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // locale-safe fixed-point (the f"" interpolator honors the default
+    // locale and can emit a comma decimal separator)
+    def fmt(v: Double): String = (math.round(v * 1000) / 1000.0).toString
+    def entry(kv: (String, Double)): String = "\"" + kv._1 + "\":" + fmt(kv._2)
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    def jsonWith(qs: String): String =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val full = jsonWith(results.map(entry).mkString("{", ",", "}"))
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
-    try Files.writeString(Paths.get(outPath), json + "\n")
+    try Files.writeString(Paths.get(outPath), full + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write failed: $e") }
+    // The driver scrapes only the LAST 2000 bytes of stdout; the full
+    // per-query map for 90+ queries overflows that window and the JSON
+    // line becomes unparseable (BENCH_r02/r03 "parsed": null). Print a
+    // size-capped line instead: slowest queries first, stop before the
+    // line can exceed the window, and record how many were elided. The
+    // complete map is always in the file written above.
+    val line =
+      if (full.length <= 1800) full
+      else {
+        val slowestFirst = results.toSeq.sortBy(-_._2).map(entry)
+        val kept = new scala.collection.mutable.ArrayBuffer[String]
+        var used = 200 // envelope + sf path + omitted-count slack
+        for (e <- slowestFirst if used + e.length + 1 <= 1800) {
+          kept += e; used += e.length + 1
+        }
+        val qs = (kept :+ ("\"_omitted\":" + (results.size - kept.size)))
+          .mkString("{", ",", "}")
+        jsonWith(qs)
+      }
     spark.stop()
-    println(json)
+    println(line)
   }
 }

@@ -353,9 +353,9 @@ object Curation {
        |  FROM documents),
        |binned AS (
        |  SELECT lang, n_tokens,
-       |    COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-       |      // $PackBudget AS bin
+       |      // $PackBudget AS BIGINT) AS bin
        |  FROM docs)
        |SELECT lang, bin, count(*) AS n_docs,
        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
