@@ -29,7 +29,8 @@ object SparkEntry {
       ops.Skew.queries ++
       ops.Pipeline.queries ++
       ops.Curation.queries ++
-      ops.RelationalExt.queries
+      ops.RelationalExt.queries ++
+      ops.Tpch.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -45,5 +46,6 @@ object SparkEntry {
       ops.Skew.oracleSql ++
       ops.Pipeline.oracleSql ++
       ops.Curation.oracleSql ++
-      ops.RelationalExt.oracleSql
+      ops.RelationalExt.oracleSql ++
+      ops.Tpch.oracleSql
 }

@@ -36,7 +36,8 @@ class RelationalSpec extends AnyFunSuite {
   test("every declared query returns rows at sf0.001 except known-empty ones") {
     val mayBeEmpty = Set("join_anti_customers", "dedup_simhash",
       "dedup_ngram_jaccard", "dedup_minhash_lsh",
-      "dedup_clusters") // empty iff the near-dup pair set is empty
+      "dedup_clusters", // empty iff the near-dup pair set is empty
+      "q11_important_parts") // NATION_7 has no suppliers at sf0.001
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, dir).count()
       assert(n > 0 || mayBeEmpty.contains(name), s"$name returned 0 rows")
