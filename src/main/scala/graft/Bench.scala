@@ -36,7 +36,12 @@ object Bench {
     SparkEntry.queries.headOption.foreach { case (name, _) =>
       try run(name) catch { case _: Throwable => }
     }
-    val results = SparkEntry.queries.map { case (name, _) =>
+    // dev loop: SPARK_GRAFT_BENCH_ONLY=q1,q2 times a subset (driver unset)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val picked = only.fold(SparkEntry.queries)(ks =>
+      SparkEntry.queries.filter { case (k, _) => ks(k) })
+    val results = picked.map { case (name, _) =>
       // drop persisted intermediates from the previous query: leaked
       // caches otherwise pile up across 80+ queries and evict/spill
       // later queries' working sets (measured as ±2 s per-query jitter)

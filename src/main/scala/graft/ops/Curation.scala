@@ -106,6 +106,41 @@ object Curation {
       .orderBy(col("lang"))
   }
 
+  /** PageRank over the near-dup document graph — the canonical ITERATIVE
+    * shuffle pattern (each round: join ranks to edges on src, aggregate
+    * contributions on dst). Two rounds unrolled, ALL arithmetic in exact
+    * integer rank-units (contrib = rank div degree; next = 150000 +
+    * 85·Σcontrib div 100 — the 0.15/0.85 damping in fixed-point), so the
+    * result is bit-identical across engines — no floating accumulation.
+    * Edges are the verified MinHash-LSH pairs (provably the exact
+    * Jaccard pair set, Dedup.scala), symmetrized; every node has
+    * degree ≥ 1 so no dangling-mass term is needed.
+    *
+    * Scale: edges+degrees persist across rounds (built once); each round
+    * shuffles only (node, contrib) longs keyed by dst — the working set
+    * is the pair graph, tiny relative to the corpus. */
+  def graphPagerankDocs(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.dedupMinhashLsh(s, dir).select(col("a_id"), col("b_id"))
+    val edges = pairs
+      .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var rank = edges.select(col("src").as("node")).distinct()
+      .withColumn("rank", lit(1000000L))
+    for (_ <- 1 to 2) {
+      rank = edges
+        .join(rank.withColumnRenamed("node", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("node"), expr("rank div d").as("contrib"))
+        .groupBy(col("node"))
+        .agg(expr("150000L + (85L * sum(contrib)) div 100").as("rank"))
+    }
+    rank.select(col("node").as("doc_id"), col("rank"))
+      .orderBy(col("rank").desc, col("doc_id"))
+  }
+
   /** Gopher-style repetition quality signal: fraction of repeated word
     * bigrams per document. High duplicate-gram ratio marks boilerplate /
     * low-quality generated text. Pure per-row projection (shingle +
@@ -259,6 +294,7 @@ object Curation {
     "pii_scrub" -> piiScrub _,
     "pack_sequences" -> packSequences _,
     "embedding_quantize" -> embeddingQuantize _,
+    "graph_pagerank_docs" -> graphPagerankDocs _,
   )
 
   // cluster oracle: transitive closure by recursive CTE over the same
@@ -405,5 +441,40 @@ object Curation {
     "pii_scrub" -> piiSql,
     "pack_sequences" -> packSql,
     "embedding_quantize" -> quantizeSql,
+    "graph_pagerank_docs" -> pagerankSql,
   )
+
+  // same brute-force Jaccard pair CTE as clustersSql (the LSH pair set
+  // provably equals it); two PageRank rounds unrolled in integer units.
+  // lazy: declared below the oracleSql map that references it (object
+  // vals initialize in declaration order — a strict val would be null)
+  private lazy val pagerankSql =
+    """WITH sh AS (
+      |  SELECT doc_id, n_chars,
+      |    list_distinct([array_to_string(words[i:i+2], ' ')
+      |                   FOR i IN range(1, len(words) - 1)]) AS shingles
+      |  FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS words FROM documents)
+      |  WHERE len(words) >= 3),
+      |pairs AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM sh a JOIN sh b
+      |    ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 100
+      |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+      |        CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.5),
+      |edges AS (
+      |  SELECT a_id AS src, b_id AS dst FROM pairs
+      |  UNION ALL SELECT b_id, a_id FROM pairs),
+      |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
+      |r0 AS (SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS rank FROM edges),
+      |r1 AS (
+      |  SELECT e.dst AS node,
+      |    CAST(150000 + (85 * sum(r0.rank // d.d)) // 100 AS BIGINT) AS rank
+      |  FROM edges e JOIN r0 ON e.src = r0.node JOIN deg d ON e.src = d.src
+      |  GROUP BY e.dst),
+      |r2 AS (
+      |  SELECT e.dst AS node,
+      |    CAST(150000 + (85 * sum(r1.rank // d.d)) // 100 AS BIGINT) AS rank
+      |  FROM edges e JOIN r1 ON e.src = r1.node JOIN deg d ON e.src = d.src
+      |  GROUP BY e.dst)
+      |SELECT node AS doc_id, rank FROM r2 ORDER BY rank DESC, doc_id""".stripMargin
 }

@@ -172,7 +172,76 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rnk"))
   }
 
+  /** Benchmark decontamination — the training-data hygiene op: flag every
+    * document containing any probe n-gram from a (small, broadcast)
+    * benchmark set. The probe set never grows with the corpus, so the
+    * plan is: codegen'd one-pass shingling, explode, broadcast hash semi
+    * join, per-doc count — no shuffle of document text at all; at 100 TB
+    * the only shuffled rows are (doc_id) for the tiny contaminated set. */
+  def textDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val probes = Seq("key agg row", "batch window spark", "the row a",
+      "data query small", "join batch table", "spark order data")
+    val probeDf = probes.toDF("probe")
+    documents(s, dir)
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"),
+        explode(graft.functions.VectorExpressions
+          .wordShingles(col("text"), 3, distinct = true)).as("shingle"))
+      .join(broadcast(probeDf), col("shingle") === col("probe"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Bigram language-model quality score: the fraction of a document's
+    * bigram INSTANCES found in the corpus's top-100 bigram vocabulary —
+    * the cheap LM-style fluency filter. The vocabulary is a global top-k
+    * (TakeOrderedAndProject — no single-partition window) broadcast to a
+    * semi-joinable lookup; per-doc counts are exact integers and the rate
+    * is one deterministic double division. */
+  def textLmQuality(s: SparkSession, dir: String): DataFrame = {
+    val bigrams = documents(s, dir)
+      .filter(size(split(col("text"), " ")) >= 2)
+      .select(col("doc_id"),
+        explode(graft.functions.VectorExpressions
+          .wordShingles(col("text"), 2, distinct = false)).as("bigram"))
+    val vocab = bigrams.groupBy(col("bigram")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("bigram").asc).limit(100)
+      .select(col("bigram").as("v_bigram"))
+    bigrams
+      .join(broadcast(vocab), col("bigram") === col("v_bigram"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("v_bigram").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_bigrams").cast("double"))
+          .as("hit_rate"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Curriculum length-binning: ntile(10) deciles of document length
+    * WITHIN each language (partitioned window — parallel across
+    * languages, never a single-partition sort; at 100 TB the per-lang
+    * ordering is the unavoidable cost and shuffles only
+    * (lang, n_chars, doc_id) triples). Tie-broken by doc_id. */
+  def textLengthDeciles(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    documents(s, dir)
+      .select(col("lang"), col("n_chars"), ntile(10).over(w).as("decile"))
+      .groupBy(col("lang"), col("decile").cast("long").as("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).cast("long").as("min_chars"),
+        max(col("n_chars")).cast("long").as("max_chars"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"), col("decile"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_decontaminate" -> textDecontaminate _,
+    "text_lm_quality" -> textLmQuality _,
+    "text_length_deciles" -> textLengthDeciles _,
     "text_tfidf_topterms" -> textTfidfTopterms _,
     "text_word_count" -> textWordCount _,
     "text_sample_stratified" -> textSampleStratified _,
@@ -184,6 +253,50 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "text_decontaminate" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(words[i:i+2], ' ')
+        |                   FOR i IN range(1, len(words) - 1)]) AS shingles
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+        |  WHERE len(words) >= 3),
+        |hits AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_intersect(shingles,
+        |      ['key agg row', 'batch window spark', 'the row a',
+        |       'data query small', 'join batch table', 'spark order data'])) AS BIGINT)
+        |      AS n_hits
+        |  FROM sh)
+        |SELECT doc_id, n_hits FROM hits WHERE n_hits >= 1 ORDER BY doc_id""".stripMargin,
+    "text_lm_quality" ->
+      """WITH bg AS (
+        |  SELECT doc_id,
+        |    [array_to_string(words[i:i+1], ' ') FOR i IN range(1, len(words))] AS bigrams
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+        |  WHERE len(words) >= 2),
+        |ex AS (SELECT doc_id, unnest(bigrams) AS bigram FROM bg),
+        |vocab AS (
+        |  SELECT bigram FROM (
+        |    SELECT bigram, count(*) AS c FROM ex GROUP BY bigram
+        |    ORDER BY c DESC, bigram LIMIT 100)),
+        |per AS (
+        |  SELECT ex.doc_id, count(*) AS n_bigrams,
+        |    CAST(sum(CASE WHEN vocab.bigram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+        |  FROM ex LEFT JOIN vocab ON ex.bigram = vocab.bigram
+        |  GROUP BY ex.doc_id)
+        |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, n_hits,
+        |  CAST(n_hits AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS hit_rate
+        |FROM per ORDER BY doc_id""".stripMargin,
+    "text_length_deciles" ->
+      """WITH t AS (
+        |  SELECT lang, n_chars,
+        |    ntile(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS decile
+        |  FROM documents)
+        |SELECT lang, CAST(decile AS BIGINT) AS decile, count(*) AS n_docs,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM t GROUP BY lang, decile ORDER BY lang, decile""".stripMargin,
     "text_tfidf_topterms" ->
       """WITH n AS (SELECT count(*) AS n_docs FROM documents),
         |tf AS (

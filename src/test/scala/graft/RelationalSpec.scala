@@ -37,7 +37,9 @@ class RelationalSpec extends AnyFunSuite {
     val mayBeEmpty = Set("join_anti_customers", "dedup_simhash",
       "dedup_ngram_jaccard", "dedup_minhash_lsh",
       "dedup_clusters", // empty iff the near-dup pair set is empty
-      "q11_important_parts") // NATION_7 has no suppliers at sf0.001
+      "q11_important_parts", // NATION_7 has no suppliers at sf0.001
+      "text_decontaminate", // probe 3-grams may miss all 50 sf0.001 docs
+      "graph_pagerank_docs") // empty iff the near-dup pair set is empty
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, dir).count()
       assert(n > 0 || mayBeEmpty.contains(name), s"$name returned 0 rows")
