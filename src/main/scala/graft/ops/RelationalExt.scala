@@ -197,6 +197,34 @@ object RelationalExt {
     perCol.reduce(_.unionByName(_)).orderBy(col("col_name"))
   }
 
+  /** CDC upsert (MERGE) semantics: apply a change batch to a dimension —
+    * matched keys take the change's value, unmatched keep the current
+    * row, and change-only keys would insert (full outer join + coalesce
+    * per column, the engine-agnostic MERGE plan). The change batch here
+    * is each customer's LATEST order total (latest = max over
+    * (o_orderdate, o_orderkey) — deterministic tie-break); at scale the
+    * change batch is small relative to the dimension, so the outer join
+    * broadcasts it and the dimension never shuffles. */
+  def upsertCustomerBalances(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    val changes = orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), cents(col("o_totalprice")).as("new_bal_cents"))
+    customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        cents(col("c_acctbal")).as("old_bal_cents"))
+      .join(broadcast(changes), col("c_custkey") === col("o_custkey"),
+        "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("c_custkey"),
+        coalesce(col("c_mktsegment"), lit("NEW")).as("c_mktsegment"),
+        coalesce(col("new_bal_cents"), col("old_bal_cents")).as("bal_cents"),
+        col("new_bal_cents").isNotNull.as("updated"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** Z-score outlier detection with EXACT cross-engine arithmetic: the
     * per-type mean/variance come from exact integer sums (Σvc, Σvc², n
     * are Longs — no double accumulation), and each row's test
@@ -377,6 +405,7 @@ object RelationalExt {
     "window_share_of_total" -> windowShareOfTotal _,
     "agg_hll_orders" -> aggHllOrders _, // rows-only: engine sketches
     "q18_large_orders" -> q18LargeOrders _,
+    "upsert_customer_balances" -> upsertCustomerBalances _,
     "not_in_urgent_customers" -> notInUrgentCustomers _,
     "q7_nation_trade" -> q7NationTrade _,
     "subquery_exists_orders" -> subqueryExistsOrders _,
@@ -506,6 +535,22 @@ object RelationalExt {
         |WHERE year(l_shipdate) BETWEEN 1995 AND 1996
         |  AND sn.n_name <> cn.n_name
         |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "upsert_customer_balances" ->
+      """WITH changes AS (
+        |  SELECT o_custkey,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS new_bal_cents
+        |  FROM (SELECT o_custkey, o_totalprice,
+        |          row_number() OVER (PARTITION BY o_custkey
+        |            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |        FROM orders) t
+        |  WHERE rn = 1)
+        |SELECT
+        |  CAST(coalesce(c_custkey, o_custkey) AS BIGINT) AS c_custkey,
+        |  coalesce(c_mktsegment, 'NEW') AS c_mktsegment,
+        |  coalesce(new_bal_cents, CAST(round(c_acctbal*100) AS BIGINT)) AS bal_cents,
+        |  new_bal_cents IS NOT NULL AS updated
+        |FROM customer FULL OUTER JOIN changes ON c_custkey = o_custkey
+        |ORDER BY c_custkey""".stripMargin,
     "q18_large_orders" ->
       """WITH big AS (
         |  SELECT l_orderkey, sum(l_quantity) AS total_qty
