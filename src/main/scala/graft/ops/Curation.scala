@@ -119,8 +119,16 @@ object Curation {
     * Scale: edges+degrees persist across rounds (built once); each round
     * shuffles only (node, contrib) longs keyed by dst — the working set
     * is the pair graph, tiny relative to the corpus. */
-  def graphPagerankDocs(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.dedupMinhashLsh(s, dir).select(col("a_id"), col("b_id"))
+  def graphPagerankDocs(s: SparkSession, dir: String): DataFrame =
+    pagerankFromPairs(
+      Dedup.dedupMinhashLsh(s, dir).select(col("a_id"), col("b_id")), 2)
+      .select(col("node").as("doc_id"), col("rank"))
+      .orderBy(col("rank").desc, col("doc_id"))
+
+  /** Iteration core over an undirected pair list (a_id, b_id) — exposed
+    * for the hand-computed-graph spec. Returns (node, rank) after
+    * `rounds` rounds in integer rank-units. */
+  def pagerankFromPairs(pairs: DataFrame, rounds: Int): DataFrame = {
     val edges = pairs
       .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .select(col("a_id").as("src"), col("b_id").as("dst"))
@@ -129,7 +137,7 @@ object Curation {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var rank = edges.select(col("src").as("node")).distinct()
       .withColumn("rank", lit(1000000L))
-    for (_ <- 1 to 2) {
+    for (_ <- 1 to rounds) {
       rank = edges
         .join(rank.withColumnRenamed("node", "src"), Seq("src"))
         .join(deg, Seq("src"))
@@ -137,8 +145,7 @@ object Curation {
         .groupBy(col("node"))
         .agg(expr("150000L + (85L * sum(contrib)) div 100").as("rank"))
     }
-    rank.select(col("node").as("doc_id"), col("rank"))
-      .orderBy(col("rank").desc, col("doc_id"))
+    rank
   }
 
   /** Gopher-style repetition quality signal: fraction of repeated word

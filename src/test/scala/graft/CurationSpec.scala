@@ -167,4 +167,16 @@ class CurationSpec extends AnyFunSuite {
       assert(ratio > 0.1 && ratio <= 1.0)
     }
   }
+
+  test("pagerank matches hand-computed integer ranks on a path + pair graph") {
+    import spark.implicits._
+    // path 1-2-3 plus isolated pair 4-5; two rounds in integer units:
+    //   round 1: ends of the path 575000, center 1850000, pair 1000000
+    //   round 2: ends 936250, center 1127500, pair still 1000000
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a_id", "b_id")
+    val got = Curation.pagerankFromPairs(pairs, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 936250L, 2L -> 1127500L, 3L -> 936250L,
+      4L -> 1000000L, 5L -> 1000000L))
+  }
 }
