@@ -46,4 +46,18 @@ object Tables {
     * is bit-identical across engines; the sum of longs is exact). */
   def revenueCents(price: Column, discount: Column): Column =
     round(price * (lit(1.0) - discount) * 100).cast("long")
+
+  /** `year(c) = y` as a sargable timestamp range: `year(col) = N` wraps
+    * the column in a function, which parquet row-group statistics cannot
+    * serve — the scan reads everything. The equivalent half-open range
+    * predicate reaches PushedFilters (session TZ is pinned UTC, so the
+    * calendar year is exactly [y-01-01, (y+1)-01-01)). */
+  def yearIs(c: Column, y: Int): Column =
+    c >= lit(f"$y%04d-01-01").cast("timestamp") &&
+      c < lit(f"${y + 1}%04d-01-01").cast("timestamp")
+
+  /** `year(c) BETWEEN lo AND hi`, same sargable-range rationale. */
+  def yearBetween(c: Column, lo: Int, hi: Int): Column =
+    c >= lit(f"$lo%04d-01-01").cast("timestamp") &&
+      c < lit(f"${hi + 1}%04d-01-01").cast("timestamp")
 }

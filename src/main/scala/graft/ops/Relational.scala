@@ -226,16 +226,16 @@ object Relational {
   /** INTERSECT: customers who ordered in both 1995 and 1996. */
   def setIntersectCustomers(s: SparkSession, dir: String): DataFrame = {
     val o = orders(s, dir)
-    val y1995 = o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
-    val y1996 = o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey"))
+    val y1995 = o.filter(yearIs(col("o_orderdate"), 1995)).select(col("o_custkey"))
+    val y1996 = o.filter(yearIs(col("o_orderdate"), 1996)).select(col("o_custkey"))
     y1995.intersect(y1996).orderBy(col("o_custkey"))
   }
 
   /** EXCEPT: customers who ordered in 1995 but not in 1996. */
   def setExceptCustomers(s: SparkSession, dir: String): DataFrame = {
     val o = orders(s, dir)
-    val y1995 = o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
-    val y1996 = o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey"))
+    val y1995 = o.filter(yearIs(col("o_orderdate"), 1995)).select(col("o_custkey"))
+    val y1996 = o.filter(yearIs(col("o_orderdate"), 1996)).select(col("o_custkey"))
     y1995.except(y1996).orderBy(col("o_custkey"))
   }
 
@@ -426,7 +426,7 @@ object Relational {
     c.crossJoin(broadcast(avgBal))
       .filter(col("c_acctbal") > col("__avg_bal"))
       .drop("__avg_bal")
-      .join(orders(s, dir).filter(year(col("o_orderdate")) === 1995),
+      .join(orders(s, dir).filter(yearIs(col("o_orderdate"), 1995)),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_customers"),

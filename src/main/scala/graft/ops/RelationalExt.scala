@@ -48,10 +48,10 @@ object RelationalExt {
     * column with NULL. */
   def unionByNameOrders(s: SparkSession, dir: String): DataFrame = {
     val o = orders(s, dir)
-    val a = o.filter(year(col("o_orderdate")) === 1995)
+    val a = o.filter(yearIs(col("o_orderdate"), 1995))
       .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_cents"),
         lit("y1995").as("src"))
-    val b = o.filter(year(col("o_orderdate")) === 1996)
+    val b = o.filter(yearIs(col("o_orderdate"), 1996))
       .select(cents(col("o_totalprice")).as("price_cents"), col("o_orderkey"))
     a.unionByName(b, allowMissingColumns = true)
       .groupBy(coalesce(col("src"), lit("y1996")).as("src"))
@@ -158,7 +158,7 @@ object RelationalExt {
     val custNation = nation(s, dir)
       .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
     lineitem(s, dir)
-      .filter(year(col("l_shipdate")).between(1995, 1996))
+      .filter(yearBetween(col("l_shipdate"), 1995, 1996))
       .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(customer(s, dir)), col("o_custkey") === col("c_custkey"))
       .join(broadcast(supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))

@@ -104,7 +104,7 @@ object Tpch {
     val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     val delay = datediff(col("l_shipdate"), col("o_orderdate"))
     orders(s, dir)
-      .join(lineitem(s, dir).filter(year(col("l_shipdate")) === 1996),
+      .join(lineitem(s, dir).filter(yearIs(col("l_shipdate"), 1996)),
         col("o_orderkey") === col("l_orderkey"))
       .select(
         when(delay <= 30, "fast").when(delay <= 90, "medium")
@@ -164,7 +164,7 @@ object Tpch {
     val smallParts = part(s, dir).filter(col("p_name").startsWith("small"))
       .select(col("p_partkey"))
     val vol = lineitem(s, dir)
-      .filter(year(col("l_shipdate")) === 1995)
+      .filter(yearIs(col("l_shipdate"), 1995))
       .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"),
         "left_semi")
       .groupBy(col("l_partkey"), col("l_suppkey"))

@@ -61,6 +61,16 @@ class TpchSpec extends AnyFunSuite {
     assert(q16plan.contains("BroadcastHashJoin"))
   }
 
+  test("q12 ship-year filter reaches the parquet scan as a pushed range") {
+    // year(col) = N wraps the column and cannot be served by row-group
+    // stats; the yearIs() range form must appear in PushedFilters
+    val plan = ops.Tpch.q12ShippingDelay(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate"),
+      s"expected pushed l_shipdate range, plan:\n$plan")
+    assert(plan.contains("LessThan(l_shipdate"))
+  }
+
   test("q12 buckets partition the joined rows exactly") {
     val out = Tpch.q12ShippingDelay(spark, dir)
       .agg(sum(col("high_line_count") + col("low_line_count"))).collect()(0).getLong(0)
