@@ -91,10 +91,13 @@ object GraftFunctions {
 /** For `SparkSession.builder().withExtensions(new GraftExtensions)` or
   * `--conf spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, builder, usage) =>
       e.injectFunction((new FunctionIdentifier(name),
         new ExpressionInfo("graft.functions.VectorExpressions", name, usage),
         builder))
     }
+    // sargable-rewrite layer: year(col) filters become pushable ranges
+    e.injectOptimizerRule(_ => graft.plans.SargableYearFilter)
+  }
 }
