@@ -154,7 +154,27 @@ object Events {
             (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6))
   }
 
+  /** Interval-based RANGE window frame: per user, the rolling 1-hour
+    * event count and value sum. RANGE over an actual time interval (not
+    * a numeric proxy) through the SQL frontend — the DataFrame API's
+    * rangeBetween only takes numeric offsets. Tie-safe: RANGE frames
+    * include ALL ts-peers regardless of physical order, and exact
+    * integer cents make the sums engine-identical. One user_id shuffle
+    * serves the frame. */
+  def intervalFrame(s: SparkSession, dir: String): DataFrame = {
+    events(s, dir).createOrReplaceTempView("graft_events_iv")
+    s.sql(
+      """SELECT user_id, event_id,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_1h,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) OVER w AS BIGINT) AS cents_1h
+        |FROM graft_events_iv
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_interval_frame" -> intervalFrame _,
     "events_ab_test" -> abTestReadout _,
     "events_tumbling_windows" -> tumblingWindows _,
     "events_sessionize" -> sessionize _,
@@ -165,6 +185,14 @@ object Events {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "events_interval_frame" ->
+      """SELECT user_id, event_id,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_1h,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) OVER w AS BIGINT) AS cents_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
     "events_tumbling_windows" ->
       """SELECT (epoch_us(ts) // 600000000) * 600 AS window_start, event_type,
         |  count(*) AS n_events,

@@ -197,6 +197,21 @@ object RelationalExt {
     perCol.reduce(_.unionByName(_)).orderBy(col("col_name"))
   }
 
+  /** Exact median (percentile 0.5 with interpolation) per group — the
+    * exact-quantile counterpart of approx_percentile in
+    * `agg_approx_orders`. Engine-identical: for odd groups the median IS
+    * a row value; for even groups both engines average the same two
+    * middle doubles in one IEEE op. Exact medians need a per-group sort
+    * at scale — the approx sketch is the 100 TB default; this is the
+    * validation/finite-group path. */
+  def aggMedianOrders(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        median(col("o_totalprice")).as("med_price"),
+        median(cents(col("o_totalprice"))).as("med_cents"))
+      .orderBy(col("o_orderstatus"))
+
   /** CDC upsert (MERGE) semantics: apply a change batch to a dimension —
     * matched keys take the change's value, unmatched keep the current
     * row, and change-only keys would insert (full outer join + coalesce
@@ -406,6 +421,7 @@ object RelationalExt {
     "agg_hll_orders" -> aggHllOrders _, // rows-only: engine sketches
     "q18_large_orders" -> q18LargeOrders _,
     "upsert_customer_balances" -> upsertCustomerBalances _,
+    "agg_median_orders" -> aggMedianOrders _,
     "not_in_urgent_customers" -> notInUrgentCustomers _,
     "q7_nation_trade" -> q7NationTrade _,
     "subquery_exists_orders" -> subqueryExistsOrders _,
@@ -535,6 +551,11 @@ object RelationalExt {
         |WHERE year(l_shipdate) BETWEEN 1995 AND 1996
         |  AND sn.n_name <> cn.n_name
         |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "agg_median_orders" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  median(o_totalprice) AS med_price,
+        |  median(CAST(round(o_totalprice*100) AS BIGINT)) AS med_cents
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "upsert_customer_balances" ->
       """WITH changes AS (
         |  SELECT o_custkey,
