@@ -51,13 +51,95 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Two-level exact re-aggregation — the incremental-rollup pattern that
+    * makes 100 TB aggregation maintainable: DAILY partial aggregates
+    * (what a production pipeline materializes per ingest batch) are
+    * re-aggregated to monthly totals WITHOUT touching rows again. Exact
+    * because counts and integer cents are algebraic (re-aggregable)
+    * merge states; the monthly result provably equals the direct
+    * aggregate. Mirrors the mergeable-HLL pattern (`agg_hll_orders`)
+    * with exact arithmetic. */
+  def rollupReaggregate(s: SparkSession, dir: String): DataFrame = {
+    val daily = orders(s, dir)
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("day_cents"))
+    daily
+      .groupBy(year(col("d")).cast("long").as("y"),
+        month(col("d")).cast("long").as("m"))
+      .agg(sum(col("n")).as("n_orders"),
+        sum(col("day_cents")).as("total_cents"),
+        count(lit(1)).as("n_days"))
+      .orderBy(col("y"), col("m"))
+  }
+
+  /** Data-quality gate — the expectations report run before promoting a
+    * batch: each rule is (violations, rows checked); referential
+    * integrity is a broadcast left join null-count, everything else is a
+    * map-side conditional count. Rules unioned as independent branches
+    * (each scans only its needed columns). `negative_acctbal` fires on
+    * the fixtures; the rest pin clean-data zeros. */
+  def dqCheckOrders(s: SparkSession, dir: String): DataFrame = {
+    def rule(name: String, df: DataFrame, bad: org.apache.spark.sql.Column) =
+      df.agg(sum(when(bad, 1L).otherwise(0L)).as("n_violations"),
+        count(lit(1)).as("n_checked"))
+        .select(lit(name).as("rule"), col("n_violations"), col("n_checked"))
+    val orphans = orders(s, dir)
+      .join(broadcast(customer(s, dir).select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"), "left_outer")
+    Seq(
+      rule("null_custkey", orders(s, dir), col("o_custkey").isNull),
+      rule("nonpositive_price", orders(s, dir), col("o_totalprice") <= 0),
+      rule("orphan_custkey", orphans, col("c_custkey").isNull),
+      rule("future_orderdate", orders(s, dir),
+        col("o_orderdate") > lit("2001-12-31").cast("timestamp")),
+      rule("discount_range", lineitem(s, dir),
+        col("l_discount") < 0 || col("l_discount") > 0.5),
+      rule("negative_acctbal", customer(s, dir), col("c_acctbal") < 0),
+    ).reduce(_.unionByName(_)).orderBy(col("rule"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_training_mix" -> trainingMix _,
+    "rollup_reaggregate" -> rollupReaggregate _,
+    "dq_check_orders" -> dqCheckOrders _,
   )
 
   // near-dup pairs: same brute-force formulation as Dedup.jaccardPairsSql
   // (the LSH result provably equals it); only the loser ids are needed
   val oracleSql: Map[String, String] = Map(
+    "rollup_reaggregate" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n,
+        |    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1)
+        |SELECT CAST(year(d) AS BIGINT) AS y, CAST(month(d) AS BIGINT) AS m,
+        |  CAST(sum(n) AS BIGINT) AS n_orders,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents,
+        |  CAST(count(*) AS BIGINT) AS n_days
+        |FROM daily GROUP BY y, m ORDER BY y, m""".stripMargin,
+    "dq_check_orders" ->
+      """SELECT 'null_custkey' AS rule,
+        |  CAST(count(*) FILTER (o_custkey IS NULL) AS BIGINT) AS n_violations,
+        |  count(*) AS n_checked FROM orders
+        |UNION ALL
+        |SELECT 'nonpositive_price',
+        |  CAST(count(*) FILTER (o_totalprice <= 0) AS BIGINT), count(*) FROM orders
+        |UNION ALL
+        |SELECT 'orphan_custkey',
+        |  CAST(count(*) FILTER (c_custkey IS NULL) AS BIGINT), count(*)
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |UNION ALL
+        |SELECT 'future_orderdate',
+        |  CAST(count(*) FILTER (o_orderdate > TIMESTAMP '2001-12-31') AS BIGINT),
+        |  count(*) FROM orders
+        |UNION ALL
+        |SELECT 'discount_range',
+        |  CAST(count(*) FILTER (l_discount < 0 OR l_discount > 0.5) AS BIGINT),
+        |  count(*) FROM lineitem
+        |UNION ALL
+        |SELECT 'negative_acctbal',
+        |  CAST(count(*) FILTER (c_acctbal < 0) AS BIGINT), count(*) FROM customer
+        |ORDER BY rule""".stripMargin,
     "pipeline_training_mix" ->
       """WITH sh AS (
         |  SELECT doc_id, n_chars,
