@@ -106,6 +106,44 @@ object Curation {
       .orderBy(col("lang"))
   }
 
+  /** Leakage-safe train/val/test split — assignment is keyed by the
+    * near-dup COMPONENT, not the document: hashing doc_ids independently
+    * would scatter near-duplicates of the same source across train and
+    * test (evaluation contamination, the failure mode decontamination
+    * exists to prevent). Every member of a component gets its
+    * representative's deterministic LCG coin (80/10/10); singletons are
+    * their own representative. Reported per split: docs, distinct
+    * groups, token mass.
+    *
+    * Scale: the component labels cover only docs that appear in a
+    * near-dup pair — tiny next to the corpus — so the label join
+    * broadcasts and the corpus never shuffles for assignment; the final
+    * aggregate is a 3-group map-side combine. The LCG coin re-derives
+    * identically on re-runs (same property as `text_sample_hash`). */
+  /** Per-document (doc_id, n_tokens, group_id, split) assignment — the
+    * core of `splitLeakageSafe`, exposed so the spec can assert every
+    * near-dup pair lands in one split. */
+  def splitAssignments(s: SparkSession, dir: String): DataFrame = {
+    val labels = clusterLabels(s, dir).withColumnRenamed("node", "doc_id")
+    val coin = pmod((col("group_id") * 1103515245L + 12345L) % 2147483647L,
+      lit(100L))
+    documents(s, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(broadcast(labels), Seq("doc_id"), "left_outer")
+      .withColumn("group_id", coalesce(col("label"), col("doc_id")))
+      .withColumn("split",
+        when(coin < 80, "train").when(coin < 90, "val").otherwise("test"))
+  }
+
+  def splitLeakageSafe(s: SparkSession, dir: String): DataFrame =
+    splitAssignments(s, dir)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("group_id")).as("n_groups"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .orderBy(col("split"))
+
   /** PageRank over the near-dup document graph — the canonical ITERATIVE
     * shuffle pattern (each round: join ranks to edges on src, aggregate
     * contributions on dst). Two rounds unrolled, ALL arithmetic in exact
@@ -297,6 +335,7 @@ object Curation {
     "dedup_levenshtein_names" -> dedupLevenshteinNames _,
     "dedup_clusters" -> dedupClusters _,
     "pipeline_cluster_dedup" -> pipelineClusterDedup _,
+    "split_leakage_safe" -> splitLeakageSafe _,
     "text_repetition" -> textRepetition _,
     "pii_scrub" -> piiScrub _,
     "pack_sequences" -> packSequences _,
@@ -360,6 +399,45 @@ object Curation {
       |FROM documents
       |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
       |GROUP BY lang ORDER BY lang""".stripMargin
+
+  // same recursive-closure components; every doc joins its component
+  // label (itself when unpaired) and the split coin hashes the label
+  private val leakageSplitSql =
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id, n_chars,
+      |    list_distinct([array_to_string(words[i:i+2], ' ')
+      |                   FOR i IN range(1, len(words) - 1)]) AS shingles
+      |  FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS words FROM documents)
+      |  WHERE len(words) >= 3),
+      |pairs AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM sh a JOIN sh b
+      |    ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 100
+      |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+      |        CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.5),
+      |edges AS (
+      |  SELECT a_id AS src, b_id AS dst FROM pairs
+      |  UNION ALL SELECT b_id, a_id FROM pairs),
+      |reach(node, label) AS (
+      |  SELECT DISTINCT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node),
+      |comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+      |g AS (
+      |  SELECT d.doc_id,
+      |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+      |    COALESCE(c.component, d.doc_id) AS group_id
+      |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+      |sp AS (
+      |  SELECT *, CASE
+      |    WHEN ((group_id * 1103515245 + 12345) % 2147483647) % 100 < 80 THEN 'train'
+      |    WHEN ((group_id * 1103515245 + 12345) % 2147483647) % 100 < 90 THEN 'val'
+      |    ELSE 'test' END AS split
+      |  FROM g)
+      |SELECT split, count(*) AS n_docs,
+      |  CAST(count(DISTINCT group_id) AS BIGINT) AS n_groups,
+      |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+      |FROM sp GROUP BY split ORDER BY split""".stripMargin
 
   private val repetitionSql =
     """SELECT doc_id,
@@ -444,6 +522,7 @@ object Curation {
         |FROM pairs GROUP BY p_size ORDER BY p_size""".stripMargin,
     "dedup_clusters" -> clustersSql,
     "pipeline_cluster_dedup" -> clusterDedupSql,
+    "split_leakage_safe" -> leakageSplitSql,
     "text_repetition" -> repetitionSql,
     "pii_scrub" -> piiSql,
     "pack_sequences" -> packSql,

@@ -240,6 +240,39 @@ object RelationalExt {
       .orderBy(col("c_custkey"))
   }
 
+  /** SCD Type-2 dimension history build — the warehouse pattern for
+    * tracking attribute changes over time: collapse each customer's
+    * order-priority event stream to its CHANGE points (lag-compare),
+    * then close each version with the next change's start
+    * (valid_from/valid_to intervals, open-ended current row). Days are
+    * integer offsets from the fixture epoch so the interval bounds are
+    * exact cross-engine integers.
+    *
+    * Scale: one shuffle keyed by the dimension key; the change-detect
+    * lag and the interval-closing lead share the same partitioning AND
+    * ordering, and the filter between them preserves sort order, so
+    * Catalyst plans both window passes over a single Exchange+Sort
+    * (asserted in PlanSpec). At 100 TB this is the shape that matters:
+    * history build cost = one sort per key partition, never a global
+    * sort or a self-join on the change table. */
+  def scd2CustomerHistory(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("day"), col("o_orderkey"))
+    orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderpriority").as("state"),
+        datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date"))
+          .cast("long").as("day"))
+      .withColumn("prev_state", lag(col("state"), 1).over(w))
+      .filter(col("prev_state").isNull || col("prev_state") =!= col("state"))
+      .select(col("o_custkey"), col("o_orderkey"), col("state"),
+        col("day").as("valid_from_day"),
+        lead(col("day"), 1).over(w).as("valid_to_day"))
+      .withColumn("is_current",
+        when(col("valid_to_day").isNull, 1L).otherwise(0L))
+      .orderBy(col("o_custkey"), col("valid_from_day"), col("o_orderkey"))
+  }
+
   /** Z-score outlier detection with EXACT cross-engine arithmetic: the
     * per-type mean/variance come from exact integer sums (Σvc, Σvc², n
     * are Longs — no double accumulation), and each row's test
@@ -421,6 +454,7 @@ object RelationalExt {
     "agg_hll_orders" -> aggHllOrders _, // rows-only: engine sketches
     "q18_large_orders" -> q18LargeOrders _,
     "upsert_customer_balances" -> upsertCustomerBalances _,
+    "scd2_customer_history" -> scd2CustomerHistory _,
     "agg_median_orders" -> aggMedianOrders _,
     "not_in_urgent_customers" -> notInUrgentCustomers _,
     "q7_nation_trade" -> q7NationTrade _,
@@ -572,6 +606,23 @@ object RelationalExt {
         |  new_bal_cents IS NOT NULL AS updated
         |FROM customer FULL OUTER JOIN changes ON c_custkey = o_custkey
         |ORDER BY c_custkey""".stripMargin,
+    "scd2_customer_history" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey, o_orderpriority AS state,
+        |    CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+        |         AS BIGINT) AS day
+        |  FROM orders),
+        |c AS (
+        |  SELECT *, lag(state) OVER (PARTITION BY o_custkey
+        |             ORDER BY day, o_orderkey) AS prev_state
+        |  FROM o)
+        |SELECT o_custkey, o_orderkey, state, day AS valid_from_day,
+        |  lead(day) OVER w AS valid_to_day,
+        |  CAST(CASE WHEN lead(day) OVER w IS NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_current
+        |FROM c WHERE prev_state IS NULL OR prev_state <> state
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY day, o_orderkey)
+        |ORDER BY o_custkey, valid_from_day, o_orderkey""".stripMargin,
     "q18_large_orders" ->
       """WITH big AS (
         |  SELECT l_orderkey, sum(l_quantity) AS total_qty

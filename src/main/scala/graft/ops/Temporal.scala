@@ -84,7 +84,11 @@ object Temporal {
     * LOCF window partitions by series key, so filling parallelizes
     * across series and never needs a global sort. A per-user resample is
     * the same plan with user_id as the series key. */
-  def eventsResampleLocf(s: SparkSession, dir: String): DataFrame = {
+  /** Dense hourly grid per event type, left-joined to the observed
+    * hourly aggregates — the shared resample frame behind LOCF and
+    * linear interpolation. Columns: event_type, hour, sum_vc (null on
+    * gap hours), n (null on gap hours). */
+  private def hourlyGrid(s: SparkSession, dir: String): DataFrame = {
     val e = events(s, dir).select(col("event_type"),
       expr("unix_micros(ts) div 3600000000").as("hour"),
       cents(col("value")).as("vc"))
@@ -95,12 +99,54 @@ object Temporal {
       .crossJoin(broadcast(bounds))
       .select(col("event_type"),
         explode(sequence(col("h0"), col("h1"))).as("hour"))
+    grid.join(hourly, Seq("event_type", "hour"), "left")
+  }
+
+  def eventsResampleLocf(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid.join(hourly, Seq("event_type", "hour"), "left")
+    hourlyGrid(s, dir)
       .select(col("event_type"), col("hour"),
         coalesce(col("n"), lit(0L)).as("n_events"),
         last(col("sum_vc"), ignoreNulls = true).over(w).as("locf_sum_vc"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
+  /** Time-series gap fill by LINEAR INTERPOLATION — the numeric sibling
+    * of LOCF: interior gap hours get the line between the previous and
+    * next observed hour; hours outside the series' observed span stay
+    * NULL (nothing to interpolate toward). The bracketing observation on
+    * each side comes from one backward and one forward IGNORE-NULLS
+    * window over the same per-series ordering, so both window passes
+    * share the single series-key shuffle + sort (no second Exchange).
+    * All inputs to the interpolation are exact longs; the interpolated
+    * value is ONE deterministic double expression per row, bit-identical
+    * across engines (Tables scaladoc).
+    *
+    * Scale: identical to LOCF — the grid is |series| × hours, windows
+    * partition by series key, parallel across series. */
+  def eventsResampleInterp(s: SparkSession, dir: String): DataFrame = {
+    val wPrev = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsHour = when(col("sum_vc").isNotNull, col("hour"))
+    hourlyGrid(s, dir)
+      .select(col("event_type"), col("hour"),
+        coalesce(col("n"), lit(0L)).as("n_events"), col("sum_vc"),
+        last(col("sum_vc"), ignoreNulls = true).over(wPrev).as("pv"),
+        last(obsHour, ignoreNulls = true).over(wPrev).as("ph"),
+        first(col("sum_vc"), ignoreNulls = true).over(wNext).as("nv"),
+        first(obsHour, ignoreNulls = true).over(wNext).as("nh"))
+      .select(col("event_type"), col("hour"), col("n_events"),
+        round(
+          when(col("sum_vc").isNotNull, col("sum_vc").cast("double"))
+            .when(col("pv").isNotNull && col("nv").isNotNull,
+              col("pv").cast("double") +
+                (col("nv") - col("pv")).cast("double") *
+                (col("hour") - col("ph")).cast("double") /
+                (col("nh") - col("ph")).cast("double")),
+          4).as("interp_vc"))
       .orderBy(col("event_type"), col("hour"))
   }
 
@@ -108,6 +154,7 @@ object Temporal {
     "events_asof_attribution" -> eventsAsofAttribution _,
     "events_range_pairs" -> eventsRangePairs _,
     "events_resample_locf" -> eventsResampleLocf _,
+    "events_resample_interp" -> eventsResampleInterp _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -146,5 +193,37 @@ object Temporal {
         |    ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS locf_sum_vc
         |FROM j ORDER BY event_type, hour""".stripMargin,
+    "events_resample_interp" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+        |           CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+        |h AS (SELECT event_type, hour, CAST(sum(vc) AS BIGINT) AS sum_vc,
+        |             count(*) AS n
+        |      FROM e GROUP BY 1, 2),
+        |b AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM e),
+        |grid AS (SELECT t.event_type, g.hour
+        |         FROM (SELECT DISTINCT event_type FROM e) t, b,
+        |              unnest(range(b.h0, b.h1 + 1)) AS g(hour)),
+        |j AS (SELECT grid.event_type, grid.hour, h.sum_vc, h.n
+        |      FROM grid LEFT JOIN h
+        |        ON grid.event_type = h.event_type AND grid.hour = h.hour),
+        |w AS (SELECT event_type, hour, COALESCE(n, 0) AS n_events, sum_vc,
+        |  last_value(sum_vc IGNORE NULLS) OVER wp AS pv,
+        |  last_value(CASE WHEN sum_vc IS NOT NULL THEN hour END IGNORE NULLS)
+        |    OVER wp AS ph,
+        |  first_value(sum_vc IGNORE NULLS) OVER wn AS nv,
+        |  first_value(CASE WHEN sum_vc IS NOT NULL THEN hour END IGNORE NULLS)
+        |    OVER wn AS nh
+        |  FROM j
+        |  WINDOW wp AS (PARTITION BY event_type ORDER BY hour
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wn AS (PARTITION BY event_type ORDER BY hour
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, hour, n_events,
+        |  round(CASE WHEN sum_vc IS NOT NULL THEN CAST(sum_vc AS DOUBLE)
+        |        WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+        |          CAST(pv AS DOUBLE) + CAST(nv - pv AS DOUBLE) *
+        |          CAST(hour - ph AS DOUBLE) / CAST(nh - ph AS DOUBLE)
+        |        END, 4) AS interp_vc
+        |FROM w ORDER BY event_type, hour""".stripMargin,
   )
 }

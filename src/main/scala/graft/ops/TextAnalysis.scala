@@ -238,7 +238,39 @@ object TextAnalysis {
       .orderBy(col("lang"), col("decile"))
   }
 
+  private val ChunkSize = 64
+  private val ChunkStride = 48
+
+  /** RAG-style document chunking: fixed 64-token windows advancing by a
+    * 48-token stride (16-token overlap so no boundary context is lost) —
+    * the retrieval-index prep step of an embedding pipeline. Chunk starts
+    * come from `sequence(0, n−1, stride)` exploded per document; each
+    * chunk carries its token count and an engine-portable content
+    * signature (first 8 md5 hex chars as an integer — the id a vector
+    * store would key on). Pure per-row generate + project: no shuffle
+    * before the final sort, parallel across documents, and the document
+    * text itself never moves — only (doc_id, chunk) rows. */
+  def textChunkOverlap(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    documents(s, dir)
+      .select(col("doc_id"), toks.as("toks"), size(toks).cast("long").as("n"))
+      .filter(col("n") >= 1)
+      .select(col("doc_id"), col("toks"), col("n"),
+        posexplode(sequence(lit(0L), col("n") - 1, lit(ChunkStride.toLong)))
+          .as(Seq("chunk_idx", "chunk_start")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("chunk_start"),
+        least(lit(ChunkSize.toLong), col("n") - col("chunk_start"))
+          .as("chunk_tokens"),
+        conv(substring(md5(array_join(
+          slice(col("toks"), (col("chunk_start") + 1).cast("int"),
+            lit(ChunkSize)), " ")), 1, 8), 16, 10)
+          .cast("long").as("chunk_sig"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_chunk_overlap" -> textChunkOverlap _,
     "text_decontaminate" -> textDecontaminate _,
     "text_lm_quality" -> textLmQuality _,
     "text_length_deciles" -> textLengthDeciles _,
@@ -253,6 +285,23 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "text_chunk_overlap" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, toks, n,
+         |    unnest(range(0, n, $ChunkStride)) AS chunk_start
+         |  FROM d WHERE n >= 1)
+         |SELECT doc_id,
+         |  CAST(chunk_start // $ChunkStride AS BIGINT) AS chunk_idx,
+         |  chunk_start,
+         |  CAST(least($ChunkSize, n - chunk_start) AS BIGINT) AS chunk_tokens,
+         |  ('0x' || substr(md5(array_to_string(
+         |     toks[CAST(chunk_start + 1 AS INT):CAST(chunk_start + $ChunkSize AS INT)],
+         |     ' ')), 1, 8))::BIGINT AS chunk_sig
+         |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
     "text_decontaminate" ->
       """WITH sh AS (
         |  SELECT doc_id,

@@ -179,4 +179,47 @@ class CurationSpec extends AnyFunSuite {
     assert(got === Map(1L -> 936250L, 2L -> 1127500L, 3L -> 936250L,
       4L -> 1000000L, 5L -> 1000000L))
   }
+
+  test("leakage-safe split: partitions the corpus and never separates a near-dup pair") {
+    val assign = Curation.splitAssignments(spark, dir01)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val nDocs = Tables.documents(spark, dir01).count()
+    assert(assign.size.toLong === nDocs) // every doc assigned exactly once
+    assert(assign.values.toSet.subsetOf(Set("train", "val", "test")))
+    val pairs = ops.Dedup.dedupMinhashLsh(spark, dir01)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(assign(a) === assign(b), s"pair ($a,$b) split across sets")
+    }
+    // aggregate view is consistent with the assignment
+    val agg = Curation.splitLeakageSafe(spark, dir01).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(agg.values.sum === nDocs)
+    assert(agg === assign.values.groupBy(identity).map { case (k, v) => k -> v.size.toLong })
+  }
+
+  test("chunking: strided windows exactly tile every document") {
+    val n = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chunks = graft.ops.TextAnalysis.textChunkOverlap(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    assert(chunks.keySet === n.keySet.filter(n(_) >= 1))
+    chunks.foreach { case (doc, cs) =>
+      val sorted = cs.sortBy(_._2)
+      // chunk_idx is dense from 0; starts advance by the stride
+      assert(sorted.map(_._2).toSeq === (0L until sorted.length).toSeq)
+      sorted.foreach { case (_, idx, start, tok) =>
+        assert(start === idx * 48)
+        assert(tok === math.min(64L, n(doc) - start) && tok >= 1)
+      }
+      // the last window reaches the end of the document, earlier ones are full
+      assert(sorted.last._3 + sorted.last._4 === n(doc))
+      sorted.init.foreach { case (_, _, start, _) => assert(n(doc) - start > 48) }
+    }
+  }
 }

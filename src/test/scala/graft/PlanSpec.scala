@@ -143,6 +143,22 @@ class PlanSpec extends AnyFunSuite {
     assert(countNodes(qz, "Exchange") <= 1, s"quantize over-shuffles:\n$qz")
   }
 
+  test("scd2: change-detect lag and interval-close lead share one shuffle+sort") {
+    // both windows partition by o_custkey with the same ordering and the
+    // filter between them preserves sort order — re-sorting or
+    // re-shuffling the change stream would double the history-build cost
+    val p = plan(ops.RelationalExt.scd2CustomerHistory(spark, dir))
+    // one Exchange for the windows + one for the final orderBy, no more
+    assert(countNodes(p, "Exchange") <= 2, s"scd2 over-shuffles:\n$p")
+    assert(countNodes(p, "Sort") <= 2, s"scd2 re-sorts between windows:\n$p")
+  }
+
+  test("chunking: generate+project only — no shuffle before the final sort") {
+    val p = plan(ops.TextAnalysis.textChunkOverlap(spark, dir))
+    assert(countNodes(p, "Exchange") <= 1, s"chunking over-shuffles:\n$p")
+    assert(p.contains("Generate"), s"no generator in:\n$p")
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipelines") {
     val df = ops.Relational.q6RevenueFilter(spark, dir)
     df.collect() // AQE finalizes the executed plan only after execution

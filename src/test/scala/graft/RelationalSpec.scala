@@ -105,4 +105,27 @@ class RelationalSpec extends AnyFunSuite {
     val approx = row.getDouble(1)
     assert(math.abs(approx - exact) / exact < 0.05, s"exact=$exact approx=$approx")
   }
+
+  test("scd2 history: versions chain gaplessly with one open row per customer") {
+    val rows = graft.ops.RelationalExt.scd2CustomerHistory(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (cust, vs) =>
+      val sorted = vs.sortBy(v => (v._4, v._2)) // (valid_from, change id)
+      // exactly one open-ended current version, and it is the last one
+      assert(sorted.count(_._5.isEmpty) === 1)
+      assert(sorted.last._5.isEmpty && sorted.last._6 === 1L)
+      sorted.init.foreach(v => assert(v._6 === 0L))
+      // each version closes exactly where the next one opens
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        assert(a._5.contains(b._4), s"customer $cust gap at ${a._4}")
+        // states always flip between consecutive change points: each
+        // kept row differs from its predecessor ORDER, whose state is
+        // by construction the previous change point's state
+        assert(a._3 != b._3)
+      }
+    }
+  }
 }

@@ -42,4 +42,43 @@ class TemporalSpec extends AnyFunSuite {
         s"view ${r.getLong(3)} after purchase ${r.getLong(0)}")
     }
   }
+
+  test("linear interpolation matches a driver-side recomputation of every grid row") {
+    val dir = "/root/testdata/sf0.001"
+    // observed hourly sums per series, recomputed independently
+    val obs = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("hour"),
+        Tables.cents(col("value")).as("vc"))
+      .groupBy("event_type", "hour").agg(sum("vc").as("s"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val rows = Temporal.eventsResampleInterp(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val bySeries = obs.keys.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSeq.sorted).toMap
+    rows.foreach { r =>
+      val (et, h) = (r.getString(0), r.getLong(1))
+      val hours = bySeries(et)
+      val expected: Option[Double] = obs.get((et, h)) match {
+        case Some(v) => Some(v.toDouble)
+        case None =>
+          val prev = hours.filter(_ < h).lastOption
+          val next = hours.find(_ > h)
+          (prev, next) match {
+            case (Some(p), Some(nx)) =>
+              val (pv, nv) = (obs((et, p)), obs((et, nx)))
+              Some(pv.toDouble + (nv - pv).toDouble * (h - p).toDouble / (nx - p).toDouble)
+            case _ => None // outside the observed span stays null
+          }
+      }
+      expected match {
+        case Some(v) =>
+          // result is round(v, 4), so it sits within 5e-5 of the raw value
+          assert(!r.isNullAt(3) && math.abs(r.getDouble(3) - v) <= 6e-5,
+            s"($et,$h)")
+        case None => assert(r.isNullAt(3), s"($et,$h) should be null")
+      }
+    }
+  }
 }
