@@ -33,7 +33,7 @@ object Curation {
     * near-dup pair — the propagation core shared by `dedupClusters` and
     * the cluster-based pipeline dedup. */
   def clusterLabels(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.dedupMinhashLsh(s, dir).select(col("a_id"), col("b_id"))
+    val pairs = Indexes.nearDupPairs(s, dir).select(col("a_id"), col("b_id"))
     val edges = pairs
       .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .select(col("a_id").as("src"), col("b_id").as("dst"))
@@ -81,7 +81,7 @@ object Curation {
   }
 
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
-    clusterLabels(s, dir)
+    Indexes.componentLabels(s, dir)
       .groupBy(col("label").as("component"))
       .agg(count(lit(1)).as("n_docs"),
         array_join(sort_array(collect_list(col("node"))), ",").as("members"))
@@ -95,7 +95,7 @@ object Curation {
     * (A~B, B~C drops B AND C); component-based removal keeps exactly
     * one per group. */
   def pipelineClusterDedup(s: SparkSession, dir: String): DataFrame = {
-    val losers = clusterLabels(s, dir)
+    val losers = Indexes.componentLabels(s, dir)
       .filter(col("node") =!= col("label"))
       .select(col("node").as("doc_id"))
     documents(s, dir)
@@ -124,7 +124,8 @@ object Curation {
     * core of `splitLeakageSafe`, exposed so the spec can assert every
     * near-dup pair lands in one split. */
   def splitAssignments(s: SparkSession, dir: String): DataFrame = {
-    val labels = clusterLabels(s, dir).withColumnRenamed("node", "doc_id")
+    val labels = Indexes.componentLabels(s, dir)
+      .withColumnRenamed("node", "doc_id")
     val coin = pmod((col("group_id") * 1103515245L + 12345L) % 2147483647L,
       lit(100L))
     documents(s, dir)
@@ -159,7 +160,7 @@ object Curation {
     * is the pair graph, tiny relative to the corpus. */
   def graphPagerankDocs(s: SparkSession, dir: String): DataFrame =
     pagerankFromPairs(
-      Dedup.dedupMinhashLsh(s, dir).select(col("a_id"), col("b_id")), 2)
+      Indexes.nearDupPairs(s, dir).select(col("a_id"), col("b_id")), 2)
       .select(col("node").as("doc_id"), col("rank"))
       .orderBy(col("rank").desc, col("doc_id"))
 

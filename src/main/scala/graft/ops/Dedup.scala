@@ -282,7 +282,9 @@ object Dedup {
     "dedup_exact" -> dedupExact _,
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "dedup_ngram_jaccard_prefix" -> dedupNgramJaccardPrefix _,
-    "dedup_minhash_lsh" -> dedupMinhashLsh _,
+    // served from the shared materialized index (Indexes.nearDupPairs);
+    // dedupMinhashLsh is the builder
+    "dedup_minhash_lsh" -> ((s, d) => Indexes.nearDupPairs(s, d)),
     "dedup_simhash" -> dedupSimhash _,
   )
 

@@ -40,7 +40,7 @@ object Pipeline {
     // 4. near-dup removal: drop the higher doc_id of every near-dup pair
     //    (LSH pair set == exact Jaccard pair set, so the oracle uses the
     //    brute-force pair SQL)
-    val nearDupLosers = Dedup.dedupMinhashLsh(s, dir)
+    val nearDupLosers = Indexes.nearDupPairs(s, dir)
       .select(col("b_id").as("doc_id")).distinct()
     val deduped = exact.join(nearDupLosers, Seq("doc_id"), "left_anti")
     // 5. deterministic 50% sample (LCG coin on doc_id — reproducible)
@@ -49,6 +49,39 @@ object Pipeline {
         lit(100L)) < 50)
       .select(col("doc_id"), col("n_tokens"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic data-mix up-sampling — the low-resource-language
+    * balancing step of a training mix: each language gets an integer
+    * repeat factor `min(4, max_lang_docs div lang_docs)` (capped so no
+    * shard explodes) and every document is materialized `factor` times
+    * with a copy index, exactly what a sampling-with-replacement epoch
+    * does but reproducibly. The checksum Σ doc_id·copy proves the rows
+    * were really replicated, not just multiplied in an aggregate.
+    *
+    * Scale: factors come from a tiny per-language aggregate broadcast
+    * back; replication is a map-side `explode(sequence(1, factor))` —
+    * rows widen AT the executor, nothing shuffles until the final
+    * 3-digit-cardinality aggregate. */
+  def pipelineUpsampleMix(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val perLang = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_raw"))
+    val maxDocs = perLang.agg(max(col("n_raw")).as("max_raw"))
+    val factors = perLang.crossJoin(broadcast(maxDocs))
+      .select(col("lang"), col("n_raw"),
+        greatest(lit(1L), least(lit(4L), expr("max_raw div n_raw")))
+          .as("factor"))
+    docs.join(broadcast(factors), Seq("lang"))
+      .select(col("lang"), col("n_raw"), col("factor"), col("doc_id"),
+        col("n_tokens"),
+        explode(sequence(lit(1L), col("factor"))).as("copy"))
+      .groupBy(col("lang"), col("n_raw"), col("factor"))
+      .agg(count(lit(1)).as("n_upsampled"),
+        sum(col("n_tokens")).as("tokens_upsampled"),
+        sum(col("doc_id") * col("copy")).as("mix_checksum"))
+      .orderBy(col("lang"))
   }
 
   /** Two-level exact re-aggregation — the incremental-rollup pattern that
@@ -100,6 +133,7 @@ object Pipeline {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_training_mix" -> trainingMix _,
+    "pipeline_upsample_mix" -> pipelineUpsampleMix _,
     "rollup_reaggregate" -> rollupReaggregate _,
     "dq_check_orders" -> dqCheckOrders _,
   )
@@ -107,6 +141,26 @@ object Pipeline {
   // near-dup pairs: same brute-force formulation as Dedup.jaccardPairsSql
   // (the LSH result provably equals it); only the loser ids are needed
   val oracleSql: Map[String, String] = Map(
+    "pipeline_upsample_mix" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |per_lang AS (SELECT lang, count(*) AS n_raw FROM docs GROUP BY lang),
+        |f AS (
+        |  SELECT lang, n_raw,
+        |    greatest(1, least(4, (SELECT max(n_raw) FROM per_lang) // n_raw))
+        |      AS factor
+        |  FROM per_lang),
+        |up AS (
+        |  SELECT d.lang, f.n_raw, f.factor, d.doc_id, d.n_tokens,
+        |    unnest(range(1, f.factor + 1)) AS copy
+        |  FROM docs d JOIN f ON d.lang = f.lang)
+        |SELECT lang, n_raw, CAST(factor AS BIGINT) AS factor,
+        |  count(*) AS n_upsampled,
+        |  CAST(sum(n_tokens) AS BIGINT) AS tokens_upsampled,
+        |  CAST(sum(doc_id * copy) AS BIGINT) AS mix_checksum
+        |FROM up GROUP BY lang, n_raw, factor ORDER BY lang""".stripMargin,
     "rollup_reaggregate" ->
       """WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n,

@@ -290,6 +290,24 @@ object Relational {
       .orderBy(col("k_decile"))
   }
 
+  /** Schemaless JSON via Spark 4 VARIANT — the third JSON path beside
+    * regexp (`json_props_events`) and typed `from_json`
+    * (`json_parse_events`): `parse_json` shreds each props document into
+    * the binary VARIANT encoding once, and `variant_get` path-extracts
+    * with a type coercion at read time. This is the semi-structured
+    * ingestion shape when the schema is NOT known up front: parse once,
+    * extract many, no per-field regexp rescans. Extraction is per-row
+    * (codegen'd), the aggregate is one shuffle; the variant itself never
+    * reaches the output (engine-specific binary). */
+  def jsonVariantEvents(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("event_type"), col("user_id"),
+        try_variant_get(parse_json(col("props")), "$.k", "bigint").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_with_k"), sum(col("k")).as("sum_k"),
+        countDistinct(pmod(col("k"), lit(7L))).as("n_k_mod7"))
+      .orderBy(col("event_type"))
+
   /** Approximate sketches: HLL++ distinct count + quantile summaries.
     * Estimator internals are engine-specific (no DuckDB oracle —
     * rows-only declared check); estimates are pinned against exact
@@ -490,6 +508,7 @@ object Relational {
     "scalar_date_orders" -> scalarDateOrders _,
     "json_props_events" -> jsonPropsEvents _,
     "json_parse_events" -> jsonParseEvents _,
+    "json_variant_events" -> jsonVariantEvents _,
     "agg_approx_orders" -> aggApproxOrders _, // rows-only: engine sketches
   )
 
@@ -728,5 +747,14 @@ object Relational {
         |  CAST(sum(k) AS BIGINT) AS sum_k,
         |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
         |FROM t GROUP BY 1 ORDER BY k_decile""".stripMargin,
+    "json_variant_events" ->
+      """WITH t AS (
+        |  SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type, count(k) AS n_with_k,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  CAST(count(DISTINCT k % 7) AS BIGINT) AS n_k_mod7
+        |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }
