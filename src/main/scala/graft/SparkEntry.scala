@@ -30,7 +30,9 @@ object SparkEntry {
       ops.Pipeline.queries ++
       ops.Curation.queries ++
       ops.RelationalExt.queries ++
-      ops.Tpch.queries
+      ops.Tpch.queries ++
+      ops.Layout.queries ++
+      sources.SourceQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -47,5 +49,7 @@ object SparkEntry {
       ops.Pipeline.oracleSql ++
       ops.Curation.oracleSql ++
       ops.RelationalExt.oracleSql ++
-      ops.Tpch.oracleSql
+      ops.Tpch.oracleSql ++
+      ops.Layout.oracleSql ++
+      sources.SourceQueries.oracleSql
 }

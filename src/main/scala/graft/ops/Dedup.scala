@@ -278,8 +278,38 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Containment near-dup pairs: C(A,B) = |A∩B| / min(|A|,|B|) over the
+    * same distinct 3-shingle sets as the Jaccard family. Containment is
+    * the quote/subset detector — a short document embedded verbatim in a
+    * longer one scores C≈1 while its Jaccard can be arbitrarily low, so
+    * the length-band and size-ratio prunes used by the Jaccard joins
+    * must NOT apply here (they would drop exactly the asymmetric pairs
+    * this operator exists to find). Same inverted-index shape: only
+    * pairs sharing ≥1 shingle ever materialize, |A∩B| comes from the
+    * pair-count aggregate, and min(|A|,|B|) rides along — no array ops.
+    * At corpus scale the hot-shingle df-cap + block-split of
+    * `dedupNgramJaccardCapped` applies unchanged (the pair generation is
+    * identical; only the final ratio differs). */
+  def dedupContainment(s: SparkSession, dir: String): DataFrame = {
+    val ex = shingled(documents(s, dir))
+      .select(col("doc_id"), size(col("shingles")).as("n_sh"),
+        explode(col("shingles")).as("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ex.as("a").join(ex.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.n_sh").as("a_n"), col("b.n_sh").as("b_n"))
+      .agg(count(lit(1)).as("n_inter"))
+      .select(col("a_id"), col("b_id"),
+        (col("n_inter").cast("double") /
+          least(col("a_n"), col("b_n")).cast("double")).as("containment"))
+      .filter(col("containment") >= 0.8)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact _,
+    "dedup_containment" -> dedupContainment _,
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "dedup_ngram_jaccard_prefix" -> dedupNgramJaccardPrefix _,
     // served from the shared materialized index (Indexes.nearDupPairs);
@@ -343,6 +373,19 @@ object Dedup {
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "dedup_containment" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(words[i:i+2], ' ')
+        |                   FOR i IN range(1, len(words) - 1)]) AS shingles
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+        |  WHERE len(words) >= 3)
+        |SELECT a_id, b_id, containment FROM (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+        |    CAST(least(len(a.shingles), len(b.shingles)) AS DOUBLE) AS containment
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |WHERE containment >= 0.8 ORDER BY a_id, b_id""".stripMargin,
     "dedup_ngram_jaccard" -> jaccardPairsSql,
     "dedup_ngram_jaccard_prefix" -> jaccardPairsSql, // prefix filter is lossless
     "dedup_minhash_lsh" -> jaccardPairsSql, // verified-LSH == brute force by design

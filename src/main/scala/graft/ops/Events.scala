@@ -32,6 +32,24 @@ object Events {
         col("event_type"), col("n_events"), col("value_cents"))
       .orderBy(col("window_start"), col("event_type"))
 
+  /** Hopping (sliding) 1-hour windows every 30 minutes — the overlap
+    * case `window(ts, size, slide)` exists for: each event lands in
+    * exactly size/slide = 2 windows, so window counts smooth across
+    * boundaries instead of cliff-edging at them. Spark's TimeWindow
+    * expands the assignment MAP-SIDE (a generate, not a join); rows
+    * widen 2× at the executor and then one shuffle aggregates — the
+    * same scale shape as tumbling, just with the ×(size/slide) fan-out
+    * priced in. */
+  def hoppingWindows(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(cents(col("value"))).as("value_cents"))
+      .select(unix_timestamp(col("w.start")).as("window_start"),
+        col("event_type"), col("n_events"), col("value_cents"))
+      .orderBy(col("window_start"), col("event_type"))
+
   /** Session windows (30-min inactivity gap) per user: gaps-and-islands
     * with lag + running sum — exactly Spark `session_window` semantics
     * (a gap of exactly 30:00 starts a new session), expressed so DuckDB
@@ -177,6 +195,7 @@ object Events {
     "events_interval_frame" -> intervalFrame _,
     "events_ab_test" -> abTestReadout _,
     "events_tumbling_windows" -> tumblingWindows _,
+    "events_hopping_windows" -> hoppingWindows _,
     "events_sessionize" -> sessionize _,
     "events_funnel" -> signupPurchaseFunnel _,
     "events_hourly_pivot" -> hourlyTypePivot _,
@@ -193,6 +212,17 @@ object Events {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts
         |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, event_id""".stripMargin,
+    "events_hopping_windows" ->
+      """WITH hops AS (SELECT unnest(range(0, 2)) AS h),
+        |assigned AS (
+        |  SELECT (epoch_us(ts) // 1800000000) * 1800 - h.h * 1800
+        |      AS window_start,
+        |    event_type, value
+        |  FROM events CROSS JOIN hops h)
+        |SELECT window_start, event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM assigned GROUP BY 1, 2
+        |ORDER BY window_start, event_type""".stripMargin,
     "events_tumbling_windows" ->
       """SELECT (epoch_us(ts) // 600000000) * 600 AS window_start, event_type,
         |  count(*) AS n_events,

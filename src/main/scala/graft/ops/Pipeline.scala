@@ -22,8 +22,23 @@ import graft.Tables._
   */
 object Pipeline {
 
-  def trainingMix(s: SparkSession, dir: String): DataFrame = {
-    val docs = documents(s, dir)
+  def trainingMix(s: SparkSession, dir: String): DataFrame =
+    trainingMixObserved(s, dir, None, None)
+
+  /** Same plan, optionally instrumented with `observe` metrics: input
+    * and output accounting (row counts, token sums) are computed AS the
+    * pipeline runs — accumulator-backed, zero extra scans, no second
+    * job. At 100 TB this is the only affordable way to answer "how many
+    * docs entered / survived this run": a separate count() pass would
+    * re-read the corpus. The declared query passes None/None (identical
+    * plan); PipelineObserveSpec pins the metrics against recomputation. */
+  def trainingMixObserved(s: SparkSession, dir: String,
+      obsIn: Option[org.apache.spark.sql.Observation],
+      obsOut: Option[org.apache.spark.sql.Observation]): DataFrame = {
+    val docsRaw = documents(s, dir)
+    val docs = obsIn.fold(docsRaw)(o => docsRaw.observe(o,
+      count(lit(1)).as("n_docs_in"),
+      sum(col("n_chars")).as("chars_in")))
     // 1. language gate
     val en = docs.filter(col("lang") === "en")
     // 2. quality gate: token-count band (the `text_quality` features)
@@ -44,11 +59,18 @@ object Pipeline {
       .select(col("b_id").as("doc_id")).distinct()
     val deduped = exact.join(nearDupLosers, Seq("doc_id"), "left_anti")
     // 5. deterministic 50% sample (LCG coin on doc_id — reproducible)
-    deduped
+    val sampled = deduped
       .filter(pmod((col("doc_id") * 1103515245L + 12345L) % 2147483647L,
         lit(100L)) < 50)
       .select(col("doc_id"), col("n_tokens"))
       .orderBy(col("doc_id"))
+    // the output observation sits ABOVE the sort: a global sort's
+    // range-partitioner runs a boundary-sampling pass that re-executes
+    // the segment between the sort and the previous shuffle — an
+    // observe inside that segment double-counts (measured: exactly 2×)
+    obsOut.fold(sampled)(o => sampled.observe(o,
+      count(lit(1)).as("n_docs_out"),
+      sum(col("n_tokens")).as("tokens_out")))
   }
 
   /** Deterministic data-mix up-sampling — the low-resource-language
@@ -131,7 +153,38 @@ object Pipeline {
     ).reduce(_.unionByName(_)).orderBy(col("rule"))
   }
 
+  /** Deterministic negative sampling for contrastive training pairs:
+    * each anchor document draws 4 pseudo-random negatives via an LCG
+    * step on (anchor·4 + slot) mod corpus size — reproducible in any
+    * engine (re-runs and the oracle select identical negatives, unlike
+    * engine RNG). Self-collisions (neg == anchor) are dropped; the
+    * final left-semi join against the corpus keeps the sampler honest
+    * under non-contiguous doc_ids (a gap'd id space just resamples).
+    *
+    * Scale: the corpus size is one broadcast scalar; candidate
+    * generation is a map-side explode (rows widen at the executor); the
+    * only shuffle is the semi-join on neg_id — and when the id space is
+    * known-contiguous that join is provably a no-op and is dropped,
+    * making the whole sampler map-only. Overflow-safe under ANSI for
+    * doc_id < ~5e8 (then switch the LCG to 128-bit or hash-fold). */
+  def pipelineNegativeSamples(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir).select(col("doc_id"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val cands = docs.crossJoin(broadcast(n))
+      .select(col("doc_id").as("anchor_id"),
+        explode(sequence(lit(0L), lit(3L))).as("slot"), col("n_docs"))
+      .withColumn("neg_id",
+        pmod(((col("anchor_id") * 4 + col("slot")) * 1103515245L + 12345L)
+          % 2147483647L, col("n_docs")))
+      .filter(col("neg_id") =!= col("anchor_id"))
+    cands
+      .join(docs.select(col("doc_id").as("neg_id")), Seq("neg_id"), "left_semi")
+      .select(col("anchor_id"), col("slot"), col("neg_id"))
+      .orderBy(col("anchor_id"), col("slot"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_negative_samples" -> pipelineNegativeSamples _,
     "pipeline_training_mix" -> trainingMix _,
     "pipeline_upsample_mix" -> pipelineUpsampleMix _,
     "rollup_reaggregate" -> rollupReaggregate _,
@@ -141,6 +194,18 @@ object Pipeline {
   // near-dup pairs: same brute-force formulation as Dedup.jaccardPairsSql
   // (the LSH result provably equals it); only the loser ids are needed
   val oracleSql: Map[String, String] = Map(
+    "pipeline_negative_samples" ->
+      """WITH n AS (SELECT count(*) AS n_docs FROM documents),
+        |slots AS (SELECT unnest(range(0, 4)) AS slot),
+        |c AS (
+        |  SELECT d.doc_id AS anchor_id, s.slot,
+        |    ((d.doc_id * 4 + s.slot) * 1103515245 + 12345)
+        |      % 2147483647 % n.n_docs AS neg_id
+        |  FROM documents d CROSS JOIN n CROSS JOIN slots s)
+        |SELECT anchor_id, slot, neg_id FROM c
+        |WHERE neg_id <> anchor_id
+        |  AND neg_id IN (SELECT doc_id FROM documents)
+        |ORDER BY anchor_id, slot""".stripMargin,
     "pipeline_upsample_mix" ->
       """WITH docs AS (
         |  SELECT doc_id, lang,

@@ -442,7 +442,80 @@ object RelationalExt {
       .orderBy(col("o_orderstatus"), col("o_orderpriority"))
   }
 
+  /** Bloom-prefiltered semi join — the runtime-row-level-filtering
+    * pattern (Spark's own InjectRuntimeFilter builds exactly this plan
+    * when it fires): aggregate the build side's join keys into a Bloom
+    * filter (a few KB regardless of build rows), materialize it at the
+    * driver — precisely what the optimizer's scalar subquery does at
+    * runtime — and probe `might_contain` on the big side BEFORE the
+    * exact join. At 100 TB the probe drops the vast majority of rows
+    * map-side, so the exact semi join shuffles only likely matches.
+    * Correctness does not depend on the Bloom hash at all: the filter
+    * has no false negatives, and false positives are removed by the
+    * exact semi join that follows — so the oracle is the plain semi
+    * join. `BloomFilterAggregate`/`BloomFilterMightContain` are not
+    * SQL-registered in Spark 4.1 (internal to InjectRuntimeFilter), so
+    * both are constructed directly, `might_contain`'s contract that the
+    * filter side be CONSTANT satisfied by the materialized literal.
+    * The optimizer-injected variant is exercised in RuntimeFilterSpec. */
+  def joinBloomPruned(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.ColumnBridge
+    val hi = orders(s, dir)
+      .filter(col("o_totalprice") > 480000.0)
+      .select(col("o_custkey"))
+    val bfBytes = hi.agg(ColumnBridge.column(
+        new BloomFilterAggregate(
+          ColumnBridge.expression(xxhash64(col("o_custkey"))),
+          Literal(10000L), Literal(80000L)).toAggregateExpression()).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val probe = ColumnBridge.column(BloomFilterMightContain(
+      Literal(bfBytes),
+      ColumnBridge.expression(xxhash64(col("c_custkey")))))
+    customer(s, dir)
+      .filter(probe)
+      .join(hi.withColumnRenamed("o_custkey", "c_custkey"),
+        Seq("c_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Group-wise argmax via `max_by` — "the row that achieved the max"
+    * without a self-join or window (one hash-aggregate, map-side
+    * partials carry the running champion). The ranking key is a
+    * composite integer cents·10⁷ + orderkey, unique because orderkey
+    * is — max_by over a tied key is engine-nondeterministic, so the
+    * declared surface only ever ranks by a total order. DuckDB's
+    * arg_max only takes scalar keys, hence the composite rather than a
+    * struct. */
+  def aggArgmaxOrders(s: SparkSession, dir: String): DataFrame = {
+    val comp = cents(col("o_totalprice")) * 10000000L + col("o_orderkey")
+    orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        max_by(col("o_orderkey"), comp).as("top_orderkey"),
+        max_by(cents(col("o_totalprice")), comp).as("top_cents"),
+        min_by(col("o_orderkey"), comp).as("bottom_orderkey"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Sketched heavy hitters: `approx_top_k` (Spark 4's frequent-items
+    * sketch) over event types. Rows-only by necessity — the sketch
+    * binary is engine-specific — with the exact-vs-sketch agreement
+    * pinned in RelationalSpec on a column whose cardinality (7 types)
+    * is far below the sketch capacity, where the estimate is exact. */
+  def aggApproxTopkEvents(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .agg(expr("approx_top_k(event_type, 5)").as("top"))
+      .select(explode(col("top")).as("e"))
+      .select(col("e.item").as("event_type"), col("e.count").as("n"))
+      .orderBy(col("n").desc, col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_argmax_orders" -> aggArgmaxOrders _,
+    "agg_approx_topk_events" -> aggApproxTopkEvents _, // rows-only: sketch
+    "join_bloom_pruned" -> joinBloomPruned _,
     "profile_orders" -> profileOrders _,
     "events_outliers" -> eventsOutliers _,
     "q8_market_share" -> q8MarketShare _,
@@ -474,6 +547,23 @@ object RelationalExt {
        |FROM orders""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "agg_argmax_orders" ->
+      """WITH o AS (
+        |  SELECT o_orderstatus, o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) * 10000000
+        |      + o_orderkey AS comp
+        |  FROM orders)
+        |SELECT o_orderstatus, count(*) AS n_orders,
+        |  arg_max(o_orderkey, comp) AS top_orderkey,
+        |  arg_max(cents, comp) AS top_cents,
+        |  arg_min(o_orderkey, comp) AS bottom_orderkey
+        |FROM o GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "join_bloom_pruned" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN
+        |  (SELECT o_custkey FROM orders WHERE o_totalprice > 480000)
+        |ORDER BY c_custkey""".stripMargin,
     "q15_top_supplier" ->
       """WITH rev AS (
         |  SELECT l_suppkey AS supplier_no,

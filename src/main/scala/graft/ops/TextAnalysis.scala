@@ -269,7 +269,85 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** Corpus-level collocation extraction: word bigrams ranked by lift =
+    * P(xy)/(P(x)P(y)) — the exponential of PMI, identically ranked, but
+    * computable with one exact integer product per side and a single
+    * IEEE double division (log() would differ in ulps across engines;
+    * the ratio is bit-identical). c_xy·N and c_x·c_y stay exact in Long
+    * at test scale; at 1e13-token scale the products overflow and the
+    * real pipeline switches to log-space PMI where cross-engine
+    * bit-parity is no longer required. Shape: two hash-aggregates
+    * (unigram, bigram counts — map-side partials do the heavy lifting),
+    * the scalar N rides a broadcast cross join, and the two
+    * unigram-attach joins shuffle only the (tiny) c_xy ≥ 5 survivors.
+    * Top-50 via TakeOrderedAndProject with a total-order tie-break. */
+  def textPmiCollocations(s: SparkSession, dir: String): DataFrame = {
+    val toks = documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+    val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = uni.agg(sum(col("c")).as("n"))
+    val bg = documents(s, dir)
+      .filter(size(split(col("text"), " ")) >= 2)
+      .select(explode(graft.functions.VectorExpressions
+        .wordShingles(col("text"), 2, distinct = false)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= 5)
+      .withColumn("w1", element_at(split(col("bigram"), " "), 1))
+      .withColumn("w2", element_at(split(col("bigram"), " "), 2))
+    bg.crossJoin(broadcast(n))
+      .join(uni.select(col("w").as("w1"), col("c").as("c_x")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c_y")), "w2")
+      .select(col("bigram"), col("c_xy"),
+        ((col("c_xy") * col("n")).cast("double") /
+          (col("c_x") * col("c_y")).cast("double")).as("lift"))
+      .orderBy(col("lift").desc, col("bigram").asc)
+      .limit(50)
+  }
+
+  /** Deterministic per-group sample: top-20 documents per language by
+    * md5(doc_id) order — a seeded shuffle both engines reproduce
+    * bit-identically (unlike engine RNG, which forces `sampleBy` to a
+    * rows-only check). One shuffle keyed by lang; at corpus scale a
+    * low-cardinality group key concentrates each language on one
+    * reducer, so the production shape pre-prunes with a per-partition
+    * hash-threshold pass (keep the ~k smallest digests per partition,
+    * then one tiny global window over ≤ k·partitions survivors). */
+  def textSamplePergroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+    documents(s, dir)
+      .select(col("lang"), col("doc_id"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 20)
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  /** Lexical-diversity quality metric without log(): the Simpson /
+    * collision index Σ c_i(c_i−1) / (n(n−1)) — the probability two
+    * sampled tokens coincide. High collision = repetitive boilerplate
+    * (the docs an entropy filter would drop), but unlike entropy the
+    * index is an exact integer ratio → one IEEE division, bit-identical
+    * in any engine. Shape: two hash-aggregates (token counts per doc,
+    * then per-doc sum) — both partial-aggregate-friendly, no joins. */
+  def textSimpsonDiversity(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"),
+        sum(col("c") * (col("c") - 1)).as("collisions"))
+      .filter(col("n") >= 2)
+      .select(col("doc_id"), col("n"), col("collisions"),
+        (col("collisions").cast("double") /
+          (col("n") * (col("n") - 1)).cast("double")).as("simpson_index"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_simpson_diversity" -> textSimpsonDiversity _,
+    "text_pmi_collocations" -> textPmiCollocations _,
+    "text_sample_pergroup" -> textSamplePergroup _,
     "text_chunk_overlap" -> textChunkOverlap _,
     "text_decontaminate" -> textDecontaminate _,
     "text_lm_quality" -> textLmQuality _,
@@ -285,6 +363,50 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "text_simpson_diversity" ->
+      """WITH tc AS (
+        |  SELECT doc_id, tok, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents)
+        |  GROUP BY doc_id, tok),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(sum(c * (c - 1)) AS BIGINT) AS collisions
+        |  FROM tc GROUP BY doc_id)
+        |SELECT doc_id, n, collisions,
+        |  CAST(collisions AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)
+        |    AS simpson_index
+        |FROM agg WHERE n >= 2 ORDER BY doc_id""".stripMargin,
+    "text_pmi_collocations" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS words FROM documents),
+        |toks AS (SELECT unnest(words) AS w FROM w),
+        |uni AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+        |n AS (SELECT sum(c) AS n FROM uni),
+        |bgx AS (
+        |  SELECT unnest([array_to_string(words[i:i+1], ' ')
+        |                 FOR i IN range(1, len(words))]) AS bigram
+        |  FROM w WHERE len(words) >= 2),
+        |bgc AS (
+        |  SELECT bigram, count(*) AS c_xy FROM bgx GROUP BY bigram
+        |  HAVING count(*) >= 5),
+        |parts AS (
+        |  SELECT bigram, c_xy,
+        |    string_split(bigram, ' ')[1] AS w1,
+        |    string_split(bigram, ' ')[2] AS w2
+        |  FROM bgc)
+        |SELECT bigram, c_xy,
+        |  CAST(c_xy * n.n AS DOUBLE) / CAST(u1.c * u2.c AS DOUBLE) AS lift
+        |FROM parts CROSS JOIN n
+        |JOIN uni u1 ON parts.w1 = u1.w
+        |JOIN uni u2 ON parts.w2 = u2.w
+        |ORDER BY lift DESC, bigram LIMIT 50""".stripMargin,
+    "text_sample_pergroup" ->
+      """SELECT lang, doc_id, rk FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
     "text_chunk_overlap" ->
       s"""WITH d AS (
          |  SELECT doc_id, string_split(text, ' ') AS toks,

@@ -57,6 +57,27 @@ class DedupSpec extends AnyFunSuite {
     assert(total === graft.Tables.documents(spark, dir).count())
   }
 
+  test("containment pairs equal a from-scratch all-pairs recomputation") {
+    val got = Dedup.dedupContainment(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // independent brute force: distinct 3-shingle sets in plain Scala
+    val docs = graft.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+      .filter(_._2.length >= 3)
+      .map { case (id, ws) => id -> ws.sliding(3).map(_.mkString(" ")).toSet }
+    val want = for {
+      (a, sa) <- docs; (b, sb) <- docs if a < b
+      c = (sa & sb).size.toDouble / math.min(sa.size, sb.size)
+      if c >= 0.8
+    } yield (a, b, c)
+    assert(got.toSet === want.toSet)
+    assert(got.nonEmpty)
+    // containment dominates Jaccard, so every Jaccard-0.8 pair is here;
+    // the operator's reason to exist is the asymmetric pairs beyond that
+    got.foreach { case (_, _, c) => assert(c >= 0.8 && c <= 1.0) }
+  }
+
   test("rolling fingerprint is deterministic and text-sensitive") {
     import graft.ops.TextAnalysis
     val fp1 = TextAnalysis.rollingFingerprint(Tables.documents(spark, dir))

@@ -20,6 +20,20 @@ class RelationalSpec extends AnyFunSuite {
     assert(math.abs(approx - exact) / exact < 0.05, s"exact=$exact approx=$approx")
   }
 
+  test("approx_top_k is exact when cardinality is below sketch capacity") {
+    // 7 event types << the k=5 sketch's internal capacity, so the top-5
+    // estimates must EQUAL the exact counts (the sketch only
+    // approximates past capacity) — pinning the declared rows-only query
+    val approx = graft.ops.RelationalExt.aggApproxTopkEvents(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val exact = Tables.events(spark, dir)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("event_type"))
+      .limit(5)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(approx.toSeq === exact.toSeq)
+  }
+
   test("from_json parses event props into a typed struct") {
     val schema = StructType(Seq(StructField("k", LongType)))
     val parsed = Tables.events(spark, dir)
