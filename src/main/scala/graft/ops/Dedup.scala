@@ -284,26 +284,57 @@ object Dedup {
     * longer one scores C≈1 while its Jaccard can be arbitrarily low, so
     * the length-band and size-ratio prunes used by the Jaccard joins
     * must NOT apply here (they would drop exactly the asymmetric pairs
-    * this operator exists to find). Same inverted-index shape: only
-    * pairs sharing ≥1 shingle ever materialize, |A∩B| comes from the
-    * pair-count aggregate, and min(|A|,|B|) rides along — no array ops.
-    * At corpus scale the hot-shingle df-cap + block-split of
-    * `dedupNgramJaccardCapped` applies unchanged (the pair generation is
-    * identical; only the final ratio differs). */
+    * this operator exists to find).
+    *
+    * Candidate generation is the overlap-prefix join for asymmetric
+    * thresholds: C ≥ t means |A∩B| ≥ ceil(t·|A|) for the SMALLER set A,
+    * so (prefix theorem, any global shingle order) the first
+    * |A| − ceil(t·|A|) + 1 rarest shingles of A must hit B — only the
+    * smaller side's ~20% prefix enters the join, the larger side keeps
+    * its full posting list (its prefix bound degenerates exactly
+    * because containment tolerates asymmetry). Candidates then get the
+    * exact |A∩B| via array_intersect, so the prune is lossless and the
+    * brute-force oracle is unchanged. Measured at sf0.1 the prefix form
+    * is at PARITY with the full index×index self-join (~9 s both): the
+    * df pass + per-doc rank window costs about what the join prune
+    * saves at 5k docs. The prefix shape is still the one that survives
+    * scale-up — full×full grows with Σ df², i.e. quadratically in every
+    * hot shingle's posting list, while the prefix side excludes hot
+    * shingles by construction (rarest-first order) and its join volume
+    * grows near-linearly; the window is one narrow (shingle, df, rank)
+    * shuffle. Same crossover economics as dedupNgramJaccard vs its
+    * prefix twin, which the corpus DOES show (2.6 s vs 2.7 s at sf0.1,
+    * 46× vs naive at the same scale). */
   def dedupContainment(s: SparkSession, dir: String): DataFrame = {
-    val ex = shingled(documents(s, dir))
-      .select(col("doc_id"), size(col("shingles")).as("n_sh"),
-        explode(col("shingles")).as("shingle"))
+    val t = 0.8
+    val sh = shingled(documents(s, dir))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    ex.as("a").join(ex.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        col("a.n_sh").as("a_n"), col("b.n_sh").as("b_n"))
-      .agg(count(lit(1)).as("n_inter"))
-      .select(col("a_id"), col("b_id"),
-        (col("n_inter").cast("double") /
-          least(col("a_n"), col("b_n")).cast("double")).as("containment"))
-      .filter(col("containment") >= 0.8)
+    val ex = sh.select(col("doc_id"), size(col("shingles")).as("n_sh"),
+      explode(col("shingles")).as("shingle"))
+    val dfreq = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("shingle").asc)
+    // prefix of the prospective SMALLER side only
+    val prefix = ex.join(dfreq, "shingle")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= col("n_sh") - ceil(col("n_sh") * t) + 1)
+      .select(col("doc_id"), col("n_sh"), col("shingle"))
+    // smaller-set side = prefix, larger side = full index; equal sizes
+    // tie-break on doc_id so each unordered pair materializes once
+    val candidates = prefix.as("a").join(ex.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          (col("a.n_sh") < col("b.n_sh") ||
+            (col("a.n_sh") === col("b.n_sh") && col("a.doc_id") < col("b.doc_id"))))
+      .select(col("a.doc_id").as("s_id"), col("b.doc_id").as("l_id"))
+      .dropDuplicates("s_id", "l_id")
+    candidates
+      .join(sh.select(col("doc_id").as("s_id"), col("shingles").as("s_sh")), "s_id")
+      .join(sh.select(col("doc_id").as("l_id"), col("shingles").as("l_sh")), "l_id")
+      .select(least(col("s_id"), col("l_id")).as("a_id"),
+        greatest(col("s_id"), col("l_id")).as("b_id"),
+        (size(array_intersect(col("s_sh"), col("l_sh"))).cast("double") /
+          least(size(col("s_sh")), size(col("l_sh"))).cast("double"))
+          .as("containment"))
+      .filter(col("containment") >= t)
       .orderBy(col("a_id"), col("b_id"))
   }
 

@@ -50,6 +50,35 @@ object Events {
         col("event_type"), col("n_events"), col("value_cents"))
       .orderBy(col("window_start"), col("event_type"))
 
+  /** Calendar gap-fill: daily per-type counts joined against a DENSE
+    * (event_type × day) spine so missing days surface as explicit
+    * zeros — what every downstream time-series consumer (charting,
+    * anomaly detection, resampling) assumes. The spine is generated,
+    * not stored: global min/max dates are one scalar aggregate
+    * broadcast into a map-side `sequence()` explode per type; the
+    * fill join is broadcast-able because the spine is |types|·|days|,
+    * tiny regardless of event volume. */
+  def eventsGapFill(s: SparkSession, dir: String): DataFrame = {
+    val all = events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+    val e = all.select(col("event_type"), col("day"))
+    // the filled metric is SPARSE (high-value events) while the spine
+    // spans all activity — so absent (type, day) cells really occur and
+    // the fill produces explicit zeros, not a vacuous left join
+    val daily = all.filter(col("value") > 190.0)
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val span = e.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val spine = e.select(col("event_type")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    spine.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** Session windows (30-min inactivity gap) per user: gaps-and-islands
     * with lag + running sum — exactly Spark `session_window` semantics
     * (a gap of exactly 30:00 starts a new session), expressed so DuckDB
@@ -196,6 +225,7 @@ object Events {
     "events_ab_test" -> abTestReadout _,
     "events_tumbling_windows" -> tumblingWindows _,
     "events_hopping_windows" -> hoppingWindows _,
+    "events_gap_fill" -> eventsGapFill _,
     "events_sessionize" -> sessionize _,
     "events_funnel" -> signupPurchaseFunnel _,
     "events_hourly_pivot" -> hourlyTypePivot _,
@@ -212,6 +242,24 @@ object Events {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts
         |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, event_id""".stripMargin,
+    "events_gap_fill" ->
+      """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day FROM events),
+        |daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events
+        |  FROM events WHERE value > 190
+        |  GROUP BY event_type, CAST(ts AS DATE)),
+        |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+        |spine AS (
+        |  SELECT t.event_type, CAST(g.day AS DATE) AS day
+        |  FROM (SELECT DISTINCT event_type FROM e) t
+        |  CROSS JOIN span
+        |  CROSS JOIN LATERAL (SELECT unnest(generate_series(span.d0, span.d1,
+        |    INTERVAL 1 DAY)) AS day) g)
+        |SELECT s.event_type, s.day,
+        |  CAST(coalesce(d.n_events, 0) AS BIGINT) AS n_events
+        |FROM spine s LEFT JOIN daily d
+        |  ON s.event_type = d.event_type AND s.day = d.day
+        |ORDER BY s.event_type, s.day""".stripMargin,
     "events_hopping_windows" ->
       """WITH hops AS (SELECT unnest(range(0, 2)) AS h),
         |assigned AS (

@@ -512,7 +512,40 @@ object RelationalExt {
       .select(col("e.item").as("event_type"), col("e.count").as("n"))
       .orderBy(col("n").desc, col("event_type"))
 
+  /** EXACT distinct counting via roaring-style bitmaps — the scale
+    * alternative to `count(DISTINCT)`'s expand-and-dedup shuffle: keys
+    * become (bucket, bit position), each (group, bucket) aggregates to
+    * one ≤4 KB bitmap map-side, and cardinality = sum of per-bucket
+    * bit counts. Unlike HLL this is exact, and the per-bucket bitmaps
+    * are MERGEABLE (`bitmap_or_agg`) — the incremental-rollup shape:
+    * daily bitmaps OR-merge into monthly distincts with no re-scan,
+    * which `count(DISTINCT)` fundamentally cannot do. The oracle is
+    * plain `count(DISTINCT)` — same answer, different machinery. */
+  def aggBitmapDistinct(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .groupBy(col("o_orderstatus"),
+        expr("bitmap_bucket_number(o_custkey)").as("bucket"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))").as("bm"))
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(expr("bitmap_count(bm)")).as("n_distinct_cust"))
+      .orderBy(col("o_orderstatus"))
+
+  /** UNPIVOT (melt) — the inverse of the pivot pair: wide metric
+    * columns become (key, metric, value) rows. Map-side expand, no
+    * shuffle at all; value columns are cast to one type up front (the
+    * operator's only requirement). */
+  def unpivotOrderMetrics(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .select(col("o_orderkey"),
+        cents(col("o_totalprice")).as("price_cents"),
+        col("o_custkey").as("custkey"))
+      .unpivot(Array(col("o_orderkey")),
+        Array(col("price_cents"), col("custkey")), "metric", "val")
+      .orderBy(col("o_orderkey"), col("metric"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_bitmap_distinct" -> aggBitmapDistinct _,
+    "unpivot_order_metrics" -> unpivotOrderMetrics _,
     "agg_argmax_orders" -> aggArgmaxOrders _,
     "agg_approx_topk_events" -> aggApproxTopkEvents _, // rows-only: sketch
     "join_bloom_pruned" -> joinBloomPruned _,
@@ -547,6 +580,16 @@ object RelationalExt {
        |FROM orders""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "agg_bitmap_distinct" ->
+      """SELECT o_orderstatus,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct_cust
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "unpivot_order_metrics" ->
+      """SELECT o_orderkey, 'price_cents' AS metric,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS val FROM orders
+        |UNION ALL
+        |SELECT o_orderkey, 'custkey', o_custkey FROM orders
+        |ORDER BY o_orderkey, metric""".stripMargin,
     "agg_argmax_orders" ->
       """WITH o AS (
         |  SELECT o_orderstatus, o_orderkey,
