@@ -332,7 +332,50 @@ object Curation {
       .orderBy(col("p_size"))
   }
 
+  /** Cross-source near-dup overlap — provenance analytics over the
+    * shared pair index: how many near-dup pairs straddle each pair of
+    * sources (unordered, so (src1, src2) == (src2, src1)). High
+    * off-diagonal counts mean two crawls scraped the same site; high
+    * diagonal means a source self-duplicates — the report that decides
+    * which source to drop before paying for full dedup. Pair set comes
+    * from the materialized index; the two doc_id→source attaches are
+    * broadcast-able (pairs ≪ corpus) and the final aggregate is
+    * |sources|² cells. */
+  def dedupSourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val src = documents(s, dir).select(col("doc_id"), col("source"))
+    Indexes.nearDupPairs(s, dir).select(col("a_id"), col("b_id"))
+      .join(src.select(col("doc_id").as("a_id"), col("source").as("src_a")), "a_id")
+      .join(src.select(col("doc_id").as("b_id"), col("source").as("src_b")), "b_id")
+      .select(least(col("src_a"), col("src_b")).as("source_1"),
+        greatest(col("src_a"), col("src_b")).as("source_2"))
+      .groupBy(col("source_1"), col("source_2"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("source_1"), col("source_2"))
+  }
+
+  /** Per-source corpus profile: volume, language spread, and near-dup
+    * exposure (docs appearing in ≥1 near-dup pair) — the per-provider
+    * scorecard of a multi-source training corpus. One scan of
+    * `documents` plus the (tiny) pair index; exact integer/ratio math
+    * only. */
+  def profileSources(s: SparkSession, dir: String): DataFrame = {
+    val dupDocs = Indexes.nearDupPairs(s, dir)
+      .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
+      .distinct()
+      .withColumn("is_dup", lit(1L))
+    documents(s, dir)
+      .join(broadcast(dupDocs), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_docs"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_source_overlap" -> dedupSourceOverlap _,
+    "profile_sources" -> profileSources _,
     "dedup_levenshtein_names" -> dedupLevenshteinNames _,
     "dedup_clusters" -> dedupClusters _,
     "pipeline_cluster_dedup" -> pipelineClusterDedup _,
@@ -508,7 +551,46 @@ object Curation {
       |  CAST(len(list_filter(q8, x -> abs(x) >= 127)) AS BIGINT) AS n_saturated
       |FROM q8 ORDER BY vec_id""".stripMargin
 
+  private val jaccardPairsCte =
+    """sh AS (
+      |  SELECT doc_id, n_chars,
+      |    list_distinct([array_to_string(words[i:i+2], ' ')
+      |                   FOR i IN range(1, len(words) - 1)]) AS shingles
+      |  FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS words
+      |        FROM documents)
+      |  WHERE len(words) >= 3),
+      |pairs AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM sh a JOIN sh b
+      |    ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 100
+      |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+      |        CAST(len(list_distinct(list_concat(a.shingles, b.shingles)))
+      |          AS DOUBLE) >= 0.5)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "dedup_source_overlap" ->
+      s"""WITH $jaccardPairsCte
+         |SELECT least(da.source, db.source) AS source_1,
+         |  greatest(da.source, db.source) AS source_2,
+         |  count(*) AS n_pairs
+         |FROM pairs p
+         |JOIN documents da ON p.a_id = da.doc_id
+         |JOIN documents db ON p.b_id = db.doc_id
+         |GROUP BY source_1, source_2
+         |ORDER BY source_1, source_2""".stripMargin,
+    "profile_sources" ->
+      s"""WITH $jaccardPairsCte,
+         |dup AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT a_id AS doc_id FROM pairs
+         |    UNION ALL SELECT b_id FROM pairs))
+         |SELECT d.source, count(*) AS n_docs,
+         |  CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
+         |  CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs,
+         |  CAST(sum(CASE WHEN dup.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS n_dup_docs
+         |FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "dedup_levenshtein_names" ->
       """WITH pairs AS (
         |  SELECT a.p_size, levenshtein(a.p_name, b.p_name) AS lev

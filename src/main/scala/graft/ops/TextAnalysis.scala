@@ -344,7 +344,30 @@ object TextAnalysis {
           (col("n") * (col("n") - 1)).cast("double")).as("simpson_index"))
       .orderBy(col("doc_id"))
 
+  /** Frequency-ranked vocabulary build — the word↔id dictionary every
+    * embedding/LM training run starts from. Token counts are one
+    * hash-aggregate; the top-K cut runs as TakeOrderedAndProject
+    * (executor-side partial top-K, no global sort of the full vocab);
+    * only the K survivors see the single-partition ranking window,
+    * which is exactly when a global window is legitimate — the input
+    * is bounded by construction, not by luck. Ids are dense, 1-based,
+    * deterministic (count desc, token asc — a total order). At an
+    * unbounded vocab the id assignment switches to sort + per-partition
+    * offsets (zipWithIndex shape); for top-K this IS the scale path. */
+  def textVocabBuild(s: SparkSession, dir: String): DataFrame = {
+    val counts = documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    val top = counts.orderBy(col("n").desc, col("token").asc).limit(1000)
+    top.withColumn("vocab_id",
+        row_number().over(Window.orderBy(col("n").desc, col("token").asc))
+          .cast("long"))
+      .select(col("vocab_id"), col("token"), col("n"))
+      .orderBy(col("vocab_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_vocab_build" -> textVocabBuild _,
     "text_simpson_diversity" -> textSimpsonDiversity _,
     "text_pmi_collocations" -> textPmiCollocations _,
     "text_sample_pergroup" -> textSamplePergroup _,
@@ -363,6 +386,16 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "text_vocab_build" ->
+      """WITH c AS (
+        |  SELECT token, count(*) AS n FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY token),
+        |top AS (SELECT token, n FROM c ORDER BY n DESC, token LIMIT 1000)
+        |SELECT CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT)
+        |    AS vocab_id,
+        |  token, n
+        |FROM top ORDER BY vocab_id""".stripMargin,
     "text_simpson_diversity" ->
       """WITH tc AS (
         |  SELECT doc_id, tok, count(*) AS c FROM (
