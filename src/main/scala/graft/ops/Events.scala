@@ -79,6 +79,30 @@ object Events {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** First-order Markov transition matrix over per-user event streams:
+    * P(next event type | current) — the behavioral n-gram model behind
+    * next-action prediction and funnel-drop analysis. One lag window
+    * per user (single shuffle on user_id, same as sessionize), then a
+    * |types|² aggregate; the probability is count/row-total as one
+    * exact integer ratio per cell (share-of-total window over the
+    * from_type partition, no second shuffle — from_type is a prefix of
+    * the aggregate key). */
+  def eventsMarkovTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .select(col("event_type").as("from_type"), col("to_type"))
+    val counts = pairs.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = Window.partitionBy(col("from_type"))
+    counts
+      .withColumn("p",
+        col("n").cast("double") / sum(col("n")).over(tot).cast("double"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   /** Session windows (30-min inactivity gap) per user: gaps-and-islands
     * with lag + running sum — exactly Spark `session_window` semantics
     * (a gap of exactly 30:00 starts a new session), expressed so DuckDB
@@ -226,6 +250,7 @@ object Events {
     "events_tumbling_windows" -> tumblingWindows _,
     "events_hopping_windows" -> hoppingWindows _,
     "events_gap_fill" -> eventsGapFill _,
+    "events_markov_transitions" -> eventsMarkovTransitions _,
     "events_sessionize" -> sessionize _,
     "events_funnel" -> signupPurchaseFunnel _,
     "events_hourly_pivot" -> hourlyTypePivot _,
@@ -242,6 +267,19 @@ object Events {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts
         |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, event_id""".stripMargin,
+    "events_markov_transitions" ->
+      """WITH p AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (
+        |  SELECT from_type, to_type, count(*) AS n FROM p
+        |  WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+        |SELECT from_type, to_type, n,
+        |  CAST(n AS DOUBLE) /
+        |    CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
     "events_gap_fill" ->
       """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day FROM events),
         |daily AS (

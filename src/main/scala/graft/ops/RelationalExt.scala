@@ -543,7 +543,34 @@ object RelationalExt {
         Array(col("price_cents"), col("custkey")), "metric", "val")
       .orderBy(col("o_orderkey"), col("metric"))
 
+  /** Robust outlier detection via MAD (median absolute deviation) —
+    * the heavy-tail-safe sibling of the z-score query: mean/stddev are
+    * themselves dragged by the outliers they're meant to flag, medians
+    * are not. Two grouped exact `percentile` passes (bit-identical to
+    * DuckDB quantile_cont — the agg_median parity rule), the per-group
+    * medians broadcast back between them; flags |x − med| > 3·MAD.
+    * Same single shuffle key serves both passes and the final count. */
+  def eventsAnomalyMad(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+      .select(col("event_type"), cents(col("value")).as("vc"))
+    val med = e.groupBy(col("event_type"))
+      .agg(expr("percentile(vc, 0.5)").as("med"), count(lit(1)).as("n"))
+    val dev = e.join(broadcast(med), Seq("event_type"))
+      .select(col("event_type"), col("n"), col("med"),
+        abs(col("vc").cast("double") - col("med")).as("absdev"))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(expr("percentile(absdev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"), max(col("med")).as("median_vc"),
+        max(col("mad")).as("mad"),
+        sum(when(col("absdev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_anomaly_mad" -> eventsAnomalyMad _,
     "agg_bitmap_distinct" -> aggBitmapDistinct _,
     "unpivot_order_metrics" -> unpivotOrderMetrics _,
     "agg_argmax_orders" -> aggArgmaxOrders _,
@@ -580,6 +607,27 @@ object RelationalExt {
        |FROM orders""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "events_anomaly_mad" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events),
+        |med AS (
+        |  SELECT event_type, quantile_cont(vc, 0.5) AS med,
+        |    count(*) AS n
+        |  FROM e GROUP BY event_type),
+        |dev AS (
+        |  SELECT e.event_type, med.n, med.med,
+        |    abs(CAST(e.vc AS DOUBLE) - med.med) AS absdev
+        |  FROM e JOIN med ON e.event_type = med.event_type),
+        |mad AS (
+        |  SELECT event_type, quantile_cont(absdev, 0.5) AS mad
+        |  FROM dev GROUP BY event_type)
+        |SELECT dev.event_type, max(dev.n) AS n, max(dev.med) AS median_vc,
+        |  max(mad.mad) AS mad,
+        |  CAST(sum(CASE WHEN dev.absdev > 3.0 * mad.mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM dev JOIN mad ON dev.event_type = mad.event_type
+        |GROUP BY dev.event_type ORDER BY dev.event_type""".stripMargin,
     "agg_bitmap_distinct" ->
       """SELECT o_orderstatus,
         |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct_cust
