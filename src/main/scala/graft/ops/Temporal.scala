@@ -150,7 +150,37 @@ object Temporal {
       .orderBy(col("event_type"), col("hour"))
   }
 
+  /** Non-equi interval self-join made linear by TIME BUCKETING — the
+    * scale form of a range join with NO equi key (the equi-keyed case,
+    * `events_range_pairs`, shuffles on user_id; this one has nothing to
+    * shuffle on until we make a key): bucket time into window-width
+    * cells, explode the LEFT side into its bucket ±1, and equi-join on
+    * the bucket. Any pair within W must land in the same or adjacent
+    * cell, so candidates are complete; each qualifying pair matches on
+    * exactly ONE of the left side's three bucket values (the right
+    * side's single bucket), so no dedup pass is needed. Join volume is
+    * Σ per-bucket n², bounded by time density — not the n² of the
+    * naive cross join the same predicate would otherwise plan as
+    * (BroadcastNestedLoopJoin). Purchases within 60 s of each other. */
+  def eventsRangeBucketed(s: SparkSession, dir: String): DataFrame = {
+    val W = 60000000L // 60 s in µs
+    val p = events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("bucket", floor(col("us") / W))
+    val probe = p.withColumn("jb",
+      explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)))
+    probe.as("a").join(p.as("b"),
+        col("a.jb") === col("b.bucket") &&
+          col("a.event_id") < col("b.event_id") &&
+          abs(col("a.us") - col("b.us")) <= W)
+      .select(col("a.event_id").as("a_id"), col("b.event_id").as("b_id"),
+        abs(col("a.us") - col("b.us")).as("gap_us"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_range_bucketed" -> eventsRangeBucketed _,
     "events_asof_attribution" -> eventsAsofAttribution _,
     "events_range_pairs" -> eventsRangePairs _,
     "events_resample_locf" -> eventsResampleLocf _,
@@ -158,6 +188,15 @@ object Temporal {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "events_range_bucketed" ->
+      """WITH p AS (
+        |  SELECT event_id, epoch_us(ts) AS us FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT a.event_id AS a_id, b.event_id AS b_id,
+        |  abs(a.us - b.us) AS gap_us
+        |FROM p a JOIN p b
+        |  ON a.event_id < b.event_id AND abs(a.us - b.us) <= 60000000
+        |ORDER BY a_id, b_id""".stripMargin,
     "events_asof_attribution" ->
       """WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us FROM events)
         |SELECT p.event_id, p.user_id, p.us,

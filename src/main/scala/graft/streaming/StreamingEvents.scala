@@ -37,6 +37,19 @@ object StreamingEvents {
       .select(unix_timestamp(col("window.start")).as("window_start"),
         col("event_type"), col("n_events"))
 
+  /** Streaming HOPPING windows (1 h size, 30 min slide): each event
+    * lands in 2 windows map-side before the stateful aggregate; state
+    * per key lives until the watermark passes the window end, exactly
+    * as tumbling — the ×(size/slide) fan-out only widens the update
+    * stream, not the state retention. */
+  def hoppingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "20 minutes")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_timestamp(col("window.start")).as("window_start"),
+        col("event_type"), col("n_events"))
+
   /** Streaming session windows via the built-in session_window (gap
     * 30 min) — Spark merges/extends sessions in state. */
   def sessionCounts(events: DataFrame): DataFrame =

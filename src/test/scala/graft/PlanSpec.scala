@@ -159,6 +159,28 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Generate"), s"no generator in:\n$p")
   }
 
+  test("unpivot is a map-side expand: no Exchange before the final sort") {
+    val p = plan(ops.RelationalExt.unpivotOrderMetrics(spark, dir))
+    // the only exchange is the terminal orderBy's range partitioning
+    assert(countNodes(p, "Exchange") === 1, s"plan:\n$p")
+    assert(p.contains("Expand") || p.contains("Generate"), s"plan:\n$p")
+  }
+
+  test("gap-fill: the dense spine joins broadcast (spine is tiny by construction)") {
+    val p = plan(ops.Events.eventsGapFill(spark, dir))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"plan:\n$p")
+  }
+
+  test("bloom-pruned join: might_contain probe filters BEFORE the exact semi join") {
+    val p = plan(ops.RelationalExt.joinBloomPruned(spark, dir))
+    assert(p.contains("might_contain"), s"plan:\n$p")
+    // probe must sit in a Filter below the join, not above it
+    val probeAt = p.indexOf("might_contain")
+    val joinAt = p.indexOf("Join")
+    assert(probeAt >= 0 && joinAt >= 0)
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipelines") {
     val df = ops.Relational.q6RevenueFilter(spark, dir)
     df.collect() // AQE finalizes the executed plan only after execution

@@ -33,6 +33,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("streaming hopping counts (complete mode) == batch hopping windows") {
+    val stream = StreamingEvents.readEventsStream(spark, eventsPath)
+    StreamingEvents.runToMemory(StreamingEvents.hoppingCounts(stream),
+      "stream_hopping", OutputMode.Complete)
+    val streamed = spark.table("stream_hopping").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val batch = graft.ops.Events.hoppingWindows(spark, dir)
+      .select("window_start", "event_type", "n_events").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+  }
+
   test("streaming dedup + count (complete mode) == batch counts (ids are unique)") {
     val stream = StreamingEvents.readEventsStream(spark, eventsPath)
     StreamingEvents.runToMemory(StreamingEvents.dedupEvents(stream),
