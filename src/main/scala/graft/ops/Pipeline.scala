@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
@@ -183,7 +184,31 @@ object Pipeline {
       .orderBy(col("anchor_id"), col("slot"))
   }
 
+  /** Deterministic epoch shuffle — the last stage of a training-data
+    * pipeline: each epoch permutes the corpus by a seeded hash so (a)
+    * every worker can recompute its shard's order independently with no
+    * coordination, and (b) a re-run (or a resumed job) sees the SAME
+    * permutation. Shard = md5 prefix mod n_shards, position = rank of
+    * the md5 within the shard — a different epoch seed yields an
+    * uncorrelated permutation. Map-side keying + one bounded window
+    * per shard (shards are the parallel unit, so per-shard ranking is
+    * exactly the work each trainer does locally at 100 TB). */
+  def pipelineEpochShuffle(s: SparkSession, dir: String): DataFrame = {
+    val epoch = 1
+    val shards = 8L
+    val key = md5(concat(col("doc_id").cast("string"), lit(s":$epoch")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("key"), col("doc_id"))
+    documents(s, dir)
+      .select(col("doc_id"), key.as("key"))
+      .withColumn("shard",
+        pmod(conv(substring(col("key"), 1, 8), 16, 10).cast("long"), lit(shards)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_epoch_shuffle" -> pipelineEpochShuffle _,
     "pipeline_negative_samples" -> pipelineNegativeSamples _,
     "pipeline_training_mix" -> trainingMix _,
     "pipeline_upsample_mix" -> pipelineUpsampleMix _,
@@ -194,6 +219,18 @@ object Pipeline {
   // near-dup pairs: same brute-force formulation as Dedup.jaccardPairsSql
   // (the LSH result provably equals it); only the loser ids are needed
   val oracleSql: Map[String, String] = Map(
+    "pipeline_epoch_shuffle" ->
+      """WITH k AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':1') AS key
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, key,
+        |    ('0x' || substr(key, 1, 8))::BIGINT % 8 AS shard
+        |  FROM k)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id)
+        |    AS BIGINT) AS pos
+        |FROM sh ORDER BY shard, pos""".stripMargin,
     "pipeline_negative_samples" ->
       """WITH n AS (SELECT count(*) AS n_docs FROM documents),
         |slots AS (SELECT unnest(range(0, 4)) AS slot),

@@ -161,9 +161,9 @@ object Temporal {
     * side's single bucket), so no dedup pass is needed. Join volume is
     * Σ per-bucket n², bounded by time density — not the n² of the
     * naive cross join the same predicate would otherwise plan as
-    * (BroadcastNestedLoopJoin). Purchases within 60 s of each other. */
+    * (BroadcastNestedLoopJoin). Purchases within 10 min of each other. */
   def eventsRangeBucketed(s: SparkSession, dir: String): DataFrame = {
-    val W = 60000000L // 60 s in µs
+    val W = 600000000L // 10 min in µs
     val p = events(s, dir)
       .filter(col("event_type") === "purchase")
       .select(col("event_id"), unix_micros(col("ts")).as("us"))
@@ -195,7 +195,7 @@ object Temporal {
         |SELECT a.event_id AS a_id, b.event_id AS b_id,
         |  abs(a.us - b.us) AS gap_us
         |FROM p a JOIN p b
-        |  ON a.event_id < b.event_id AND abs(a.us - b.us) <= 60000000
+        |  ON a.event_id < b.event_id AND abs(a.us - b.us) <= 600000000
         |ORDER BY a_id, b_id""".stripMargin,
     "events_asof_attribution" ->
       """WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us FROM events)
