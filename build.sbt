@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Fast suite (<10 min even on the storm-prone host): everything except
+// the handful of minutes-long exhaustive tests tagged graft.Slow (full
+// 14-col powerset cube golden, all-queries smoke, randomized
+// mode-equivalence). `sbt test` still runs everything.
+addCommandAlias("fastTest", "testOnly * -- -l graft.Slow")
 // The bench/verify driver scrapes the LAST stdout line for the JSON
 // result. Two sbt behaviors break that: the "[success] Total time"
 // footer printed after the forked process exits, and the "[info] "

@@ -11,7 +11,15 @@ import org.apache.spark.sql.SparkSession
   * Queries are executed via the `noop` sink, not `.count()`: a count lets
   * Catalyst's EliminateSorts drop a terminal orderBy, under-timing every
   * sort-terminated query. The noop write runs the FULL plan (including
-  * final sorts) and discards rows executor-side — no driver collect. */
+  * final sorts) and discards rows executor-side — no driver collect.
+  *
+  * Storm-resilient (r4's driver bench died rc=124 with nothing parseable
+  * behind): the output file is REWRITTEN after every query with the
+  * results so far ("partial":true until the loop completes), so a
+  * mid-run kill still leaves a valid JSON with every finished query's
+  * time; and each query runs under the same cancellable wall-clock
+  * budget as Verify (SPARK_GRAFT_QUERY_TIMEOUT_SEC, default 300 s at
+  * bench SF) — an overrun records -1 for that query and moves on. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -41,26 +49,38 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val picked = only.fold(SparkEntry.queries)(ks =>
       SparkEntry.queries.filter { case (k, _) => ks(k) })
-    val results = picked.map { case (name, _) =>
+    // locale-safe fixed-point (the f"" interpolator honors the default
+    // locale and can emit a comma decimal separator)
+    def fmt(v: Double): String = (math.round(v * 1000) / 1000.0).toString
+    def entry(kv: (String, Double)): String = "\"" + kv._1 + "\":" + fmt(kv._2)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+    def jsonWith(qs: String, total: Double, partial: Boolean): String =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","method":"single_run","partial":$partial,"queries":$qs,"sf":"$sfDir"}"""
+    def writeOut(results: Seq[(String, Double)], partial: Boolean): String = {
+      // timeouts carry -1 in the per-query map but don't poison the total
+      val total = results.collect { case (_, s) if s >= 0 => s }.sum
+      val full = jsonWith(
+        results.map(entry).mkString("{", ",", "}"), total, partial)
+      try Files.writeString(Paths.get(outPath), full + "\n")
+      catch { case e: Throwable => System.err.println(s"[bench] write failed: $e") }
+      full
+    }
+    val budget = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "300").toLong
+    val acc = new scala.collection.mutable.ArrayBuffer[(String, Double)]
+    picked.foreach { case (name, _) =>
       // drop persisted intermediates from the previous query: leaked
       // caches otherwise pile up across 80+ queries and evict/spill
       // later queries' working sets (measured as ±2 s per-query jitter)
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      try run(name) catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+      val status = Verify.runBudgeted(spark, name, budget) { run(name) }
+      val sec = (System.nanoTime() - t0) / 1e9
+      acc += name -> (if (status == "timeout") -1.0 else sec)
+      if (status != "ok") System.err.println(s"[bench] $name: $status")
+      writeOut(acc.toSeq, partial = true) // survive a mid-run kill
     }
-    // locale-safe fixed-point (the f"" interpolator honors the default
-    // locale and can emit a comma decimal separator)
-    def fmt(v: Double): String = (math.round(v * 1000) / 1000.0).toString
-    def entry(kv: (String, Double)): String = "\"" + kv._1 + "\":" + fmt(kv._2)
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    def jsonWith(qs: String): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    val full = jsonWith(results.map(entry).mkString("{", ",", "}"))
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
-    try Files.writeString(Paths.get(outPath), full + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] write failed: $e") }
+    val full = writeOut(acc.toSeq, partial = false)
+    val results = acc.toMap
     // The driver scrapes only the LAST 2000 bytes of stdout; the full
     // per-query map for 90+ queries overflows that window and the JSON
     // line becomes unparseable (BENCH_r02/r03 "parsed": null). Print a
@@ -70,17 +90,20 @@ object Bench {
     val line =
       if (full.length <= 1800) full
       else {
+        val total = results.values.filter(_ >= 0).sum
         val slowestFirst = results.toSeq.sortBy(-_._2).map(entry)
         val kept = new scala.collection.mutable.ArrayBuffer[String]
-        var used = 200 // envelope + sf path + omitted-count slack
+        var used = 230 // envelope + sf path + omitted-count slack
         for (e <- slowestFirst if used + e.length + 1 <= 1800) {
           kept += e; used += e.length + 1
         }
         val qs = (kept :+ ("\"_omitted\":" + (results.size - kept.size)))
           .mkString("{", ",", "}")
-        jsonWith(qs)
+        jsonWith(qs, total, partial = false)
       }
-    spark.stop()
-    println(line)
+    // bounded stop + halt (see Verify.stopAndHalt scaladoc); the JSON
+    // line must still be the process's last stdout output, so it prints
+    // from the exit hook after stop but before halt.
+    Verify.stopAndHalt(spark, () => println(line))
   }
 }

@@ -379,6 +379,90 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** Prefix-filter extraction for set-similarity joins in one compiled
+    * pass: order the shingle set by (is_hot, xxhash64, value) — hot
+    * shingles LAST so df-capped posting lists never enter a prefix,
+    * everything else in a fixed pseudo-random order — and return the
+    * first |S| − ceil(t·|S|) + 1 elements. Replaces a
+    * transform→array_sort→transform→slice HOF chain whose interpreted
+    * per-element lambdas measured ~8 s alone at sf0.1 (the same
+    * HOF-vs-native gap as WordShingles). Hash values come from Spark's
+    * own XxHash64Function (seed 42, the `xxhash64` builtin), so the
+    * order is bit-identical to the HOF form it replaces (equivalence
+    * pinned in VectorExpressionsSpec). `hot` is expected df-capped tiny
+    * (it rides a broadcast); the per-row set build is O(|hot|). */
+  case class HashOrderPrefix(left: Expression, right: Expression, t: Double)
+      extends BinaryExpression {
+    require(t > 0.0 && t <= 1.0)
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = left.nullable || right.nullable
+
+    private def requireStringArray(dt: DataType): TypeCheckResult = dt match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"hash_order_prefix requires array<string> input, got ${other.catalogString}")
+    }
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireStringArray(left.dataType) match {
+        case TypeCheckResult.TypeCheckSuccess => requireStringArray(right.dataType)
+        case fail => fail
+      }
+
+    def compute(shinglesArr: ArrayData, hotArr: ArrayData): ArrayData = {
+      import org.apache.spark.unsafe.types.UTF8String
+      val n = shinglesArr.numElements()
+      val k = (n - math.ceil(n * t).toLong + 1).toInt
+      if (n == 0 || k <= 0) return new GenericArrayData(Array.empty[Any])
+      val hot = new java.util.HashSet[UTF8String](math.max(8, hotArr.numElements() * 2))
+      var i = 0
+      while (i < hotArr.numElements()) {
+        if (!hotArr.isNullAt(i)) hot.add(hotArr.getUTF8String(i))
+        i += 1
+      }
+      val strs = new Array[UTF8String](n)
+      val keys = new Array[Long](n)
+      val isHot = new Array[Boolean](n)
+      var m = 0 // null elements are skipped
+      i = 0
+      while (i < n) {
+        if (!shinglesArr.isNullAt(i)) {
+          val s = shinglesArr.getUTF8String(i)
+          strs(m) = s
+          keys(m) = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+            .hash(s, StringType, 42L)
+          isHot(m) = hot.contains(s)
+          m += 1
+        }
+        i += 1
+      }
+      val idx = Array.tabulate[Integer](m)(Integer.valueOf)
+      java.util.Arrays.sort(idx, (a: Integer, b: Integer) => {
+        val ha = isHot(a); val hb = isHot(b)
+        if (ha != hb) { if (ha) 1 else -1 }
+        else {
+          val c = java.lang.Long.compare(keys(a), keys(b))
+          if (c != 0) c else strs(a).compareTo(strs(b))
+        }
+      })
+      val take = math.min(k, m)
+      val out = new Array[Any](take)
+      i = 0
+      while (i < take) { out(i) = strs(idx(i)); i += 1 }
+      new GenericArrayData(out)
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("prefixer", this, classOf[HashOrderPrefix].getName)
+      nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
   def dotLongs(a: Column, b: Column): Column =
     ColumnBridge.column(LongArrayDot(ColumnBridge.expression(a),
       ColumnBridge.expression(b)))
@@ -395,4 +479,8 @@ object VectorExpressions {
 
   def xxhashModArray(c: Column, p: Long): Column =
     ColumnBridge.column(XxHashModArray(ColumnBridge.expression(c), p))
+
+  def hashOrderPrefix(shingles: Column, hot: Column, t: Double): Column =
+    ColumnBridge.column(HashOrderPrefix(
+      ColumnBridge.expression(shingles), ColumnBridge.expression(hot), t))
 }

@@ -166,8 +166,19 @@ object Curation {
 
   /** Iteration core over an undirected pair list (a_id, b_id) — exposed
     * for the hand-computed-graph spec. Returns (node, rank) after
-    * `rounds` rounds in integer rank-units. */
-  def pagerankFromPairs(pairs: DataFrame, rounds: Int): DataFrame = {
+    * `rounds` rounds in integer rank-units.
+    *
+    * Every iterative dataflow on Spark needs two guards or round N
+    * costs N× round 1: (a) PERSIST each round's ranks and unpersist the
+    * previous round's, else the lazy plan re-runs every prior round per
+    * reference; (b) CHECKPOINT periodically (localCheckpoint every
+    * `checkpointEvery` rounds), else the logical plan itself grows
+    * linearly and analysis/codegen time comes to dominate — the
+    * classic unbounded-lineage failure. With both, per-round cost is
+    * flat: one (node, contrib) shuffle keyed by dst (asserted flat for
+    * rounds=20 in CurationSpec). */
+  def pagerankFromPairs(pairs: DataFrame, rounds: Int,
+      checkpointEvery: Int = 5): DataFrame = {
     val edges = pairs
       .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .select(col("a_id").as("src"), col("b_id").as("dst"))
@@ -176,13 +187,29 @@ object Curation {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var rank = edges.select(col("src").as("node")).distinct()
       .withColumn("rank", lit(1000000L))
-    for (_ <- 1 to rounds) {
+    var prev: DataFrame = null
+    for (r <- 1 to rounds) {
       rank = edges
         .join(rank.withColumnRenamed("node", "src"), Seq("src"))
         .join(deg, Seq("src"))
         .select(col("dst").as("node"), expr("rank div d").as("contrib"))
         .groupBy(col("node"))
         .agg(expr("150000L + (85L * sum(contrib)) div 100").as("rank"))
+      if (r < rounds) { // the final round stays lazy for the caller
+        if (r % checkpointEvery == 0) {
+          // truncates lineage AND materializes (localCheckpoint is
+          // eager by default); doubles as this round's persist
+          rank = rank.localCheckpoint()
+        } else {
+          rank = rank.persist(StorageLevel.MEMORY_AND_DISK)
+          // materialize BEFORE dropping the previous round's cache —
+          // persist is lazy, and an unpersisted predecessor would force
+          // a full lineage recomputation when this round finally runs
+          rank.count()
+        }
+        if (prev != null) prev.unpersist(blocking = false)
+        prev = rank
+      }
     }
     rank
   }

@@ -288,36 +288,55 @@ object Dedup {
     *
     * Candidate generation is the overlap-prefix join for asymmetric
     * thresholds: C ≥ t means |A∩B| ≥ ceil(t·|A|) for the SMALLER set A,
-    * so (prefix theorem, any global shingle order) the first
-    * |A| − ceil(t·|A|) + 1 rarest shingles of A must hit B — only the
-    * smaller side's ~20% prefix enters the join, the larger side keeps
-    * its full posting list (its prefix bound degenerates exactly
-    * because containment tolerates asymmetry). Candidates then get the
-    * exact |A∩B| via array_intersect, so the prune is lossless and the
-    * brute-force oracle is unchanged. Measured at sf0.1 the prefix form
-    * is at PARITY with the full index×index self-join (~9 s both): the
-    * df pass + per-doc rank window costs about what the join prune
-    * saves at 5k docs. The prefix shape is still the one that survives
-    * scale-up — full×full grows with Σ df², i.e. quadratically in every
-    * hot shingle's posting list, while the prefix side excludes hot
-    * shingles by construction (rarest-first order) and its join volume
-    * grows near-linearly; the window is one narrow (shingle, df, rank)
-    * shuffle. Same crossover economics as dedupNgramJaccard vs its
-    * prefix twin, which the corpus DOES show (2.6 s vs 2.7 s at sf0.1,
-    * 46× vs naive at the same scale). */
+    * so (prefix theorem, ANY fixed global shingle order) the first
+    * |A| − ceil(t·|A|) + 1 shingles of A in that order must hit B —
+    * only the smaller side's ~20% prefix enters the join, the larger
+    * side keeps its full posting list (its prefix bound degenerates
+    * exactly because containment tolerates asymmetry). Candidates then
+    * get the exact |A∩B| via array_intersect, so the prune is lossless
+    * and the brute-force oracle is unchanged.
+    *
+    * The global order is (is_hot, xxhash64, shingle), NOT exact-df
+    * rarest-first: the exact order needs a df equi-join plus a per-doc
+    * rank window — two extra shuffles of the full exploded index that
+    * measured at PARITY with no pruning at all (~9 s at sf0.1). Hot
+    * shingles (df > 256, one linear aggregate, collapsed to a single
+    * broadcast array) are the only ones whose posting lists make the
+    * candidate join quadratic, and this order puts exactly them LAST so
+    * they never enter a prefix; cold shingles take a fixed pseudo-random
+    * order, which costs some candidate selectivity vs exact-df but
+    * keeps prefix extraction entirely MAP-SIDE (sort+slice inside the
+    * shingle array, keys computed once per element). At 100 TB the
+    * shape is: one narrow df aggregate, a map-only prefix pass, and a
+    * candidate join whose volume stays near-linear because every
+    * superlinear posting list is excluded from the probe side. */
   def dedupContainment(s: SparkSession, dir: String): DataFrame = {
     val t = 0.8
     val sh = shingled(documents(s, dir))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ex = sh.select(col("doc_id"), size(col("shingles")).as("n_sh"),
       explode(col("shingles")).as("shingle"))
-    val dfreq = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("shingle").asc)
-    // prefix of the prospective SMALLER side only
-    val prefix = ex.join(dfreq, "shingle")
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= col("n_sh") - ceil(col("n_sh") * t) + 1)
-      .select(col("doc_id"), col("n_sh"), col("shingle"))
+    // Prefix extraction is MAP-SIDE: the theorem holds for ANY fixed
+    // global shingle order, so instead of the exact-df rarest-first
+    // order (df join + per-doc rank window = two extra shuffles of the
+    // full exploded index — measured at parity with no pruning at all,
+    // ~9 s at sf0.1), order by (is_hot, xxhash64): hot shingles — the
+    // only ones whose posting lists blow up the candidate join — sort
+    // LAST and so never enter a ~20% prefix, and everything else takes
+    // a fixed pseudo-random order. The hot set comes from one linear df
+    // aggregate, collapses to a single broadcast array row, and the
+    // sort+slice runs inside the array per document — the exploded
+    // index is never shuffled before the candidate join.
+    val hotShingles = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > 256L)
+      .agg(collect_list(col("shingle")).as("hot"))
+    val prefix = sh.crossJoin(broadcast(hotShingles))
+      .select(col("doc_id"), size(col("shingles")).as("n_sh"),
+        // codegen'd order+slice in one pass (the HOF chain it replaces —
+        // transform→array_sort→transform→slice — measured ~8 s alone at
+        // sf0.1 on interpreted lambda dispatch)
+        explode(graft.functions.VectorExpressions
+          .hashOrderPrefix(col("shingles"), col("hot"), t)).as("shingle"))
     // smaller-set side = prefix, larger side = full index; equal sizes
     // tie-break on doc_id so each unordered pair materializes once
     val candidates = prefix.as("a").join(ex.as("b"),

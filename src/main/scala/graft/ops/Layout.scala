@@ -36,7 +36,13 @@ object Layout {
       shiftleft(shiftright(z, 2 * k + (if (odd) 1 else 0)).bitwiseAND(1), k)
     }.reduce(_.bitwiseOR(_))
 
-  /** Z-ordered clustered parquet layout: sort key = interleaved dims. */
+  /** Z-ordered clustered parquet layout: sort key = interleaved dims.
+    * Both branches drop the synthetic `_z` before the write (it is a
+    * layout key, not data — its value is fully recoverable from (x, y)
+    * via [[zValue]]), so the on-disk schema equals the input schema
+    * regardless of partitioning. Dropping AFTER the sort is safe: a
+    * projection preserves its child's ordering, and the writer's
+    * required ordering is on partitionCols, which survive. */
   def writeZOrdered(df: DataFrame, path: String, x: String, y: String,
       partitionCols: Seq[String] = Nil): Unit = {
     val zed = df.withColumn("_z", zValue(col(x), col(y)))
@@ -44,8 +50,12 @@ object Layout {
       zed.repartitionByRange(col("_z")).sortWithinPartitions(col("_z"))
         .drop("_z").write.mode("overwrite").parquet(path)
     else
-      graft.sources.Sources.writeParquetClustered(
-        zed, path, partitionCols, Seq("_z"))
+      zed.repartition(partitionCols.map(zed.col): _*)
+        // partition columns lead the sort so the file writer's required
+        // ordering is met by this one sort (see writeParquetClustered)
+        .sortWithinPartitions((partitionCols :+ "_z").map(zed.col): _*)
+        .drop("_z")
+        .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
   }
 
   /** Declared demonstration query: z-code events on (user bucket,

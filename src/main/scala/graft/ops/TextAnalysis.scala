@@ -276,28 +276,35 @@ object TextAnalysis {
     * the ratio is bit-identical). c_xy·N and c_x·c_y stay exact in Long
     * at test scale; at 1e13-token scale the products overflow and the
     * real pipeline switches to log-space PMI where cross-engine
-    * bit-parity is no longer required. Shape: two hash-aggregates
-    * (unigram, bigram counts — map-side partials do the heavy lifting),
-    * the scalar N rides a broadcast cross join, and the two
-    * unigram-attach joins shuffle only the (tiny) c_xy ≥ 5 survivors.
-    * Top-50 via TakeOrderedAndProject with a total-order tie-break. */
+    * bit-parity is no longer required.
+    *
+    * Shape: ONE corpus pass — each document emits its unigrams and its
+    * bigrams into a single exploded scan (r4 made two full passes, one
+    * per gram length, ~7 s at sf0.1), and one hash-aggregate counts
+    * both classes together; a unigram key can never contain the
+    * bigrams' joiner space, so `contains(" ")` splits the counted
+    * relation back into the two count tables exactly. Map-side partials
+    * do the heavy lifting, the scalar N rides a broadcast cross join,
+    * and the two unigram-attach joins shuffle only the (tiny) c_xy ≥ 5
+    * survivors. Top-50 via TakeOrderedAndProject with a total-order
+    * tie-break. */
   def textPmiCollocations(s: SparkSession, dir: String): DataFrame = {
-    val toks = documents(s, dir)
-      .select(explode(split(col("text"), " ")).as("w"))
-    val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val ve = graft.functions.VectorExpressions
+    val counts = documents(s, dir)
+      .select(explode(concat(
+        ve.wordShingles(col("text"), 1, distinct = false),
+        ve.wordShingles(col("text"), 2, distinct = false))).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uni = counts.filter(!col("g").contains(" "))
     val n = uni.agg(sum(col("c")).as("n"))
-    val bg = documents(s, dir)
-      .filter(size(split(col("text"), " ")) >= 2)
-      .select(explode(graft.functions.VectorExpressions
-        .wordShingles(col("text"), 2, distinct = false)).as("bigram"))
-      .groupBy(col("bigram")).agg(count(lit(1)).as("c_xy"))
-      .filter(col("c_xy") >= 5)
-      .withColumn("w1", element_at(split(col("bigram"), " "), 1))
-      .withColumn("w2", element_at(split(col("bigram"), " "), 2))
+    val bg = counts.filter(col("g").contains(" ") && col("c") >= 5)
+      .select(col("g").as("bigram"), col("c").as("c_xy"),
+        element_at(split(col("g"), " "), 1).as("w1"),
+        element_at(split(col("g"), " "), 2).as("w2"))
     bg.crossJoin(broadcast(n))
-      .join(uni.select(col("w").as("w1"), col("c").as("c_x")), "w1")
-      .join(uni.select(col("w").as("w2"), col("c").as("c_y")), "w2")
+      .join(uni.select(col("g").as("w1"), col("c").as("c_x")), "w1")
+      .join(uni.select(col("g").as("w2"), col("c").as("c_y")), "w2")
       .select(col("bigram"), col("c_xy"),
         ((col("c_xy") * col("n")).cast("double") /
           (col("c_x") * col("c_y")).cast("double")).as("lift"))

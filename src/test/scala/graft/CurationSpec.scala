@@ -180,6 +180,25 @@ class CurationSpec extends AnyFunSuite {
       4L -> 1000000L, 5L -> 1000000L))
   }
 
+  test("pagerank rounds=20: lineage stays bounded and the result is cadence-invariant") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a_id", "b_id")
+    // 20 rounds must complete (unbounded lineage would stall analysis
+    // long before task time matters) and the persist/checkpoint cadence
+    // must not change the arithmetic
+    val every5 = Curation.pagerankFromPairs(pairs, 20, checkpointEvery = 5)
+    val every1 = Curation.pagerankFromPairs(pairs, 20, checkpointEvery = 1)
+    val a = every5.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = every1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+    assert(a.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    // lineage truncation: the final round's plan may reach back at most
+    // to the last checkpoint (<= checkpointEvery rounds × 2 joins each),
+    // never through all 20 rounds (40 joins)
+    val joins = "Join".r.findAllIn(every5.queryExecution.optimizedPlan.toString).length
+    assert(joins <= 12, s"lineage not truncated: $joins joins in final plan")
+  }
+
   test("leakage-safe split: partitions the corpus and never separates a near-dup pair") {
     val assign = Curation.splitAssignments(spark, dir01)
       .select("doc_id", "split").collect()

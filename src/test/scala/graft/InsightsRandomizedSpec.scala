@@ -34,7 +34,7 @@ class InsightsRandomizedSpec extends AnyFunSuite {
       .withColumn("val", when(col("idc").isNotNull, concat(lit("name_"), col("idc"))))
   }
 
-  test("loop == cube == hybrid == dict on random null-riddled frames") {
+  test("loop == cube == hybrid == dict on random null-riddled frames", Slow) {
     for (seed <- Seq(1L, 7L, 42L, 1234L, 987654L)) {
       val df = randomFrame(seed).cache()
       val n = df.count()

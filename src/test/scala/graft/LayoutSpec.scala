@@ -63,4 +63,27 @@ class LayoutSpec extends AnyFunSuite {
     assert(back.agg(sum("event_id")).head.getLong(0) ===
       src.agg(sum("event_id")).head.getLong(0))
   }
+
+  test("partitioned z-ordered write: same data schema as unpartitioned, no _z") {
+    val base = java.nio.file.Files.createTempDirectory("graft_zwp").toString
+    val src = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("event_type"),
+        pmod(col("user_id"), lit(256L)).as("ub"),
+        hour(col("ts")).cast("long").as("hr"))
+    Layout.writeZOrdered(src, s"$base/flat", "ub", "hr")
+    Layout.writeZOrdered(src, s"$base/part", "ub", "hr", Seq("event_type"))
+    val flat = spark.read.parquet(s"$base/flat")
+    val part = spark.read.parquet(s"$base/part")
+    // r4 ADVICE: the clustered branch used to persist _z as a data
+    // column, so the two branches disagreed on schema
+    assert(!part.columns.contains("_z"))
+    assert(flat.columns.sorted === part.columns.sorted)
+    assert(part.count() === src.count())
+    assert(part.agg(sum("event_id")).head.getLong(0) ===
+      src.agg(sum("event_id")).head.getLong(0))
+    // directory layout really is hive-partitioned on event_type
+    val dirs = new java.io.File(s"$base/part").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("event_type=")))
+  }
 }

@@ -59,7 +59,7 @@ class PlayStoreGoldenSpec extends AnyFunSuite {
       "minInstalls=[0-1000000];score=[4-5];1"))
   }
 
-  test("cube mode over all 14 cols reproduces the per-subset golden strings") {
+  test("cube mode over all 14 cols reproduces the per-subset golden strings", Slow) {
     val cube = InsightsEngine
       .insightsCube(prepared, PlayStore.cfg, totalCount = 5, useFirst = true)
       .collect().map(_.getString(0)).toSet
@@ -71,7 +71,7 @@ class PlayStoreGoldenSpec extends AnyFunSuite {
     assert(cube.size >= 16383 && cube.size <= 5 * 16383)
   }
 
-  test("cube mode == loop mode on a 4-column universe") {
+  test("cube mode == loop mode on a 4-column universe", Slow) {
     val cfg4 = PlayStore.cfg.copy(groupingCols =
       Seq("developerId", "free", "genreId", "minInstalls"))
     val loop = InsightsEngine

@@ -47,7 +47,7 @@ class RelationalSpec extends AnyFunSuite {
     assert(viaJson === viaRegexp)
   }
 
-  test("every declared query returns rows at sf0.001 except known-empty ones") {
+  test("every declared query returns rows at sf0.001 except known-empty ones", Slow) {
     val mayBeEmpty = Set("join_anti_customers", "dedup_simhash",
       "dedup_ngram_jaccard", "dedup_minhash_lsh",
       "dedup_clusters", // empty iff the near-dup pair set is empty
