@@ -194,8 +194,14 @@ class CurationSpec extends AnyFunSuite {
     assert(a.keySet === Set(1L, 2L, 3L, 4L, 5L))
     // lineage truncation: the final round's plan may reach back at most
     // to the last checkpoint (<= checkpointEvery rounds × 2 joins each),
-    // never through all 20 rounds (40 joins)
-    val joins = "Join".r.findAllIn(every5.queryExecution.optimizedPlan.toString).length
+    // never through all 20 rounds (40 joins). Count actual logical Join
+    // nodes via tree traversal — a string match over-counts because
+    // InMemoryRelation prints its cached PHYSICAL plan as innerChildren
+    // (each persisted round's joins re-print nested inside every cache
+    // reference), which collect() correctly does not descend into.
+    val joins = every5.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.length
     assert(joins <= 12, s"lineage not truncated: $joins joins in final plan")
   }
 
