@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md) plus
   * shared exact-arithmetic helpers used by the declared queries.
@@ -27,14 +28,31 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark
-    * only reads via the nanosAsLong legacy conf (as a Long of nanos).
-    * Normalize to TimestampType (µs, integer division — a double division
-    * would lose precision on 1.7e18-scale nanos). */
+  /** events.parquet's `ts` physical type has varied across testdata
+    * generations: parquet TIMESTAMP(NANOS) (readable only as long nanos
+    * under the nanosAsLong legacy conf) vs plain timestamp[us] with no
+    * timezone (read as TimestampNTZ). Branch on the type Spark actually
+    * loaded and normalize to TimestampType so every downstream operator
+    * sees one schema:
+    *  - LongType → nanos-as-long; integer `div 1000` (a double division
+    *    would lose precision on 1.7e18-scale nanos), then timestamp_micros;
+    *  - TimestampNTZ → cast to TimestampType (session TZ is pinned UTC in
+    *    every entrypoint, so the NTZ→LTZ cast is value-preserving);
+    *  - TimestampType → already normalized, pass through. */
+  def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+    case _                => df
+  }
+
+  /** The nanosAsLong conf is set here — the single site that reads the
+    * events table — not in every session builder: it is a no-op for µs
+    * data and merely lets a TIMESTAMP(NANOS) generation of the file load
+    * (as long nanos) instead of failing at schema conversion, which keeps
+    * this loader adaptive to either physical type. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(load(s, d, "events"))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

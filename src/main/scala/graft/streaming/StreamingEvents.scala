@@ -17,13 +17,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingEvents {
 
-  /** Raw-schema stream over an events parquet directory (ts is long nanos
-    * under the nanosAsLong conf; normalize to µs TimestampType). */
+  /** Raw-schema stream over an events parquet directory; `ts` is
+    * normalized to TimestampType by the same type-adaptive branch as the
+    * batch loader (Tables.normalizeTs), so batch and stream agree on the
+    * schema whichever physical type the file carries. */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(dir).schema
-    spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.normalizeTs(spark.readStream.schema(schema).parquet(dir))
   }
 
   /** Streaming tumbling 10-min windows per event type, 20-min watermark.
