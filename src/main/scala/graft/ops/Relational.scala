@@ -309,22 +309,31 @@ object Relational {
       .orderBy(col("event_type"))
 
   /** Approximate sketches: HLL++ distinct count + quantile summaries.
-    * Estimator internals are engine-specific (no DuckDB oracle —
-    * rows-only declared check); estimates are pinned against exact
-    * values in RelationalSpec. The quantile pair is projected to two
-    * scalar columns (not an array) so the verification driver's
-    * rows-only sort works — pandas cannot sort an ndarray cell. */
+    * Estimator internals are engine-specific, so the raw estimates can
+    * never hash-match DuckDB; instead the query emits SELF-CHECKING
+    * tolerance verdicts — exact value + a boolean "estimate within
+    * bounds" computed in the same aggregate — so the oracle (which
+    * asserts the verdicts are all true) gives a real pass/fail signal.
+    * Bounds: HLL++ rsd defaults to 5%, so ±10% (2σ) on the distinct
+    * count; approx_percentile's rank-error guarantee is n/accuracy =
+    * n/10000, far inside the exact-percentile band at p±0.02 used here.
+    * At 100 TB you would drop the exact columns — they exist purely as
+    * the embedded correctness oracle for the sketch path. */
   def aggApproxOrders(s: SparkSession, dir: String): DataFrame =
     orders(s, dir)
       .groupBy(col("o_orderstatus"))
       .agg(approx_count_distinct(col("o_custkey")).as("approx_custs"),
-        expr("approx_percentile(o_totalprice, array(0.5, 0.95))")
-          .as("approx_price_q"),
+        countDistinct(col("o_custkey")).as("exact_custs"),
+        expr("approx_percentile(o_totalprice, array(0.5, 0.95))").as("aq"),
+        expr("percentile(o_totalprice, array(0.48, 0.52, 0.93, 0.97))").as("eq"),
         count(lit(1)).as("n_rows"))
-      .select(col("o_orderstatus"), col("approx_custs"),
-        element_at(col("approx_price_q"), 1).as("approx_price_p50"),
-        element_at(col("approx_price_q"), 2).as("approx_price_p95"),
-        col("n_rows"))
+      .select(col("o_orderstatus"), col("n_rows"), col("exact_custs"),
+        (abs(col("approx_custs") - col("exact_custs"))
+          <= col("exact_custs") * 0.10).as("custs_ok"),
+        element_at(col("aq"), 1).between(
+          element_at(col("eq"), 1), element_at(col("eq"), 2)).as("p50_ok"),
+        element_at(col("aq"), 2).between(
+          element_at(col("eq"), 3), element_at(col("eq"), 4)).as("p95_ok"))
       .orderBy(col("o_orderstatus"))
 
   /** TPC-H Q13-style: order-count distribution over a LEFT OUTER join
@@ -509,10 +518,17 @@ object Relational {
     "json_props_events" -> jsonPropsEvents _,
     "json_parse_events" -> jsonParseEvents _,
     "json_variant_events" -> jsonVariantEvents _,
-    "agg_approx_orders" -> aggApproxOrders _, // rows-only: engine sketches
+    "agg_approx_orders" -> aggApproxOrders _, // self-checking tolerance verdicts
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the sketch estimates themselves are engine-specific; the oracle
+    // recomputes the exact columns and asserts every verdict is true
+    "agg_approx_orders" ->
+      """SELECT o_orderstatus, count(*) AS n_rows,
+        |  count(DISTINCT o_custkey) AS exact_custs,
+        |  true AS custs_ok, true AS p50_ok, true AS p95_ok
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q19_disjunctive_revenue" ->
       """SELECT CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT)
         |         AS revenue_cents,

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables._
@@ -97,19 +97,29 @@ object RelationalExt {
     * sketches UNIONED into a global estimate without touching rows
     * again — the re-aggregation pattern that makes 100 TB distinct
     * counts incremental (store sketch bytes per partition/day, merge on
-    * read). Rows-only check: sketch internals are engine-specific
-    * (estimates pinned vs exact in SketchSpec). */
+    * read). Sketch internals are engine-specific, so the output carries
+    * exact counts plus a tolerance VERDICT (estimate within ±5% —
+    * lgConfigK=12 gives ~1.3% RSE, so 5% ≈ 4σ) instead of the raw
+    * estimate; the oracle asserts every verdict is true. The exact
+    * countDistinct columns are the embedded oracle, not part of the
+    * production sketch path. */
   def aggHllOrders(s: SparkSession, dir: String): DataFrame = {
-    val sk = orders(s, dir)
-      .groupBy(col("o_orderstatus"))
+    val o = orders(s, dir)
+    def ok(approx: Column, exact: Column): Column =
+      (abs(approx - exact) <= exact * 0.05).as("custs_ok")
+    val sk = o.groupBy(col("o_orderstatus"))
       .agg(hll_sketch_agg(col("o_custkey")).as("sk"),
+        countDistinct(col("o_custkey")).as("exact_custs"),
         count(lit(1)).as("n_rows"))
-    val per = sk.select(col("o_orderstatus"),
-      hll_sketch_estimate(col("sk")).as("approx_custs"), col("n_rows"))
+    val per = sk.select(col("o_orderstatus"), col("n_rows"), col("exact_custs"),
+      ok(hll_sketch_estimate(col("sk")), col("exact_custs")))
     val all = sk
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_custs"),
         sum(col("n_rows")).as("n_rows"))
-      .select(lit("ALL").as("o_orderstatus"), col("approx_custs"), col("n_rows"))
+      .crossJoin(broadcast(o.agg(
+        countDistinct(col("o_custkey")).as("exact_custs"))))
+      .select(lit("ALL").as("o_orderstatus"), col("n_rows"), col("exact_custs"),
+        ok(col("approx_custs"), col("exact_custs")))
     per.unionByName(all).orderBy(col("o_orderstatus"))
   }
 
@@ -614,7 +624,7 @@ object RelationalExt {
     "q15_top_supplier" -> q15TopSupplier _,
     "window_moving_avg" -> windowMovingAvg _,
     "window_share_of_total" -> windowShareOfTotal _,
-    "agg_hll_orders" -> aggHllOrders _, // rows-only: engine sketches
+    "agg_hll_orders" -> aggHllOrders _, // self-checking tolerance verdicts
     "q18_large_orders" -> q18LargeOrders _,
     "upsert_customer_balances" -> upsertCustomerBalances _,
     "scd2_customer_history" -> scd2CustomerHistory _,
@@ -680,6 +690,15 @@ object RelationalExt {
         |  arg_max(cents, comp) AS top_cents,
         |  arg_min(o_orderkey, comp) AS bottom_orderkey
         |FROM o GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // sketch estimate is engine-specific; oracle recomputes exact counts
+    // and asserts the tolerance verdicts
+    "agg_hll_orders" ->
+      """SELECT o_orderstatus, count(*) AS n_rows,
+        |  count(DISTINCT o_custkey) AS exact_custs, true AS custs_ok
+        |FROM orders GROUP BY 1
+        |UNION ALL
+        |SELECT 'ALL', count(*), count(DISTINCT o_custkey), true FROM orders
+        |ORDER BY 1""".stripMargin,
     "join_bloom_pruned" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE c_custkey IN

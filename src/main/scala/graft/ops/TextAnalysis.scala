@@ -116,14 +116,28 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token").asc)
       .limit(20)
 
-  /** Stratified sample by language (seeded — deterministic within Spark,
-    * engine-specific RNG so rows-only + spec-checked, no oracle). */
-  def textSampleStratified(s: SparkSession, dir: String): DataFrame =
-    documents(s, dir)
-      .stat.sampleBy("lang",
-        Map("en" -> 0.5, "fr" -> 0.5, "es" -> 0.2, "de" -> 0.2, "zh" -> 0.2), 42L)
-      .select(col("doc_id"), col("lang"))
-      .orderBy(col("doc_id"))
+  /** Stratified sample by language (seeded Bernoulli via sampleBy —
+    * deterministic within Spark, but the RNG is engine-specific, so the
+    * sampled row SET can never hash-match another engine). The query
+    * therefore emits a per-stratum tolerance verdict: observed sample
+    * fraction within 4 binomial standard deviations of the target rate
+    * (σ = sqrt(p(1-p)/n)); the oracle computes the same group sizes and
+    * asserts every verdict is true — a real statistical pass/fail
+    * signal instead of a rows-only count. */
+  def textSampleStratified(s: SparkSession, dir: String): DataFrame = {
+    val rates = Map("en" -> 0.5, "fr" -> 0.5, "es" -> 0.2, "de" -> 0.2, "zh" -> 0.2)
+    val target = when(col("lang").isin("en", "fr"), lit(0.5)).otherwise(lit(0.2))
+    val d = documents(s, dir).filter(col("lang").isin(rates.keys.toSeq.map(lit): _*))
+    val sampled = d.stat.sampleBy("lang", rates, 42L)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+    d.groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
+      .join(sampled, Seq("lang"), "left")
+      .select(col("lang"), col("n_total"),
+        (abs(coalesce(col("n_sampled"), lit(0L)) / col("n_total") - target)
+          <= lit(4.0) * sqrt(target * (lit(1.0) - target) / col("n_total")))
+          .as("frac_ok"))
+      .orderBy(col("lang"))
+  }
 
   /** Hash-based stratified sampling — the engine-portable variant: the
     * per-row coin is an LCG step on doc_id (pure integer arithmetic any
@@ -532,7 +546,12 @@ object TextAnalysis {
       """SELECT token, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
-    // text_sample_stratified: engine-specific RNG -> rows-only check
+    // text_sample_stratified: the sampled SET is engine-RNG-specific, but
+    // the per-stratum fraction verdict is oracle-checkable
+    "text_sample_stratified" ->
+      """SELECT lang, count(*) AS n_total, true AS frac_ok
+        |FROM documents WHERE lang IN ('en', 'fr', 'es', 'de', 'zh')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_sample_hash" ->
       """SELECT doc_id, lang FROM documents
         |WHERE ((doc_id * 1103515245 + 12345) % 2147483647) % 100 <

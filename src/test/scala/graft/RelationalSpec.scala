@@ -64,17 +64,13 @@ class RelationalSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("stratified sample is seed-deterministic with plausible fractions") {
-    val s1 = graft.ops.TextAnalysis.textSampleStratified(spark, dir).collect()
-      .map(_.getLong(0)).toSet
-    val s2 = graft.ops.TextAnalysis.textSampleStratified(spark, dir).collect()
-      .map(_.getLong(0)).toSet
-    assert(s1 === s2) // same seed, same sample
-    val n_en = Tables.documents(spark, dir)
-      .filter(org.apache.spark.sql.functions.col("lang") === "en").count()
-    val got_en = graft.ops.TextAnalysis.textSampleStratified(spark, dir)
-      .filter(org.apache.spark.sql.functions.col("lang") === "en").count()
-    assert(math.abs(got_en - 0.5 * n_en) <= 0.2 * n_en + 5)
+  test("stratified sample: seed-deterministic, every stratum verdict true") {
+    val r1 = graft.ops.TextAnalysis.textSampleStratified(spark, dir).collect()
+    val r2 = graft.ops.TextAnalysis.textSampleStratified(spark, dir).collect()
+    assert(r1.map(_.toString).toSeq === r2.map(_.toString).toSeq) // same seed
+    assert(r1.nonEmpty)
+    r1.foreach(r =>
+      assert(r.getBoolean(2), s"${r.getString(0)}: fraction out of tolerance"))
   }
 
   test("map functions: construction, lookup, keys, concat, value transform") {

