@@ -13,13 +13,26 @@ import org.apache.spark.sql.SparkSession
   * sort-terminated query. The noop write runs the FULL plan (including
   * final sorts) and discards rows executor-side — no driver collect.
   *
-  * Storm-resilient (r4's driver bench died rc=124 with nothing parseable
-  * behind): the output file is REWRITTEN after every query with the
-  * results so far ("partial":true until the loop completes), so a
-  * mid-run kill still leaves a valid JSON with every finished query's
-  * time; and each query runs under the same cancellable wall-clock
-  * budget as Verify (SPARK_GRAFT_QUERY_TIMEOUT_SEC, default 300 s at
-  * bench SF) — an overrun records -1 for that query and moves on. */
+  * MIN-COMPOSITE methodology: this host shows CPU-steal bursts that can
+  * inflate a single pass by 3-10× (r4 measured 348/399/1175/334 s for
+  * identical code; the r4/r5 verdicts mandated min-per-query over ≥3
+  * runs). The loop therefore makes up to SPARK_GRAFT_BENCH_RUNS (default
+  * 3) full passes, keeping the MINIMUM time per query — the value
+  * closest to steal-free steady state — and records
+  * `"method":"min_composite","runs":<completed>` so the artifact is
+  * honest about how it was measured. Extra passes start only while
+  * elapsed + (last pass's duration) fits SPARK_GRAFT_BENCH_TIME_BUDGET_SEC
+  * (default 1200 s), so the process can never run away under steal.
+  *
+  * Self-describing failures (r5 folded 27 error-exit times into a
+  * "partial":false total): a query that ERRORS in every pass appears in
+  * a top-level `"errors":{name:message}` map and NOT in `queries`/total;
+  * a query that exceeds its per-query budget in every pass records -1 in
+  * `queries` (excluded from total). `"partial"` is true only until the
+  * first pass has attempted every query. The file is rewritten after
+  * every query of every pass, so a mid-run kill still leaves a valid,
+  * honest artifact.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -53,33 +66,73 @@ object Bench {
     def fmt(v: Double): String = (math.round(v * 1000) / 1000.0).toString
     def entry(kv: (String, Double)): String = "\"" + kv._1 + "\":" + fmt(kv._2)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
-    def jsonWith(qs: String, total: Double, partial: Boolean): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","method":"single_run","partial":$partial,"queries":$qs,"sf":"$sfDir"}"""
-    def writeOut(results: Seq[(String, Double)], partial: Boolean): String = {
-      // timeouts carry -1 in the per-query map but don't poison the total
-      val total = results.collect { case (_, s) if s >= 0 => s }.sum
-      val full = jsonWith(
-        results.map(entry).mkString("{", ",", "}"), total, partial)
+    val runsTarget = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val timeBudgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_TIME_BUDGET_SEC", "1200").toLong
+    val budget = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "300").toLong
+
+    // min-per-query across passes; -1 = timed out in every pass so far
+    val best = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // queries that ERRORED in every pass so far (message, fail-fast time)
+    val errs = scala.collection.mutable.LinkedHashMap[String, String]()
+    var runsCompleted = 0
+
+    def jsonNow(partial: Boolean, runs: Int): String = {
+      val total = best.values.filter(_ >= 0).sum
+      val qs = best.toSeq.map(entry).mkString("{", ",", "}")
+      val es = errs.toSeq
+        .map { case (k, v) => Verify.jstr(k) + ":" + Verify.jstr(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","method":"min_composite","runs":$runs,"partial":$partial,"errors":$es,"queries":$qs,"sf":"$sfDir"}"""
+    }
+    def writeOut(partial: Boolean, runs: Int): String = {
+      val full = jsonNow(partial, runs)
       try Files.writeString(Paths.get(outPath), full + "\n")
       catch { case e: Throwable => System.err.println(s"[bench] write failed: $e") }
       full
     }
-    val budget = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "300").toLong
-    val acc = new scala.collection.mutable.ArrayBuffer[(String, Double)]
-    picked.foreach { case (name, _) =>
-      // drop persisted intermediates from the previous query: leaked
-      // caches otherwise pile up across 80+ queries and evict/spill
-      // later queries' working sets (measured as ±2 s per-query jitter)
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      val status = Verify.runBudgeted(spark, name, budget) { run(name) }
-      val sec = (System.nanoTime() - t0) / 1e9
-      acc += name -> (if (status == "timeout") -1.0 else sec)
-      if (status != "ok") System.err.println(s"[bench] $name: $status")
-      writeOut(acc.toSeq, partial = true) // survive a mid-run kill
+
+    val tStart = System.nanoTime()
+    def elapsedSec: Long = (System.nanoTime() - tStart) / 1000000000L
+    var pass = 0
+    var lastPassSec = 0L
+    var continue = true
+    while (continue) {
+      pass += 1
+      val tPass = System.nanoTime()
+      picked.foreach { case (name, _) =>
+        // drop persisted intermediates from the previous query: leaked
+        // caches otherwise pile up across 80+ queries and evict/spill
+        // later queries' working sets (measured as ±2 s per-query jitter)
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val status = Verify.runBudgeted(spark, name, budget) { run(name) }
+        val sec = (System.nanoTime() - t0) / 1e9
+        status match {
+          case "ok" =>
+            errs.remove(name) // a later success overrides an earlier error
+            if (best.get(name).forall(b => b < 0 || sec < b)) best(name) = sec
+          case "timeout" =>
+            if (!best.contains(name)) best(name) = -1.0
+          case err =>
+            if (!best.contains(name) && !errs.contains(name)) errs(name) = err
+        }
+        if (status != "ok") System.err.println(s"[bench] $name: $status")
+        writeOut(partial = pass == 1 && best.size + errs.size < picked.size,
+          runs = runsCompleted) // survive a mid-run kill
+      }
+      runsCompleted = pass
+      lastPassSec = (System.nanoTime() - tPass) / 1000000000L
+      writeOut(partial = false, runs = runsCompleted)
+      continue = pass < runsTarget &&
+        elapsedSec + lastPassSec <= timeBudgetSec
+      if (!continue && pass < runsTarget)
+        System.err.println(
+          s"[bench] stopping after $pass/$runsTarget passes: " +
+            s"${elapsedSec}s elapsed + ~${lastPassSec}s/pass exceeds " +
+            s"${timeBudgetSec}s budget")
     }
-    val full = writeOut(acc.toSeq, partial = false)
-    val results = acc.toMap
+    val full = writeOut(partial = false, runs = runsCompleted)
     // The driver scrapes only the LAST 2000 bytes of stdout; the full
     // per-query map for 90+ queries overflows that window and the JSON
     // line becomes unparseable (BENCH_r02/r03 "parsed": null). Print a
@@ -89,16 +142,18 @@ object Bench {
     val line =
       if (full.length <= 1800) full
       else {
-        val total = results.values.filter(_ >= 0).sum
-        val slowestFirst = results.toSeq.sortBy(-_._2).map(entry)
+        val total = best.values.filter(_ >= 0).sum
+        val slowestFirst = best.toSeq.sortBy(-_._2).map(entry)
         val kept = new scala.collection.mutable.ArrayBuffer[String]
-        var used = 230 // envelope + sf path + omitted-count slack
+        var used = 290 + errs.size * 24 // envelope + sf path + omitted slack
         for (e <- slowestFirst if used + e.length + 1 <= 1800) {
           kept += e; used += e.length + 1
         }
-        val qs = (kept :+ ("\"_omitted\":" + (results.size - kept.size)))
+        val qs = (kept :+ ("\"_omitted\":" + (best.size - kept.size)))
           .mkString("{", ",", "}")
-        jsonWith(qs, total, partial = false)
+        val es = errs.keys.map(k => Verify.jstr(k) + ":\"error\"")
+          .mkString("{", ",", "}")
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","method":"min_composite","runs":$runsCompleted,"partial":false,"errors":$es,"queries":$qs,"sf":"$sfDir"}"""
       }
     // bounded stop + halt (see Verify.stopAndHalt scaladoc); the JSON
     // line must still be the process's last stdout output, so it prints

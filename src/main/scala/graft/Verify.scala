@@ -104,7 +104,21 @@ object Verify {
           .parquet(s"$outDir/$name")
       }
       val sec = (System.nanoTime() - t0) / 1e9
-      if (status != "ok") System.err.println(s"[verify] $name: $status")
+      if (status != "ok") {
+        System.err.println(s"[verify] $name: $status")
+        // self-describing failure (r5 lesson: broken queries were simply
+        // ABSENT from the correctness artifact, indistinguishable from
+        // never-declared): write a one-row parquet carrying the error so
+        // the driver's compare produces an explicit failing entry for
+        // this query instead of silently skipping it.
+        try {
+          import spark.implicits._
+          Seq(status).toDF("error").coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] $name: error-artifact write failed: $e")
+        }
+      }
       Files.writeString(statusPath,
         s"""{"query":${jstr(name)},"status":${jstr(status)},"sec":${(math.round(sec * 1000) / 1000.0)}}""" + "\n",
         StandardOpenOption.CREATE, StandardOpenOption.APPEND)
