@@ -166,6 +166,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Expand") || p.contains("Generate"), s"plan:\n$p")
   }
 
+  test("bucketed range join: plans as an equi-join on the bucket, not BNLJ") {
+    // the keyless |a.us - b.us| <= W predicate would plan as a quadratic
+    // BroadcastNestedLoopJoin; the bucket column manufactures an equi key
+    // so Spark picks a hash/merge join and volume is per-bucket-bounded
+    val p = plan(ops.Temporal.eventsRangeBucketed(spark, dir))
+    assert(countNodes(p, "BroadcastNestedLoopJoin") === 0, s"n² join:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no equi join:\n$p")
+  }
+
   test("gap-fill: the dense spine joins broadcast (spine is tiny by construction)") {
     val p = plan(ops.Events.eventsGapFill(spark, dir))
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
