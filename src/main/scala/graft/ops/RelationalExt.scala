@@ -541,10 +541,11 @@ object RelationalExt {
   }
 
   /** Sketched heavy hitters: `approx_top_k` (Spark 4's frequent-items
-    * sketch) over event types. Rows-only by necessity — the sketch
-    * binary is engine-specific — with the exact-vs-sketch agreement
-    * pinned in RelationalSpec on a column whose cardinality (7 types)
-    * is far below the sketch capacity, where the estimate is exact. */
+    * sketch) over event types. The sketch is EXACT whenever the column's
+    * cardinality (7 event types) is below the items-tracked capacity
+    * (default 10 000) — the guarantee RelationalSpec pins — so unlike the
+    * HLL estimates this query carries a full value-level DuckDB oracle
+    * (plain GROUP BY count, same top-5). */
   def aggApproxTopkEvents(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
       .agg(expr("approx_top_k(event_type, 5)").as("top"))
@@ -614,7 +615,7 @@ object RelationalExt {
     "agg_bitmap_distinct" -> aggBitmapDistinct _,
     "unpivot_order_metrics" -> unpivotOrderMetrics _,
     "agg_argmax_orders" -> aggArgmaxOrders _,
-    "agg_approx_topk_events" -> aggApproxTopkEvents _, // rows-only: sketch
+    "agg_approx_topk_events" -> aggApproxTopkEvents _, // exact below sketch capacity
     "join_bloom_pruned" -> joinBloomPruned _,
     "profile_orders" -> profileOrders _,
     "events_outliers" -> eventsOutliers _,
@@ -690,6 +691,11 @@ object RelationalExt {
         |  arg_max(cents, comp) AS top_cents,
         |  arg_min(o_orderkey, comp) AS bottom_orderkey
         |FROM o GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // approx_top_k is exact below its items-tracked capacity (7 distinct
+    // event types vs 10 000), so a plain count oracle is value-exact
+    "agg_approx_topk_events" ->
+      """SELECT event_type, count(*) AS n FROM events
+        |GROUP BY 1 ORDER BY n DESC, event_type LIMIT 5""".stripMargin,
     // sketch estimate is engine-specific; oracle recomputes exact counts
     // and asserts the tolerance verdicts
     "agg_hll_orders" ->

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Micro-batch latency/throughput figures for the Structured Streaming
+  * surface — the one mandated component with no possible DuckDB oracle,
+  * so a measured number is the only externally checkable signal
+  * (StreamingSpec pins CORRECTNESS by converging streams to batch
+  * answers; this main pins PERFORMANCE).
+  *
+  * Method: the sf events table is re-written as N time-ordered parquet
+  * files (repartitionByRange on ts, so arrival order approximates event
+  * order, like a log shipper), then streamed with maxFilesPerTrigger=1 —
+  * N micro-batches. Per-query figures come from the engine's own
+  * StreamingQueryProgress: median/max triggerExecution latency and
+  * total-rows/wall throughput. Stateful queries (session_window,
+  * flatMapGroupsWithState dedup) exercise the state store per batch.
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val nFiles = sys.env.getOrElse("SPARK_GRAFT_STREAM_FILES", "20").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val stage = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    // time-ordered arrival: range-partition by ts so file k holds the
+    // k-th time slice, as a log shipper would deliver it
+    graft.Tables.events(spark, sfDir)
+      .repartitionByRange(nFiles, col("ts"))
+      .write.mode("overwrite").parquet(stage)
+
+    def bench(name: String,
+        mode: org.apache.spark.sql.streaming.OutputMode,
+        build: org.apache.spark.sql.DataFrame =>
+          org.apache.spark.sql.DataFrame): Unit = {
+      val src = spark.readStream
+        .schema(spark.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+      val q = build(src).writeStream
+        .outputMode(mode)
+        .format("noop")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory(s"ck_$name").toString)
+        .start()
+      val t0 = System.nanoTime()
+      q.processAllAvailable()
+      val wallSec = (System.nanoTime() - t0) / 1e9
+      val progress = q.recentProgress.toSeq
+      q.stop()
+      val rows = progress.map(_.numInputRows).sum
+      val lat = progress.filter(_.numInputRows > 0)
+        .map(_.durationMs.get("triggerExecution").toLong).sorted
+      val med = if (lat.nonEmpty) lat(lat.size / 2) else -1L
+      val max = if (lat.nonEmpty) lat.last else -1L
+      println(f"STREAM $name batches=${lat.size} rows=$rows " +
+        f"wall=${wallSec}%.1fs rows_per_sec=${rows / wallSec}%.0f " +
+        f"median_batch_ms=$med max_batch_ms=$max")
+    }
+
+    import org.apache.spark.sql.streaming.OutputMode.{Append, Update}
+    bench("tumbling_counts", Update,
+      df => StreamingEvents.tumblingCounts(df))
+    bench("session_window", Append, // finalized-on-watermark semantics
+      df => StreamingEvents.sessionCounts(df))
+    bench("stateful_sessionize", Append, // must match fn's OutputMode
+      df => StreamingEvents.sessionizeStateful(df).toDF())
+    bench("dedup_by_id", Update,
+      df => StreamingEvents.dedupEvents(df))
+
+    spark.stop()
+  }
+}
