@@ -35,7 +35,9 @@ object SparkEntry {
       sources.SourceQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted keys get a rows-only check. */
+    * the same parquet tables. As of r6 every declared query has an
+    * oracle entry (engine-specific sketch/RNG queries emit exact values
+    * plus tolerance verdicts that the oracle asserts true). */
   def oracleSql: Map[String, String] =
     ops.Relational.oracleSql ++
       insights.InsightsQueries.oracleSql ++
