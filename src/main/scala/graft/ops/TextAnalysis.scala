@@ -344,6 +344,28 @@ object TextAnalysis {
       .orderBy(col("lang"), col("rk"))
   }
 
+  /** WEIGHTED sampling without replacement — Efraimidis–Spirakis
+    * exponential race: each doc gets key −ln(u)/w (u uniform, w = its
+    * weight; here n_chars, i.e. longer docs proportionally likelier) and
+    * the k SMALLEST keys are the sample. Two properties make this the
+    * 100 TB shape: (a) u comes from the same deterministic LCG coin as
+    * `text_sample_hash`, so every worker — and every ENGINE — computes
+    * identical keys: re-runs select the same sample and DuckDB can
+    * replay the selection exactly (full value-level oracle, unlike the
+    * RNG-based stratified query); (b) selection is a top-k
+    * (TakeOrderedAndProject: per-partition k, then k·partitions rows to
+    * the driver-side heap), never a global sort of the corpus. */
+  def textSampleWeighted(s: SparkSession, dir: String): DataFrame = {
+    val u = (pmod(col("doc_id") * 1103515245L + 12345L, lit(2147483647L)) + 1L)
+      .cast("double") / 2147483648.0
+    documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        (-log(u) / col("n_chars")).as("k"))
+      .orderBy(col("k")).limit(50)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Lexical-diversity quality metric without log(): the Simpson /
     * collision index Σ c_i(c_i−1) / (n(n−1)) — the probability two
     * sampled tokens coincide. High collision = repetitive boilerplate
@@ -400,6 +422,7 @@ object TextAnalysis {
     "text_word_count" -> textWordCount _,
     "text_sample_stratified" -> textSampleStratified _,
     "text_sample_hash" -> textSampleHash _,
+    "text_sample_weighted" -> textSampleWeighted _,
     "text_quality" -> textQuality _,
     "text_token_count" -> textTokenCount _,
     "text_langid" -> textLangid _,
@@ -552,6 +575,16 @@ object TextAnalysis {
       """SELECT lang, count(*) AS n_total, true AS frac_ok
         |FROM documents WHERE lang IN ('en', 'fr', 'es', 'de', 'zh')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same LCG coin as text_sample_hash -> DuckDB replays the exact
+    // exponential-race selection (keys differ at the top-50 boundary by
+    // ~1/n relative gaps, far beyond any 1-ulp libm ln() divergence)
+    "text_sample_weighted" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    -ln((((doc_id * 1103515245 + 12345) % 2147483647) + 1)
+        |        / 2147483648.0) / n_chars AS k
+        |  FROM documents ORDER BY k LIMIT 50)
+        |ORDER BY doc_id""".stripMargin,
     "text_sample_hash" ->
       """SELECT doc_id, lang FROM documents
         |WHERE ((doc_id * 1103515245 + 12345) % 2147483647) % 100 <

@@ -166,6 +166,11 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Expand") || p.contains("Generate"), s"plan:\n$p")
   }
 
+  test("weighted sampling: exponential-race selection is a top-k, not a global sort") {
+    val p = plan(ops.TextAnalysis.textSampleWeighted(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), s"plan:\n$p")
+  }
+
   test("bucketed range join: plans as an equi-join on the bucket, not BNLJ") {
     // the keyless |a.us - b.us| <= W predicate would plan as a quadratic
     // BroadcastNestedLoopJoin; the bucket column manufactures an equi key
