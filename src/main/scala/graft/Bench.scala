@@ -22,7 +22,8 @@ import org.apache.spark.sql.SparkSession
   * `"method":"min_composite","runs":<completed>` so the artifact is
   * honest about how it was measured. Extra passes start only while
   * elapsed + (last pass's duration) fits SPARK_GRAFT_BENCH_TIME_BUDGET_SEC
-  * (default 1200 s), so the process can never run away under steal.
+  * (default 900 s; steady-state 3 passes measure ~350 s, so the budget
+  * only binds under steal), so the process can never run away.
   *
   * Self-describing failures (r5 folded 27 error-exit times into a
   * "partial":false total): a query that ERRORS in every pass appears in
@@ -68,7 +69,7 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
     val runsTarget = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val timeBudgetSec =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_TIME_BUDGET_SEC", "1200").toLong
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_TIME_BUDGET_SEC", "900").toLong
     val budget = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "300").toLong
 
     // min-per-query across passes; -1 = timed out in every pass so far
