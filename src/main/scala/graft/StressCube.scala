@@ -38,7 +38,12 @@ object StressCube {
       val c = cfg.copy(groupingCols = cfg.groupingCols.take(k))
       val t0 = System.nanoTime()
       val n = insights.InsightsEngine.insightsCube(df, c, 600000L).count()
-      println(f"STRESS k=$k subsets=${(1<<k)-1} surviving_groups=$n sec=${(System.nanoTime()-t0)/1e9}%.1f")
+      val t1 = System.nanoTime()
+      val n2 = insights.InsightsEngine.insightsCubeNative(df, c, 600000L).count()
+      val t2 = System.nanoTime()
+      require(n == n2, s"native cube row count $n2 != string cube $n")
+      println(f"STRESS k=$k subsets=${(1<<k)-1} surviving_groups=$n " +
+        f"string_sec=${(t1-t0)/1e9}%.1f native_sec=${(t2-t1)/1e9}%.1f")
     }
     spark.stop()
   }

@@ -235,6 +235,70 @@ object InsightsEngine {
     filtered.select(concat_ws(";", terms: _*).as("insight"))
   }
 
+  /** NATIVE-KEY cube — result ≡ `insightsCube` (equality-tested in
+    * InsightsRandomizedSpec), but the cube groups on the RAW bucketed
+    * values and renders display labels only AFTER the HAVING filter.
+    * Two consequences at scale:
+    *  - the Expand and both aggregate phases carry narrow native keys
+    *    (longs/ints) instead of label strings — cheaper hashing, and
+    *    when the partial-agg map overflows on Σ|groups| (the measured
+    *    k≥8 wall, SCALE.md), the spill sort compares 8-byte values
+    *    instead of UTF8 strings;
+    *  - no null sentinel: a data-null in a grouped column and a cube
+    *    "aggregated away" null are distinguished by the grouping_id bit
+    *    (bit=0 + null value = data null → dropped, semantic #4), which
+    *    is the information the sentinel string existed to preserve.
+    * Rendering post-filter is sound because label rendering (bucketLabel
+    * / cast-to-string) is injective on the bucketed domain, so grouping
+    * native ≡ grouping labels. Kept as a sibling of the golden-proven
+    * string-key path; StressCube reports both. */
+  def insightsCubeNative(df: DataFrame, cfg: InsightsConfig, totalCount: Long,
+      useFirst: Boolean = false): DataFrame = {
+    val threshold = math.floor(cfg.thresholdPercent / 100.0 * totalCount).toLong
+    val k = cfg.groupingCols.length
+    require(k <= 30, s"cube over $k cols overflows grouping_id int range")
+
+    val bucketed = bucket(df, cfg.buckets)
+    val pick: Column => Column = if (useFirst) first(_) else min(_)
+    val aggExprs = count(lit(1)).as("count") +: grouping_id().as("gid") +:
+      cfg.valueCols.map(v => pick(col(s"`$v`")).as(v))
+    val cubed = bucketed
+      .cube(cfg.groupingCols.map(c => col(s"`$c`")): _*)
+      .agg(aggExprs.head, aggExprs.tail: _*)
+
+    def groupedBit(i: Int): Column =
+      (shiftright(col("gid"), k - 1 - i).bitwiseAND(1)) === 0
+
+    // semantic #4: a group keyed on a DATA null (grouped bit set, null
+    // value) is dropped — the gid bit supplies what the sentinel encoded
+    val anyDataNull = cfg.groupingCols.zipWithIndex
+      .map { case (c, i) => groupedBit(i) && col(s"`$c`").isNull }
+      .reduce(_ || _)
+
+    val filtered = cubed
+      .filter(col("gid") =!= ((1L << k) - 1)) // drop the empty subset
+      .filter(!anyDataNull)
+      .filter(col("count") >= threshold)      // O9
+
+    def rendered(c: String): Column = cfg.buckets.get(c) match {
+      case Some(w) => bucketLabel(col(s"`$c`"), w)
+      case None    => col(s"`$c`").cast("string")
+    }
+    val keyTerms = cfg.groupingCols.zipWithIndex
+      .filterNot { case (c, _) => cfg.idValues.contains(c) }
+      .map { case (c, i) =>
+        when(groupedBit(i), concat(lit(s"$c="), rendered(c)))
+      }
+    val valueTerms = cfg.groupingCols.zipWithIndex
+      .filter { case (c, _) => cfg.idValues.contains(c) }
+      .flatMap { case (c, i) =>
+        cfg.idValues(c).map(v =>
+          when(groupedBit(i), concat(lit(s"$v="), col(s"`$v`").cast("string"))))
+      }
+    val terms = keyTerms ++ valueTerms :+ col("count").cast("string")
+    filtered.select(concat_ws(";", terms: _*).as("insight"))
+  }
+
   /** Hybrid enumeration — the mitigation for the measured cube
     * scaling boundary (SCALE.md): Σ_subsets |groups| explodes when
     * high-cardinality columns enter the cube. Subsets entirely within

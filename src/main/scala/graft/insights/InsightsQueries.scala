@@ -22,10 +22,14 @@ object InsightsQueries {
     idValues = Map("c_nationkey" -> Seq("n_name")))
 
   /** Cube-native insights over orders: all 7 subsets of 3 columns in one
-    * shuffle, 2% HAVING threshold, reference string format. */
+    * shuffle, 2% HAVING threshold, reference string format. Served by the
+    * native-key cube (r6: groups on raw bucket values, renders labels
+    * post-filter — 1.7-3.5× over the string-key path at stress scale,
+    * result-identical per InsightsRandomizedSpec/PlayStoreGoldenSpec AND
+    * this query's own DuckDB hash oracle). */
   def ordersCube(s: SparkSession, dir: String): DataFrame = {
     val o = orders(s, dir)
-    InsightsEngine.insightsCube(o, ordersCfg, o.count()).orderBy("insight")
+    InsightsEngine.insightsCubeNative(o, ordersCfg, o.count()).orderBy("insight")
   }
 
   /** Loop-compat mode (reference main.py:328-360 literally: one aggregate

@@ -46,9 +46,12 @@ class InsightsRandomizedSpec extends AnyFunSuite {
         .collect().map(_.getString(0)).toSet
       val dict = InsightsEngine.insightsCube(df, cfg, n, dictValues = true)
         .collect().map(_.getString(0)).toSet
+      val native = InsightsEngine.insightsCubeNative(df, cfg, n)
+        .collect().map(_.getString(0)).toSet
       assert(cube === loop, s"cube != loop at seed $seed")
       assert(hybrid === loop, s"hybrid != loop at seed $seed")
       assert(dict === loop, s"dict != loop at seed $seed")
+      assert(native === loop, s"native != loop at seed $seed")
       df.unpersist()
     }
   }

@@ -69,6 +69,11 @@ class PlayStoreGoldenSpec extends AnyFunSuite {
     assert(expected.subsetOf(cube))
     // 14 cols on 5 distinct rows: every subset yields between 1 and 5 groups
     assert(cube.size >= 16383 && cube.size <= 5 * 16383)
+    // the native-key variant must reproduce the identical 16k+ string set
+    val native = InsightsEngine
+      .insightsCubeNative(prepared, PlayStore.cfg, totalCount = 5, useFirst = true)
+      .collect().map(_.getString(0)).toSet
+    assert(native === cube)
   }
 
   test("cube mode == loop mode on a 4-column universe", Slow) {
