@@ -315,7 +315,7 @@ object InsightsEngine {
     val cubePart =
       if (lowCols.isEmpty) df.sparkSession.emptyDataFrame
         .select(lit("").as("insight")).limit(0)
-      else insightsCube(df, cfg.copy(groupingCols = lowCols), totalCount, useFirst)
+      else insightsCubeNative(df, cfg.copy(groupingCols = lowCols), totalCount, useFirst)
     val bucketed = bucket(df, cfg.buckets)
     val loopParts = allSubsets(cfg.groupingCols)
       .filter(_.exists(highCard))

@@ -119,7 +119,9 @@ object PlayStore {
     // scale mode reads with the explicit schema: no inference pass
     val prepared = prepare(readCsv(spark, csvPath, schema = Some(schema)))
     val n = prepared.count()
-    val insights = InsightsEngine.insightsCube(prepared, config, n, useFirst)
+    // native-key cube: same strings (PlayStoreGoldenSpec extractScale
+    // test + 14-col equality), 1.7-3.5x at stress scale (BASELINE.md)
+    val insights = InsightsEngine.insightsCubeNative(prepared, config, n, useFirst)
     insights.write.mode(SaveMode.Overwrite).option("header", false).csv(outPath)
   }
 }
