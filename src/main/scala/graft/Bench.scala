@@ -46,6 +46,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def run(name: String): Unit =
@@ -114,7 +115,10 @@ object Bench {
             errs.remove(name) // a later success overrides an earlier error
             if (best.get(name).forall(b => b < 0 || sec < b)) best(name) = sec
           case "timeout" =>
-            if (!best.contains(name)) best(name) = -1.0
+            // a query already in errs stays an errors-map entry only —
+            // inserting -1 too would break the documented invariant that
+            // error-only queries appear in `errors` and NOT in `queries`
+            if (!best.contains(name) && !errs.contains(name)) best(name) = -1.0
           case err =>
             if (!best.contains(name) && !errs.contains(name)) errs(name) = err
         }

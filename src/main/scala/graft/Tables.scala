@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md) plus
   * shared exact-arithmetic helpers used by the declared queries.
@@ -38,22 +38,28 @@ object Tables {
     *    would lose precision on 1.7e18-scale nanos), then timestamp_micros;
     *  - TimestampNTZ → cast to TimestampType (session TZ is pinned UTC in
     *    every entrypoint, so the NTZ→LTZ cast is value-preserving);
-    *  - TimestampType → already normalized, pass through. */
+    *  - TimestampType → already normalized, pass through;
+    *  - anything else → fail HERE with the observed type. A third
+    *    physical-type drift of events.parquet (this function exists
+    *    because there were already two) must surface at the loader, not
+    *    as wrong window/watermark arithmetic three operators downstream. */
   def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
     case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
-    case _                => df
+    case TimestampType    => df
+    case other => throw new IllegalStateException(
+      s"events.parquet ts has unhandled physical type $other — " +
+        "extend Tables.normalizeTs for this testdata generation")
   }
 
-  /** The nanosAsLong conf is set here — the single site that reads the
-    * events table — not in every session builder: it is a no-op for µs
-    * data and merely lets a TIMESTAMP(NANOS) generation of the file load
-    * (as long nanos) instead of failing at schema conversion, which keeps
-    * this loader adaptive to either physical type. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  /** Requires `spark.sql.legacy.parquet.nanosAsLong=true` in the session
+    * (set once by every entrypoint builder — Verify/Bench/tests/CLIs, not
+    * mutated here per-load): a no-op for µs data, it lets a
+    * TIMESTAMP(NANOS) generation of the file load as long nanos instead
+    * of failing at schema conversion, keeping this loader adaptive to
+    * either physical type. */
+  def events(s: SparkSession, d: String): DataFrame =
     normalizeTs(load(s, d, "events"))
-  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 

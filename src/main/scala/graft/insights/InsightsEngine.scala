@@ -235,51 +235,53 @@ object InsightsEngine {
     filtered.select(concat_ws(";", terms: _*).as("insight"))
   }
 
-  /** NATIVE-KEY cube — result ≡ `insightsCube` (equality-tested in
-    * InsightsRandomizedSpec), but the cube groups on the RAW bucketed
-    * values and renders display labels only AFTER the HAVING filter.
-    * Two consequences at scale:
-    *  - the Expand and both aggregate phases carry narrow native keys
-    *    (longs/ints) instead of label strings — cheaper hashing, and
-    *    when the partial-agg map overflows on Σ|groups| (the measured
-    *    k≥8 wall, SCALE.md), the spill sort compares 8-byte values
-    *    instead of UTF8 strings;
-    *  - no null sentinel: a data-null in a grouped column and a cube
-    *    "aggregated away" null are distinguished by the grouping_id bit
-    *    (bit=0 + null value = data null → dropped, semantic #4), which
-    *    is the information the sentinel string existed to preserve.
-    * Rendering post-filter is sound because label rendering (bucketLabel
-    * / cast-to-string) is injective on the bucketed domain, so grouping
-    * native ≡ grouping labels. Kept as a sibling of the golden-proven
-    * string-key path; StressCube reports both. */
-  def insightsCubeNative(df: DataFrame, cfg: InsightsConfig, totalCount: Long,
-      useFirst: Boolean = false): DataFrame = {
-    val threshold = math.floor(cfg.thresholdPercent / 100.0 * totalCount).toLong
+  /** The native-key cube family's equivalence to the golden string-key
+    * path relies on label rendering being INJECTIVE on the grouping
+    * domain. IEEE floats break injectivity both ways (-0.0 and 0.0
+    * render as distinct labels but native grouping normalizes them into
+    * one group; NaN bit patterns the reverse), so unbucketed
+    * float/double grouping columns are rejected up front — bucketing
+    * floors them to Long, which is the supported spelling. */
+  private def requireNonFloatKeys(bucketed: DataFrame, cfg: InsightsConfig): Unit = {
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    val bad = cfg.groupingCols.filter { c =>
+      bucketed.schema(c).dataType match {
+        case DoubleType | FloatType => true
+        case _                      => false
+      }
+    }
+    require(bad.isEmpty, "native-key cube requires non-floating grouping " +
+      s"columns (give them a bucket width to floor to long): ${bad.mkString(", ")}")
+  }
+
+  /** 1 = the column was aggregated away by the cube; 0 = grouped. Bit i
+    * is the i-th grouping column, leftmost = most significant. */
+  private def groupedBitOf(k: Int)(i: Int): Column =
+    (shiftright(col("gid"), k - 1 - i).bitwiseAND(1)) === 0
+
+  /** Post-cube filters shared by the native-key variants: drop the empty
+    * subset, drop groups keyed on a DATA null (grouped bit set + null
+    * value — the gid bit supplies what the string path's sentinel
+    * encoded; semantic #4), apply the HAVING threshold (O9). */
+  private def filterCubedNative(cubed: DataFrame, cfg: InsightsConfig,
+      threshold: Long): DataFrame = {
     val k = cfg.groupingCols.length
-    require(k <= 30, s"cube over $k cols overflows grouping_id int range")
-
-    val bucketed = bucket(df, cfg.buckets)
-    val pick: Column => Column = if (useFirst) first(_) else min(_)
-    val aggExprs = count(lit(1)).as("count") +: grouping_id().as("gid") +:
-      cfg.valueCols.map(v => pick(col(s"`$v`")).as(v))
-    val cubed = bucketed
-      .cube(cfg.groupingCols.map(c => col(s"`$c`")): _*)
-      .agg(aggExprs.head, aggExprs.tail: _*)
-
-    def groupedBit(i: Int): Column =
-      (shiftright(col("gid"), k - 1 - i).bitwiseAND(1)) === 0
-
-    // semantic #4: a group keyed on a DATA null (grouped bit set, null
-    // value) is dropped — the gid bit supplies what the sentinel encoded
+    val groupedBit = groupedBitOf(k) _
     val anyDataNull = cfg.groupingCols.zipWithIndex
       .map { case (c, i) => groupedBit(i) && col(s"`$c`").isNull }
       .reduce(_ || _)
-
-    val filtered = cubed
-      .filter(col("gid") =!= ((1L << k) - 1)) // drop the empty subset
+    cubed
+      .filter(col("gid") =!= ((1L << k) - 1))
       .filter(!anyDataNull)
-      .filter(col("count") >= threshold)      // O9
+      .filter(col("count") >= threshold)
+  }
 
+  /** Post-filter rendering shared by the native-key variants: bucket
+    * labels / string casts computed only for surviving groups, reference
+    * term order (semantic #2), bare trailing count (semantic #1). */
+  private def renderNative(filtered: DataFrame, cfg: InsightsConfig): DataFrame = {
+    val k = cfg.groupingCols.length
+    val groupedBit = groupedBitOf(k) _
     def rendered(c: String): Column = cfg.buckets.get(c) match {
       case Some(w) => bucketLabel(col(s"`$c`"), w)
       case None    => col(s"`$c`").cast("string")
@@ -299,6 +301,89 @@ object InsightsEngine {
     filtered.select(concat_ws(";", terms: _*).as("insight"))
   }
 
+  /** NATIVE-KEY cube — result ≡ `insightsCube` (equality-tested in
+    * InsightsRandomizedSpec), but the cube groups on the RAW bucketed
+    * values and renders display labels only AFTER the HAVING filter.
+    * Two consequences at scale:
+    *  - the Expand and both aggregate phases carry narrow native keys
+    *    (longs/ints) instead of label strings — cheaper hashing, and
+    *    when the partial-agg map overflows on Σ|groups| (the measured
+    *    k≥8 wall, SCALE.md), the spill sort compares 8-byte values
+    *    instead of UTF8 strings;
+    *  - no null sentinel: a data-null in a grouped column and a cube
+    *    "aggregated away" null are distinguished by the grouping_id bit
+    *    (bit=0 + null value = data null → dropped, semantic #4), which
+    *    is the information the sentinel string existed to preserve.
+    * Rendering post-filter is sound because label rendering (bucketLabel
+    * / cast-to-string) is injective on the bucketed domain — enforced by
+    * `requireNonFloatKeys` (floats are the one type family where native
+    * grouping and label grouping disagree). Kept as a sibling of the
+    * golden-proven string-key path; StressCube reports both.
+    *
+    * Caveat when `cfg.idValues` is non-empty: the min/first(string)
+    * value-column buffers are non-fixed-width, which forces the cube
+    * aggregate below the 2^k Expand to SortAggregate —
+    * `insightsCubeNativeDict` is the production shape for id→value
+    * configs (count-only HashAggregate + post-filter dictionary join). */
+  def insightsCubeNative(df: DataFrame, cfg: InsightsConfig, totalCount: Long,
+      useFirst: Boolean = false): DataFrame = {
+    val threshold = math.floor(cfg.thresholdPercent / 100.0 * totalCount).toLong
+    val k = cfg.groupingCols.length
+    require(k <= 30, s"cube over $k cols overflows grouping_id int range")
+
+    val bucketed = bucket(df, cfg.buckets)
+    requireNonFloatKeys(bucketed, cfg)
+    val pick: Column => Column = if (useFirst) first(_) else min(_)
+    val aggExprs = count(lit(1)).as("count") +: grouping_id().as("gid") +:
+      cfg.valueCols.map(v => pick(col(s"`$v`")).as(v))
+    val cubed = bucketed
+      .cube(cfg.groupingCols.map(c => col(s"`$c`")): _*)
+      .agg(aggExprs.head, aggExprs.tail: _*)
+    renderNative(filterCubedNative(cubed, cfg, threshold), cfg)
+  }
+
+  /** Native-key cube with DICTIONARY value re-attachment — the scale-mode
+    * production shape for configs with id→value display columns (the
+    * full Play-Store pipeline). The cube aggregate carries ONLY
+    * `count` + `grouping_id` — fixed-width buffers, so the aggregate
+    * below the 2^k Expand stays a HashAggregate (min/first over a string
+    * value column would force SortAggregate exactly where row volume is
+    * ×2^k; PlanSpec asserts the shape). Value columns are re-attached
+    * AFTER the HAVING filter via broadcast joins against tiny per-id
+    * dictionaries (min value per id — equal to per-group min whenever
+    * value columns are functionally determined by their id column, the
+    * same precondition as `insightsCube(dictValues = true)`; the
+    * dictionaries' own min(string) SortAggregates run over |distinct id|
+    * rows, never below an Expand). An id column aggregated away by the
+    * cube carries a NULL key, so the left join attaches nothing and the
+    * term stays suppressed. */
+  def insightsCubeNativeDict(df: DataFrame, cfg: InsightsConfig,
+      totalCount: Long): DataFrame = {
+    val threshold = math.floor(cfg.thresholdPercent / 100.0 * totalCount).toLong
+    val k = cfg.groupingCols.length
+    require(k <= 30, s"cube over $k cols overflows grouping_id int range")
+
+    val bucketed = bucket(df, cfg.buckets)
+    requireNonFloatKeys(bucketed, cfg)
+    val cubed = bucketed
+      .cube(cfg.groupingCols.map(c => col(s"`$c`")): _*)
+      .agg(count(lit(1)).as("count"), grouping_id().as("gid"))
+    val filtered = filterCubedNative(cubed, cfg, threshold)
+
+    val withValues = cfg.groupingCols.filter(cfg.idValues.contains)
+      .foldLeft(filtered) { (d, idCol) =>
+        val vals = cfg.idValues(idCol)
+        val dict = bucketed
+          .filter(col(s"`$idCol`").isNotNull)
+          .groupBy(col(s"`$idCol`").as(s"__dict_$idCol"))
+          .agg(min(col(s"`${vals.head}`")).as(vals.head),
+            vals.tail.map(v => min(col(s"`$v`")).as(v)): _*)
+        d.join(broadcast(dict), col(s"`$idCol`") === col(s"__dict_$idCol"), "left")
+          .drop(s"__dict_$idCol")
+      }
+    renderNative(withValues, cfg)
+  }
+
   /** Hybrid enumeration — the mitigation for the measured cube
     * scaling boundary (SCALE.md): Σ_subsets |groups| explodes when
     * high-cardinality columns enter the cube. Subsets entirely within
@@ -307,14 +392,22 @@ object InsightsEngine {
     * where the per-subset group count stays bounded by the data, not
     * multiplied across 2^k subsets). Result ≡ full `insightsCube`
     * (equality-tested in PlayStoreGoldenSpec). */
+  /** @param dictValues route the cube half through
+    *   `insightsCubeNativeDict` (count-only HashAggregate below the
+    *   Expand; id→value display via broadcast dictionaries) — pair it
+    *   with `useFirst = false` so the loop half's `min` agrees with the
+    *   dictionaries' min-under-functional-dependency semantics. */
   def insightsHybrid(df: DataFrame, cfg: InsightsConfig, totalCount: Long,
-      highCard: Set[String], useFirst: Boolean = false): DataFrame = {
+      highCard: Set[String], useFirst: Boolean = false,
+      dictValues: Boolean = false): DataFrame = {
     val threshold = math.floor(cfg.thresholdPercent / 100.0 * totalCount).toLong
     val lowCols = cfg.groupingCols.filterNot(highCard)
     // all-high-card edge: no subset lives entirely in the (empty) cube side
     val cubePart =
       if (lowCols.isEmpty) df.sparkSession.emptyDataFrame
         .select(lit("").as("insight")).limit(0)
+      else if (dictValues)
+        insightsCubeNativeDict(df, cfg.copy(groupingCols = lowCols), totalCount)
       else insightsCubeNative(df, cfg.copy(groupingCols = lowCols), totalCount, useFirst)
     val bucketed = bucket(df, cfg.buckets)
     val loopParts = allSubsets(cfg.groupingCols)
@@ -323,17 +416,27 @@ object InsightsEngine {
     (cubePart +: loopParts).reduce(_ unionAll _)
   }
 
+  /** ONE pass over the bucketed frame computing the total row count AND
+    * per-grouping-col approximate distinct counts (HLL sketches) — feeds
+    * both the HAVING threshold (the reference's single count action,
+    * O19) and the cube-vs-hybrid routing decision without a second scan
+    * of the input. */
+  def cardinalityStats(df: DataFrame, cfg: InsightsConfig): (Long, Map[String, Long]) = {
+    val bucketed = bucket(df, cfg.buckets)
+    val aggs = count(lit(1)).as("__n") +:
+      cfg.groupingCols.map(c => approx_count_distinct(col(s"`$c`")).as(c))
+    val row = bucketed.agg(aggs.head, aggs.tail: _*).collect()(0)
+    (row.getLong(0),
+      cfg.groupingCols.zipWithIndex
+        .map { case (c, i) => c -> row.getLong(i + 1) }.toMap)
+  }
+
   /** Pick the high-cardinality grouping columns by measuring approximate
     * distinct counts post-bucketing (one pass; HLL sketches). */
   def detectHighCard(df: DataFrame, cfg: InsightsConfig,
-      maxGroupsPerCol: Long = 1000): Set[String] = {
-    val bucketed = bucket(df, cfg.buckets)
-    val aggs = cfg.groupingCols.map(c => approx_count_distinct(col(s"`$c`")).as(c))
-    val row = bucketed.agg(aggs.head, aggs.tail: _*).collect()(0)
-    cfg.groupingCols.zipWithIndex
-      .filter { case (_, i) => row.getLong(i) > maxGroupsPerCol }
-      .map(_._1).toSet
-  }
+      maxGroupsPerCol: Long = 1000): Set[String] =
+    cardinalityStats(df, cfg)._2
+      .filter { case (_, n) => n > maxGroupsPerCol }.keySet
 
   /** Dictionary-join variant of the cube (see `insightsCube(dictValues)`).
     * The cube aggregates count only; value columns are re-attached after

@@ -47,9 +47,10 @@ object InsightsQueries {
   def customerNationCube(s: SparkSession, dir: String): DataFrame = {
     val df = customer(s, dir)
       .join(broadcast(nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
-    // dictValues: n_name is functional on c_nationkey, so the
-    // HashAggregate-friendly dictionary-join plan is exactly min()
-    InsightsEngine.insightsCube(df, customerCfg, df.count(), dictValues = true)
+    // native-dict: n_name is functional on c_nationkey, so the
+    // count-only HashAggregate cube + broadcast dictionary re-attach
+    // (the scale-mode CLI's exact plan, r7) is exactly min()
+    InsightsEngine.insightsCubeNativeDict(df, customerCfg, df.count())
       .orderBy("insight")
   }
 
@@ -81,8 +82,11 @@ object InsightsQueries {
       // materialize it so the 3-table join runs once, mirroring the
       // reference's cache() + single count() discipline
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    InsightsEngine.insightsCube(df, playstoreShapeCfg, df.count(),
-      dictValues = true).orderBy("insight")
+    // served from the native-key dict cube — the scale-mode CLI's exact
+    // plan shape (count-only HashAggregate below the Expand, PlanSpec),
+    // here under the driver's DuckDB hash oracle
+    InsightsEngine.insightsCubeNativeDict(df, playstoreShapeCfg, df.count())
+      .orderBy("insight")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

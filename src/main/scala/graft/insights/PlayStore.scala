@@ -113,15 +113,49 @@ object PlayStore {
 
   /** Full job, scale mode: one cube shuffle, parallel output. At 100 TB
     * this is the only viable shape — 16 383 aggregate exchanges over the
-    * same cached input (compat mode) do not survive a real cluster. */
+    * same cached input (compat mode) do not survive a real cluster.
+    *
+    * Plan shape (r6 verdict #1/#2): the cube aggregate below the 2^k
+    * Expand carries ONLY count+grouping_id (fixed-width → HashAggregate;
+    * `min(string)` value buffers would force SortAggregate exactly where
+    * row volume is ×2^k) — value columns re-attach post-HAVING from
+    * broadcast dictionaries (`insightsCubeNativeDict`; valid because the
+    * Play-Store id→value columns are functionally dependent on their id).
+    * Display semantics are therefore deterministic `min` per id, not the
+    * reference's nondeterministic `first()` — compat mode keeps `first()`
+    * literally; scale mode's output for value columns is one reproducible
+    * member of the reference's nondeterministic output family.
+    *
+    * Routing: one combined stats pass (count + per-column HLL) decides
+    * cube vs hybrid. The cube's partial-agg state is Σ_subsets |groups| —
+    * multiplicative only when MULTIPLE high-cardinality columns group
+    * together. Measured (SCALE.md): ONE ~5000-distinct column at k=10 →
+    * cube 87–92 s vs hybrid 293 s (the cube absorbs a single wide column;
+    * hybrid just pays loop planning for the 2^(k-1) subsets containing
+    * it); TWO ~600k-distinct columns at k=8 → cube state explodes into
+    * the hundreds of millions and does not finish, hybrid stays bounded.
+    * So: ≤1 high-card column → native-dict cube; ≥2 → hybrid split. */
   def extractScale(spark: SparkSession, csvPath: String, outPath: String,
-      useFirst: Boolean = true, config: InsightsConfig = cfg): Unit = {
+      config: InsightsConfig = cfg, maxGroupsPerCol: Long = 10000): Unit = {
     // scale mode reads with the explicit schema: no inference pass
     val prepared = prepare(readCsv(spark, csvPath, schema = Some(schema)))
-    val n = prepared.count()
-    // native-key cube: same strings (PlayStoreGoldenSpec extractScale
-    // test + 14-col equality), 1.7-3.5x at stress scale (BASELINE.md)
-    val insights = InsightsEngine.insightsCubeNative(prepared, config, n, useFirst)
+    val (n, cards) = InsightsEngine.cardinalityStats(prepared, config)
+    val highCard = cards.filter { case (_, c) => c > maxGroupsPerCol }.keySet
+    // The Expand runs BEFORE the first shuffle, so per-TASK expanded
+    // volume is rows-per-input-partition × 2^k (SCALE.md): a small CSV
+    // arriving as one split would put the entire Expand + partial agg in
+    // ONE task whose hash map degrades to a single-threaded sort. At
+    // 100 TB input splits bound this naturally (maxPartitionBytes); the
+    // CLI re-balances only when the scan gives fewer splits than cores.
+    val cores = spark.sparkContext.defaultParallelism
+    val balanced =
+      if (prepared.rdd.getNumPartitions < cores) prepared.repartition(cores)
+      else prepared
+    val insights =
+      if (highCard.size >= 2)
+        InsightsEngine.insightsHybrid(balanced, config, n, highCard,
+          useFirst = false, dictValues = true)
+      else InsightsEngine.insightsCubeNativeDict(balanced, config, n)
     insights.write.mode(SaveMode.Overwrite).option("header", false).csv(outPath)
   }
 }

@@ -503,7 +503,7 @@ object RelationalExt {
         new BloomFilterAggregate(
           ColumnBridge.expression(xxhash64(col("o_custkey"))),
           Literal(10000L), Literal(80000L)).toAggregateExpression()).as("bf"))
-      .head.getAs[Array[Byte]](0)
+      .head().getAs[Array[Byte]](0)
     val probe = ColumnBridge.column(BloomFilterMightContain(
       Literal(bfBytes),
       ColumnBridge.expression(xxhash64(col("c_custkey")))))
@@ -545,13 +545,18 @@ object RelationalExt {
     * cardinality (7 event types) is below the items-tracked capacity
     * (default 10 000) — the guarantee RelationalSpec pins — so unlike the
     * HLL estimates this query carries a full value-level DuckDB oracle
-    * (plain GROUP BY count, same top-5). */
+    * (plain GROUP BY count, same top-5). The top-5 CUT is applied after
+    * a deterministic (n DESC, event_type) sort of a wider sketch (k=20),
+    * not inside the sketch: approx_top_k's internal tie order at the
+    * 5th/6th boundary is not event_type-ascending, so a count tie there
+    * could otherwise flip the emitted set vs the oracle's ORDER BY. */
   def aggApproxTopkEvents(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
-      .agg(expr("approx_top_k(event_type, 5)").as("top"))
+      .agg(expr("approx_top_k(event_type, 20)").as("top"))
       .select(explode(col("top")).as("e"))
       .select(col("e.item").as("event_type"), col("e.count").as("n"))
       .orderBy(col("n").desc, col("event_type"))
+      .limit(5)
 
   /** EXACT distinct counting via roaring-style bitmaps — the scale
     * alternative to `count(DISTINCT)`'s expand-and-dedup shuffle: keys

@@ -62,7 +62,8 @@ object Skew {
     // Content-derived salt is retry-stable; identical rows sharing a
     // salt is harmless (the join result is per-row identical).
     val probeS = probe.withColumn("__salt",
-      pmod(xxhash64(probe.columns.map(probe.col): _*), lit(saltBuckets.toLong)))
+      pmod(xxhash64(probe.columns.toIndexedSeq.map(probe.col): _*),
+        lit(saltBuckets.toLong)))
     val buildS = build.withColumn("__salt",
       explode(sequence(lit(0L), lit(saltBuckets.toLong - 1))))
     probeS.join(buildS, keys :+ "__salt").drop("__salt")

@@ -19,6 +19,15 @@ object TextAnalysis {
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
   private val stopwordArray = s"array(${stopwords.map(w => s"'$w'").mkString(",")})"
 
+  /** lang → keep rate: the single source for BOTH samplers (stratified
+    * Bernoulli + hash-LCG) and their verdict targets. The oracle SQLs
+    * mirror these values literally — change them together. */
+  private val SampleRates =
+    Map("en" -> 0.5, "fr" -> 0.5, "es" -> 0.2, "de" -> 0.2, "zh" -> 0.2)
+  /** Rate for languages outside `SampleRates` (hash sampler only — the
+    * stratified sampler filters to the map's languages first). */
+  private val DefaultSampleRate = 0.2
+
   /** Per-document quality features + linear quality score. Deterministic
     * integer/exact-double math only (oracle-parity). */
   def textQuality(s: SparkSession, dir: String): DataFrame =
@@ -125,8 +134,10 @@ object TextAnalysis {
     * asserts every verdict is true — a real statistical pass/fail
     * signal instead of a rows-only count. */
   def textSampleStratified(s: SparkSession, dir: String): DataFrame = {
-    val rates = Map("en" -> 0.5, "fr" -> 0.5, "es" -> 0.2, "de" -> 0.2, "zh" -> 0.2)
-    val target = when(col("lang").isin("en", "fr"), lit(0.5)).otherwise(lit(0.2))
+    val rates = SampleRates
+    // verdict target derived from the SAME map the sampler consumes (a
+    // hand-maintained when() copy silently de-syncs when rates change)
+    val target = element_at(typedLit(rates), col("lang"))
     val d = documents(s, dir).filter(col("lang").isin(rates.keys.toSeq.map(lit): _*))
     val sampled = d.stat.sampleBy("lang", rates, 42L)
       .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
@@ -147,7 +158,12 @@ object TextAnalysis {
     * training-data pipeline actually wants from sampling. Overflow-safe
     * under ANSI for doc_id < ~8.3e9. */
   def textSampleHash(s: SparkSession, dir: String): DataFrame = {
-    val pct = when(col("lang").isin("en", "fr"), lit(50L)).otherwise(lit(20L))
+    // keep-percentages derived from SampleRates (single source; langs
+    // outside the map fall back to the default rate as before)
+    val pct = coalesce(
+      element_at(typedLit(SampleRates.map { case (k, v) => k -> (v * 100).toLong }),
+        col("lang")),
+      lit((DefaultSampleRate * 100).toLong))
     documents(s, dir)
       .filter(pmod((col("doc_id") * 1103515245L + 12345L) % 2147483647L,
         lit(100L)) < pct)

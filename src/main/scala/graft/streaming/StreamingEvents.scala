@@ -22,7 +22,7 @@ object StreamingEvents {
     * batch loader (Tables.normalizeTs), so batch and stream agree on the
     * schema whichever physical type the file carries. */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // nanosAsLong is set by every entrypoint builder (see Tables.events)
     val schema = spark.read.parquet(dir).schema
     graft.Tables.normalizeTs(spark.readStream.schema(schema).parquet(dir))
   }

@@ -48,10 +48,13 @@ class InsightsRandomizedSpec extends AnyFunSuite {
         .collect().map(_.getString(0)).toSet
       val native = InsightsEngine.insightsCubeNative(df, cfg, n)
         .collect().map(_.getString(0)).toSet
+      val nativeDict = InsightsEngine.insightsCubeNativeDict(df, cfg, n)
+        .collect().map(_.getString(0)).toSet
       assert(cube === loop, s"cube != loop at seed $seed")
       assert(hybrid === loop, s"hybrid != loop at seed $seed")
       assert(dict === loop, s"dict != loop at seed $seed")
       assert(native === loop, s"native != loop at seed $seed")
+      assert(nativeDict === loop, s"nativeDict != loop at seed $seed")
       df.unpersist()
     }
   }

@@ -55,6 +55,47 @@ class PlanSpec extends AnyFunSuite {
     assert(countNodes(p, "Exchange") === 1, s"expected 1 Exchange, plan:\n$p")
   }
 
+  test("scale-mode cube: count-only HashAggregate below the Expand, never SortAggregate") {
+    // r6 verdict #1: min/first(string) value buffers are non-fixed-width
+    // and force SortAggregate exactly where row volume is ×2^k (below the
+    // Expand). The scale-mode CLI path (insightsCubeNativeDict) must keep
+    // the cube a HashAggregate and confine min(string) to the tiny per-id
+    // dictionary aggregates that never sit above an Expand.
+    import org.apache.spark.sql.execution.ExpandExec
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.functions.{broadcast, col, year}
+    val frame = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("o_orderstatus"), col("o_orderpriority"),
+        col("c_nationkey").cast("long").as("nk"), col("o_totalprice"),
+        year(col("o_orderdate")).cast("long").as("o_year"), col("n_name"))
+    val cfg = insights.InsightsQueries.playstoreShapeCfg
+    // queryExecution.sparkPlan is the physical plan BEFORE AQE wraps it in
+    // an AdaptiveSparkPlanExec leaf (which collect() cannot descend into);
+    // Hash-vs-SortAggregate is decided at planning, so it's assertable here
+    val dictPlan = insights.InsightsEngine
+      .insightsCubeNativeDict(frame, cfg, 1000).queryExecution.sparkPlan
+    val sortBelowExpand = dictPlan.collect {
+      case s: SortAggregateExec if s.find(_.isInstanceOf[ExpandExec]).isDefined => s }
+    assert(sortBelowExpand.isEmpty,
+      s"SortAggregate above the cube Expand:\n$dictPlan")
+    val hashAboveExpand = dictPlan.collect {
+      case h: HashAggregateExec if h.find(_.isInstanceOf[ExpandExec]).isDefined => h }
+    assert(hashAboveExpand.nonEmpty, s"no HashAggregate cube in:\n$dictPlan")
+    // contrast: the r6 CLI shape (value columns aggregated through the
+    // cube) really does degrade to SortAggregate — the reason dict exists
+    val oldPlan = insights.InsightsEngine
+      .insightsCubeNative(frame, cfg, 1000, useFirst = true)
+      .queryExecution.sparkPlan
+    val oldSort = oldPlan.collect {
+      case s: SortAggregateExec if s.find(_.isInstanceOf[ExpandExec]).isDefined => s }
+    assert(oldSort.nonEmpty,
+      "expected the first(string)-buffer cube to plan SortAggregate " +
+        s"(did Spark learn mutable string buffers?):\n$oldPlan")
+  }
+
   test("loop-compat insights: one aggregate subtree per subset (reference shape)") {
     val o = Tables.orders(spark, dir)
     val batches = insights.InsightsEngine.enumerateLoop(o,

@@ -143,7 +143,7 @@ class PlayStoreGoldenSpec extends AnyFunSuite {
   test("extractScale end-to-end: explicit-schema read, cube output matches compat rows") {
     val out = Files.createTempDirectory("graft_scale").toString + "/insights"
     val cfg2 = PlayStore.cfg.copy(groupingCols = Seq("genreId", "free"))
-    PlayStore.extractScale(spark, csvPath, out, useFirst = true, config = cfg2)
+    PlayStore.extractScale(spark, csvPath, out, config = cfg2)
     val rows = spark.read.option("header", false).csv(out)
       .collect().map(_.getString(0)).toSet
     assert(rows.contains("genre=Action;3") && rows.contains("free=true;4"))
@@ -184,6 +184,22 @@ class PlayStoreGoldenSpec extends AnyFunSuite {
       .insightsCube(prepared, cfg4, totalCount = 5, dictValues = true)
       .collect().map(_.getString(0)).toSet
     assert(dict === std)
+    // the scale-mode CLI's actual plan (count-only native-key cube +
+    // broadcast dictionary re-attach) must produce the same strings
+    val nativeDict = InsightsEngine
+      .insightsCubeNativeDict(prepared, cfg4, totalCount = 5)
+      .collect().map(_.getString(0)).toSet
+    assert(nativeDict === std)
+  }
+
+  test("native-dict cube reproduces the full 14-col powerset string set", Slow) {
+    val cube = InsightsEngine
+      .insightsCube(prepared, PlayStore.cfg, totalCount = 5, useFirst = false)
+      .collect().map(_.getString(0)).toSet
+    val nativeDict = InsightsEngine
+      .insightsCubeNativeDict(prepared, PlayStore.cfg, totalCount = 5)
+      .collect().map(_.getString(0)).toSet
+    assert(nativeDict === cube)
   }
 
   test("hybrid cube+loop enumeration == full cube (high-card split)") {
@@ -197,6 +213,12 @@ class PlayStoreGoldenSpec extends AnyFunSuite {
         highCard = Set("developerId", "minInstalls"))
       .collect().map(_.getString(0)).toSet
     assert(hybrid === full)
+    // dict-routed hybrid (the ≥2-high-card scale-mode path): same strings
+    val hybridDict = InsightsEngine
+      .insightsHybrid(prepared, cfg4, totalCount = 5,
+        highCard = Set("developerId", "minInstalls"), dictValues = true)
+      .collect().map(_.getString(0)).toSet
+    assert(hybridDict === full)
     // cardinality detector: everything in the 5-row fixture is low-card
     assert(InsightsEngine.detectHighCard(prepared, cfg4) === Set.empty)
     assert(InsightsEngine.detectHighCard(prepared, cfg4, maxGroupsPerCol = 1)
