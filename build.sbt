@@ -40,4 +40,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The k=14 insights cube alone generates >240 MB of method code (one
+  // projection per grouping set in the Expand, ×codegen stages): the JVM
+  // default ReservedCodeCacheSize fills, the JIT shuts off ("compilation
+  // disabled"), and the whole job runs interpreted — measured before this
+  // bump. spark-submit deployments need the same flag on driver+executors
+  // for wide grouping-set workloads.
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -330,6 +330,13 @@ object Dedup {
     val hotShingles = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") > 256L)
       .agg(collect_list(col("shingle")).as("hot"))
+    // Candidate-join keys are xxhash64 LONGS, not shingle strings (r7):
+    // the join is the one place the full exploded index is shuffled AND
+    // sorted (SMJ), and 8-byte key compares beat ~25-byte UTF8 compares
+    // there. Hashing can only MERGE join keys, so a collision adds a
+    // spurious candidate and never loses one — the candidate set stays a
+    // lossless superset and the exact array_intersect verify below is
+    // unchanged (the brute-force oracle still holds).
     val prefix = sh.crossJoin(broadcast(hotShingles))
       .select(col("doc_id"), size(col("shingles")).as("n_sh"),
         // codegen'd order+slice in one pass (the HOF chain it replaces —
@@ -337,10 +344,13 @@ object Dedup {
         // sf0.1 on interpreted lambda dispatch)
         explode(graft.functions.VectorExpressions
           .hashOrderPrefix(col("shingles"), col("hot"), t)).as("shingle"))
+      .select(col("doc_id"), col("n_sh"), xxhash64(col("shingle")).as("hk"))
+    val exH = ex.select(col("doc_id"), col("n_sh"),
+      xxhash64(col("shingle")).as("hk"))
     // smaller-set side = prefix, larger side = full index; equal sizes
     // tie-break on doc_id so each unordered pair materializes once
-    val candidates = prefix.as("a").join(ex.as("b"),
-        col("a.shingle") === col("b.shingle") &&
+    val candidates = prefix.as("a").join(exH.as("b"),
+        col("a.hk") === col("b.hk") &&
           (col("a.n_sh") < col("b.n_sh") ||
             (col("a.n_sh") === col("b.n_sh") && col("a.doc_id") < col("b.doc_id"))))
       .select(col("a.doc_id").as("s_id"), col("b.doc_id").as("l_id"))

@@ -33,10 +33,29 @@ object StreamBench {
     spark.sparkContext.setLogLevel("WARN")
 
     val stage = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    // SOAK mode (r6 verdict #7): SPARK_GRAFT_STREAM_REPLICATE=N unions N
+    // time-SHIFTED copies of the events table (copy i moved forward by
+    // i × (span + 1 h)) — a continuous multi-month event log, so a
+    // 100-batch run at 10-20× the r6 batch size can show state staying
+    // FLAT under watermark eviction (old windows/sessions close as event
+    // time advances) instead of merely small on a 20-batch blip.
+    val replicate = sys.env.getOrElse("SPARK_GRAFT_STREAM_REPLICATE", "1").toInt
+    val base = graft.Tables.events(spark, sfDir)
+    val src0 =
+      if (replicate == 1) base
+      else {
+        val span = base
+          .agg((max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))) +
+            3600L * 1000000L).as("span"))
+          .head().getLong(0)
+        (0 until replicate).map { i =>
+          base.withColumn("ts",
+            timestamp_micros(unix_micros(col("ts")) + lit(i.toLong * span)))
+        }.reduce(_ unionByName _)
+      }
     // time-ordered arrival: range-partition by ts so file k holds the
     // k-th time slice, as a log shipper would deliver it
-    graft.Tables.events(spark, sfDir)
-      .repartitionByRange(nFiles, col("ts"))
+    src0.repartitionByRange(nFiles, col("ts"))
       .write.mode("overwrite").parquet(stage)
 
     def bench(name: String,
@@ -59,13 +78,24 @@ object StreamBench {
       val progress = q.recentProgress.toSeq
       q.stop()
       val rows = progress.map(_.numInputRows).sum
-      val lat = progress.filter(_.numInputRows > 0)
-        .map(_.durationMs.get("triggerExecution").toLong).sorted
+      val nonEmpty = progress.filter(_.numInputRows > 0)
+      val lat = nonEmpty.map(_.durationMs.get("triggerExecution").toLong).sorted
       val med = if (lat.nonEmpty) lat(lat.size / 2) else -1L
       val max = if (lat.nonEmpty) lat.last else -1L
+      // state-store trajectory: rows held by the (first) stateful
+      // operator per batch — quartile snapshots over the run make
+      // "watermark keeps state bounded" a measured fact, not a scaladoc
+      // claim (flat q1≈q2≈q3≈last vs monotone growth)
+      val st = nonEmpty.flatMap(_.stateOperators.headOption)
+        .map(so => (so.numRowsTotal, so.memoryUsedBytes))
+      val stLine = if (st.isEmpty) "state_rows=none" else {
+        def q(f: Double) = st(math.min(st.size - 1, (st.size * f).toInt))._1
+        f"state_rows_q1=${q(0.25)} q2=${q(0.5)} q3=${q(0.75)} " +
+          f"last=${st.last._1} mem_last_kb=${st.last._2 / 1024}"
+      }
       println(f"STREAM $name batches=${lat.size} rows=$rows " +
         f"wall=${wallSec}%.1fs rows_per_sec=${rows / wallSec}%.0f " +
-        f"median_batch_ms=$med max_batch_ms=$max")
+        f"median_batch_ms=$med max_batch_ms=$max $stLine")
     }
 
     import org.apache.spark.sql.streaming.OutputMode.{Append, Update}

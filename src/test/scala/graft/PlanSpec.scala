@@ -256,6 +256,36 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("struct<c_custkey:bigint>"), s"anti scan not pruned:\n$p")
   }
 
+  test("the two deliberate global windows stay input-bounded by construction") {
+    // Both queries run an UNPARTITIONED window on purpose — legitimate
+    // only because the window input is bounded before it (SCALE.md).
+    // These guards stop a refactor from silently feeding them unbounded
+    // input, which would serialize the whole table through one task.
+    import org.apache.spark.sql.execution.{GlobalLimitExec, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    // text_vocab_build: the ranking window must sit above the top-K cut
+    val vocab = ops.TextAnalysis.textVocabBuild(spark, dir)
+      .queryExecution.sparkPlan
+    val vocabWins = vocab.collect { case w: WindowExec => w }
+    assert(vocabWins.nonEmpty, s"no window in vocab plan:\n$vocab")
+    vocabWins.foreach { w =>
+      assert(w.find(p => p.isInstanceOf[TakeOrderedAndProjectExec] ||
+          p.isInstanceOf[GlobalLimitExec]).isDefined,
+        s"vocab ranking window not bounded by the top-K limit:\n$vocab")
+    }
+    // window_moving_avg: the frame must run over the aggregated daily
+    // series (|calendar| rows), never the raw fact table
+    val ma = ops.RelationalExt.windowMovingAvg(spark, dir)
+      .queryExecution.sparkPlan
+    val maWins = ma.collect { case w: WindowExec => w }
+    assert(maWins.nonEmpty, s"no window in moving-avg plan:\n$ma")
+    maWins.foreach { w =>
+      assert(w.find(_.isInstanceOf[BaseAggregateExec]).isDefined,
+        s"moving-avg window input is not the daily pre-aggregate:\n$ma")
+    }
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipelines") {
     val df = ops.Relational.q6RevenueFilter(spark, dir)
     df.collect() // AQE finalizes the executed plan only after execution
