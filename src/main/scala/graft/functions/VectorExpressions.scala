@@ -463,6 +463,143 @@ object VectorExpressions {
       copy(left = l, right = r)
   }
 
+  /** Full (is_hot, xxhash64, value)-ordered hash-key array for prefix-
+    * filtered set-similarity joins — the sibling of `HashOrderPrefix`
+    * that keeps EVERY element and emits its xxhash64 key instead of the
+    * string. One `posexplode` over the result yields both join keys
+    * (hk) and the element's RANK in the global prefix order (pos), which
+    * is what the PPJoin positional filter needs on BOTH sides of the
+    * candidate join: a pair's first common element at ranks (i, j)
+    * bounds the overlap by min(|A|−i, |B|−j), so candidates whose match
+    * sits too deep in either order are pruned in the join condition
+    * itself. Same ordering contract as `HashOrderPrefix` (hot elements
+    * LAST, then hash, then value — equivalence pinned in
+    * VectorExpressionsSpec), so `filter(pos < |S| − ceil(t·|S|) + 1)`
+    * over this explode IS the prefix relation. Null elements are
+    * skipped; size(result) is the element count the theorem sees. */
+  case class HashOrderKeys(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = left.nullable || right.nullable
+
+    private def requireStringArray(dt: DataType): TypeCheckResult = dt match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"hash_order_keys requires array<string> input, got ${other.catalogString}")
+    }
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireStringArray(left.dataType) match {
+        case TypeCheckResult.TypeCheckSuccess => requireStringArray(right.dataType)
+        case fail => fail
+      }
+
+    def compute(shinglesArr: ArrayData, hotArr: ArrayData): ArrayData = {
+      import org.apache.spark.unsafe.types.UTF8String
+      val n = shinglesArr.numElements()
+      val hot = new java.util.HashSet[UTF8String](math.max(8, hotArr.numElements() * 2))
+      var i = 0
+      while (i < hotArr.numElements()) {
+        if (!hotArr.isNullAt(i)) hot.add(hotArr.getUTF8String(i))
+        i += 1
+      }
+      val strs = new Array[UTF8String](n)
+      val keys = new Array[Long](n)
+      val isHot = new Array[Boolean](n)
+      var m = 0 // null elements are skipped
+      i = 0
+      while (i < n) {
+        if (!shinglesArr.isNullAt(i)) {
+          val s = shinglesArr.getUTF8String(i)
+          strs(m) = s
+          keys(m) = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+            .hash(s, StringType, 42L)
+          isHot(m) = hot.contains(s)
+          m += 1
+        }
+        i += 1
+      }
+      val idx = Array.tabulate[Integer](m)(Integer.valueOf)
+      java.util.Arrays.sort(idx, (a: Integer, b: Integer) => {
+        val ha = isHot(a); val hb = isHot(b)
+        if (ha != hb) { if (ha) 1 else -1 }
+        else {
+          val c = java.lang.Long.compare(keys(a), keys(b))
+          if (c != 0) c else strs(a).compareTo(strs(b))
+        }
+      })
+      val out = new Array[Any](m)
+      i = 0
+      while (i < m) { out(i) = keys(idx(i)); i += 1 }
+      new GenericArrayData(out)
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("keyer", this, classOf[HashOrderKeys].getName)
+      nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
+  /** |A∩B| over two array<long> values (multiset semantics on the build
+    * side collapse to set semantics for distinct-element inputs) in one
+    * compiled pass — hash-set build over the smaller array, probe with
+    * the larger. Exists as the cheap PRE-verify for candidate pairs in
+    * set-similarity joins: counting 8-byte keys beats `array_intersect`
+    * over ~25-byte UTF8 shingle strings ~an order of magnitude, and
+    * because hashing can only MERGE distinct elements the hashed count
+    * is ≥ the exact string intersection — filtering on it keeps every
+    * true pair (lossless), and the exact string verify then runs over
+    * survivors only. */
+  case class LongArrayIntersectCount(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = IntegerType
+    override def nullable: Boolean = left.nullable || right.nullable
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireLongArray("long_array_intersect_count", left.dataType) match {
+        case TypeCheckResult.TypeCheckSuccess =>
+          requireLongArray("long_array_intersect_count", right.dataType)
+        case fail => fail
+      }
+
+    def compute(a: ArrayData, b: ArrayData): Int = {
+      val (small, large) =
+        if (a.numElements() <= b.numElements()) (a, b) else (b, a)
+      val set = new java.util.HashSet[java.lang.Long](small.numElements() * 2)
+      var i = 0
+      while (i < small.numElements()) {
+        if (!small.isNullAt(i)) set.add(small.getLong(i))
+        i += 1
+      }
+      var c = 0
+      i = 0
+      while (i < large.numElements()) {
+        // remove-on-hit: duplicate keys on the probe side count once,
+        // matching set-intersection semantics
+        if (!large.isNullAt(i) && set.remove(large.getLong(i))) c += 1
+        i += 1
+      }
+      c
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("counter", this,
+        classOf[LongArrayIntersectCount].getName)
+      nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
   def dotLongs(a: Column, b: Column): Column =
     ColumnBridge.column(LongArrayDot(ColumnBridge.expression(a),
       ColumnBridge.expression(b)))
@@ -483,4 +620,12 @@ object VectorExpressions {
   def hashOrderPrefix(shingles: Column, hot: Column, t: Double): Column =
     ColumnBridge.column(HashOrderPrefix(
       ColumnBridge.expression(shingles), ColumnBridge.expression(hot), t))
+
+  def hashOrderKeys(shingles: Column, hot: Column): Column =
+    ColumnBridge.column(HashOrderKeys(
+      ColumnBridge.expression(shingles), ColumnBridge.expression(hot)))
+
+  def longIntersectCount(a: Column, b: Column): Column =
+    ColumnBridge.column(LongArrayIntersectCount(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

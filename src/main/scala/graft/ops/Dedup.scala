@@ -314,8 +314,7 @@ object Dedup {
     val t = 0.8
     val sh = shingled(documents(s, dir))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ex = sh.select(col("doc_id"), size(col("shingles")).as("n_sh"),
-      explode(col("shingles")).as("shingle"))
+    val ex0 = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
     // Prefix extraction is MAP-SIDE: the theorem holds for ANY fixed
     // global shingle order, so instead of the exact-df rarest-first
     // order (df join + per-doc rank window = two extra shuffles of the
@@ -325,39 +324,63 @@ object Dedup {
     // LAST and so never enter a ~20% prefix, and everything else takes
     // a fixed pseudo-random order. The hot set comes from one linear df
     // aggregate, collapses to a single broadcast array row, and the
-    // sort+slice runs inside the array per document — the exploded
+    // ordering runs inside the array per document — the exploded
     // index is never shuffled before the candidate join.
-    val hotShingles = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val hotShingles = ex0.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") > 256L)
       .agg(collect_list(col("shingle")).as("hot"))
-    // Candidate-join keys are xxhash64 LONGS, not shingle strings (r7):
-    // the join is the one place the full exploded index is shuffled AND
-    // sorted (SMJ), and 8-byte key compares beat ~25-byte UTF8 compares
-    // there. Hashing can only MERGE join keys, so a collision adds a
-    // spurious candidate and never loses one — the candidate set stays a
-    // lossless superset and the exact array_intersect verify below is
-    // unchanged (the brute-force oracle still holds).
-    val prefix = sh.crossJoin(broadcast(hotShingles))
-      .select(col("doc_id"), size(col("shingles")).as("n_sh"),
-        // codegen'd order+slice in one pass (the HOF chain it replaces —
-        // transform→array_sort→transform→slice — measured ~8 s alone at
-        // sf0.1 on interpreted lambda dispatch)
-        explode(graft.functions.VectorExpressions
-          .hashOrderPrefix(col("shingles"), col("hot"), t)).as("shingle"))
-      .select(col("doc_id"), col("n_sh"), xxhash64(col("shingle")).as("hk"))
-    val exH = ex.select(col("doc_id"), col("n_sh"),
-      xxhash64(col("shingle")).as("hk"))
+    // ONE codegen'd pass emits each document's full (is_hot, xxhash64,
+    // value)-ordered key array (xxhash64 LONGS, not strings: the
+    // candidate join is the one place the index is shuffled and sorted,
+    // and 8-byte compares beat ~25-byte UTF8 there; hashing can only
+    // MERGE keys, so collisions add spurious candidates, never lose
+    // one). posexplode gives every entry its RANK in that order — the
+    // prefix relation is `pos < |S| − ceil(t·|S|) + 1` of the SAME
+    // relation, and both join sides carry positions for the PPJoin
+    // positional filter below.
+    val keyed = sh.crossJoin(broadcast(hotShingles))
+      .select(col("doc_id"), col("shingles"),
+        graft.functions.VectorExpressions
+          .hashOrderKeys(col("shingles"), col("hot")).as("keys"))
+      .select(col("doc_id"), col("shingles"), col("keys"),
+        size(col("keys")).as("n_sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = keyed.select(col("doc_id"), col("n_sh"),
+      posexplode(col("keys")).as(Seq("pos", "hk")))
+    val prefix = ex.filter(
+      col("pos") < col("n_sh") - ceil(col("n_sh") * t) + 1)
     // smaller-set side = prefix, larger side = full index; equal sizes
-    // tie-break on doc_id so each unordered pair materializes once
-    val candidates = prefix.as("a").join(exH.as("b"),
+    // tie-break on doc_id so each unordered pair materializes once.
+    // POSITIONAL filter (PPJoin): common elements of a pair appear in
+    // the same relative order on both sides (one global total order),
+    // so the pair's FIRST common element at ranks (i, j) bounds the
+    // overlap by min(|A|−i, |B|−j); a true pair (overlap ≥ t·|A|)
+    // always survives via that first-common row, and every join row
+    // whose match sits too deep in either order is pruned before the
+    // pair ever reaches dropDuplicates — measured 264k → ~5× fewer
+    // candidates at sf0.1 on near-uniform doc sizes.
+    val candidates = prefix.as("a").join(ex.as("b"),
         col("a.hk") === col("b.hk") &&
           (col("a.n_sh") < col("b.n_sh") ||
-            (col("a.n_sh") === col("b.n_sh") && col("a.doc_id") < col("b.doc_id"))))
+            (col("a.n_sh") === col("b.n_sh") && col("a.doc_id") < col("b.doc_id"))) &&
+          least(col("a.n_sh") - col("a.pos"), col("b.n_sh") - col("b.pos"))
+            .cast("double") >= col("a.n_sh") * t)
       .select(col("a.doc_id").as("s_id"), col("b.doc_id").as("l_id"))
       .dropDuplicates("s_id", "l_id")
+    // Two-stage verify: a codegen'd hashed-count pre-filter over the
+    // 8-byte key arrays (≥ the exact string intersection — lossless)
+    // prunes the candidate set to ~the true pairs, and the exact
+    // array_intersect over shingle STRINGS (the expensive compare)
+    // then runs over survivors only. The brute-force oracle is
+    // unchanged: every emitted pair is verified on the exact strings.
     candidates
-      .join(sh.select(col("doc_id").as("s_id"), col("shingles").as("s_sh")), "s_id")
-      .join(sh.select(col("doc_id").as("l_id"), col("shingles").as("l_sh")), "l_id")
+      .join(keyed.select(col("doc_id").as("s_id"), col("keys").as("s_keys"),
+        col("shingles").as("s_sh")), "s_id")
+      .join(keyed.select(col("doc_id").as("l_id"), col("keys").as("l_keys"),
+        col("shingles").as("l_sh")), "l_id")
+      .filter(graft.functions.VectorExpressions
+        .longIntersectCount(col("s_keys"), col("l_keys")).cast("double") >=
+        least(size(col("s_sh")), size(col("l_sh"))).cast("double") * t)
       .select(least(col("s_id"), col("l_id")).as("a_id"),
         greatest(col("s_id"), col("l_id")).as("b_id"),
         (size(array_intersect(col("s_sh"), col("l_sh"))).cast("double") /

@@ -3,7 +3,7 @@ package org.apache.spark.sql.graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.VectorExpressions.{LongArrayDot, SignRandomProjection, UniversalMinHash, WordShingles, XxHashModArray}
+import graft.functions.VectorExpressions.{HashOrderKeys, LongArrayDot, LongArrayIntersectCount, SignRandomProjection, UniversalMinHash, WordShingles, XxHashModArray}
 
 /** SQL-surface registration for the graft custom expressions, so
   * `spark.sql("SELECT dot_longs(a, b) ...")` works alongside the Column
@@ -77,7 +77,15 @@ object GraftFunctions {
     ("word_shingles", shinglesBuilder _,
       "contiguous word n-grams of a space-separated text"),
     ("xxhash_mod_array", xxhashModBuilder _,
-      "pmod(xxhash64(s), p) per element of an array<string>"))
+      "pmod(xxhash64(s), p) per element of an array<string>"),
+    ("hash_order_keys", { exprs: Seq[Expression] =>
+      require(exprs.length == 2, "hash_order_keys(stringArray, hotArray)")
+      HashOrderKeys(exprs(0), exprs(1))
+    }, "xxhash64 keys of an array<string> in (is_hot, hash, value) order"),
+    ("long_array_intersect_count", { exprs: Seq[Expression] =>
+      require(exprs.length == 2, "long_array_intersect_count(arrayA, arrayB)")
+      LongArrayIntersectCount(exprs(0), exprs(1))
+    }, "count of distinct common elements of two array<bigint>"))
 
   /** Register into an existing session's function registry. */
   def registerAll(spark: SparkSession): Unit = {
