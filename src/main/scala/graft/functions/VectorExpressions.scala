@@ -545,16 +545,20 @@ object VectorExpressions {
       copy(left = l, right = r)
   }
 
-  /** |A∩B| over two array<long> values (multiset semantics on the build
-    * side collapse to set semantics for distinct-element inputs) in one
-    * compiled pass — hash-set build over the smaller array, probe with
-    * the larger. Exists as the cheap PRE-verify for candidate pairs in
+  /** MULTISET intersection count over two array<long> values —
+    * Σ_k min(mult_A(k), mult_B(k)) — in one compiled pass: hash-map
+    * build over the smaller array, decrement-on-hit probe with the
+    * larger. Exists as the cheap PRE-verify for candidate pairs in
     * set-similarity joins: counting 8-byte keys beats `array_intersect`
-    * over ~25-byte UTF8 shingle strings ~an order of magnitude, and
-    * because hashing can only MERGE distinct elements the hashed count
-    * is ≥ the exact string intersection — filtering on it keeps every
-    * true pair (lossless), and the exact string verify then runs over
-    * survivors only. */
+    * over ~25-byte UTF8 shingle strings ~an order of magnitude, and the
+    * multiset count is PROVABLY ≥ the exact distinct-element
+    * intersection of the pre-hash sets: each exact common element is
+    * one occurrence of its key on each side, and distinct occurrences
+    * map to distinct min-budget — so even when a hash collision folds
+    * two distinct elements onto one key the count never drops below the
+    * exact one (a set-semantics count WOULD undercount there).
+    * Filtering on it therefore keeps every true pair (lossless) and
+    * the exact string verify runs over survivors only. */
   case class LongArrayIntersectCount(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = IntegerType
@@ -570,18 +574,22 @@ object VectorExpressions {
     def compute(a: ArrayData, b: ArrayData): Int = {
       val (small, large) =
         if (a.numElements() <= b.numElements()) (a, b) else (b, a)
-      val set = new java.util.HashSet[java.lang.Long](small.numElements() * 2)
+      val counts = new java.util.HashMap[java.lang.Long, Integer](
+        small.numElements() * 2)
       var i = 0
       while (i < small.numElements()) {
-        if (!small.isNullAt(i)) set.add(small.getLong(i))
+        if (!small.isNullAt(i))
+          counts.merge(small.getLong(i), 1, (x, y) => x + y)
         i += 1
       }
       var c = 0
       i = 0
       while (i < large.numElements()) {
-        // remove-on-hit: duplicate keys on the probe side count once,
-        // matching set-intersection semantics
-        if (!large.isNullAt(i) && set.remove(large.getLong(i))) c += 1
+        if (!large.isNullAt(i)) {
+          val k: java.lang.Long = large.getLong(i)
+          val cur = counts.get(k)
+          if (cur != null && cur > 0) { counts.put(k, cur - 1); c += 1 }
+        }
         i += 1
       }
       c

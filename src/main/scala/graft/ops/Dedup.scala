@@ -123,6 +123,12 @@ object Dedup {
   def dedupNgramJaccardPrefix(s: SparkSession, dir: String): DataFrame = {
     val t = 0.5
     val sh = shingled(documents(s, dir))
+      // 8-byte key arrays ride the persisted index for the hashed
+      // PRE-verify below (hashing only merges elements, so the hashed
+      // intersection count is ≥ the exact one — filtering on it is
+      // lossless and the exact string verify runs over survivors only)
+      .withColumn("hks", graft.functions.VectorExpressions
+        .xxhashModArray(col("shingles"), 2147483647L))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ex = sh.select(col("doc_id"), col("n_chars"),
       size(col("shingles")).as("n_sh"), explode(col("shingles")).as("shingle"))
@@ -133,17 +139,35 @@ object Dedup {
     val prefix = ex.join(dfreq, "shingle")
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= col("n_sh") - ceil(col("n_sh") * t) + 1)
-      .select(col("doc_id"), col("n_chars"), col("n_sh"), col("shingle"))
+      .select(col("doc_id"), col("n_chars"), col("n_sh"), col("shingle"), col("rnk"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // J ≥ t ⟺ |A∩B| ≥ t/(1+t)·(|A|+|B|) — the positional (PPJoin
+    // ubound) filter: common shingles appear in the same relative order
+    // on both sides (one global df-rarest-first order), so the pair's
+    // FIRST common shingle at ranks (i, j) bounds the overlap by
+    // min(|A|−i, |B|−j) + 1; a true pair always survives via that
+    // first-common row (which the prefix theorem guarantees is inside
+    // both prefixes), and every deeper match is pruned in the join
+    // condition before the pair reaches dropDuplicates.
+    val need = (col("a.n_sh") + col("b.n_sh")) * lit(t / (1.0 + t))
     val candidates = prefix.as("a").join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
           abs(col("a.n_chars") - col("b.n_chars")) <= lit(100) &&
-          col("a.n_sh") <= col("b.n_sh") * 2 && col("b.n_sh") <= col("a.n_sh") * 2)
+          col("a.n_sh") <= col("b.n_sh") * 2 && col("b.n_sh") <= col("a.n_sh") * 2 &&
+          (least(col("a.n_sh") - col("a.rnk"), col("b.n_sh") - col("b.rnk")) + 1)
+            .cast("double") >= need)
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
     candidates
-      .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("a_sh")), "a_id")
-      .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("b_sh")), "b_id")
+      .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("a_sh"),
+        col("hks").as("a_hk")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("b_sh"),
+        col("hks").as("b_hk")), "b_id")
+      // hashed pre-verify: same J-threshold inequality over the 8-byte
+      // key count (≥ exact count → lossless); exact strings after
+      .filter(graft.functions.VectorExpressions
+        .longIntersectCount(col("a_hk"), col("b_hk")).cast("double") >=
+        (size(col("a_sh")) + size(col("b_sh"))) * lit(t / (1.0 + t)))
       .select(col("a_id"), col("b_id"),
         (size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
           size(array_union(col("a_sh"), col("b_sh"))).cast("double")).as("jaccard"))

@@ -85,7 +85,7 @@ object GraftFunctions {
     ("long_array_intersect_count", { exprs: Seq[Expression] =>
       require(exprs.length == 2, "long_array_intersect_count(arrayA, arrayB)")
       LongArrayIntersectCount(exprs(0), exprs(1))
-    }, "count of distinct common elements of two array<bigint>"))
+    }, "multiset intersection count of two array<bigint>"))
 
   /** Register into an existing session's function registry. */
   def registerAll(spark: SparkSession): Unit = {
