@@ -27,6 +27,19 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh === brutePairs)
   }
 
+  test("incremental LSH probe equals the batch×corpus slice of the exact pairs") {
+    // restriction of the full exact pair set to pairs with exactly one
+    // endpoint in the batch (doc_id ≡ 0 mod 10), re-oriented (new, old)
+    val want = brutePairs.collect {
+      case (a, b) if a % 10 == 0 && b % 10 != 0 => (a, b)
+      case (a, b) if b % 10 == 0 && a % 10 != 0 => (b, a)
+    }
+    val got = Dedup.dedupIncremental(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+    assert(got.nonEmpty) // the fixture's planted dups straddle the split
+  }
+
   test("SimHash (bigram features) finds every planted near-dup pair") {
     val sim = Dedup.dedupSimhash(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
