@@ -210,6 +210,59 @@ object Similarity {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** K-means (Lloyd's algorithm), 2 iterations, K = 8 deterministic
+    * seeds (the quantized vectors with vec_id < 8) — the iterative
+    * clustering workload a training-data pipeline runs to cluster an
+    * embedding corpus (topic balancing, hard-negative mining). Per
+    * iteration the plan has exactly the 100 TB shape:
+    *  - ASSIGNMENT is map-only — every vector row carries the single
+    *    broadcast K-cell array and takes argmin of the exact integer
+    *    squared distance d²(x,c) = |x|² + |c|² − 2⟨x,c⟩ via `array_min`
+    *    over (d2, cell) structs (ties → lowest cell, same trick as
+    *    `ivfAnnTopK`; the corpus is never shuffled for assignment);
+    *  - the UPDATE step's only shuffle is the narrow (cell, dim, Σv, n)
+    *    partial-agg — 64·K cells of state, independent of corpus size.
+    * Exactness for the oracle: quantized-long coordinates make d² an
+    * exact integer; updated centroids are floor(Σv/n) per dimension
+    * (floor over an exact-in-double ratio — both engines agree), so
+    * iteration 2's distances are again exact integers. Output: per-cell
+    * membership count and total inertia after the second assignment —
+    * the convergence metrics a production job logs per round. */
+  def kmeansCells(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir).select(col("vec_id"), quantize.as("q"))
+      .select(col("vec_id"), col("q"), dot("q", "q").as("n2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seeds = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"), col("q").as("cv"), col("n2").as("cn"))
+    def assign(cells: DataFrame): DataFrame = {
+      val cellsArr = cells
+        .agg(collect_list(struct(col("cell"), col("cv"), col("cn"))).as("cells"))
+      e.crossJoin(broadcast(cellsArr))
+        .withColumn("best", array_min(transform(col("cells"), c =>
+          struct(
+            (col("n2") + c.getField("cn") -
+              lit(2L) * graft.functions.VectorExpressions
+                .dotLongs(col("q"), c.getField("cv"))).as("d2"),
+            c.getField("cell").as("cell")))))
+        .select(col("vec_id"), col("q"),
+          col("best.cell").as("cell"), col("best.d2").as("d2"))
+    }
+    val a1 = assign(seeds)
+    val updated = a1
+      .select(col("cell"), posexplode(col("q")).as(Seq("dim", "qv")))
+      .groupBy(col("cell"), col("dim"))
+      .agg(floor(sum(col("qv")) / count(lit(1))).cast("long").as("cvi"))
+      .groupBy(col("cell"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, cvi))), x -> x.cvi)")
+        .as("cv"))
+      .select(col("cell"), col("cv"),
+        graft.functions.VectorExpressions.dotLongs(col("cv"), col("cv")).as("cn"))
+    assign(updated)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("d2")).as("inertia"))
+      .orderBy(col("cell"))
+  }
+
   /** Per-label centroid, element-wise: posexplode → one shuffle keyed by
     * (label, dim). Exact integer sums; centroid as double. */
   def labelCentroids(s: SparkSession, dir: String): DataFrame =
@@ -225,6 +278,7 @@ object Similarity {
     "similarity_lsh_ann" -> lshAnnTopK _,
     "similarity_ivf_ann" -> ivfAnnTopK _,
     "similarity_label_centroids" -> labelCentroids _,
+    "similarity_kmeans" -> kmeansCells _,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine _,
   )
 
@@ -276,6 +330,30 @@ object Similarity {
          |$duckBuckets
          |SELECT tbl, bucket, count(*) AS n_vectors, min(vec_id) AS min_vec_id
          |FROM buckets GROUP BY tbl, bucket ORDER BY tbl, bucket""".stripMargin,
+    // 2 Lloyd iterations unrolled: exact-integer d², floor(Σv/n) update
+    "similarity_kmeans" ->
+      s"""WITH $qElems,
+         |seeds AS (SELECT vec_id AS cell, i AS dim, v AS cv FROM qe WHERE vec_id < 8),
+         |d1 AS (
+         |  SELECT x.vec_id, s.cell,
+         |    CAST(sum((x.v - s.cv) * (x.v - s.cv)) AS BIGINT) AS d2
+         |  FROM qe x JOIN seeds s ON x.i = s.dim GROUP BY 1, 2),
+         |a1 AS (
+         |  SELECT vec_id, cell FROM d1
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) = 1),
+         |c2 AS (
+         |  SELECT a1.cell, x.i AS dim,
+         |    CAST(floor(CAST(sum(x.v) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+         |  FROM qe x JOIN a1 ON x.vec_id = a1.vec_id GROUP BY 1, 2),
+         |dd2 AS (
+         |  SELECT x.vec_id, c.cell,
+         |    CAST(sum((x.v - c.cv) * (x.v - c.cv)) AS BIGINT) AS d2
+         |  FROM qe x JOIN c2 c ON x.i = c.dim GROUP BY 1, 2),
+         |a2 AS (
+         |  SELECT vec_id, cell, d2 FROM dd2
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) = 1)
+         |SELECT cell, count(*) AS n_vecs, CAST(sum(d2) AS BIGINT) AS inertia
+         |FROM a2 GROUP BY cell ORDER BY cell""".stripMargin,
     "similarity_lsh_ann" ->
       s"""WITH $qElems,
          |$duckBuckets,

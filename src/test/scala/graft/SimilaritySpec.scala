@@ -34,6 +34,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(precision >= 0.15, s"IVF precision vs exact top-5 too low: $precision")
   }
 
+  test("k-means: counts partition the corpus, inertia non-negative, no vec_id shuffle") {
+    val out = Similarity.kmeansCells(spark, dir)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._2).sum ===
+      Tables.embeddings(spark, dir).count()) // every vector assigned once
+    assert(rows.forall(_._3 >= 0))
+    assert(rows.length > 1 && rows.length <= 8) // seeds can lose members, not gain ids
+    // assignment must be map-side: no Exchange hash-partitioned on vec_id
+    // anywhere (the only shuffles are the (cell, dim) update aggregate
+    // and the final per-cell stats)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning(vec_id"),
+      s"corpus shuffled by vec_id in:\n$plan")
+  }
+
   test("codegen'd SignRandomProjection equals the interpreted HOF plane math") {
     // the HOF form is the round-1 implementation (and mirrors the DuckDB
     // oracle's per-plane SQL); the codegen'd one-pass expression must
