@@ -202,6 +202,61 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rnk"))
   }
 
+  /** TF-IDF weighted cosine near-dup pairs — the TERM-WEIGHTED
+    * complement to the shingle-Jaccard dedup family: similarity is the
+    * cosine of the documents' salient-term tf·idf vectors, so two
+    * documents match on shared RARE vocabulary (weighted by how rare)
+    * rather than shared word order. The inverted index is df-capped by
+    * construction: only terms with df ≤ N/10 enter it, which removes the
+    * stopword Σdf² blowup that makes naive tf-idf pair joins explode —
+    * the same hot-key discipline as the Jaccard index's df-cap, applied
+    * as a semantic choice (stopwords carry no tf-idf weight worth
+    * keeping). Join volume is Σ_{rare terms} df², bounded by the cap.
+    *
+    * Exactness: weights are integers — w = tf · ((N·1000) div df), the
+    * same monotone integer-idf transform as `textTfidfTopterms` (scale
+    * 1000 keeps dots/norms < 2^63 through sf0.1 with headroom; raise
+    * denominator granularity, not the scale, for bigger corpora) — so
+    * pair dots and norms are exact Long sums and cosine is one
+    * deterministic IEEE division both engines agree on.
+    *
+    * Fixture note (measured): the synthetic corpus's planted near-dups
+    * share COMMON vocabulary, which the df-cap deliberately excludes, so
+    * this query's pairs are rare-term matches largely DISJOINT from the
+    * Jaccard family's (1/25 overlap at sf0.01) — the two measures
+    * genuinely rank different things, which is why production dedup
+    * stacks run both. */
+  def textTfidfCosine(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val nDf = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val weighted = tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(nDf))
+      .filter(col("df") * 10 <= col("n_docs")) // salient terms only
+      .select(col("doc_id"), col("term"),
+        (col("tf") * expr("n_docs * 1000L div df")).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val norms = weighted.groupBy(col("doc_id"))
+      .agg(sum(col("w") * col("w")).as("n2"))
+    val dots = weighted.as("a")
+      .join(weighted.as("b"),
+        col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(sum(col("a.w") * col("b.w")).as("dot"))
+    dots
+      .join(norms.select(col("doc_id").as("a_id"), col("n2").as("na")), "a_id")
+      .join(norms.select(col("doc_id").as("b_id"), col("n2").as("nb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (col("dot").cast("double") /
+          sqrt(col("na").cast("double") * col("nb").cast("double"))).as("cosine"))
+      .filter(col("cosine") >= 0.5)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** Benchmark decontamination — the training-data hygiene op: flag every
     * document containing any probe n-gram from a (small, broadcast)
     * benchmark set. The probe set never grows with the corpus, so the
@@ -435,6 +490,7 @@ object TextAnalysis {
     "text_lm_quality" -> textLmQuality _,
     "text_length_deciles" -> textLengthDeciles _,
     "text_tfidf_topterms" -> textTfidfTopterms _,
+    "text_tfidf_cosine" -> textTfidfCosine _,
     "text_word_count" -> textWordCount _,
     "text_sample_stratified" -> textSampleStratified _,
     "text_sample_hash" -> textSampleHash _,
@@ -585,6 +641,36 @@ object TextAnalysis {
       """SELECT token, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
+    // integer tf-idf weights (same monotone idf transform as topterms)
+    // make dots/norms exact Longs; cosine is one IEEE division
+    "text_tfidf_cosine" ->
+      """WITH n AS (SELECT count(*) AS n_docs FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM documents) t
+        |  GROUP BY doc_id, term),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |w AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    CAST(tf.tf * ((n.n_docs * 1000) // df.df) AS BIGINT) AS w
+        |  FROM tf JOIN df ON tf.term = df.term, n
+        |  WHERE df.df * 10 <= n.n_docs),
+        |norms AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2
+        |          FROM w GROUP BY doc_id),
+        |dots AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    CAST(sum(a.w * b.w) AS BIGINT) AS dot
+        |  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a_id, b_id, cosine FROM (
+        |  SELECT a_id, b_id,
+        |    CAST(dot AS DOUBLE) /
+        |    sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cosine
+        |  FROM dots
+        |  JOIN norms na ON na.doc_id = a_id
+        |  JOIN norms nb ON nb.doc_id = b_id)
+        |WHERE cosine >= 0.5 ORDER BY a_id, b_id""".stripMargin,
     // text_sample_stratified: the sampled SET is engine-RNG-specific, but
     // the per-stratum fraction verdict is oracle-checkable
     "text_sample_stratified" ->
