@@ -57,6 +57,22 @@ object StreamBench {
     // k-th time slice, as a log shipper would deliver it
     src0.repartitionByRange(nFiles, col("ts"))
       .write.mode("overwrite").parquet(stage)
+    // FileStreamSource schedules files by MODIFICATION TIME, and a
+    // parallel write finishes its part files in task-completion order —
+    // near-identical mtimes in effectively random range order. Out-of-ts
+    // arrival makes the watermark jump to near-max early and every
+    // later-arriving earlier-time file is dropped wholesale as late data
+    // (measured: the state trajectory freezes at one batch's snapshot and
+    // input rows stop contributing). Re-stamp mtimes in part-file NAME
+    // order (= range order) so batch k really is the k-th time slice.
+    locally {
+      val parts = new java.io.File(stage).listFiles()
+        .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+      val base = System.currentTimeMillis() - parts.length * 2000L
+      parts.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(base + i * 2000L)
+      }
+    }
 
     def bench(name: String,
         mode: org.apache.spark.sql.streaming.OutputMode,
