@@ -82,6 +82,10 @@ object StressPowerset {
         InsightsEngine.insightsHybrid(prepared, cfg, n,
           highCard = Set("developerId"), dictValues = true).count()
       }
+      case "iceberg" => time("iceberg") {
+        InsightsEngine.insightsCubeIceberg(prepared, cfg, n,
+          highCard = Set("developerId")).count()
+      }
       case other => sys.error(s"unknown variant $other")
     }
     spark.stop()

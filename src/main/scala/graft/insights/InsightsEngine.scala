@@ -384,6 +384,89 @@ object InsightsEngine {
     renderNative(withValues, cfg)
   }
 
+  /** ICEBERG support pruning — the high-cardinality answer that the
+    * hybrid split approximates by brute force. The HAVING threshold is
+    * an iceberg condition, and `count` is monotone under grouping
+    * refinement: for any subset S containing column c, a group g of S
+    * satisfies count(g) ≤ count(c = g_c) — the group refines the
+    * single-column group on its own c-value. Hence a row whose c-value
+    * occurs fewer than `threshold` times in the whole input can NEVER
+    * contribute to a surviving group of any subset containing c, and
+    * excluding such rows from those subsets changes nothing: groups
+    * keyed on popular c-values keep every one of their rows (a row is
+    * excluded iff its c-value is unpopular, i.e. it belongs to some
+    * doomed group, never to a surviving one). This is the classic
+    * iceberg-cube/BUC a-priori bound, applied only to the declared
+    * high-cardinality columns (for low-card columns the filter keeps
+    * ~everything and just costs a pass).
+    *
+    * Execution: partition the 2^k−1 subsets by T = S ∩ H (H = high-card
+    * set, |H| ≤ 4 enforced). For each T, ONE native-dict cube over
+    * lowCols ∪ T with input semi-filtered to rows whose T-values are all
+    * popular, post-filtered to grouping_ids where every column of T is
+    * actually grouped (so each subset is produced by exactly one
+    * T-cube). The T ≠ ∅ cubes see ≤ N/threshold distinct values per
+    * high-card column — with a 2 % threshold that is ≤ 50 values, so the
+    * Σ|groups| partial-agg state that makes high-card cubes explode
+    * (SCALE.md k=8 wall) collapses to the popular slice; when NO value
+    * is popular the T-cube input is empty and the whole dev-containing
+    * half of the powerset is proven empty by one narrow aggregate.
+    * Result ≡ `insightsCubeNativeDict` over the full config
+    * (equality-tested in InsightsRandomizedSpec). */
+  def insightsCubeIceberg(df: DataFrame, cfg: InsightsConfig, totalCount: Long,
+      highCard: Set[String]): DataFrame = {
+    val threshold = math.floor(cfg.thresholdPercent / 100.0 * totalCount).toLong
+    val h = cfg.groupingCols.filter(highCard)
+    require(h.size <= 4, s"iceberg pruning over ${h.size} high-card columns " +
+      "unions 2^|H| cubes — split the config instead")
+    val lowCols = cfg.groupingCols.filterNot(highCard)
+    val bucketed = bucket(df, cfg.buckets)
+    requireNonFloatKeys(bucketed, cfg)
+    // per-column popular-value relations (≤ N/threshold rows each):
+    // computed once, broadcast into every T-cube that prunes on them
+    val popular: Map[String, DataFrame] = h.map { c =>
+      c -> bucketed.filter(col(s"`$c`").isNotNull)
+        .groupBy(col(s"`$c`"))
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") >= threshold)
+        .select(col(s"`$c`").as(s"__pop_$c"))
+    }.toMap
+    val parts = h.toSet.subsets().toSeq.map { tSet =>
+      val colsT = cfg.groupingCols.filter(c => !highCard(c) || tSet(c))
+      val cfgT = cfg.copy(groupingCols = colsT)
+      val input = tSet.foldLeft(bucketed) { (d, c) =>
+        d.join(broadcast(popular(c)),
+          col(s"`$c`") === col(s"__pop_$c"), "left_semi")
+      }
+      val kT = colsT.length
+      val cubed = bucket(input, cfg.buckets) // idempotent; keeps helper contract
+        .cube(colsT.map(c => col(s"`$c`")): _*)
+        .agg(count(lit(1)).as("count"), grouping_id().as("gid"))
+      // keep only subsets with ALL of T grouped: each subset S is then
+      // emitted by exactly the T = S ∩ H cube
+      val groupedBit = groupedBitOf(kT) _
+      val allTGrouped = tSet.toSeq match {
+        case Nil => lit(true)
+        case ts  => ts.map(c => groupedBit(colsT.indexOf(c))).reduce(_ && _)
+      }
+      val filtered = filterCubedNative(cubed, cfgT, threshold)
+        .filter(allTGrouped)
+      val withValues = colsT.filter(cfg.idValues.contains)
+        .foldLeft(filtered) { (d, idCol) =>
+          val vals = cfg.idValues(idCol)
+          val dict = bucketed
+            .filter(col(s"`$idCol`").isNotNull)
+            .groupBy(col(s"`$idCol`").as(s"__dict_$idCol"))
+            .agg(min(col(s"`${vals.head}`")).as(vals.head),
+              vals.tail.map(v => min(col(s"`$v`")).as(v)): _*)
+          d.join(broadcast(dict), col(s"`$idCol`") === col(s"__dict_$idCol"), "left")
+            .drop(s"__dict_$idCol")
+        }
+      renderNative(withValues, cfgT)
+    }
+    parts.reduce(_ unionAll _)
+  }
+
   /** Hybrid enumeration — the mitigation for the measured cube
     * scaling boundary (SCALE.md): Σ_subsets |groups| explodes when
     * high-cardinality columns enter the cube. Subsets entirely within

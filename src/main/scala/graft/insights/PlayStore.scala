@@ -152,10 +152,18 @@ object PlayStore {
       if (prepared.rdd.getNumPartitions < cores) prepared.repartition(cores)
       else prepared
     val insights =
-      if (highCard.size >= 2)
+      if (highCard.isEmpty)
+        InsightsEngine.insightsCubeNativeDict(balanced, config, n)
+      else if (highCard.size <= 4)
+        // iceberg support pruning: rows with sub-threshold high-card
+        // values are provably dead for every subset containing that
+        // column (count is monotone under grouping refinement), so the
+        // high-card cubes see only the ≤ N/threshold popular values —
+        // result identical, state bounded (InsightsEngine scaladoc)
+        InsightsEngine.insightsCubeIceberg(balanced, config, n, highCard)
+      else
         InsightsEngine.insightsHybrid(balanced, config, n, highCard,
           useFirst = false, dictValues = true)
-      else InsightsEngine.insightsCubeNativeDict(balanced, config, n)
     insights.write.mode(SaveMode.Overwrite).option("header", false).csv(outPath)
   }
 }

@@ -50,13 +50,55 @@ class InsightsRandomizedSpec extends AnyFunSuite {
         .collect().map(_.getString(0)).toSet
       val nativeDict = InsightsEngine.insightsCubeNativeDict(df, cfg, n)
         .collect().map(_.getString(0)).toSet
+      val iceberg1 = InsightsEngine.insightsCubeIceberg(df, cfg, n,
+        highCard = Set("num")).collect().map(_.getString(0)).toSet
+      val iceberg2 = InsightsEngine.insightsCubeIceberg(df, cfg, n,
+        highCard = Set("cat", "num")).collect().map(_.getString(0)).toSet
       assert(cube === loop, s"cube != loop at seed $seed")
       assert(hybrid === loop, s"hybrid != loop at seed $seed")
       assert(dict === loop, s"dict != loop at seed $seed")
       assert(native === loop, s"native != loop at seed $seed")
       assert(nativeDict === loop, s"nativeDict != loop at seed $seed")
+      assert(iceberg1 === loop, s"iceberg(num) != loop at seed $seed")
+      assert(iceberg2 === loop, s"iceberg(cat,num) != loop at seed $seed")
       df.unpersist()
     }
+  }
+
+  test("iceberg pruning == loop on a genuinely high-card skewed id column") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77L)
+    // "wide": one popular value (75 rows ≥ threshold 6), one borderline
+    // (6 rows = threshold exactly), the rest ~unique (pruned); nulls too
+    val rows = (0 until 300).map { i =>
+      val wide =
+        if (i < 75) "w_pop"
+        else if (i < 81) "w_edge"
+        else if (rnd.nextInt(12) == 0) null
+        else s"w$i"
+      (if (rnd.nextInt(10) == 0) null else s"c${rnd.nextInt(3)}",
+        wide,
+        if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(100).toLong))
+    }
+    val df = rows.toDF("cat", "wide", "num")
+      .withColumn("wval", when(col("wide").isNotNull, concat(lit("n_"), col("wide"))))
+      .cache()
+    val cfgW = InsightsConfig(
+      groupingCols = Seq("cat", "wide", "num"),
+      buckets = Map("num" -> 25L),
+      idValues = Map("wide" -> Seq("wval")),
+      thresholdPercent = 2.0)
+    val n = df.count()
+    val loop = InsightsEngine.enumerateLoop(df, cfgW, n, useFirst = false)
+      .reduce(_ unionAll _).collect().map(_.getString(0)).toSet
+    val iceberg = InsightsEngine.insightsCubeIceberg(df, cfgW, n,
+      highCard = Set("wide")).collect().map(_.getString(0)).toSet
+    assert(iceberg === loop)
+    // the popular AND exactly-at-threshold values must both survive
+    // pruning (the bound is count ≥ threshold, same ≥ as the HAVING)
+    assert(loop.exists(_.contains("n_w_pop")))
+    assert(loop.exists(_.contains("n_w_edge")))
+    df.unpersist()
   }
 
   test("two id-columns with multi-value display: all modes agree") {

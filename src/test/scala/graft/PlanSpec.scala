@@ -96,6 +96,34 @@ class PlanSpec extends AnyFunSuite {
         s"(did Spark learn mutable string buffers?):\n$oldPlan")
   }
 
+  test("iceberg cube: every T-cube is HashAggregate; pruned inputs carry a semi join") {
+    import org.apache.spark.sql.execution.ExpandExec
+    import org.apache.spark.sql.execution.aggregate.SortAggregateExec
+    import org.apache.spark.sql.functions.{broadcast, col, year}
+    val frame = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("o_orderstatus"), col("o_orderpriority"),
+        col("c_nationkey").cast("long").as("nk"), col("o_totalprice"),
+        year(col("o_orderdate")).cast("long").as("o_year"), col("n_name"))
+    val cfg = insights.InsightsQueries.playstoreShapeCfg
+    val plan = insights.InsightsEngine
+      .insightsCubeIceberg(frame, cfg, 1000, highCard = Set("nk"))
+      .queryExecution.sparkPlan
+    // the high-card-containing cube must prune through a broadcast
+    // left-semi join on the popular-value relation BEFORE its Expand...
+    assert(plan.toString.contains("LeftSemi"),
+      s"no popularity semi join in iceberg plan:\n$plan")
+    // ...and both T-cubes stay count-only HashAggregates below the Expand
+    val sortBelowExpand = plan.collect {
+      case s: SortAggregateExec if s.find(_.isInstanceOf[ExpandExec]).isDefined => s }
+    assert(sortBelowExpand.isEmpty,
+      s"SortAggregate above an iceberg cube Expand:\n$plan")
+    assert(plan.collect { case e: ExpandExec => e }.size === 2,
+      s"expected exactly 2 cubes (T=∅, T={nk}):\n$plan")
+  }
+
   test("loop-compat insights: one aggregate subtree per subset (reference shape)") {
     val o = Tables.orders(spark, dir)
     val batches = insights.InsightsEngine.enumerateLoop(o,
