@@ -10,7 +10,12 @@ import graft.insights.PlayStore
   *
   * Usage: InsightsMain --csv_file_path <in.csv> --output_path <outdir>
   *          [--mode compat|scale] [--batch_size 128] [--num_partitions 2]
-  *          [--max_cols k]
+  *          [--max_cols k] [--max_groups_per_col n]
+  *
+  * `--max_groups_per_col` (default 10000) is the scale-mode routing
+  * threshold: grouping columns whose post-bucketing HLL distinct count
+  * exceeds it are treated as high-cardinality (iceberg support pruning /
+  * hybrid split — `PlayStore.extractScale`).
   *
   * `--max_cols` truncates the grouping universe to the first k columns
   * (2^k−1 subsets). Compat mode literally replays the reference's
@@ -47,7 +52,10 @@ object InsightsMain {
         case "compat" => PlayStore.extractCompat(spark, csvPath, outPath,
           opts.get("batch_size").map(_.toInt).getOrElse(128),
           opts.get("num_partitions").map(_.toInt).getOrElse(2), cfg)
-        case "scale" => PlayStore.extractScale(spark, csvPath, outPath, config = cfg)
+        case "scale" => PlayStore.extractScale(spark, csvPath, outPath,
+          config = cfg,
+          maxGroupsPerCol = opts.get("max_groups_per_col").map(_.toLong)
+            .getOrElse(10000L))
         case other => sys.error(s"unknown --mode $other (compat|scale)")
       }
     } finally spark.stop()
