@@ -23,9 +23,15 @@ import graft.Tables._
   */
 object Similarity {
 
-  /** Quantized embedding: array<long> milliunits. */
+  /** Quantized embedding: array<long> milliunits. The float→double cast
+    * is EXPLICIT on both sides (here and the oracle's qElems): `x * 1000`
+    * on a float element is float math in DuckDB but double math in Spark,
+    * and a raw float within one ulp of a .5 boundary rounds differently
+    * under the two (first hit: sf0.1 vec 1879 elem 18, 0.3195f → float
+    * 319.5 → 320 vs double 319.4999… → 319 — surfaced by the r7 sf0.1
+    * oracle sweep as a one-cell k-means inertia mismatch). */
   private val quantize =
-    expr("transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))")
+    expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
 
   /** Native codegen'd dot product (graft.functions.VectorExpressions) —
     * same left-to-right Long math as the `zip_with`+`aggregate` HOF form
@@ -285,7 +291,7 @@ object Similarity {
   // Shared oracle scaffolding: per-element quantized views.
   private val qElems =
     """qe AS (
-      |  SELECT vec_id, i, CAST(round(e * 1000) AS BIGINT) AS v
+      |  SELECT vec_id, i, CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT) AS v
       |  FROM (SELECT vec_id, unnest(embedding) AS e,
       |               generate_subscripts(embedding, 1) AS i FROM embeddings) t),
       |norms AS (SELECT vec_id, CAST(sum(v * v) AS BIGINT) AS n2 FROM qe GROUP BY vec_id)""".stripMargin
@@ -443,7 +449,7 @@ object Similarity {
          |WHERE cosine >= 0.4 ORDER BY a_id, b_id""".stripMargin,
     "similarity_label_centroids" ->
       """SELECT label, CAST(i - 1 AS BIGINT) AS dim,
-        |  CAST(sum(CAST(round(e * 1000) AS BIGINT)) AS DOUBLE) /
+        |  CAST(sum(CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS DOUBLE) /
         |    CAST(count(*) * 1000 AS DOUBLE) AS centroid,
         |  count(*) AS n_vectors
         |FROM (SELECT label, unnest(embedding) AS e,
