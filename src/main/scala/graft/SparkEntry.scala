@@ -32,6 +32,7 @@ object SparkEntry {
       ops.RelationalExt.queries ++
       ops.Tpch.queries ++
       ops.Layout.queries ++
+      ops.Mining.queries ++
       sources.SourceQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -53,5 +54,6 @@ object SparkEntry {
       ops.RelationalExt.oracleSql ++
       ops.Tpch.oracleSql ++
       ops.Layout.oracleSql ++
+      ops.Mining.oracleSql ++
       sources.SourceQueries.oracleSql
 }

@@ -1,0 +1,271 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Corpus-level text mining for training-data curation, two families:
+  *
+  *  1. Repeated-passage mining (exact substring duplication a la Lee et
+  *     al. 2022, "Deduplicating Training Data Makes Language Models
+  *     Better"): which 5-gram passages recur across documents, and how
+  *     much of each document is corpus-duplicated text. Unlike the
+  *     document-level dedup family (`Dedup.scala`), this finds PARTIAL
+  *     duplication — boilerplate, quoted passages, templated text —
+  *     that whole-document hashing can never see.
+  *
+  *  2. DSIR-style importance resampling (Xie et al. 2023, "Data
+  *     Selection for Language Models via Importance Resampling"):
+  *     score every document by how target-domain-like its hashed
+  *     n-gram feature distribution is, select the top scorers. The
+  *     published method uses log-likelihood ratios of hashed n-gram
+  *     features; this implementation keeps the same structure but
+  *     replaces `log` with an integer-scaled probability RATIO so the
+  *     score is exact integer arithmetic end-to-end (bit-identical in
+  *     any engine — a float log-sum's accumulation order is not), which
+  *     is what puts a full value-level DuckDB oracle on it.
+  *
+  * Scale shape (100 TB): everything here is explode → one keyed shuffle
+  * → aggregate. The 5-gram relation is ~50× the corpus row count but
+  * each row is a hash + two small ids; the df table the ratio join
+  * needs is HAVING-filtered (df ≥ 2) before the join back, and the DSIR
+  * bucket-ratio table is exactly `Buckets` rows — a broadcast, never a
+  * shuffle of the corpus.
+  */
+object Mining {
+
+  private val GramN = 5
+
+  /** (doc_id, lang, gram) — every word-level 5-gram of every document,
+    * via one codegen'd `transform` over the split array (no UDF, no
+    * explode-then-window: positions come from `sequence`). */
+  private def grams(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("words"))
+      .filter(size(col("words")) >= GramN)
+      .select(col("doc_id"), col("lang"),
+        explode(expr(
+          s"transform(sequence(1, size(words) - ${GramN - 1}), " +
+            s"i -> array_join(slice(words, i, $GramN), ' '))")).as("gram"))
+
+  /** Top-50 corpus-repeated 5-gram passages: document frequency (how
+    * many distinct documents contain the passage) and total occurrence
+    * count. One shuffle keyed on the gram; the distinct-doc count rides
+    * the same aggregate. Deterministic cut: (df DESC, n DESC, gram). */
+  def textRepeatedPassages(s: SparkSession, dir: String): DataFrame =
+    grams(s, dir)
+      .groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("df"),
+        count(lit(1)).as("n"))
+      .filter(col("df") >= 2)
+      .orderBy(col("df").desc, col("n").desc, col("gram"))
+      .limit(50)
+
+  /** Per-language duplicated-passage mass: of all 5-grams emitted by a
+    * language's documents, how many occur in ≥ 2 distinct documents
+    * corpus-wide. The per-gram df table joins back to the gram relation
+    * on the gram itself — at scale both sides are hash-partitioned on
+    * the same key, so this is the standard big-big equi-join; the df
+    * side is first reduced to one row per DISTINCT gram (far smaller
+    * than the occurrence relation). `dup_ratio` is a single double
+    * division over two exact longs — deterministic cross-engine. */
+  def textDupPassageRatio(s: SparkSession, dir: String): DataFrame = {
+    val g = grams(s, dir)
+    val df = g.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("gram_df"))
+    g.join(df, "gram")
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("total_grams"),
+        sum(when(col("gram_df") >= 2, 1L).otherwise(0L)).as("dup_grams"))
+      .withColumn("dup_ratio",
+        col("dup_grams").cast("double") / col("total_grams").cast("double"))
+      .orderBy(col("lang"))
+  }
+
+  private val Buckets = 64
+  /** md5-derived token bucket: the first 8 hex chars as a positive
+    * 32-bit integer, mod `Buckets` — the one hash both engines spell
+    * identically (`Dedup.scala` uses the same trick for simhash). */
+  private val bucket =
+    pmod(conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long"), lit(Buckets.toLong))
+
+  /** DSIR-style importance selection: target domain = English documents,
+    * raw = whole corpus. Per hashed-unigram bucket b:
+    *
+    *   weight(b) = (10^6 * ct_b * Nr) div (cr_b * Nt)      (integer div)
+    *
+    * with ct/cr the add-one-smoothed target/raw token counts of b and
+    * Nt/Nr the smoothed totals — an integer-scaled estimate of
+    * p_target(b)/p_raw(b). A document's score is the LENGTH-NORMALIZED
+    * sum of its tokens' bucket weights (integer-div by token count —
+    * the unnormalized sum just rewards long documents); the top-100
+    * (score DESC, doc_id) are selected. All-integer math end-to-end:
+    * both engines produce the identical score, so the selected SET is
+    * oracle-checkable, not just its size. MiningSpec asserts the
+    * selection genuinely enriches the target domain vs the base rate.
+    *
+    * Scale: two token-level aggregates of width `Buckets` (map-side
+    * partials collapse them to 64 rows each), one broadcast join of the
+    * 64-row weight table against the token relation, one doc-keyed
+    * aggregate, TakeOrderedAndProject for the cut. The corpus is never
+    * shuffled except on doc_id for the final per-doc sum. */
+  def textDsirSample(s: SparkSession, dir: String): DataFrame = {
+    val toks = documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("t"))
+      .select(col("doc_id"), col("lang"), bucket.as("bk"))
+    val tgt = toks.filter(col("lang") === "en")
+      .groupBy(col("bk")).agg((count(lit(1)) + 1L).as("ct"))
+    val raw = toks.groupBy(col("bk")).agg((count(lit(1)) + 1L).as("cr"))
+    // smoothed totals: every one of the 64 buckets contributes its +1
+    // whether or not it appears, so Nt/Nr = token count + Buckets —
+    // independent of which buckets happen to be occupied.
+    val totals = documents(s, dir)
+      .select(col("lang"), (size(split(col("text"), " "))).cast("long").as("n"))
+      .agg((sum(when(col("lang") === "en", col("n")).otherwise(0L)) +
+             Buckets.toLong).as("nt"),
+        (sum(col("n")) + Buckets.toLong).as("nr"))
+    val weights = raw.join(tgt, Seq("bk"), "left")
+      .na.fill(1L, Seq("ct")) // absent-in-target bucket: smoothed count 1
+      .crossJoin(broadcast(totals))
+      .select(col("bk"),
+        expr("(1000000L * ct * nr) div (cr * nt)").as("w"))
+    toks.join(broadcast(weights), "bk")
+      .groupBy(col("doc_id"))
+      .agg(first(col("lang")).as("lang"),
+        expr("sum(w) div count(1)").as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(100)
+  }
+
+  /** Winsorized length statistics per language — the outlier-clipping
+    * pass a curation pipeline runs before computing corpus statistics:
+    * per-lang p05/p95 bounds on `n_chars`, counts outside them, and the
+    * clipped sum. The percentile here is the RANK-BASED discrete one —
+    * the value at 0-based sorted index ⌊p·(n−1)⌋ — because interpolated
+    * percentiles are float math with engine-specific accumulation,
+    * while a rank index is exact integer arithmetic (the same reason
+    * the DSIR score avoids log). Doc-id tie-break makes the row_number
+    * deterministic, and the value at a rank is tie-break-independent.
+    *
+    * Scale: one window partitioned by lang (bounded: one partition per
+    * language — fine at this fixture's 5 langs; a 100 TB corpus would
+    * swap the rank window for `percentile_approx`, trading oracle
+    * exactness for a fixed-size sketch, same downstream clamp). */
+  def textWinsorize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"))
+    val ranked = d
+      .withColumn("rn",
+        (row_number().over(Window.partitionBy(col("lang"))
+          .orderBy(col("n_chars"), col("doc_id"))) - 1).cast("long"))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy(col("lang"))).cast("long"))
+    val bounds = ranked
+      .filter(col("rn") === expr("(5 * (n - 1)) div 100") ||
+        col("rn") === expr("(95 * (n - 1)) div 100"))
+      .groupBy(col("lang"))
+      .agg(
+        min(when(col("rn") === expr("(5 * (n - 1)) div 100"), col("n_chars")))
+          .as("lo"),
+        max(when(col("rn") === expr("(95 * (n - 1)) div 100"), col("n_chars")))
+          .as("hi"))
+    d.join(broadcast(bounds), "lang")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        first(col("lo")).as("lo"), first(col("hi")).as("hi"),
+        sum(when(col("n_chars") < col("lo"), 1L).otherwise(0L)).as("n_below"),
+        sum(when(col("n_chars") > col("hi"), 1L).otherwise(0L)).as("n_above"),
+        sum(greatest(least(col("n_chars"), col("hi")), col("lo"))).as("win_sum"))
+      .orderBy(col("lang"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_repeated_passages" -> textRepeatedPassages _,
+    "text_dup_passage_ratio" -> textDupPassageRatio _,
+    "text_dsir_sample" -> textDsirSample _,
+    "text_winsorize" -> textWinsorize _,
+  )
+
+  /** Shared oracle CTE: the 5-gram relation (DuckDB list-comprehension
+    * spelling of the same slice/join). */
+  private val gramsSql =
+    s"""w AS (SELECT doc_id, lang, string_split(text, ' ') AS words
+       |      FROM documents WHERE len(string_split(text, ' ')) >= $GramN),
+       |g AS (SELECT doc_id, lang,
+       |        unnest([array_to_string(words[i:i+${GramN - 1}], ' ')
+       |                FOR i IN range(1, len(words) - ${GramN - 2})]) AS gram
+       |      FROM w)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "text_repeated_passages" ->
+      s"""WITH $gramsSql
+         |SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+         |  count(*) AS n
+         |FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+         |ORDER BY df DESC, n DESC, gram LIMIT 50""".stripMargin,
+    "text_dup_passage_ratio" ->
+      s"""WITH $gramsSql,
+         |df AS (SELECT gram, count(DISTINCT doc_id) AS gram_df
+         |       FROM g GROUP BY gram)
+         |SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  count(*) AS total_grams,
+         |  CAST(sum(CASE WHEN df.gram_df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS dup_grams,
+         |  CAST(sum(CASE WHEN df.gram_df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) /
+         |    CAST(count(*) AS DOUBLE) AS dup_ratio
+         |FROM g JOIN df USING (gram)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_dsir_sample" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+         |  FROM documents),
+         |b AS (SELECT doc_id, lang,
+         |        ('0x' || substr(md5(t), 1, 8))::BIGINT % $Buckets AS bk
+         |      FROM tok),
+         |tgt AS (SELECT bk, count(*) + 1 AS ct FROM b WHERE lang = 'en'
+         |        GROUP BY bk),
+         |raw AS (SELECT bk, count(*) + 1 AS cr FROM b GROUP BY bk),
+         |totals AS (
+         |  SELECT sum(CASE WHEN lang = 'en'
+         |               THEN len(string_split(text, ' ')) ELSE 0 END)
+         |           + $Buckets AS nt,
+         |         sum(len(string_split(text, ' '))) + $Buckets AS nr
+         |  FROM documents),
+         |weights AS (
+         |  SELECT r.bk,
+         |    (1000000 * coalesce(t.ct, 1) * totals.nr)
+         |      // (r.cr * totals.nt) AS w
+         |  FROM raw r LEFT JOIN tgt t USING (bk), totals)
+         |SELECT b.doc_id, any_value(b.lang) AS lang,
+         |  CAST(sum(w.w) // count(*) AS BIGINT) AS score
+         |FROM b JOIN weights w USING (bk)
+         |GROUP BY b.doc_id ORDER BY score DESC, doc_id LIMIT 100""".stripMargin,
+    "text_winsorize" ->
+      """WITH d AS (SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+         |           FROM documents),
+         |r AS (SELECT lang, n_chars,
+         |        row_number() OVER (PARTITION BY lang
+         |          ORDER BY n_chars, doc_id) - 1 AS rn,
+         |        count(*) OVER (PARTITION BY lang) AS n
+         |      FROM d),
+         |b AS (SELECT lang,
+         |        min(CASE WHEN rn = (5 * (n - 1)) // 100 THEN n_chars END)
+         |          AS lo,
+         |        max(CASE WHEN rn = (95 * (n - 1)) // 100 THEN n_chars END)
+         |          AS hi
+         |      FROM r GROUP BY lang)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(any_value(lo) AS BIGINT) AS lo,
+         |  CAST(any_value(hi) AS BIGINT) AS hi,
+         |  CAST(sum(CASE WHEN n_chars < lo THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_below,
+         |  CAST(sum(CASE WHEN n_chars > hi THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_above,
+         |  CAST(sum(greatest(least(n_chars, hi), lo)) AS BIGINT) AS win_sum
+         |FROM d JOIN b USING (lang)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+  )
+}

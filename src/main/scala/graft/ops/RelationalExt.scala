@@ -576,6 +576,37 @@ object RelationalExt {
       .agg(sum(expr("bitmap_count(bm)")).as("n_distinct_cust"))
       .orderBy(col("o_orderstatus"))
 
+  /** Mergeable HLL sketch rollup — the APPROXIMATE sibling of
+    * [[aggBitmapDistinct]]'s exact bitmaps and the reason sketches win
+    * at 100 TB: per-(year, month) DataSketches HLL sketches
+    * (`hll_sketch_agg`) union into per-year distinct estimates
+    * (`hll_union_agg`) WITHOUT re-scanning the raw data — the
+    * incremental-rollup contract (`count(DISTINCT)` must always
+    * re-shuffle raw keys; a bitmap is exact but its size grows with the
+    * id domain; an HLL sketch is fixed-size at any cardinality). The
+    * sketch estimate is engine-specific, so the declared output is the
+    * exact distinct count plus a tolerance VERDICT — HLL at default
+    * lgConfigK=12 has σ ≈ 1.04/√2¹² ≈ 1.6%, the verdict allows 5% —
+    * and the oracle recomputes the exacts and asserts every verdict. */
+  def aggHllRollup(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir).select(
+      year(col("o_orderdate")).cast("long").as("y"),
+      month(col("o_orderdate")).cast("long").as("m"),
+      col("o_custkey"))
+    val monthly = o.groupBy(col("y"), col("m"))
+      .agg(expr("hll_sketch_agg(o_custkey)").as("sk"))
+    val yearly = monthly.groupBy(col("y"))
+      .agg(count(lit(1)).as("n_months"),
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+    val exact = o.groupBy(col("y"))
+      .agg(countDistinct(col("o_custkey")).as("exact_custs"))
+    yearly.join(exact, "y")
+      .select(col("y").as("o_year"), col("n_months"), col("exact_custs"),
+        (abs(col("est").cast("double") / col("exact_custs").cast("double")
+          - 1.0) <= 0.05).as("est_ok"))
+      .orderBy(col("o_year"))
+  }
+
   /** UNPIVOT (melt) — the inverse of the pivot pair: wide metric
     * columns become (key, metric, value) rows. Map-side expand, no
     * shuffle at all; value columns are cast to one type up front (the
@@ -618,6 +649,7 @@ object RelationalExt {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_anomaly_mad" -> eventsAnomalyMad _,
     "agg_bitmap_distinct" -> aggBitmapDistinct _,
+    "agg_hll_rollup" -> aggHllRollup _, // sketch rollup, tolerance verdicts
     "unpivot_order_metrics" -> unpivotOrderMetrics _,
     "agg_argmax_orders" -> aggArgmaxOrders _,
     "agg_approx_topk_events" -> aggApproxTopkEvents _, // exact below sketch capacity
@@ -715,6 +747,14 @@ object RelationalExt {
         |WHERE c_custkey IN
         |  (SELECT o_custkey FROM orders WHERE o_totalprice > 480000)
         |ORDER BY c_custkey""".stripMargin,
+    // sketch estimate is engine-specific; oracle recomputes exact
+    // distincts per year and asserts the tolerance verdicts
+    "agg_hll_rollup" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(count(DISTINCT month(o_orderdate)) AS BIGINT) AS n_months,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+        |  true AS est_ok
+        |FROM orders GROUP BY 1 ORDER BY o_year""".stripMargin,
     "q15_top_supplier" ->
       """WITH rev AS (
         |  SELECT l_suppkey AS supplier_no,

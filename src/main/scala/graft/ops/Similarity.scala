@@ -135,7 +135,21 @@ object Similarity {
     * broadcast cross of each vector with K centroid rows (map-only), the
     * probe is an equi-join on cell id — candidates per query shrink by
     * ~K/probes. */
-  def ivfAnnTopK(s: SparkSession, dir: String): DataFrame = {
+  /** Shared IVF core: every vector row with its per-cell affinity array
+    * and the argmax cell. Cells are per-label centroid SUM vectors
+    * (exact Longs); affinity = dot(v, S_cell)/sqrt(|S_cell|²).
+    *
+    * Cell assignment is MAP-SIDE: every vector row carries the single
+    * broadcast array of all K cells and takes the argmax per row via
+    * array_max over (score, -cell) structs — max score, ties → lowest
+    * cell, matching the oracle's ORDER BY score DESC, cell ASC. The
+    * round-1 form exploded corpus×K affinity rows through a
+    * Window.partitionBy(vec_id) — a full corpus shuffle just to argmax
+    * over K=10 values. Zero Exchange keyed by vec_id remains (asserted
+    * in PlanSpec); the only shuffles left are the K-row cell build.
+    *
+    * Columns: (vec_id, q, norm2, aff, best). */
+  private def ivfWithBest(s: SparkSession, dir: String): DataFrame = {
     val e = embeddings(s, dir)
       .select(col("vec_id"), col("label"), quantize.as("q"))
       .select(col("vec_id"), col("label"), col("q"), dot("q", "q").as("norm2"))
@@ -147,25 +161,20 @@ object Similarity {
       .agg(expr("transform(array_sort(collect_list(struct(dim, s))), x -> x.s)").as("cs"))
       .select(col("cell"), col("cs"),
         graft.functions.VectorExpressions.dotLongs(col("cs"), col("cs")).as("ss"))
-    // Cell assignment is MAP-SIDE: every vector row carries the single
-    // broadcast array of all K cells and takes the argmax per row via
-    // array_max over (score, -cell) structs — max score, ties → lowest
-    // cell, matching the oracle's ORDER BY score DESC, cell ASC. The
-    // round-1 form exploded corpus×K affinity rows through a
-    // Window.partitionBy(vec_id) — a full corpus shuffle just to argmax
-    // over K=10 values. Zero Exchange keyed by vec_id remains (asserted
-    // in PlanSpec); the only shuffles left are the K-row cell build and
-    // the candidate top-k.
     val cellsArr = cells
       .agg(collect_list(struct(col("cell"), col("cs"), col("ss"))).as("cells"))
-    val withBest = e.crossJoin(broadcast(cellsArr))
+    e.crossJoin(broadcast(cellsArr))
       .withColumn("aff", transform(col("cells"), c =>
         struct(
           (graft.functions.VectorExpressions.dotLongs(col("q"), c.getField("cs"))
             .cast("double") / sqrt(c.getField("ss").cast("double"))).as("score"),
           (-c.getField("cell")).as("negcell"))))
       .withColumn("best", array_max(col("aff")))
-      .drop("cells")
+      .drop("cells", "label")
+  }
+
+  def ivfAnnTopK(s: SparkSession, dir: String): DataFrame = {
+    val withBest = ivfWithBest(s, dir)
     val assign = withBest
       .select(col("vec_id").as("cand_id"), col("q").as("ce"),
         col("norm2").as("cn"), (-col("best.negcell")).as("cell"))
@@ -187,6 +196,54 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
       .select(col("query_id"), col("rn").cast("long").as("rn"), col("cand_id"), col("cosine"))
       .orderBy(col("query_id"), col("rn"))
+  }
+
+  private val SemTau = 0.3
+
+  /** Test hook (MiningSpec): the (vec_id, cell) assignment SemDeDup
+    * clusters by — lets the spec recompute within-cell pairs naively
+    * without re-deriving the IVF argmax. */
+  def dedupSemanticAssignment(s: SparkSession, dir: String): DataFrame =
+    ivfWithBest(s, dir).select(col("vec_id"), (-col("best.negcell")).as("cell"))
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): cluster the embedding
+    * corpus, then look for near-duplicate pairs ONLY within a cluster —
+    * the approximation that turns O(n²) semantic dedup into
+    * sum-over-cells O(Σ|cell|²). Clustering here is the deterministic
+    * IVF cell assignment ([[ivfWithBest]]); within a cell, a vector is
+    * DROPPED when a lower-id member sits at cosine ≥ τ (the paper keeps
+    * one representative per ε-ball; min-id is the deterministic,
+    * oracle-checkable choice of representative). Output: one row per
+    * dropped vector with its representative and the tightest duplicate.
+    *
+    * Scale: the paper's production setting is K ≈ 10⁵ clusters over
+    * ~10⁹ embeddings, keeping |cell| ≈ 10⁴ — the within-cell self-join
+    * is an equi-join on cell id (hash-partitioned both sides, never
+    * all-pairs), and cell granularity is the knob that bounds the
+    * quadratic term. Cross-cell near-dups are missed BY DESIGN — that
+    * is SemDeDup's documented recall trade. */
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    val assign = ivfWithBest(s, dir)
+      .select(col("vec_id"), col("q"), col("norm2"),
+        (-col("best.negcell")).as("cell"))
+      // both sides of the self-join read this — materialize once, same
+      // as the LSH signature relation in `bucketed`
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = assign.select(col("cell"), col("vec_id").as("a_id"),
+      col("q").as("qa"), col("norm2").as("na"))
+    val b = assign.select(col("cell"), col("vec_id").as("b_id"),
+      col("q").as("qb"), col("norm2").as("nb"))
+    a.join(b, Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("cell"), col("a_id"), col("b_id"),
+        (dot("qa", "qb").cast("double") /
+          sqrt(col("na").cast("double") * col("nb").cast("double"))).as("cosine"))
+      .filter(col("cosine") >= SemTau)
+      .groupBy(col("b_id").as("vec_id"), col("cell"))
+      .agg(min(col("a_id")).as("dup_of"), max(col("cosine")).as("max_cosine"),
+        count(lit(1)).as("n_dups"))
+      .orderBy(col("vec_id"))
   }
 
   /** Embedding-cosine near-duplicate pairs — the last dedup modality:
@@ -286,6 +343,7 @@ object Similarity {
     "similarity_label_centroids" -> labelCentroids _,
     "similarity_kmeans" -> kmeansCells _,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine _,
+    "dedup_semantic" -> dedupSemantic _,
   )
 
   // Shared oracle scaffolding: per-element quantized views.
@@ -310,7 +368,57 @@ object Similarity {
       s"""SELECT vec_id, CAST($t AS BIGINT) AS tbl, CAST(${duckBucket(t)} AS BIGINT) AS bucket
          |FROM qe GROUP BY vec_id""".stripMargin).mkString("\nUNION ALL\n") + ")"
 
+  /** Shared oracle CTE block: IVF cell build + per-vector cell ranking
+    * (mirrors [[ivfWithBest]]; `ranked.rn = 1` is the assignment). Used
+    * by the semantic-dedup oracle; `similarity_ivf_ann` spells the same
+    * CTEs inline (kept as written once green — r6). */
+  private val cellRankSql =
+    """lab AS (SELECT vec_id, label FROM embeddings),
+      |cellsums AS (
+      |  SELECT l.label AS cell, q.i, CAST(sum(q.v) AS BIGINT) AS s
+      |  FROM qe q JOIN lab l ON l.vec_id = q.vec_id
+      |  GROUP BY 1, 2),
+      |cellnorm AS (SELECT cell, CAST(sum(s * s) AS BIGINT) AS ss
+      |  FROM cellsums GROUP BY cell),
+      |aff AS (
+      |  SELECT q.vec_id, c.cell,
+      |    CAST(sum(q.v * c.s) AS BIGINT) AS dot
+      |  FROM qe q JOIN cellsums c ON q.i = c.i
+      |  GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT a.vec_id, a.cell,
+      |    row_number() OVER (PARTITION BY a.vec_id
+      |      ORDER BY CAST(a.dot AS DOUBLE) / sqrt(CAST(n.ss AS DOUBLE)) DESC,
+      |               a.cell ASC) AS rn
+      |  FROM aff a JOIN cellnorm n ON n.cell = a.cell)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "dedup_semantic" ->
+      s"""WITH $qElems,
+         |$cellRankSql,
+         |assign AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+         |cand AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.cell
+         |  FROM assign a JOIN assign b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id),
+         |dots AS (
+         |  SELECT c.a_id, c.b_id, c.cell,
+         |    CAST(sum(x.v * y.v) AS BIGINT) AS dot
+         |  FROM cand c
+         |  JOIN qe x ON x.vec_id = c.a_id
+         |  JOIN qe y ON y.vec_id = c.b_id AND x.i = y.i
+         |  GROUP BY 1, 2, 3),
+         |scored AS (
+         |  SELECT a_id, b_id, cell,
+         |    CAST(dot AS DOUBLE) /
+         |      sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cosine
+         |  FROM dots
+         |  JOIN norms na ON na.vec_id = a_id
+         |  JOIN norms nb ON nb.vec_id = b_id)
+         |SELECT b_id AS vec_id, cell, min(a_id) AS dup_of,
+         |  max(cosine) AS max_cosine, count(*) AS n_dups
+         |FROM scored WHERE cosine >= $SemTau
+         |GROUP BY 1, 2 ORDER BY vec_id""".stripMargin,
     "similarity_cosine_topk" ->
       s"""WITH $qElems,
          |dots AS (

@@ -61,9 +61,89 @@ object SourceQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Bucketed-table co-located join — the layout lever that removes the
+    * SHUFFLE from a big–big join entirely: both sides are written as
+    * bucketed tables (`bucketBy` + `sortBy` on the join key, same bucket
+    * count), so at read time Spark's bucketing rule gives each side an
+    * `HashPartitioning(key, 16)` output partitioning and the
+    * `EnsureRequirements` rule inserts ZERO Exchange for the sort-merge
+    * join (PlanSpec asserts this). At 100 TB this is THE fact-to-fact
+    * join strategy: pay one bucketed write per table, then every
+    * subsequent join/aggregation on that key is exchange-free. The
+    * `merge` hints force SMJ so the assertion is about bucketing, not
+    * about one side happening to broadcast at test scale.
+    *
+    * The aggregate after the join keys on the SAME column, so it also
+    * reuses the bucket partitioning — the whole query runs with no data
+    * movement except the final tiny per-status rollup. */
+  def sourceBucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val base = tmpDir("graft_bucketed")
+    orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        cents(col("o_totalprice")).as("price_cents"))
+      .write.mode("overwrite").option("path", base + "/orders_b")
+      .bucketBy(16, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("graft_orders_bucketed")
+    customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .write.mode("overwrite").option("path", base + "/customer_b")
+      .bucketBy(16, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("graft_customer_bucketed")
+    val o = s.table("graft_orders_bucketed").hint("merge")
+    val c = s.table("graft_customer_bucketed").hint("merge")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("price_cents")).as("total_cents"),
+        countDistinct(col("o_custkey")).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Dynamic partition pruning — the OTHER layout lever: the fact table
+    * is laid out partitioned by derived year, the dimension is filtered
+    * on a non-partition attribute, and Catalyst turns the join into a
+    * runtime partition filter on the fact scan (the dim side runs
+    * first; only the surviving years' directories are read —
+    * `PartitionFilters: [dynamicpruningexpression(...)]` in the plan,
+    * asserted in PlanSpec). At 100 TB this is what makes
+    * date-partitioned fact scans cheap for star joins whose date
+    * predicate lives on the dimension: the scan reads the 2-of-7
+    * partitions the dim selects, not the whole table. Both relations
+    * are FILE-based — a literal in-memory dim would constant-fold into
+    * static pruning and prove nothing. */
+  def sourceDppJoin(s: SparkSession, dir: String): DataFrame = {
+    val base = tmpDir("graft_dpp")
+    // the dim's key type must MATCH the inferred partition-column type
+    // (int): a cast on the fact-side join key is not a bare partition
+    // attribute, and the PartitionPruning rule passes on it silently
+    orders(s, dir)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year")
+      .parquet(base + "/orders_part")
+    // the dim predicate is an In over a NON-join attribute: a bare
+    // boolean column simplifies to an attribute ref, which the
+    // PartitionPruning rule's isLikelySelective check rejects, and a
+    // predicate on the join key itself would be constraint-propagated
+    // onto the fact as STATIC pruning — either way no DPP to demo
+    orders(s, dir)
+      .select(year(col("o_orderdate")).as("d_year")).distinct()
+      .withColumn("parity", concat(lit("p"), col("d_year") % 2))
+      .write.mode("overwrite").parquet(base + "/year_dim")
+    val fact = s.read.parquet(base + "/orders_part")
+    val dim = s.read.parquet(base + "/year_dim")
+      .filter(col("parity").isin("p0", "px"))
+    fact.join(dim, fact("o_year") === dim("d_year"))
+      .groupBy(col("o_year").cast("long").as("o_year"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(cents(col("o_totalprice"))).as("total_cents"))
+      .orderBy(col("o_year"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "source_orc_roundtrip" -> sourceOrcRoundtrip _,
     "source_json_roundtrip" -> sourceJsonRoundtrip _,
+    "source_bucketed_join" -> sourceBucketedJoin _,
+    "source_dpp_join" -> sourceDppJoin _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -79,5 +159,19 @@ object SourceQueries {
         |    AS total_cents,
         |  max(o_orderkey) AS max_orderkey
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "source_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "source_dpp_join" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM orders WHERE year(o_orderdate) % 2 = 0
+        |GROUP BY 1 ORDER BY o_year""".stripMargin,
   )
 }

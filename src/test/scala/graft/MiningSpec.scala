@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{Mining, Similarity}
+
+/** Corpus-mining + semantic-dedup invariants beyond the DuckDB hash
+  * oracle: brute-force equivalence for SemDeDup, genuine target-domain
+  * enrichment for DSIR, and internal consistency of the passage stats.
+  */
+class MiningSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("repeated passages: df>=2, deterministic order, df consistent with recount") {
+    val rows = Mining.textRepeatedPassages(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (g, df, n) =>
+      assert(df >= 2 && n >= df, s"$g df=$df n=$n")
+      assert(g.split(" ").length === 5)
+    }
+    // the cut order is (df desc, n desc, gram asc)
+    assert(rows.sortBy { case (g, df, n) => (-df, -n, g) }.toSeq === rows.toSeq)
+    // recount one returned gram by brute force over the raw text
+    val (g0, df0, n0) = rows.head
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ")))
+    val occs = docs.map { case (_, ws) =>
+      ws.sliding(5).count(_.mkString(" ") == g0)
+    }
+    assert(occs.sum === n0, s"occurrence recount for '$g0'")
+    assert(occs.count(_ > 0) === df0, s"df recount for '$g0'")
+  }
+
+  test("dup-passage ratio: mass bounds and full-language coverage") {
+    val rows = Mining.textDupPassageRatio(spark, dir).collect()
+    assert(rows.map(_.getString(0)).toSet ===
+      Set("de", "en", "es", "fr", "zh"))
+    rows.foreach { r =>
+      val (total, dup, ratio) = (r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(dup >= 0 && dup <= total)
+      assert(math.abs(ratio - dup.toDouble / total.toDouble) < 1e-15)
+    }
+  }
+
+  test("DSIR selection enriches the target domain above its base rate") {
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.count().toDouble
+    val baseEn = docs.filter(col("lang") === "en").count().toDouble / nDocs
+    val top = Mining.textDsirSample(spark, dir).collect()
+    assert(top.length === math.min(100L, nDocs.toLong))
+    val topEn = top.count(_.getString(1) == "en").toDouble / top.length
+    // the whole point of importance resampling: the selected set is
+    // more target-like than a uniform sample
+    assert(topEn > baseEn, s"top-en $topEn vs base $baseEn")
+    // scores are non-increasing in the declared (score desc, doc_id) order
+    val scores = top.map(_.getLong(2))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("SemDeDup == brute-force within-cell near-dup scan (same cells, same tau)") {
+    val got = Similarity.dedupSemantic(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getAs[Number]("cell").longValue,
+        r.getLong(2), r.getLong(4)))
+    // independent formulation: take the ASSIGNMENT as produced (cells
+    // validated by the similarity_ivf_ann oracle), recompute all
+    // within-cell cosines naively on the driver from raw embeddings
+    val quant = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).toMap
+    val cellOf = Similarity.dedupSemanticAssignment(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getAs[Number]("cell").longValue)).toMap
+    val byCell = cellOf.groupBy(_._2).view.mapValues(_.keys.toArray.sorted)
+    val expect = scala.collection.mutable.Map[Long, (Long, Long)]()
+    byCell.foreach { case (_, ids) =>
+      for (i <- ids.indices; j <- (i + 1) until ids.length) {
+        val (a, b) = (ids(i), ids(j))
+        val (qa, qb) = (quant(a), quant(b))
+        val dot = qa.zip(qb).map { case (x, y) => x * y }.sum
+        val cos = dot.toDouble /
+          math.sqrt(qa.map(x => x * x).sum.toDouble * qb.map(x => x * x).sum.toDouble)
+        if (cos >= 0.3) {
+          val (dupOf, n) = expect.getOrElse(b, (Long.MaxValue, 0L))
+          expect(b) = (math.min(dupOf, a), n + 1)
+        }
+      }
+    }
+    assert(got.map(t => (t._1, t._3, t._4)).toSet ===
+      expect.map { case (v, (d, n)) => (v, d, n) }.toSet)
+  }
+}

@@ -140,6 +140,35 @@ class PlanSpec extends AnyFunSuite {
       s"corpus shuffled by vec_id for assignment:\n$p")
   }
 
+  test("bucketed join: both scans bucketed, SMJ inputs exchange-free") {
+    val p = plan(sources.SourceQueries.sourceBucketedJoin(spark, dir))
+    // both sides read as bucketed tables, and the join key partitioning
+    // comes from the LAYOUT — no Exchange re-hashing either join input
+    assert(s"""Bucketed: true""".r.findAllIn(p).length === 2, s"plan:\n$p")
+    assert(p.contains("SortMergeJoin"), s"plan:\n$p")
+    assert(!p.contains("hashpartitioning(o_custkey") &&
+      !p.contains("hashpartitioning(c_custkey"),
+      s"join input re-shuffled despite bucketing:\n$p")
+  }
+
+  test("DPP: dim predicate prunes fact partitions at runtime") {
+    val p = plan(sources.SourceQueries.sourceDppJoin(spark, dir))
+    assert(p.contains("dynamicpruningexpression"),
+      s"no dynamic partition pruning on the fact scan:\n$p")
+  }
+
+  test("SemDeDup: cell assignment map-side; assignment relation persisted") {
+    val df = ops.Similarity.dedupSemantic(spark, dir)
+    val p = plan(df)
+    // the corpus is never shuffled by vec_id — assignment rides the
+    // broadcast cell array, the self-join keys on the cell id only
+    assert(!p.contains("hashpartitioning(vec_id"),
+      s"corpus shuffled by vec_id:\n$p")
+    val exec = df.queryExecution.executedPlan.toString
+    assert(exec.contains("InMemoryTableScan") || exec.contains("InMemoryRelation"),
+      s"assignment not materialized once for both join sides:\n$exec")
+  }
+
   test("multimodal decode stays on the Dataset API (no RDD scan boundary)") {
     val p = plan(ops.Multimodal.mediaDecodeStats(spark, dir))
     assert(!p.contains("ExistingRDD"), s"RDD round-trip in decode plan:\n$p")
