@@ -37,16 +37,17 @@ object Mining {
   private val GramN = 5
 
   /** (doc_id, lang, gram) — every word-level 5-gram of every document,
-    * via one codegen'd `transform` over the split array (no UDF, no
-    * explode-then-window: positions come from `sequence`). */
+    * via the codegen'd [[graft.functions.VectorExpressions.WordShingles]]
+    * expression (compiled loop; the `transform`+`slice`+`array_join` HOF
+    * spelling pays one interpreted lambda dispatch per position per row
+    * — same gap the dedup shingle pipeline measured). Documents shorter
+    * than the gram width yield an empty array, which `explode` drops —
+    * identical to the oracle's `len(words) >= n` guard. */
   private def grams(s: SparkSession, dir: String): DataFrame =
     documents(s, dir)
-      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("words"))
-      .filter(size(col("words")) >= GramN)
       .select(col("doc_id"), col("lang"),
-        explode(expr(
-          s"transform(sequence(1, size(words) - ${GramN - 1}), " +
-            s"i -> array_join(slice(words, i, $GramN), ' '))")).as("gram"))
+        explode(graft.functions.VectorExpressions
+          .wordShingles(col("text"), GramN, distinct = false)).as("gram"))
 
   /** Top-50 corpus-repeated 5-gram passages: document frequency (how
     * many distinct documents contain the passage) and total occurrence
@@ -70,7 +71,10 @@ object Mining {
     * than the occurrence relation). `dup_ratio` is a single double
     * division over two exact longs — deterministic cross-engine. */
   def textDupPassageRatio(s: SparkSession, dir: String): DataFrame = {
+    // the gram relation feeds BOTH the df aggregate and the join-back —
+    // materialize it once (same pattern as the dedup shingle relations)
     val g = grams(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df = g.groupBy(col("gram"))
       .agg(countDistinct(col("doc_id")).as("gram_df"))
     g.join(df, "gram")
@@ -111,10 +115,13 @@ object Mining {
     * aggregate, TakeOrderedAndProject for the cut. The corpus is never
     * shuffled except on doc_id for the final per-doc sum. */
   def textDsirSample(s: SparkSession, dir: String): DataFrame = {
+    // three consumers (target counts, raw counts, the scoring join):
+    // one tokenize+md5 pass, not three
     val toks = documents(s, dir)
       .select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("t"))
       .select(col("doc_id"), col("lang"), bucket.as("bk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tgt = toks.filter(col("lang") === "en")
       .groupBy(col("bk")).agg((count(lit(1)) + 1L).as("ct"))
     val raw = toks.groupBy(col("bk")).agg((count(lit(1)) + 1L).as("cr"))
