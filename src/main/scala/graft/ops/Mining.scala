@@ -75,15 +75,26 @@ object Mining {
     // materialize it once (same pattern as the dedup shingle relations)
     val g = grams(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val df = g.groupBy(col("gram"))
-      .agg(countDistinct(col("doc_id")).as("gram_df"))
-    g.join(df, "gram")
-      .groupBy(col("lang"))
+    // per-lang totals never need the df join — they come straight off
+    // the gram relation, so the join-back below carries ONLY grams with
+    // df ≥ 2 (on a web corpus the df=1 tail is the large majority of
+    // distinct grams; dropping it before the join changes nothing in
+    // the dup counts and everything in the join volume)
+    val totals = g.groupBy(col("lang"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
-        count(lit(1)).as("total_grams"),
-        sum(when(col("gram_df") >= 2, 1L).otherwise(0L)).as("dup_grams"))
-      .withColumn("dup_ratio",
-        col("dup_grams").cast("double") / col("total_grams").cast("double"))
+        count(lit(1)).as("total_grams"))
+    val repeated = g.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("gram_df"))
+      .filter(col("gram_df") >= 2)
+      .select(col("gram"))
+    val dup = g.join(repeated, "gram")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("dup_grams"))
+    totals.join(dup, Seq("lang"), "left")
+      .na.fill(0L, Seq("dup_grams"))
+      .select(col("lang"), col("n_docs"), col("total_grams"), col("dup_grams"),
+        (col("dup_grams").cast("double") / col("total_grams").cast("double"))
+          .as("dup_ratio"))
       .orderBy(col("lang"))
   }
 
