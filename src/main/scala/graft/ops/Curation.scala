@@ -400,7 +400,51 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** Snapshot diff — the dataset-versioning primitive a production
+    * pipeline runs between two corpus builds: which documents were
+    * added, removed, changed, or untouched, WITHOUT comparing text
+    * bytes across the wire. Both snapshots reduce to (doc_id,
+    * md5(text)) first — the full-outer join then moves 16-byte digests
+    * keyed by doc_id, never documents, which is what makes a diff of
+    * two 100 TB snapshots a routine job (the join is one co-partitioned
+    * shuffle; with both snapshots bucketed by doc_id on disk — see
+    * `source_bucketed_join` — it is exchange-free).
+    *
+    * The "next" snapshot here is a deterministic simulation derived
+    * from the current one (drop doc_id ≡ 0 mod 97, rewrite text for
+    * doc_id ≡ 0 mod 89, add a synthetic doc per removed one), so the
+    * oracle can rebuild the identical pair of snapshots and the diff
+    * counts are value-checkable. */
+  def curationSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val v1 = documents(s, dir).select(col("doc_id"), col("lang"), col("text"))
+    val changed = v1.filter(pmod(col("doc_id"), lit(97L)) =!= 0)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(89L)) === 0, upper(col("text")))
+          .otherwise(col("text")))
+    val added = v1.filter(pmod(col("doc_id"), lit(97L)) === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("lang"),
+        concat(lit("new "), col("text")).as("text"))
+    val v2 = changed.unionAll(added)
+    val h1 = v1.select(col("doc_id"), col("lang").as("lang1"),
+      md5(col("text")).as("h1"))
+    val h2 = v2.select(col("doc_id"), col("lang").as("lang2"),
+      md5(col("text")).as("h2"))
+    h1.join(h2, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), coalesce(col("lang1"), col("lang2")).as("lang"),
+        when(col("h1").isNull, "added")
+          .when(col("h2").isNull, "removed")
+          .when(col("h1") =!= col("h2"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+      .orderBy(col("status"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curation_snapshot_diff" -> curationSnapshotDiff _,
     "dedup_source_overlap" -> dedupSourceOverlap _,
     "profile_sources" -> profileSources _,
     "dedup_levenshtein_names" -> dedupLevenshteinNames _,
@@ -595,6 +639,29 @@ object Curation {
       |          AS DOUBLE) >= 0.5)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "curation_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, lang, text FROM documents),
+        |v2 AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 89 = 0 THEN upper(text) ELSE text END AS text
+        |  FROM v1 WHERE doc_id % 97 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, lang, 'new ' || text
+        |  FROM v1 WHERE doc_id % 97 = 0),
+        |h1 AS (SELECT doc_id, lang AS lang1, md5(text) AS h1 FROM v1),
+        |h2 AS (SELECT doc_id, lang AS lang2, md5(text) AS h2 FROM v2),
+        |d AS (
+        |  SELECT coalesce(h1.doc_id, h2.doc_id) AS doc_id,
+        |    coalesce(lang1, lang2) AS lang,
+        |    CASE WHEN h1.h1 IS NULL THEN 'added'
+        |         WHEN h2.h2 IS NULL THEN 'removed'
+        |         WHEN h1.h1 <> h2.h2 THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM h1 FULL OUTER JOIN h2 ON h1.doc_id = h2.doc_id)
+        |SELECT status, count(*) AS n_docs,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+        |FROM d GROUP BY status ORDER BY status""".stripMargin,
     "dedup_source_overlap" ->
       s"""WITH $jaccardPairsCte
          |SELECT least(da.source, db.source) AS source_1,

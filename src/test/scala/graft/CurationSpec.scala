@@ -247,4 +247,16 @@ class CurationSpec extends AnyFunSuite {
       sorted.init.foreach { case (_, _, start, _) => assert(n(doc) - start > 48) }
     }
   }
+
+  test("snapshot diff: statuses partition the union; added mirrors removed by construction") {
+    val rows = Curation.curationSnapshotDiff(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = Tables.documents(spark, dir).count()
+    // the simulated v2 adds exactly one synthetic doc per removed one
+    assert(rows.getOrElse("added", 0L) === rows.getOrElse("removed", 0L))
+    // v1 docs split exactly into removed + changed + unchanged
+    assert(rows.getOrElse("removed", 0L) + rows.getOrElse("changed", 0L) +
+      rows.getOrElse("unchanged", 0L) === total)
+    assert(rows.getOrElse("changed", 0L) > 0 && rows.getOrElse("removed", 0L) > 0)
+  }
 }
