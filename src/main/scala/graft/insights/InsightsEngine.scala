@@ -342,6 +342,49 @@ object InsightsEngine {
     renderNative(filterCubedNative(cubed, cfg, threshold), cfg)
   }
 
+  /** Un-thresholded, un-rendered native cube core: the grouping columns
+    * (raw bucket values), `gid`, `count`. This is the MERGEABLE form of
+    * the cube — counts are additive per (keys, gid) — which is what
+    * [[insightsCubeIncremental]] unions across snapshots. */
+  private def cubeCoreNative(df: DataFrame, cfg: InsightsConfig): DataFrame = {
+    val bucketed = bucket(df, cfg.buckets)
+    requireNonFloatKeys(bucketed, cfg)
+    val aggExprs = count(lit(1)).as("count") +: grouping_id().as("gid") +:
+      cfg.valueCols.map(v => min(col(s"`$v`")).as(v))
+    bucketed.cube(cfg.groupingCols.map(c => col(s"`$c`")): _*)
+      .agg(aggExprs.head, aggExprs.tail: _*)
+  }
+
+  /** INCREMENTAL cube maintenance — the materialized-view shape of the
+    * insights engine: when a corpus grows by a delta, the full-powerset
+    * insight table of base ∪ delta is the per-(keys, gid) SUM of the two
+    * un-thresholded cube cores; only the HAVING threshold and the label
+    * rendering are recomputed on the merged (tiny) result, because the
+    * threshold ⌊p·(N₁+N₂)/100⌋ is a property of the UNION, not of
+    * either part. At 100 TB this is the difference between cubing a
+    * daily delta (and merging into yesterday's materialized core) and
+    * re-cubing the whole corpus every day: the merge's input is two
+    * aggregate tables of Σ|groups| rows, never raw data. Every measure
+    * carried is MERGEABLE: counts sum, `min` value columns re-min
+    * (associative + commutative); `first` would not merge, which is one
+    * more reason the declared engine pins `min` for denorm (SURVEY
+    * §7.5.1).
+    *
+    * Result ≡ `insightsCubeNative(base ∪ delta)` — the declared query's
+    * DuckDB oracle IS the full recompute, so the equivalence is
+    * hash-checked, not just unit-tested. */
+  def insightsCubeIncremental(base: DataFrame, delta: DataFrame,
+      cfg: InsightsConfig, totalCount: Long): DataFrame = {
+    val threshold = math.floor(cfg.thresholdPercent / 100.0 * totalCount).toLong
+    val keyCols = cfg.groupingCols.map(c => col(s"`$c`")) :+ col("gid")
+    val mergeExprs = sum(col("count")).as("count") +:
+      cfg.valueCols.map(v => min(col(s"`$v`")).as(v))
+    val merged = cubeCoreNative(base, cfg).unionAll(cubeCoreNative(delta, cfg))
+      .groupBy(keyCols: _*)
+      .agg(mergeExprs.head, mergeExprs.tail: _*)
+    renderNative(filterCubedNative(merged, cfg, threshold), cfg)
+  }
+
   /** Native-key cube with DICTIONARY value re-attachment — the scale-mode
     * production shape for configs with id→value display columns (the
     * full Play-Store pipeline). The cube aggregate carries ONLY

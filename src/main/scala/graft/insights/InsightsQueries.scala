@@ -89,9 +89,24 @@ object InsightsQueries {
       .orderBy("insight")
   }
 
+  /** Incremental maintenance A/B: the corpus split 4:1 into base and
+    * delta on o_orderkey, cubed separately, merged per (keys, gid), and
+    * only then thresholded+rendered. The oracle is the FULL-recompute
+    * SQL shared with `insights_orders_cube` — so the driver hash-checks
+    * that incremental merge ≡ full cube, the materialized-view
+    * contract, on every round. */
+  def ordersIncremental(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir)
+    val base = o.filter(pmod(col("o_orderkey"), lit(5L)) =!= 0)
+    val delta = o.filter(pmod(col("o_orderkey"), lit(5L)) === 0)
+    InsightsEngine.insightsCubeIncremental(base, delta, ordersCfg, o.count())
+      .orderBy("insight")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "insights_orders_cube" -> ordersCube _,
     "insights_orders_loop" -> ordersLoop _,
+    "insights_incremental" -> ordersIncremental _,
     "insights_customer_nation" -> customerNationCube _,
     "insights_playstore_shape" -> playstoreShapeCube _,
   )
@@ -159,6 +174,8 @@ object InsightsQueries {
   val oracleSql: Map[String, String] = Map(
     "insights_orders_cube" -> ordersInsightsSql,
     "insights_orders_loop" -> ordersInsightsSql, // same result set by design
+    // incremental merge must reproduce the full recompute bit-for-bit
+    "insights_incremental" -> ordersInsightsSql,
     "insights_playstore_shape" -> playstoreShapeSql,
     "insights_customer_nation" ->
       s"""WITH base AS (

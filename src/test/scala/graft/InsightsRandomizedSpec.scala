@@ -54,7 +54,13 @@ class InsightsRandomizedSpec extends AnyFunSuite {
         highCard = Set("num")).collect().map(_.getString(0)).toSet
       val iceberg2 = InsightsEngine.insightsCubeIceberg(df, cfg, n,
         highCard = Set("cat", "num")).collect().map(_.getString(0)).toSet
+      // incremental: cube two disjoint splits, merge cores, re-threshold
+      val incremental = InsightsEngine.insightsCubeIncremental(
+        df.filter(pmod(coalesce(col("num"), lit(0L)), lit(2L)) === 0),
+        df.filter(pmod(coalesce(col("num"), lit(0L)), lit(2L)) =!= 0),
+        cfg, n).collect().map(_.getString(0)).toSet
       assert(cube === loop, s"cube != loop at seed $seed")
+      assert(incremental === loop, s"incremental != loop at seed $seed")
       assert(hybrid === loop, s"hybrid != loop at seed $seed")
       assert(dict === loop, s"dict != loop at seed $seed")
       assert(native === loop, s"native != loop at seed $seed")
