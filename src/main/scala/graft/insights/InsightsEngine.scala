@@ -343,10 +343,15 @@ object InsightsEngine {
   }
 
   /** Un-thresholded, un-rendered native cube core: the grouping columns
-    * (raw bucket values), `gid`, `count`. This is the MERGEABLE form of
-    * the cube — counts are additive per (keys, gid) — which is what
-    * [[insightsCubeIncremental]] unions across snapshots. */
-  private def cubeCoreNative(df: DataFrame, cfg: InsightsConfig): DataFrame = {
+    * (raw bucket values), `gid`, `count`, plus `min` per value column.
+    * This is the MERGEABLE form of the cube — counts are additive and
+    * mins re-min per (keys, gid) — which is what
+    * [[insightsCubeIncremental]] unions across snapshots and what the
+    * streaming foreachBatch maintenance job
+    * (`streaming.StreamingInsights`) persists as the materialized view.
+    * The all-bits-set gid row holds the global row count, so a stored
+    * core carries its own HAVING total — no side-channel N. */
+  def cubeCoreNative(df: DataFrame, cfg: InsightsConfig): DataFrame = {
     val bucketed = bucket(df, cfg.buckets)
     requireNonFloatKeys(bucketed, cfg)
     val aggExprs = count(lit(1)).as("count") +: grouping_id().as("gid") +:
@@ -375,14 +380,38 @@ object InsightsEngine {
     * hash-checked, not just unit-tested. */
   def insightsCubeIncremental(base: DataFrame, delta: DataFrame,
       cfg: InsightsConfig, totalCount: Long): DataFrame = {
-    val threshold = math.floor(cfg.thresholdPercent / 100.0 * totalCount).toLong
+    val merged = mergeCoresNative(
+      cubeCoreNative(base, cfg), cubeCoreNative(delta, cfg), cfg)
+    renderCoreNative(merged, cfg, totalCount)
+  }
+
+  /** Merge two native cores per (keys, gid): counts sum, value mins
+    * re-min. Associative and commutative — a fold over any number of
+    * deltas in any order lands on the same core. Union is BY NAME and
+    * the output is projected back to [[cubeCoreNative]]'s column order:
+    * one operand is typically a core read back from storage, and a
+    * positional union against a fresh cube would silently pair `count`
+    * with `gid` (both integral — no analyzer error, just a corrupted
+    * core two merges later). */
+  def mergeCoresNative(a: DataFrame, b: DataFrame,
+      cfg: InsightsConfig): DataFrame = {
     val keyCols = cfg.groupingCols.map(c => col(s"`$c`")) :+ col("gid")
     val mergeExprs = sum(col("count")).as("count") +:
       cfg.valueCols.map(v => min(col(s"`$v`")).as(v))
-    val merged = cubeCoreNative(base, cfg).unionAll(cubeCoreNative(delta, cfg))
-      .groupBy(keyCols: _*)
+    a.unionByName(b).groupBy(keyCols: _*)
       .agg(mergeExprs.head, mergeExprs.tail: _*)
-    renderNative(filterCubedNative(merged, cfg, threshold), cfg)
+      .select((cfg.groupingCols.map(c => col(s"`$c`")) ++
+        Seq(col("count"), col("gid")) ++
+        cfg.valueCols.map(v => col(s"`$v`"))): _*)
+  }
+
+  /** Serve a (merged) native core: HAVING threshold at
+    * ⌊p·totalCount/100⌋, then label rendering — the read side of the
+    * materialized-view pair ([[cubeCoreNative]] writes, this serves). */
+  def renderCoreNative(core: DataFrame, cfg: InsightsConfig,
+      totalCount: Long): DataFrame = {
+    val threshold = math.floor(cfg.thresholdPercent / 100.0 * totalCount).toLong
+    renderNative(filterCubedNative(core, cfg, threshold), cfg)
   }
 
   /** Native-key cube with DICTIONARY value re-attachment — the scale-mode

@@ -148,6 +148,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(read() === batch)
   }
 
+  test("foreachBatch-maintained insights core == batch cube; replay rewrites, never double-merges") {
+    import graft.insights.{InsightsConfig, InsightsEngine}
+    import graft.streaming.StreamingInsights
+    val cfg = InsightsConfig(
+      groupingCols = Seq("event_type", "value"),
+      buckets = Map("value" -> 100L))
+    // stage events as 4 files so the file source yields 4 micro-batches
+    val staged = java.nio.file.Files.createTempDirectory("graft_mv_src").toString
+    Tables.events(spark, dir).repartition(4)
+      .write.mode("overwrite").parquet(staged)
+    val corePath = java.nio.file.Files.createTempDirectory("graft_mv").toString
+    val schema = spark.read.parquet(staged).schema
+    val stream = graft.Tables.normalizeTs(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(staged))
+    StreamingInsights.run(stream, corePath, cfg)
+    val served = StreamingInsights.serve(spark, corePath, cfg)
+      .collect().map(_.getString(0)).toSet
+    val e = Tables.events(spark, dir)
+    val batch = InsightsEngine.insightsCubeNative(e, cfg, e.count())
+      .collect().map(_.getString(0)).toSet
+    assert(batch.nonEmpty)
+    assert(served === batch)
+    // crash-replay: re-fold the LAST batch id with different (stale)
+    // content — the version directory is rewritten, not double-merged,
+    // so serving still agrees with some single-application fold; here
+    // we replay with the true last batch content to assert stability
+    val versions = new java.io.File(corePath).list().toSeq
+      .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong).sorted
+    assert(versions.length === 4)
+    val lastId = versions.last
+    val prevCore = spark.read.parquet(s"$corePath/v=${versions(versions.length - 2)}")
+    // reconstruct the last batch's rows: full corpus minus what the
+    // previous core already counted is not directly recoverable, so
+    // replay with an EMPTY batch of the right schema plus assert the
+    // rewrite keyed the same version (exactly-once by construction)
+    StreamingInsights.maintainCore(corePath, cfg)(
+      Tables.events(spark, dir).limit(0), lastId)
+    val afterReplay = new java.io.File(corePath).list().toSeq
+      .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong).sorted
+    assert(afterReplay === versions) // same version set, no v=5
+    // the rewritten v=last now holds prev ⊎ ∅ = prev: serving equals
+    // rendering the previous core with its own denominator
+    val servedReplay = StreamingInsights.serve(spark, corePath, cfg)
+      .collect().map(_.getString(0)).toSet
+    val allBits = (1 << cfg.groupingCols.length) - 1
+    val prevN = prevCore.filter(col("gid") === allBits)
+      .select(col("count")).collect()(0).getLong(0)
+    val prevServed = InsightsEngine.renderCoreNative(prevCore, cfg, prevN)
+      .collect().map(_.getString(0)).toSet
+    assert(servedReplay === prevServed)
+  }
+
   test("stateful flatMapGroupsWithState sessionize emits only closed sessions that match batch") {
     val stream = StreamingEvents.readEventsStream(spark, eventsPath)
     StreamingEvents.runToMemory(
