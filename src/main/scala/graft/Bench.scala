@@ -61,8 +61,15 @@ object Bench {
     // dev loop: SPARK_GRAFT_BENCH_ONLY=q1,q2 times a subset (driver unset)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // FIXED name order: Map iteration order shifts whenever the query
+    // surface grows, and a query's wall time is not independent of its
+    // predecessor (JIT/GC/page-cache state — r8 measured the same query
+    // at 0.58 s isolated vs 3.06 s min-composite after an unlucky
+    // reshuffle). Sorted order makes per-query numbers comparable
+    // across rounds; the min-composite handles the remaining noise.
     val picked = only.fold(SparkEntry.queries)(ks =>
       SparkEntry.queries.filter { case (k, _) => ks(k) })
+      .toSeq.sortBy(_._1)
     // locale-safe fixed-point (the f"" interpolator honors the default
     // locale and can emit a comma decimal separator)
     def fmt(v: Double): String = (math.round(v * 1000) / 1000.0).toString
