@@ -200,7 +200,82 @@ object Mining {
       .orderBy(col("lang"))
   }
 
+  private val BpeRounds = 10
+
+  /** BPE tokenizer training (Sennrich et al. 2016) — learn the first 10
+    * merge rules from the corpus: words become space-padded character
+    * sequences; each round counts adjacent token pairs, merges the most
+    * frequent (ties → lexicographic (a, b)) everywhere, repeat. This is
+    * the tokenizer-training workload of an LLM data pipeline expressed
+    * as 10 aggregate passes — per round ONE pair-count shuffle over
+    * (pair, count) rows and a map-only `replace` application; the
+    * corpus text is never shuffled.
+    *
+    * Determinism contract (what makes the DuckDB oracle exact): pair
+    * selection orders by (count DESC, a, b) — binary collation both
+    * engines; merge application is string `replace` on the space-padded
+    * form, and replace-all is left-to-right non-overlapping in both
+    * engines, which on ' l l l ' gives ' ll l ' — exactly BPE's greedy
+    * left-to-right merge order. The per-round argmax is a driver-side
+    * single-row fetch (like `detectHighCard`'s HLL scalar): 10 rows
+    * total cross the driver, never data.
+    *
+    * Scale: the working relation is (word, count) DISTINCT words — BPE
+    * training on a 100 TB corpus runs on the word-frequency table
+    * (orders of magnitude smaller), exactly as done here: pair counts
+    * are weighted by word frequency. */
+  def textBpeMerges(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val words = documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy(col("w")).agg(count(lit(1)).as("wn"))
+      .select(concat(lit(" "), array_join(split(col("w"), ""), " "), lit(" "))
+        .as("seq"), col("wn"))
+    var seqs = words.persist(StorageLevel.MEMORY_AND_DISK)
+    // previous round's relation: unpersisted only AFTER the current
+    // round's collect materializes `seqs` (which reads it) — this keeps
+    // the loop at ONE action per round instead of an extra count()
+    var prev: Option[DataFrame] = None
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    for (round <- 1 to BpeRounds) {
+      val pairRows = seqs
+        .select(split(trim(col("seq")), " ").as("t"), col("wn"))
+        // size guard: sequence(1, 0) DESCENDS in Spark, so a 1-token
+        // word would index element_at(t, 2) and throw under ANSI
+        .filter(size(col("t")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(t) - 1), " +
+            "i -> struct(element_at(t, i) AS a, element_at(t, i + 1) AS b))"))
+          .as("p"), col("wn"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("wn")).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1).collect()
+      val (a, b, n) = (pairRows(0).getString(0), pairRows(0).getString(1),
+        pairRows(0).getLong(2))
+      merges += ((round.toLong, s"$a $b", a + b, n))
+      prev.foreach(_.unpersist())
+      prev = None
+      if (round < BpeRounds) { // the post-final-merge corpus is unused
+        val next = seqs
+          .withColumn("seq",
+            org.apache.spark.sql.functions.replace(col("seq"),
+              lit(s" $a $b "), lit(s" $a$b ")))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        prev = Some(seqs)
+        seqs = next
+      }
+    }
+    seqs.unpersist()
+    prev.foreach(_.unpersist())
+    import s.implicits._
+    merges.result().toDF("rank", "pair", "merged", "n")
+      .orderBy(col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_merges" -> textBpeMerges _,
     "text_repeated_passages" -> textRepeatedPassages _,
     "text_dup_passage_ratio" -> textDupPassageRatio _,
     "text_dsir_sample" -> textDsirSample _,
@@ -217,7 +292,47 @@ object Mining {
        |                FOR i IN range(1, len(words) - ${GramN - 2})]) AS gram
        |      FROM w)""".stripMargin
 
+  /** 10 BPE rounds as chained CTEs: p<r> picks round r's merge (count
+    * DESC, a, b), s<r> applies it via the same padded-space `replace`.
+    * Every CTE is MATERIALIZED: each s<r> is referenced twice (by
+    * p<r+1> and s<r+1>), so default inlining would expand s0 into 2^10
+    * scans of the parquet. */
+  private val bpeOracleSql: String = {
+    val rounds = (1 to BpeRounds).map { r =>
+      s"""p$r AS MATERIALIZED (
+         |  SELECT a, b, n FROM (
+         |    SELECT t[i] AS a, t[i+1] AS b, CAST(sum(wn) AS BIGINT) AS n
+         |    FROM (SELECT string_split(trim(seq), ' ') AS t, wn FROM s${r - 1}),
+         |         LATERAL (SELECT unnest(range(1, len(t))) AS i)
+         |    GROUP BY 1, 2)
+         |  ORDER BY n DESC, a, b LIMIT 1),
+         |s$r AS MATERIALIZED (
+         |  SELECT replace(seq,
+         |    ' ' || (SELECT a FROM p$r) || ' ' || (SELECT b FROM p$r) || ' ',
+         |    ' ' || (SELECT a FROM p$r) || (SELECT b FROM p$r) || ' ') AS seq,
+         |    wn
+         |  FROM s${r - 1})""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to BpeRounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS rank, a || ' ' || b AS pair,
+         |  a || b AS merged, n FROM p$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT w, count(*) AS wn
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) >= 1 GROUP BY w),
+       |s0 AS MATERIALIZED (
+       |  SELECT ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS seq,
+       |         wn
+       |  FROM w0),
+       |$rounds
+       |SELECT * FROM (
+       |$out
+       |) ORDER BY rank""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "text_bpe_merges" -> bpeOracleSql,
     "text_repeated_passages" ->
       s"""WITH $gramsSql
          |SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,

@@ -60,6 +60,29 @@ class MiningSpec extends AnyFunSuite {
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
   }
 
+  test("BPE merges: 10 ranked rules; round-1 pick matches a brute-force pair count") {
+    val rows = Mining.textBpeMerges(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq === (1L to 10L))
+    rows.foreach { case (_, pair, merged, n) =>
+      assert(pair.split(" ").length === 2 && merged === pair.replace(" ", ""))
+      assert(n >= 1)
+    }
+    // brute-force round 1: most frequent adjacent char pair over all
+    // word instances, ties broken lexicographically
+    val counts = scala.collection.mutable.Map[(String, String), Long]()
+    Tables.documents(spark, dir).select(col("text")).collect().foreach { r =>
+      r.getString(0).split(" ").filter(_.nonEmpty).foreach { w =>
+        val cs = w.split("")
+        cs.zip(cs.tail).foreach(p => counts(p) = counts.getOrElse(p, 0L) + 1)
+      }
+    }
+    val (bestPair, bestN) = counts.toSeq
+      .sortBy { case ((a, b), n) => (-n, a, b) }.head
+    assert(rows.head._2 === s"${bestPair._1} ${bestPair._2}")
+    assert(rows.head._4 === bestN)
+  }
+
   test("SemDeDup == brute-force within-cell near-dup scan (same cells, same tau)") {
     val got = Similarity.dedupSemantic(spark, dir).collect()
       .map(r => (r.getLong(0), r.getAs[Number]("cell").longValue,
