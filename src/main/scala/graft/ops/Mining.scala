@@ -225,6 +225,15 @@ object Mining {
     * (orders of magnitude smaller), exactly as done here: pair counts
     * are weighted by word frequency. */
   def textBpeMerges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    learnBpeMerges(s, dir).toDF("rank", "pair", "merged", "n")
+      .orderBy(col("rank"))
+  }
+
+  /** The training loop shared by [[textBpeMerges]] (reports the rules)
+    * and [[textBpeEncode]] (applies them). */
+  private def learnBpeMerges(s: SparkSession,
+      dir: String): Seq[(Long, String, String, Long)] = {
     import org.apache.spark.storage.StorageLevel
     val words = documents(s, dir)
       .select(explode(split(col("text"), " ")).as("w"))
@@ -269,13 +278,48 @@ object Mining {
     }
     seqs.unpersist()
     prev.foreach(_.unpersist())
-    import s.implicits._
-    merges.result().toDF("rank", "pair", "merged", "n")
-      .orderBy(col("rank"))
+    merges.result()
+  }
+
+  /** Apply the learned BPE vocabulary: per-language corpus compression.
+    * Training yields 10 merge rules (driver-side, [[learnBpeMerges]]);
+    * application is a MAP-ONLY fold of 10 `replace`s over each word's
+    * padded character sequence — the corpus is tokenized in one pass
+    * with zero shuffles before the final per-lang rollup, which is
+    * exactly how a trained tokenizer deploys at 100 TB (rules broadcast
+    * in the plan as literals; text never leaves its partition). Output:
+    * characters (= tokens before any merge) vs BPE tokens after the 10
+    * rules, per language. */
+  def textBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val rules = learnBpeMerges(s, dir)
+    val encoded = rules.foldLeft(
+      documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 1)
+        .select(col("doc_id"), col("lang"),
+          concat(lit(" "), array_join(split(col("w"), ""), " "), lit(" "))
+            .as("seq"))) { case (d, (_, pair, merged, _)) =>
+      d.withColumn("seq",
+        org.apache.spark.sql.functions.replace(col("seq"),
+          lit(s" $pair "), lit(s" $merged ")))
+    }
+    encoded
+      .select(col("lang"),
+        size(split(trim(col("seq")), " ")).cast("long").as("toks"),
+        length(regexp_replace(col("seq"), " ", "")).cast("long").as("chars"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("chars")).as("n_chars"),
+        sum(col("toks")).as("n_bpe_tokens"))
+      .withColumn("compression",
+        col("n_chars").cast("double") / col("n_bpe_tokens").cast("double"))
+      .orderBy(col("lang"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_merges" -> textBpeMerges _,
+    "text_bpe_encode" -> textBpeEncode _,
     "text_repeated_passages" -> textRepeatedPassages _,
     "text_dup_passage_ratio" -> textDupPassageRatio _,
     "text_dsir_sample" -> textDsirSample _,
@@ -298,6 +342,19 @@ object Mining {
     * p<r+1> and s<r+1>), so default inlining would expand s0 into 2^10
     * scans of the parquet. */
   private val bpeOracleSql: String = {
+    val out = (1 to BpeRounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS rank, a || ' ' || b AS pair,
+         |  a || b AS merged, n FROM p$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $bpeTrainCtes
+       |SELECT * FROM (
+       |$out
+       |) ORDER BY rank""".stripMargin
+  }
+
+  /** Shared training CTEs (w0, s0, p1/s1 … p10/s10) for both BPE
+    * oracles. */
+  private def bpeTrainCtes: String = {
     val rounds = (1 to BpeRounds).map { r =>
       s"""p$r AS MATERIALIZED (
          |  SELECT a, b, n FROM (
@@ -313,11 +370,7 @@ object Mining {
          |    wn
          |  FROM s${r - 1})""".stripMargin
     }.mkString(",\n")
-    val out = (1 to BpeRounds).map { r =>
-      s"""SELECT CAST($r AS BIGINT) AS rank, a || ' ' || b AS pair,
-         |  a || b AS merged, n FROM p$r""".stripMargin
-    }.mkString("\nUNION ALL\n")
-    s"""WITH w0 AS MATERIALIZED (
+    s"""w0 AS MATERIALIZED (
        |  SELECT w, count(*) AS wn
        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
        |  WHERE length(w) >= 1 GROUP BY w),
@@ -325,14 +378,40 @@ object Mining {
        |  SELECT ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS seq,
        |         wn
        |  FROM w0),
-       |$rounds
-       |SELECT * FROM (
-       |$out
-       |) ORDER BY rank""".stripMargin
+       |$rounds""".stripMargin
+  }
+
+  /** Encode oracle: replay training, then tokenize the corpus with the
+    * learned rules and aggregate per language. */
+  private val bpeEncodeSql: String = {
+    val encRounds = (1 to BpeRounds).map { r =>
+      s"""enc$r AS MATERIALIZED (
+         |  SELECT lang, replace(seq,
+         |    ' ' || (SELECT a FROM p$r) || ' ' || (SELECT b FROM p$r) || ' ',
+         |    ' ' || (SELECT a FROM p$r) || (SELECT b FROM p$r) || ' ') AS seq
+         |  FROM enc${r - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $bpeTrainCtes,
+       |enc0 AS MATERIALIZED (
+       |  SELECT lang,
+       |    ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS seq
+       |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+       |        FROM documents)
+       |  WHERE length(w) >= 1),
+       |$encRounds
+       |SELECT lang, count(*) AS n_words,
+       |  CAST(sum(length(replace(seq, ' ', ''))) AS BIGINT) AS n_chars,
+       |  CAST(sum(len(string_split(trim(seq), ' '))) AS BIGINT)
+       |    AS n_bpe_tokens,
+       |  CAST(sum(length(replace(seq, ' ', ''))) AS DOUBLE) /
+       |    CAST(sum(len(string_split(trim(seq), ' '))) AS DOUBLE)
+       |    AS compression
+       |FROM enc$BpeRounds GROUP BY lang ORDER BY lang""".stripMargin
   }
 
   val oracleSql: Map[String, String] = Map(
     "text_bpe_merges" -> bpeOracleSql,
+    "text_bpe_encode" -> bpeEncodeSql,
     "text_repeated_passages" ->
       s"""WITH $gramsSql
          |SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
