@@ -317,9 +317,87 @@ object Mining {
       .orderBy(col("lang"))
   }
 
+  /** Classifier feature-space size — wider than DSIR's 64: with 5
+    * classes the decision needs sharper per-bucket ratios than a
+    * selection score does (64 buckets measured 25% test accuracy on
+    * the fixture, 512 gives 45% with the ceiling set by the synthetic
+    * shared vocabulary; 4096 adds nothing). */
+  private val NbBuckets = 512
+
+  /** Train-and-evaluate a Naive-Bayes-flavored language classifier —
+    * the supervised-model-training workload of a curation pipeline
+    * (quality/language/domain classifiers trained on the corpus
+    * itself), expressed so the WHOLE train→predict→evaluate loop is
+    * exact integer arithmetic and therefore value-checkable in DuckDB:
+    *
+    *  - split: train = doc_id % 3 ≠ 0, test = doc_id % 3 = 0;
+    *  - features: the same hashed-unigram buckets as DSIR;
+    *  - per class c the bucket weight is the integer-scaled likelihood
+    *    ratio w(b,c) = ⌊10⁶·ct(b,c)·Nr / (cr(b)·N(c))⌋ (add-one
+    *    smoothed; the NB log-likelihood replaced by a ratio sum exactly
+    *    as in [[textDsirSample]] — `log` is the one step whose last
+    *    ulp differs between engines);
+    *  - a test document's class score is the sum of its tokens' class
+    *    weights; prediction = argmax (score DESC, class ASC) via
+    *    min(struct(-score, class)) — no window, map-side mergeable;
+    *  - output: the (actual, predicted, n) confusion matrix.
+    *
+    * Scale: training is two token-level aggregates collapsing to
+    * |B|×|classes| rows; the model (320 rows) broadcasts to the test
+    * corpus — the classic "train tiny model, apply map-only" shape. */
+  def textNbClassifier(s: SparkSession, dir: String): DataFrame =
+    nbConfusion(documents(s, dir).select(col("doc_id"), col("lang"), col("text")))
+
+  /** Core train/predict/evaluate over any (doc_id, label, text) frame —
+    * public so MiningSpec can validate the learner on a CONSTRUCTED
+    * separable dataset: on the driver fixture the `lang` label is
+    * assigned independently of the text (all languages share one
+    * vocabulary and even one marker distribution — measured), so the
+    * Bayes-optimal prediction there is the majority class and the
+    * declared query's value is the exact-arithmetic contract, not the
+    * accuracy; the spec supplies labels that DO depend on the text and
+    * asserts the same learner recovers them. The label column must be
+    * named `lang`. */
+  def nbConfusion(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("t"))
+      .select(col("doc_id"), col("lang"),
+        pmod(conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long"),
+          lit(NbBuckets.toLong)).as("bk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val train = toks.filter(pmod(col("doc_id"), lit(3L)) =!= 0)
+    val test = toks.filter(pmod(col("doc_id"), lit(3L)) === 0)
+    val perClass = train.groupBy(col("bk"), col("lang").as("cls"))
+      .agg((count(lit(1)) + 1L).as("ct"))
+    val raw = train.groupBy(col("bk")).agg((count(lit(1)) + 1L).as("cr"))
+    val totals = train.groupBy(col("lang").as("cls"))
+      .agg((count(lit(1)) + NbBuckets.toLong).as("nc"))
+      .crossJoin(broadcast(
+        train.agg((count(lit(1)) + NbBuckets.toLong).as("nr"))))
+    // dense (bk × class) grid so absent buckets get the smoothed ct=1
+    val grid = raw.crossJoin(broadcast(totals))
+    val weights = grid.join(perClass, Seq("bk", "cls"), "left")
+      .na.fill(1L, Seq("ct"))
+      .select(col("bk"), col("cls"),
+        expr("(1000000L * ct * nr) div (cr * nc)").as("w"))
+    val scored = test.join(broadcast(weights), "bk")
+      .groupBy(col("doc_id"), col("lang"), col("cls"))
+      .agg(sum(col("w")).as("score"))
+    val predicted = scored
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(min(struct((-col("score")).as("neg"), col("cls").as("cls")))
+        .as("best"))
+      .select(col("lang").as("actual"), col("best.cls").as("predicted"))
+    predicted.groupBy(col("actual"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("actual"), col("predicted"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_merges" -> textBpeMerges _,
     "text_bpe_encode" -> textBpeEncode _,
+    "text_nb_classifier" -> textNbClassifier _,
     "text_repeated_passages" -> textRepeatedPassages _,
     "text_dup_passage_ratio" -> textDupPassageRatio _,
     "text_dsir_sample" -> textDsirSample _,
@@ -412,6 +490,38 @@ object Mining {
   val oracleSql: Map[String, String] = Map(
     "text_bpe_merges" -> bpeOracleSql,
     "text_bpe_encode" -> bpeEncodeSql,
+    "text_nb_classifier" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang,
+         |    ('0x' || substr(md5(t), 1, 8))::BIGINT % $NbBuckets AS bk
+         |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+         |        FROM documents)),
+         |train AS (SELECT * FROM tok WHERE doc_id % 3 <> 0),
+         |test AS (SELECT * FROM tok WHERE doc_id % 3 = 0),
+         |perclass AS (SELECT bk, lang AS cls, count(*) + 1 AS ct
+         |             FROM train GROUP BY 1, 2),
+         |raw AS (SELECT bk, count(*) + 1 AS cr FROM train GROUP BY bk),
+         |totals AS (SELECT lang AS cls, count(*) + $NbBuckets AS nc
+         |           FROM train GROUP BY 1),
+         |nr AS (SELECT count(*) + $NbBuckets AS nr FROM train),
+         |weights AS (
+         |  SELECT r.bk, t.cls,
+         |    (1000000 * coalesce(p.ct, 1) * nr.nr) // (r.cr * t.nc) AS w
+         |  FROM raw r CROSS JOIN totals t
+         |  LEFT JOIN perclass p ON p.bk = r.bk AND p.cls = t.cls, nr),
+         |scored AS (
+         |  SELECT te.doc_id, te.lang, w.cls,
+         |    CAST(sum(w.w) AS BIGINT) AS score
+         |  FROM test te JOIN weights w ON w.bk = te.bk
+         |  GROUP BY 1, 2, 3),
+         |pred AS (
+         |  SELECT doc_id, lang AS actual, cls AS predicted,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, cls ASC) AS rn
+         |  FROM scored)
+         |SELECT actual, predicted, count(*) AS n
+         |FROM pred WHERE rn = 1
+         |GROUP BY 1, 2 ORDER BY actual, predicted""".stripMargin,
     "text_repeated_passages" ->
       s"""WITH $gramsSql
          |SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,

@@ -83,6 +83,35 @@ class MiningSpec extends AnyFunSuite {
     assert(rows.head._4 === bestN)
   }
 
+  test("NB classifier recovers text-dependent labels; fixture degenerates to Bayes majority") {
+    import spark.implicits._
+    // separable construction: label = most frequent of three probe words
+    // in the doc — fully text-determined, so a working learner must
+    // score far above the ~1/3 prior
+    val probes = Seq("spark", "join", "table")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val toks = r.getString(1).split(" ")
+        val label = probes.maxBy(p => (toks.count(_ == p), p))
+        (r.getLong(0), label, r.getString(1))
+      }.toSeq.toDF("doc_id", "lang", "text")
+    val conf = ops.Mining.nbConfusion(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val total = conf.map(_._3).sum
+    val correct = conf.filter(t => t._1 == t._2).map(_._3).sum
+    val majority = conf.groupBy(_._1).view.mapValues(_.map(_._3).sum)
+      .values.max
+    assert(correct.toDouble / total > 0.6, s"accuracy ${correct.toDouble / total}")
+    assert(correct > majority, "learner must beat the majority prior")
+    // fixture labels are text-independent (measured: one shared vocab +
+    // one marker distribution) — the Bayes answer IS the majority class
+    val fixture = ops.Mining.textNbClassifier(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(fixture.map(_._2).distinct.length === 1,
+      "on label-independent text every prediction collapses to the prior argmax")
+  }
+
   test("SemDeDup == brute-force within-cell near-dup scan (same cells, same tau)") {
     val got = Similarity.dedupSemantic(spark, dir).collect()
       .map(r => (r.getLong(0), r.getAs[Number]("cell").longValue,
