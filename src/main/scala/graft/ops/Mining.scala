@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
-/** Corpus-level text mining for training-data curation, two families:
+/** Corpus-level text mining for training-data curation:
   *
   *  1. Repeated-passage mining (exact substring duplication a la Lee et
   *     al. 2022, "Deduplicating Training Data Makes Language Models
@@ -25,12 +25,19 @@ import graft.Tables._
   *     any engine — a float log-sum's accumulation order is not), which
   *     is what puts a full value-level DuckDB oracle on it.
   *
+  *  3. Corpus statistics with exact-arithmetic formulations: rank-based
+  *     winsorized length stats (`textWinsorize`).
+  *
+  *  4. Model training ON the corpus, the all-integer way: BPE tokenizer
+  *     training + application (`textBpeMerges` / `textBpeEncode`) and a
+  *     Naive-Bayes-flavored classifier with train/test evaluation
+  *     (`textNbClassifier`) — every train→apply→evaluate trajectory is
+  *     value-checked against DuckDB, which no float log-sum allows.
+  *
   * Scale shape (100 TB): everything here is explode → one keyed shuffle
-  * → aggregate. The 5-gram relation is ~50× the corpus row count but
-  * each row is a hash + two small ids; the df table the ratio join
-  * needs is HAVING-filtered (df ≥ 2) before the join back, and the DSIR
-  * bucket-ratio table is exactly `Buckets` rows — a broadcast, never a
-  * shuffle of the corpus.
+  * → aggregate, with models/weights always broadcast-sized (64–2560
+  * rows) and iterative loops running over reduced relations (the
+  * distinct word-frequency table for BPE), never re-scanning raw text.
   */
 object Mining {
 
