@@ -139,11 +139,40 @@ object SourceQueries {
       .orderBy(col("o_year"))
   }
 
+  /** Parquet AGGREGATE pushdown — the scan-level lever for metadata
+    * queries: global COUNT/MIN/MAX are answered from parquet footer
+    * statistics (row-group counts + column min/max), reading ZERO data
+    * pages. At 100 TB this turns "how many rows / what date range does
+    * this table span" from a full scan into a footer walk — the query
+    * every pipeline health-check runs first. Requires the V2 parquet
+    * reader, which is scoped to an isolated `newSession` (same
+    * SparkContext, own SQLConf) so the rest of the 157-query surface
+    * keeps the default V1 path it was verified on. PlanSpec asserts
+    * `PushedAggregation` lands in the scan. No filters in the query —
+    * a data filter disables the pushdown by contract (footer stats
+    * cannot apply row predicates). */
+  def scanAggPushdown(s: SparkSession, dir: String): DataFrame = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.sources.useV1SourceList",
+      "avro,csv,json,kafka,orc,text")
+    s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    // long/double columns only: the pushdown contract excludes
+    // timestamp min/max (a timestamp_ntz column in the aggregate list
+    // silently disables the whole pushdown — found the hard way)
+    orders(s2, dir)
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "source_orc_roundtrip" -> sourceOrcRoundtrip _,
     "source_json_roundtrip" -> sourceJsonRoundtrip _,
     "source_bucketed_join" -> sourceBucketedJoin _,
     "source_dpp_join" -> sourceDppJoin _,
+    "scan_agg_pushdown" -> scanAggPushdown _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -173,5 +202,10 @@ object SourceQueries {
         |    AS total_cents
         |FROM orders WHERE year(o_orderdate) % 2 = 0
         |GROUP BY 1 ORDER BY o_year""".stripMargin,
+    "scan_agg_pushdown" ->
+      """SELECT count(*) AS n_rows,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+        |FROM orders""".stripMargin,
   )
 }

@@ -151,6 +151,14 @@ class PlanSpec extends AnyFunSuite {
       s"join input re-shuffled despite bucketing:\n$p")
   }
 
+  test("parquet aggregate pushdown: COUNT/MIN/MAX served from footer stats") {
+    val p = plan(sources.SourceQueries.scanAggPushdown(spark, dir))
+    assert(p.contains("PushedAggregation"),
+      s"aggregates not pushed into the scan:\n$p")
+    assert(p.contains("COUNT(*)") && p.contains("MIN(o_orderkey)"),
+      s"expected pushed COUNT/MIN:\n$p")
+  }
+
   test("DPP: dim predicate prunes fact partitions at runtime") {
     val p = plan(sources.SourceQueries.sourceDppJoin(spark, dir))
     assert(p.contains("dynamicpruningexpression"),
