@@ -443,7 +443,41 @@ object Curation {
       .orderBy(col("status"))
   }
 
+  /** Column profiler — the ANALYZE TABLE workload as a declared query:
+    * per column, null count, exact distinct count, and min/max, in ONE
+    * pass over the table (all metrics ride a single aggregate; the
+    * exact multi-column countDistinct plans as one Expand ×k — at
+    * 100 TB swap `countDistinct` for `approx_count_distinct` and the
+    * pass becomes a plain single aggregate, same output shape). This
+    * is the stats source for CBO seeding, layout decisions (which
+    * column to bucket/Z-order by), and drift monitoring. Values
+    * render as strings so one relation profiles heterogeneous column
+    * types; money profiles as exact integer cents (double→string
+    * rendering differs across engines; long→string does not). */
+  def profileColumns(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir).withColumn("price_cents", cents(col("o_totalprice")))
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_orderpriority", "price_cents")
+    val aggs = cols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_ndv"),
+        min(col(c)).cast("string").as(s"${c}_min"),
+        max(col(c)).cast("string").as(s"${c}_max"))
+    } :+ count(lit(1)).as("n_rows")
+    val wide = o.agg(aggs.head, aggs.tail: _*)
+    // stack takes FLAT arguments (5 per output row), not tuples —
+    // parenthesized groups would become per-column struct types
+    val stacked = cols.map(c =>
+      s"'$c', ${c}_nulls, ${c}_ndv, ${c}_min, ${c}_max").mkString(", ")
+    wide.select(col("n_rows"), expr(
+        s"stack(${cols.length}, $stacked) AS (col_name, n_nulls, n_distinct, min_val, max_val)"))
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_val"), col("max_val"))
+      .orderBy(col("col_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "profile_columns" -> profileColumns _,
     "curation_snapshot_diff" -> curationSnapshotDiff _,
     "dedup_source_overlap" -> dedupSourceOverlap _,
     "profile_sources" -> profileSources _,
@@ -639,6 +673,20 @@ object Curation {
       |          AS DOUBLE) >= 0.5)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "profile_columns" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority", "price_cents")
+      cols.map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_val,
+           |  CAST(max($c) AS VARCHAR) AS max_val
+           |FROM (SELECT *, CAST(round(o_totalprice * 100) AS BIGINT)
+           |        AS price_cents FROM orders)""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
     "curation_snapshot_diff" ->
       """WITH v1 AS (SELECT doc_id, lang, text FROM documents),
         |v2 AS (
