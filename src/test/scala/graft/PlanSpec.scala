@@ -151,6 +151,19 @@ class PlanSpec extends AnyFunSuite {
       s"join input re-shuffled despite bucketing:\n$p")
   }
 
+  test("incremental cube: two cube cores merge through HashAggregates only") {
+    import org.apache.spark.sql.functions._
+    val o = Tables.orders(spark, dir)
+    val p = plan(insights.InsightsEngine.insightsCubeIncremental(
+      o.filter(pmod(col("o_orderkey"), lit(5L)) =!= 0),
+      o.filter(pmod(col("o_orderkey"), lit(5L)) === 0),
+      insights.InsightsQueries.ordersCfg, 100))
+    // one Expand per snapshot core; the merge adds a narrow aggregate,
+    // never a re-cube, and nothing degrades to SortAggregate
+    assert(countNodes(p, "Expand") === 2, s"plan:\n$p")
+    assert(countNodes(p, "SortAggregate") === 0, s"plan:\n$p")
+  }
+
   test("parquet aggregate pushdown: COUNT/MIN/MAX served from footer stats") {
     val p = plan(sources.SourceQueries.scanAggPushdown(spark, dir))
     assert(p.contains("PushedAggregation"),
