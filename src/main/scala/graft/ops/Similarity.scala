@@ -326,6 +326,34 @@ object Similarity {
       .orderBy(col("cell"))
   }
 
+  /** ANN index quality report — recall@3 of both approximate indexes
+    * (LSH buckets, IVF cells) against the exact brute-force top-3, as a
+    * declared query: the evaluation a production pipeline runs before
+    * trusting an index, and re-runs whenever the corpus drifts. Every
+    * branch is the already-oracled pipeline (same cosines, same
+    * tie-breaks), so the recall NUMBERS are value-checkable — integer
+    * hit counts and one double division. At 100 TB the truth set is
+    * computed over a sampled query set exactly as here (vec_id < 8);
+    * recall estimation never needs the full all-pairs truth. */
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val truth = cosineTopK(s, dir).filter(col("rn") <= 3)
+      .select(col("query_id"), col("cand_id"))
+    def recallOf(method: String, got: DataFrame): DataFrame = {
+      val hits = truth
+        .join(got.select(col("query_id"), col("cand_id")),
+          Seq("query_id", "cand_id"))
+        .agg(count(lit(1)).as("n_hit"))
+      val rel = truth.agg(count(lit(1)).as("n_relevant"))
+      hits.crossJoin(broadcast(rel))
+        .select(lit(method).as("method"), col("n_relevant"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_relevant").cast("double"))
+            .as("recall"))
+    }
+    recallOf("ivf", ivfAnnTopK(s, dir))
+      .unionAll(recallOf("lsh", lshAnnTopK(s, dir)))
+      .orderBy(col("method"))
+  }
+
   /** Per-label centroid, element-wise: posexplode → one shuffle keyed by
     * (label, dim). Exact integer sums; centroid as double. */
   def labelCentroids(s: SparkSession, dir: String): DataFrame =
@@ -344,6 +372,7 @@ object Similarity {
     "similarity_kmeans" -> kmeansCells _,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine _,
     "dedup_semantic" -> dedupSemantic _,
+    "similarity_ann_recall" -> annRecall _,
   )
 
   // Shared oracle scaffolding: per-element quantized views.
@@ -393,6 +422,90 @@ object Similarity {
       |  FROM aff a JOIN cellnorm n ON n.cell = a.cell)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // recall@3 of both indexes vs the brute-force truth: replays the
+    // three already-green pipelines and counts set hits
+    "similarity_ann_recall" ->
+      s"""WITH $qElems,
+         |$duckBuckets,
+         |$cellRankSql,
+         |bdots AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+         |         CAST(sum(a.v * b.v) AS BIGINT) AS dot
+         |  FROM qe a JOIN qe b ON a.i = b.i
+         |  WHERE a.vec_id < 8 AND a.vec_id <> b.vec_id
+         |  GROUP BY 1, 2),
+         |truth AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT query_id, cand_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY CAST(dot AS DOUBLE) /
+         |          sqrt(CAST(qn.n2 AS DOUBLE) * CAST(cn.n2 AS DOUBLE)) DESC,
+         |          cand_id ASC) AS rn
+         |    FROM bdots
+         |    JOIN norms qn ON qn.vec_id = query_id
+         |    JOIN norms cn ON cn.vec_id = cand_id)
+         |  WHERE rn <= 3),
+         |lcand AS (
+         |  SELECT DISTINCT ba.vec_id AS query_id, bb.vec_id AS cand_id
+         |  FROM buckets ba
+         |  JOIN buckets bb ON ba.tbl = bb.tbl AND ba.bucket = bb.bucket
+         |  WHERE ba.vec_id < 8 AND ba.vec_id <> bb.vec_id),
+         |ldots AS (
+         |  SELECT p.query_id, p.cand_id, CAST(sum(a.v * b.v) AS BIGINT) AS dot
+         |  FROM lcand p
+         |  JOIN qe a ON a.vec_id = p.query_id
+         |  JOIN qe b ON b.vec_id = p.cand_id AND a.i = b.i
+         |  GROUP BY 1, 2),
+         |lsh3 AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT query_id, cand_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY CAST(dot AS DOUBLE) /
+         |          sqrt(CAST(qn.n2 AS DOUBLE) * CAST(cn.n2 AS DOUBLE)) DESC,
+         |          cand_id ASC) AS rn
+         |    FROM ldots
+         |    JOIN norms qn ON qn.vec_id = query_id
+         |    JOIN norms cn ON cn.vec_id = cand_id)
+         |  WHERE rn <= 3),
+         |iassign AS (SELECT vec_id AS cand_id, cell FROM ranked WHERE rn = 1),
+         |iprobes AS (SELECT vec_id AS query_id, cell FROM ranked
+         |            WHERE rn <= 2 AND vec_id < 8),
+         |icand AS (
+         |  SELECT DISTINCT p.query_id, a.cand_id
+         |  FROM iprobes p JOIN iassign a ON a.cell = p.cell
+         |  WHERE a.cand_id <> p.query_id),
+         |idots AS (
+         |  SELECT c.query_id, c.cand_id, CAST(sum(a.v * b.v) AS BIGINT) AS dot
+         |  FROM icand c
+         |  JOIN qe a ON a.vec_id = c.query_id
+         |  JOIN qe b ON b.vec_id = c.cand_id AND a.i = b.i
+         |  GROUP BY 1, 2),
+         |ivf3 AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT query_id, cand_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY CAST(dot AS DOUBLE) /
+         |          sqrt(CAST(qn.n2 AS DOUBLE) * CAST(cn.n2 AS DOUBLE)) DESC,
+         |          cand_id ASC) AS rn
+         |    FROM idots
+         |    JOIN norms qn ON qn.vec_id = query_id
+         |    JOIN norms cn ON cn.vec_id = cand_id)
+         |  WHERE rn <= 3)
+         |SELECT method, n_relevant, n_hit,
+         |  CAST(n_hit AS DOUBLE) / CAST(n_relevant AS DOUBLE) AS recall
+         |FROM (
+         |  SELECT 'ivf' AS method,
+         |    CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_relevant,
+         |    CAST((SELECT count(*) FROM truth t JOIN ivf3 g
+         |          ON t.query_id = g.query_id AND t.cand_id = g.cand_id)
+         |      AS BIGINT) AS n_hit
+         |  UNION ALL
+         |  SELECT 'lsh',
+         |    CAST((SELECT count(*) FROM truth) AS BIGINT),
+         |    CAST((SELECT count(*) FROM truth t JOIN lsh3 g
+         |          ON t.query_id = g.query_id AND t.cand_id = g.cand_id)
+         |      AS BIGINT))
+         |ORDER BY method""".stripMargin,
     "dedup_semantic" ->
       s"""WITH $qElems,
          |$cellRankSql,
