@@ -338,6 +338,8 @@ object Similarity {
   def annRecall(s: SparkSession, dir: String): DataFrame = {
     val truth = cosineTopK(s, dir).filter(col("rn") <= 3)
       .select(col("query_id"), col("cand_id"))
+      // four consumers (hits + denominator, per method): one brute pass
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def recallOf(method: String, got: DataFrame): DataFrame = {
       val hits = truth
         .join(got.select(col("query_id"), col("cand_id")),
