@@ -476,7 +476,46 @@ object Curation {
       .orderBy(col("col_name"))
   }
 
+  /** Data-contract checks — the dbt-test/Deequ-style constraint suite
+    * as ONE declared query: each check is a violation COUNT (0 = pass)
+    * so the report is exact, engine-portable, and actionable (the
+    * count tells you how broken, not just that). Checks cover the
+    * three families a warehouse contract needs: referential integrity
+    * (anti-join counts — broadcast the key side at this scale, shuffle
+    * hash at 100 TB), column constraints (nulls, ranges), and
+    * cross-column invariants (date ordering). Each check scans only
+    * its own table once; the union of 1-row aggregates is free. */
+  def qualityContractChecks(s: SparkSession, dir: String): DataFrame = {
+    def check(name: String, violations: DataFrame): DataFrame =
+      violations.agg(count(lit(1)).as("violations"))
+        .select(lit(name).as("check_name"), col("violations"),
+          (col("violations") === 0L).as("passed"))
+    val o = orders(s, dir)
+    val c = customer(s, dir)
+    val l = lineitem(s, dir)
+    val d = documents(s, dir)
+    val e = events(s, dir)
+    check("orders_custkey_fk",
+      o.join(c, o("o_custkey") === c("c_custkey"), "left_anti"))
+      .unionAll(check("lineitem_orderkey_fk",
+        l.join(o, l("l_orderkey") === o("o_orderkey"), "left_anti")))
+      .unionAll(check("orders_custkey_not_null",
+        o.filter(col("o_custkey").isNull)))
+      .unionAll(check("orders_price_positive",
+        o.filter(col("o_totalprice") <= 0)))
+      .unionAll(check("lineitem_discount_range",
+        l.filter(col("l_discount") < 0 || col("l_discount") > 1)))
+      .unionAll(check("documents_text_nonempty",
+        d.filter(length(col("text")) === 0)))
+      .unionAll(check("documents_nchars_consistent",
+        d.filter(col("n_chars") =!= length(col("text")))))
+      .unionAll(check("events_value_nonnegative",
+        e.filter(col("value") < 0)))
+      .orderBy(col("check_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_contract_checks" -> qualityContractChecks _,
     "profile_columns" -> profileColumns _,
     "curation_snapshot_diff" -> curationSnapshotDiff _,
     "dedup_source_overlap" -> dedupSourceOverlap _,
@@ -673,6 +712,30 @@ object Curation {
       |          AS DOUBLE) >= 0.5)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "quality_contract_checks" -> {
+      val checks = Seq(
+        "orders_custkey_fk" ->
+          "SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)",
+        "lineitem_orderkey_fk" ->
+          "SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)",
+        "orders_custkey_not_null" ->
+          "SELECT count(*) FROM orders WHERE o_custkey IS NULL",
+        "orders_price_positive" ->
+          "SELECT count(*) FROM orders WHERE o_totalprice <= 0",
+        "lineitem_discount_range" ->
+          "SELECT count(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 1",
+        "documents_text_nonempty" ->
+          "SELECT count(*) FROM documents WHERE length(text) = 0",
+        "documents_nchars_consistent" ->
+          "SELECT count(*) FROM documents WHERE n_chars <> length(text)",
+        "events_value_nonnegative" ->
+          "SELECT count(*) FROM events WHERE value < 0")
+      checks.map { case (name, sql) =>
+        s"""SELECT '$name' AS check_name,
+           |  CAST(($sql) AS BIGINT) AS violations,
+           |  ($sql) = 0 AS passed""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY check_name")
+    },
     "profile_columns" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
         "o_orderpriority", "price_cents")
