@@ -26,15 +26,49 @@ import org.apache.spark.sql.SparkSession
   * only binds under steal), so the process can never run away.
   *
   * Self-describing failures (r5 folded 27 error-exit times into a
-  * "partial":false total): a query that ERRORS in every pass appears in
-  * a top-level `"errors":{name:message}` map and NOT in `queries`/total;
-  * a query that exceeds its per-query budget in every pass records -1 in
-  * `queries` (excluded from total). `"partial"` is true only until the
+  * "partial":false total): a query that never succeeds appears in
+  * EXACTLY ONE of the top-level `"errors":{name:message}` map (if any
+  * pass errored — error beats timeout regardless of pass order) or
+  * `queries` as -1 (timed out in every pass; excluded from total). The
+  * merge rule is the pure [[mergeStatus]], exhaustively unit-tested
+  * (BenchMergeSpec) so the maps-disjoint invariant downstream parsers
+  * rely on is pinned, not assumed. `"partial"` is true only until the
   * first pass has attempted every query. The file is rewritten after
   * every query of every pass, so a mid-run kill still leaves a valid,
   * honest artifact.
   */
 object Bench {
+  /** Pure merge of one pass's outcome for `name` into the running
+    * (best, errs) state — extracted so the artifact's documented
+    * invariant is UNIT-TESTED (BenchMergeSpec enumerates every status
+    * sequence over three passes), not just hand-audited:
+    *
+    *   `best` (the JSON `queries` map) and `errs` (the JSON `errors`
+    *   map) NEVER both contain a name.
+    *
+    * Resolution, independent of pass order: any `ok` wins (min positive
+    * time, error history cleared); a never-ok query lands in exactly one
+    * map — `errors` if ANY pass errored (an exception message is more
+    * informative than a bare -1, so an error upgrades a prior timeout's
+    * -1; the first message is kept), else `queries` as -1 (timed out in
+    * every pass). */
+  def mergeStatus(best: scala.collection.mutable.Map[String, Double],
+      errs: scala.collection.mutable.Map[String, String],
+      name: String, status: String, sec: Double): Unit = status match {
+    case "ok" =>
+      errs.remove(name) // a later success overrides an earlier error
+      if (best.get(name).forall(b => b < 0 || sec < b)) best(name) = sec
+    case "timeout" =>
+      if (!best.contains(name) && !errs.contains(name)) best(name) = -1.0
+    case err =>
+      // only when there is no real measurement (absent or -1 sentinel);
+      // drop the sentinel so the two maps stay disjoint
+      if (best.get(name).forall(_ < 0)) {
+        best.remove(name)
+        if (!errs.contains(name)) errs(name) = err
+      }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default to every core: the driver benches on the full machine and
@@ -118,18 +152,7 @@ object Bench {
         val t0 = System.nanoTime()
         val status = Verify.runBudgeted(spark, name, budget) { run(name) }
         val sec = (System.nanoTime() - t0) / 1e9
-        status match {
-          case "ok" =>
-            errs.remove(name) // a later success overrides an earlier error
-            if (best.get(name).forall(b => b < 0 || sec < b)) best(name) = sec
-          case "timeout" =>
-            // a query already in errs stays an errors-map entry only —
-            // inserting -1 too would break the documented invariant that
-            // error-only queries appear in `errors` and NOT in `queries`
-            if (!best.contains(name) && !errs.contains(name)) best(name) = -1.0
-          case err =>
-            if (!best.contains(name) && !errs.contains(name)) errs(name) = err
-        }
+        mergeStatus(best, errs, name, status, sec)
         if (status != "ok") System.err.println(s"[bench] $name: $status")
         writeOut(partial = pass == 1 && best.size + errs.size < picked.size,
           runs = runsCompleted) // survive a mid-run kill

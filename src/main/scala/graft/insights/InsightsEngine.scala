@@ -352,6 +352,11 @@ object InsightsEngine {
     * The all-bits-set gid row holds the global row count, so a stored
     * core carries its own HAVING total — no side-channel N. */
   def cubeCoreNative(df: DataFrame, cfg: InsightsConfig): DataFrame = {
+    // same grouping_id overflow guard as every other cube entry point:
+    // the incremental/streaming paths route through here and would
+    // otherwise silently corrupt gid on >30 grouping columns
+    require(cfg.groupingCols.length <= 30,
+      s"cube over ${cfg.groupingCols.length} cols overflows grouping_id int range")
     val bucketed = bucket(df, cfg.buckets)
     requireNonFloatKeys(bucketed, cfg)
     val aggExprs = count(lit(1)).as("count") +: grouping_id().as("gid") +:

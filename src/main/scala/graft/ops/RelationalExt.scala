@@ -542,21 +542,25 @@ object RelationalExt {
 
   /** Sketched heavy hitters: `approx_top_k` (Spark 4's frequent-items
     * sketch) over event types. The sketch is EXACT whenever the column's
-    * cardinality (7 event types) is below the items-tracked capacity
+    * cardinality (5 event types) is below the items-tracked capacity
     * (default 10 000) — the guarantee RelationalSpec pins — so unlike the
     * HLL estimates this query carries a full value-level DuckDB oracle
-    * (plain GROUP BY count, same top-5). The top-5 CUT is applied after
-    * a deterministic (n DESC, event_type) sort of a wider sketch (k=20),
-    * not inside the sketch: approx_top_k's internal tie order at the
-    * 5th/6th boundary is not event_type-ascending, so a count tie there
-    * could otherwise flip the emitted set vs the oracle's ORDER BY. */
+    * (plain GROUP BY count). NO top-N cut is applied on either side:
+    * the sketch capacity (20) exceeds the column's cardinality (5 types
+    * in the current fixture; exactness holds for any count below 20), so
+    * every type is emitted with its exact count and the comparison is
+    * regeneration-proof by construction — no count tie at any cut
+    * boundary can ever flip the emitted set, because there is no cut.
+    * (The r8 shape limited to 5 after a deterministic sort; a fixture
+    * regeneration producing a count tie at the 5th/6th boundary would
+    * still have matched, but only because both sides sorted identically
+    * — emitting the full set removes even that coupling.) */
   def aggApproxTopkEvents(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
       .agg(expr("approx_top_k(event_type, 20)").as("top"))
       .select(explode(col("top")).as("e"))
       .select(col("e.item").as("event_type"), col("e.count").as("n"))
       .orderBy(col("n").desc, col("event_type"))
-      .limit(5)
 
   /** EXACT distinct counting via roaring-style bitmaps — the scale
     * alternative to `count(DISTINCT)`'s expand-and-dedup shuffle: keys
@@ -728,11 +732,12 @@ object RelationalExt {
         |  arg_max(cents, comp) AS top_cents,
         |  arg_min(o_orderkey, comp) AS bottom_orderkey
         |FROM o GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
-    // approx_top_k is exact below its items-tracked capacity (7 distinct
-    // event types vs 10 000), so a plain count oracle is value-exact
+    // approx_top_k is exact below its items-tracked capacity (5 distinct
+    // event types vs 10 000), so a plain count oracle is value-exact;
+    // no LIMIT on either side — the full-set emit is regeneration-proof
     "agg_approx_topk_events" ->
       """SELECT event_type, count(*) AS n FROM events
-        |GROUP BY 1 ORDER BY n DESC, event_type LIMIT 5""".stripMargin,
+        |GROUP BY 1 ORDER BY n DESC, event_type""".stripMargin,
     // sketch estimate is engine-specific; oracle recomputes exact counts
     // and asserts the tolerance verdicts
     "agg_hll_orders" ->

@@ -21,17 +21,19 @@ class RelationalSpec extends AnyFunSuite {
   }
 
   test("approx_top_k is exact when cardinality is below sketch capacity") {
-    // 7 event types << the k=5 sketch's internal capacity, so the top-5
-    // estimates must EQUAL the exact counts (the sketch only
-    // approximates past capacity) — pinning the declared rows-only query
+    // 5 event types << the k=20 sketch's internal capacity, so the
+    // emitted estimates must EQUAL the exact counts for the FULL type
+    // set (the sketch only approximates past capacity; no top-N cut on
+    // either side, so no tie boundary exists) — pinning the declared
+    // value-level query's regeneration-proof shape
     val approx = graft.ops.RelationalExt.aggApproxTopkEvents(spark, dir)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     val exact = Tables.events(spark, dir)
       .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("event_type"))
-      .limit(5)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     assert(approx.toSeq === exact.toSeq)
+    assert(approx.length === approx.map(_._1).distinct.length)
   }
 
   test("from_json parses event props into a typed struct") {
