@@ -495,10 +495,18 @@ object Curation {
     val l = lineitem(s, dir)
     val d = documents(s, dir)
     val e = events(s, dir)
+    // SQL FK semantics: a NULL key is NOT a referential violation (the
+    // dedicated not-null check below owns that case). The isNotNull
+    // pre-filter also keeps the engine and oracle null-equivalent: a
+    // left_anti keeps null-key rows (null never equi-matches) while the
+    // oracle's NOT EXISTS with the same IS NOT NULL guard drops them —
+    // without the guard the two diverge the day the fixture gains NULLs.
     check("orders_custkey_fk",
-      o.join(c, o("o_custkey") === c("c_custkey"), "left_anti"))
+      o.filter(o("o_custkey").isNotNull)
+        .join(c, o("o_custkey") === c("c_custkey"), "left_anti"))
       .unionAll(check("lineitem_orderkey_fk",
-        l.join(o, l("l_orderkey") === o("o_orderkey"), "left_anti")))
+        l.filter(l("l_orderkey").isNotNull)
+          .join(o, l("l_orderkey") === o("o_orderkey"), "left_anti")))
       .unionAll(check("orders_custkey_not_null",
         o.filter(col("o_custkey").isNull)))
       .unionAll(check("orders_price_positive",
@@ -714,10 +722,17 @@ object Curation {
   val oracleSql: Map[String, String] = Map(
     "quality_contract_checks" -> {
       val checks = Seq(
+        // NOT EXISTS + IS NOT NULL, not NOT IN: NOT IN silently returns
+        // zero rows when the subquery (or LHS) contains a NULL, so an
+        // engine/oracle divergence would appear exactly when the fixture
+        // first gains NULL keys — the guarded NOT EXISTS matches the
+        // engine's isNotNull + left_anti for any data
         "orders_custkey_fk" ->
-          "SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)",
+          ("SELECT count(*) FROM orders o WHERE o.o_custkey IS NOT NULL " +
+            "AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)"),
         "lineitem_orderkey_fk" ->
-          "SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)",
+          ("SELECT count(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL " +
+            "AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)"),
         "orders_custkey_not_null" ->
           "SELECT count(*) FROM orders WHERE o_custkey IS NULL",
         "orders_price_positive" ->

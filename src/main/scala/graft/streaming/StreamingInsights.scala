@@ -26,12 +26,22 @@ import graft.insights.{InsightsConfig, InsightsEngine}
   */
 object StreamingInsights {
 
+  /** Only COMMITTED versions count: a crash mid-write of `v=N` leaves a
+    * torn directory (no `_SUCCESS` marker — Spark's FileOutputCommitter
+    * writes it last, after all task commits), and serving or merging
+    * from it would weaken the exactly-once contract on the READ path
+    * until the batch replays. Skipping markerless dirs makes both
+    * `latestCore` (serve falls back to the previous committed version)
+    * and `maintainCore`'s previous-version lookup (the replayed batch
+    * merges from the last COMMITTED ancestor, then overwrites the torn
+    * dir) crash-consistent by construction. */
   private def versionDirs(s: SparkSession, corePath: String): Seq[(Long, String)] = {
     val p = new org.apache.hadoop.fs.Path(corePath)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v=") &&
+        fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
       .map(st => (st.getPath.getName.stripPrefix("v=").toLong,
         st.getPath.toString))
   }

@@ -31,4 +31,31 @@ class EventsSpec extends AnyFunSuite {
     val rows = Events.signupPurchaseFunnel(spark, dir).collect()
     assert(rows.forall(r => r.getLong(1) < r.getLong(2)))
   }
+
+  test("normalizeTs handles both known ts encodings and fails LOUDLY on a third") {
+    import org.apache.spark.sql.types.{TimestampType, TimestampNTZType, LongType}
+    import spark.implicits._
+    // encoding 1: TIMESTAMP(NANOS) loaded as long nanos under nanosAsLong
+    val asNanos = Seq(1700000000123456789L).toDF("ts")
+    assert(Tables.normalizeTs(asNanos).schema("ts").dataType === TimestampType)
+    val micros = Tables.normalizeTs(asNanos)
+      .select(unix_micros(col("ts"))).collect()(0).getLong(0)
+    assert(micros === 1700000000123456L) // integer div, no double rounding
+    // encoding 2: timestamp[us] no-TZ → TimestampNTZ → cast (UTC session)
+    val asNtz = Seq(1700000000123456L).toDF("us")
+      .select(timestamp_micros(col("us")).cast(TimestampNTZType).as("ts"))
+    assert(asNtz.schema("ts").dataType === TimestampNTZType)
+    assert(Tables.normalizeTs(asNtz).schema("ts").dataType === TimestampType)
+    assert(Tables.normalizeTs(asNtz).select(unix_micros(col("ts")))
+      .collect()(0).getLong(0) === 1700000000123456L)
+    // a THIRD encoding drift (here: double seconds, round-tripped through
+    // parquet like a real testdata regeneration would) must fail at the
+    // loader with the observed type — not flow downstream un-normalized
+    // into window/watermark arithmetic
+    val tornDir = java.nio.file.Files.createTempDirectory("graft_ts3").toString
+    Seq(1.7e9).toDF("ts").write.mode("overwrite").parquet(tornDir)
+    val third = spark.read.parquet(tornDir)
+    val ex = intercept[IllegalStateException] { Tables.normalizeTs(third) }
+    assert(ex.getMessage.contains("DoubleType"))
+  }
 }

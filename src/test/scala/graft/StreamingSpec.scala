@@ -199,6 +199,25 @@ class StreamingSpec extends AnyFunSuite {
     val prevServed = InsightsEngine.renderCoreNative(prevCore, cfg, prevN)
       .collect().map(_.getString(0)).toSet
     assert(servedReplay === prevServed)
+    // torn write: a crash mid-write of v=N leaves a version directory
+    // without the _SUCCESS marker — serve must skip it and fall back to
+    // the last COMMITTED version instead of reading partial data
+    StreamingInsights.maintainCore(corePath, cfg)(
+      Tables.events(spark, dir).limit(0), lastId + 1)
+    val tornMarker = new java.io.File(s"$corePath/v=${lastId + 1}/_SUCCESS")
+    assert(tornMarker.exists())
+    assert(tornMarker.delete())
+    val servedAfterTear = StreamingInsights.serve(spark, corePath, cfg)
+      .collect().map(_.getString(0)).toSet
+    assert(servedAfterTear === servedReplay) // torn v=N+1 invisible
+    // and a subsequent replay of N+1 merges from the last COMMITTED
+    // ancestor (v=N), not the torn dir, then re-commits it
+    StreamingInsights.maintainCore(corePath, cfg)(
+      Tables.events(spark, dir).limit(0), lastId + 1)
+    assert(tornMarker.exists())
+    val servedHealed = StreamingInsights.serve(spark, corePath, cfg)
+      .collect().map(_.getString(0)).toSet
+    assert(servedHealed === servedReplay)
   }
 
   test("stateful flatMapGroupsWithState sessionize emits only closed sessions that match batch") {
