@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
@@ -209,54 +209,105 @@ object Mining {
 
   private val BpeRounds = 10
 
+  /** Token delimiter for BPE sequences: each token is wrapped
+    * `\u0001tok\u0001`, so adjacent tokens meet as `\u0001\u0001` and a
+    * merge-rule occurrence `\u0001a\u0001\u0001b\u0001` NEVER shares a
+    * character with the next occurrence. That property is what makes a
+    * single left-to-right non-overlapping `replace` pass EXACTLY
+    * Sennrich's greedy merge: with the r8 space-padded form
+    * (` a b a b `), consecutive occurrences shared a boundary space, so
+    * one pass produced [ab, a, b] where true BPE gives [ab, ab] — a
+    * deviation the oracle couldn't see because it replayed the same
+    * replace. With disjoint occurrences the replace result equals the
+    * per-word greedy left-to-right merge (MiningSpec pins this against
+    * an independent token-vector implementation). Words containing the
+    * delimiter are excluded up-front on both sides (none exist in the
+    * fixture; the filter makes the contract data-independent). */
+  private val BpeDelim = "\u0001"
+
   /** BPE tokenizer training (Sennrich et al. 2016) — learn the first 10
-    * merge rules from the corpus: words become space-padded character
-    * sequences; each round counts adjacent token pairs, merges the most
-    * frequent (ties → lexicographic (a, b)) everywhere, repeat. This is
-    * the tokenizer-training workload of an LLM data pipeline expressed
-    * as 10 aggregate passes — per round ONE pair-count shuffle over
-    * (pair, count) rows and a map-only `replace` application; the
-    * corpus text is never shuffled.
+    * merge rules from the corpus: words become delimiter-wrapped
+    * character sequences ([[BpeDelim]]); each round counts adjacent
+    * token pairs, merges the most frequent (ties → lexicographic
+    * (a, b)) everywhere, repeat. This is the tokenizer-training
+    * workload of an LLM data pipeline expressed as 10 aggregate
+    * passes — per round ONE pair-count shuffle over (pair, count) rows
+    * and a map-only `replace` application; the corpus text is never
+    * shuffled.
     *
     * Determinism contract (what makes the DuckDB oracle exact): pair
     * selection orders by (count DESC, a, b) — binary collation both
-    * engines; merge application is string `replace` on the space-padded
-    * form, and replace-all is left-to-right non-overlapping in both
-    * engines, which on ' l l l ' gives ' ll l ' — exactly BPE's greedy
-    * left-to-right merge order. The per-round argmax is a driver-side
-    * single-row fetch (like `detectHighCard`'s HLL scalar): 10 rows
-    * total cross the driver, never data.
+    * engines; merge application is string `replace` on the
+    * delimiter-wrapped form, whose occurrences are character-disjoint,
+    * so left-to-right replace-all (both engines) IS true BPE's greedy
+    * left-to-right merge — see [[BpeDelim]]. The per-round argmax is a
+    * driver-side single-row fetch (like `detectHighCard`'s HLL scalar):
+    * 10 rows total cross the driver, never data.
     *
     * Scale: the working relation is (word, count) DISTINCT words — BPE
     * training on a 100 TB corpus runs on the word-frequency table
     * (orders of magnitude smaller), exactly as done here: pair counts
-    * are weighted by word frequency. */
+    * are weighted by word frequency. For production vocab sizes (30–50k
+    * merges) use [[learnBpeMergesLocal]]: one distributed pass builds
+    * the word-frequency table, which by Heaps' law fits on the driver,
+    * and training runs locally — the one-Spark-job-per-merge shape of
+    * the distributed loop is the right trajectory demo at 10 rounds and
+    * a driver bottleneck by construction at 50 000. */
   def textBpeMerges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    learnBpeMerges(s, dir).toDF("rank", "pair", "merged", "n")
+    trainBpe(s, dir).toDF("rank", "pair", "merged", "n")
       .orderBy(col("rank"))
   }
 
-  /** The training loop shared by [[textBpeMerges]] (reports the rules)
-    * and [[textBpeEncode]] (applies them). */
-  private def learnBpeMerges(s: SparkSession,
-      dir: String): Seq[(Long, String, String, Long)] = {
-    import org.apache.spark.storage.StorageLevel
-    val words = documents(s, dir)
+  /** The corpus word-frequency table (w, wn) — the working relation of
+    * BPE training (one distributed tokenize+count pass; by Heaps' law
+    * the distinct-word table is orders of magnitude smaller than the
+    * corpus). Words containing the sequence delimiter are excluded
+    * (see [[BpeDelim]]; none exist in the fixture). */
+  private def wordFrequencies(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
       .select(explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) >= 1)
+      .filter(length(col("w")) >= 1 && !col("w").contains(BpeDelim))
       .groupBy(col("w")).agg(count(lit(1)).as("wn"))
-      .select(concat(lit(" "), array_join(split(col("w"), ""), " "), lit(" "))
-        .as("seq"), col("wn"))
+
+  /** A word as a delimiter-wrapped character sequence (see [[BpeDelim]]):
+    * `\u0001c\u0001\u0001c\u0001…` — each token carries its own
+    * delimiters, adjacency is the double delimiter. */
+  private def wrapSeq(w: Column): Column =
+    concat(lit(BpeDelim), array_join(split(w, ""), BpeDelim + BpeDelim),
+      lit(BpeDelim))
+
+  /** One merge rule as a `replace` over the wrapped form: occurrences
+    * are character-disjoint, so this single pass IS greedy left-to-right
+    * BPE merge application (pinned vs the token-vector implementation in
+    * MiningSpec). */
+  private def applyRule(seq: Column, a: String, b: String): Column =
+    org.apache.spark.sql.functions.replace(seq,
+      lit(BpeDelim + a + BpeDelim + BpeDelim + b + BpeDelim),
+      lit(BpeDelim + a + b + BpeDelim))
+
+  /** The distributed training loop shared by [[textBpeMerges]] (reports
+    * the rules) and [[textBpeEncode]] (applies them) — ONE Spark job per
+    * merge round over the word-frequency table. Public so MiningSpec can
+    * drive it past the declared 10 rounds; production vocab sizes belong
+    * on [[learnBpeMergesLocal]] (see crossover note there). */
+  def trainBpe(s: SparkSession, dir: String,
+      rounds: Int = BpeRounds): Seq[(Long, String, String, Long)] = {
+    import org.apache.spark.storage.StorageLevel
+    val dd = BpeDelim + BpeDelim
+    val words = wordFrequencies(s, dir)
+      .select(wrapSeq(col("w")).as("seq"), col("wn"))
     var seqs = words.persist(StorageLevel.MEMORY_AND_DISK)
     // previous round's relation: unpersisted only AFTER the current
     // round's collect materializes `seqs` (which reads it) — this keeps
     // the loop at ONE action per round instead of an extra count()
     var prev: Option[DataFrame] = None
     val merges = Seq.newBuilder[(Long, String, String, Long)]
-    for (round <- 1 to BpeRounds) {
+    var round = 1
+    var exhausted = false
+    while (round <= rounds && !exhausted) {
       val pairRows = seqs
-        .select(split(trim(col("seq")), " ").as("t"), col("wn"))
+        .select(split(trim(col("seq"), BpeDelim), dd).as("t"), col("wn"))
         // size guard: sequence(1, 0) DESCENDS in Spark, so a 1-token
         // word would index element_at(t, 2) and throw under ANSI
         .filter(size(col("t")) >= 2)
@@ -268,25 +319,105 @@ object Mining {
         .agg(sum(col("wn")).as("n"))
         .orderBy(col("n").desc, col("a"), col("b"))
         .limit(1).collect()
-      val (a, b, n) = (pairRows(0).getString(0), pairRows(0).getString(1),
-        pairRows(0).getLong(2))
-      merges += ((round.toLong, s"$a $b", a + b, n))
-      prev.foreach(_.unpersist())
-      prev = None
-      if (round < BpeRounds) { // the post-final-merge corpus is unused
-        val next = seqs
-          .withColumn("seq",
-            org.apache.spark.sql.functions.replace(col("seq"),
-              lit(s" $a $b "), lit(s" $a$b ")))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        prev = Some(seqs)
-        seqs = next
+      if (pairRows.isEmpty) exhausted = true // every word fully merged
+      else {
+        val (a, b, n) = (pairRows(0).getString(0), pairRows(0).getString(1),
+          pairRows(0).getLong(2))
+        merges += ((round.toLong, s"$a $b", a + b, n))
+        prev.foreach(_.unpersist())
+        prev = None
+        if (round < rounds) { // the post-final-merge corpus is unused
+          var next = seqs
+            .withColumn("seq", applyRule(col("seq"), a, b))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          // truncate lineage every 10 rounds: persist caches DATA but
+          // the logical plan still chains every prior round's replace —
+          // a deep iterative lineage is the classic Spark iterative-
+          // algorithm OOM (the driver re-plans an O(rounds)-deep tree
+          // each round; measured: 50 un-truncated rounds blow a 2 GiB
+          // driver on the sf0.001 fixture). Same discipline as GraphX /
+          // ALS checkpointing; eager localCheckpoint materializes the
+          // (small) word-frequency relation and drops the plan history.
+          if (round % 10 == 0) {
+            val cp = next.localCheckpoint(true)
+            next.unpersist()
+            next = cp
+          }
+          prev = Some(seqs)
+          seqs = next
+        }
       }
+      round += 1
     }
     seqs.unpersist()
     prev.foreach(_.unpersist())
     merges.result()
   }
+
+  /** DRIVER-SIDE BPE training over the collected word-frequency table —
+    * the production-vocab shape. The distributed loop above costs one
+    * Spark job per merge: the right trajectory demo at the declared 10
+    * rounds, a driver-scheduling bottleneck by construction at a real
+    * tokenizer's 30–50k merges (50 000 sequential job submissions
+    * dominated by scheduling, not compute). The standard move — and
+    * what this does — is: ONE distributed pass builds (word, count)
+    * [[wordFrequencies]], which by Heaps' law fits on the driver even
+    * for a 100 TB corpus (≈ tens of millions of rows), then training
+    * loops locally over token vectors with zero further cluster work.
+    *
+    * Semantics are IDENTICAL to the distributed loop — same weighted
+    * pair counts, same (count DESC, a, b) tie-break, and greedy
+    * left-to-right merge application per word, which is exactly what
+    * the delimiter-wrapped `replace` computes (MiningSpec asserts rule
+    * trajectory equality for 50 merges, far past the declared 10 — a
+    * divergence anywhere would cascade into every later round's
+    * counts). Crossover: below ~a few hundred merges either mode is
+    * fine; past that, always this one. */
+  def learnBpeMergesLocal(wordFreq: Seq[(String, Long)],
+      rounds: Int): Seq[(Long, String, String, Long)] = {
+    var seqs: Array[(Array[String], Long)] = wordFreq.iterator
+      .filter { case (w, _) => w.nonEmpty && !w.contains(BpeDelim) }
+      .map { case (w, n) => (w.split(""), n) }
+      .toArray
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= rounds && !exhausted) {
+      val counts = scala.collection.mutable.HashMap[(String, String), Long]()
+      seqs.foreach { case (toks, wn) =>
+        var i = 0
+        while (i < toks.length - 1) {
+          val k = (toks(i), toks(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + wn
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((a, b), n) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+        merges += ((round.toLong, s"$a $b", a + b, n))
+        if (round < rounds) seqs = seqs.map { case (toks, wn) =>
+          // greedy left-to-right merge — the token-vector statement of
+          // the disjoint-occurrence replace in applyRule
+          val out = Array.newBuilder[String]
+          var i = 0
+          while (i < toks.length) {
+            if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+              out += a + b; i += 2
+            } else { out += toks(i); i += 1 }
+          }
+          (out.result(), wn)
+        }
+      }
+      round += 1
+    }
+    merges.result()
+  }
+
+  /** Collected (word, count) pairs for [[learnBpeMergesLocal]]. */
+  def collectWordFrequencies(s: SparkSession, dir: String): Seq[(String, Long)] =
+    wordFrequencies(s, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
 
   /** Apply the learned BPE vocabulary: per-language corpus compression.
     * Training yields 10 merge rules (driver-side, [[learnBpeMerges]]);
@@ -298,23 +429,22 @@ object Mining {
     * characters (= tokens before any merge) vs BPE tokens after the 10
     * rules, per language. */
   def textBpeEncode(s: SparkSession, dir: String): DataFrame = {
-    val rules = learnBpeMerges(s, dir)
+    val rules = trainBpe(s, dir)
+    val dd = BpeDelim + BpeDelim
     val encoded = rules.foldLeft(
       documents(s, dir)
         .select(col("doc_id"), col("lang"),
           explode(split(col("text"), " ")).as("w"))
-        .filter(length(col("w")) >= 1)
-        .select(col("doc_id"), col("lang"),
-          concat(lit(" "), array_join(split(col("w"), ""), " "), lit(" "))
-            .as("seq"))) { case (d, (_, pair, merged, _)) =>
-      d.withColumn("seq",
-        org.apache.spark.sql.functions.replace(col("seq"),
-          lit(s" $pair "), lit(s" $merged ")))
+        .filter(length(col("w")) >= 1 && !col("w").contains(BpeDelim))
+        .select(col("doc_id"), col("lang"), wrapSeq(col("w")).as("seq"))) {
+      case (d, (_, pair, _, _)) =>
+        val Array(a, b) = pair.split(" ", 2)
+        d.withColumn("seq", applyRule(col("seq"), a, b))
     }
     encoded
       .select(col("lang"),
-        size(split(trim(col("seq")), " ")).cast("long").as("toks"),
-        length(regexp_replace(col("seq"), " ", "")).cast("long").as("chars"))
+        size(split(trim(col("seq"), BpeDelim), dd)).cast("long").as("toks"),
+        length(translate(col("seq"), BpeDelim, "")).cast("long").as("chars"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_words"),
         sum(col("chars")).as("n_chars"),
@@ -438,29 +568,38 @@ object Mining {
   }
 
   /** Shared training CTEs (w0, s0, p1/s1 … p10/s10) for both BPE
-    * oracles. */
+    * oracles — the delimiter-wrapped form (chr(1) ≡ [[BpeDelim]]), so
+    * the oracle's single-pass `replace` is the same exact greedy
+    * left-to-right merge as the engine's (disjoint occurrences; see
+    * [[BpeDelim]]). `D`/`DD` are the single/double delimiter. */
   private def bpeTrainCtes: String = {
     val rounds = (1 to BpeRounds).map { r =>
       s"""p$r AS MATERIALIZED (
          |  SELECT a, b, n FROM (
          |    SELECT t[i] AS a, t[i+1] AS b, CAST(sum(wn) AS BIGINT) AS n
-         |    FROM (SELECT string_split(trim(seq), ' ') AS t, wn FROM s${r - 1}),
+         |    FROM (SELECT string_split(trim(seq, chr(1)),
+         |                   (chr(1) || chr(1))) AS t, wn
+         |          FROM s${r - 1}),
          |         LATERAL (SELECT unnest(range(1, len(t))) AS i)
          |    GROUP BY 1, 2)
          |  ORDER BY n DESC, a, b LIMIT 1),
          |s$r AS MATERIALIZED (
          |  SELECT replace(seq,
-         |    ' ' || (SELECT a FROM p$r) || ' ' || (SELECT b FROM p$r) || ' ',
-         |    ' ' || (SELECT a FROM p$r) || (SELECT b FROM p$r) || ' ') AS seq,
+         |    chr(1) || (SELECT a FROM p$r) || chr(1) || chr(1) ||
+         |      (SELECT b FROM p$r) || chr(1),
+         |    chr(1) || (SELECT a FROM p$r) || (SELECT b FROM p$r) ||
+         |      chr(1)) AS seq,
          |    wn
          |  FROM s${r - 1})""".stripMargin
     }.mkString(",\n")
     s"""w0 AS MATERIALIZED (
        |  SELECT w, count(*) AS wn
        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-       |  WHERE length(w) >= 1 GROUP BY w),
+       |  WHERE length(w) >= 1 AND strpos(w, chr(1)) = 0 GROUP BY w),
        |s0 AS MATERIALIZED (
-       |  SELECT ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS seq,
+       |  SELECT chr(1) ||
+       |         array_to_string(string_split(w, ''), (chr(1) || chr(1))) ||
+       |         chr(1) AS seq,
        |         wn
        |  FROM w0),
        |$rounds""".stripMargin
@@ -472,25 +611,29 @@ object Mining {
     val encRounds = (1 to BpeRounds).map { r =>
       s"""enc$r AS MATERIALIZED (
          |  SELECT lang, replace(seq,
-         |    ' ' || (SELECT a FROM p$r) || ' ' || (SELECT b FROM p$r) || ' ',
-         |    ' ' || (SELECT a FROM p$r) || (SELECT b FROM p$r) || ' ') AS seq
+         |    chr(1) || (SELECT a FROM p$r) || chr(1) || chr(1) ||
+         |      (SELECT b FROM p$r) || chr(1),
+         |    chr(1) || (SELECT a FROM p$r) || (SELECT b FROM p$r) ||
+         |      chr(1)) AS seq
          |  FROM enc${r - 1})""".stripMargin
     }.mkString(",\n")
     s"""WITH $bpeTrainCtes,
        |enc0 AS MATERIALIZED (
        |  SELECT lang,
-       |    ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS seq
+       |    chr(1) ||
+       |    array_to_string(string_split(w, ''), (chr(1) || chr(1))) ||
+       |    chr(1) AS seq
        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
        |        FROM documents)
-       |  WHERE length(w) >= 1),
+       |  WHERE length(w) >= 1 AND strpos(w, chr(1)) = 0),
        |$encRounds
        |SELECT lang, count(*) AS n_words,
-       |  CAST(sum(length(replace(seq, ' ', ''))) AS BIGINT) AS n_chars,
-       |  CAST(sum(len(string_split(trim(seq), ' '))) AS BIGINT)
-       |    AS n_bpe_tokens,
-       |  CAST(sum(length(replace(seq, ' ', ''))) AS DOUBLE) /
-       |    CAST(sum(len(string_split(trim(seq), ' '))) AS DOUBLE)
-       |    AS compression
+       |  CAST(sum(length(replace(seq, chr(1), ''))) AS BIGINT) AS n_chars,
+       |  CAST(sum(len(string_split(trim(seq, chr(1)), chr(1) || chr(1))))
+       |    AS BIGINT) AS n_bpe_tokens,
+       |  CAST(sum(length(replace(seq, chr(1), ''))) AS DOUBLE) /
+       |    CAST(sum(len(string_split(trim(seq, chr(1)), chr(1) || chr(1))))
+       |      AS DOUBLE) AS compression
        |FROM enc$BpeRounds GROUP BY lang ORDER BY lang""".stripMargin
   }
 

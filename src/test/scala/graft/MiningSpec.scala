@@ -83,6 +83,52 @@ class MiningSpec extends AnyFunSuite {
     assert(rows.head._4 === bestN)
   }
 
+  test("driver-mode BPE training == distributed loop for 50 merges (real-vocab path)") {
+    // The driver-side trainer (collect the word-frequency table once,
+    // loop locally — the 30-50k-merge production shape) must learn the
+    // IDENTICAL rule trajectory as the one-Spark-job-per-merge loop.
+    // 50 rounds is 5x the declared query's depth: any divergence in
+    // merge application (the delimiter-replace vs the token-vector
+    // greedy merge) or tie-breaking would cascade into every later
+    // round's pair counts and break this equality.
+    val distributed = Mining.trainBpe(spark, dir, rounds = 50)
+    val local = Mining.learnBpeMergesLocal(
+      Mining.collectWordFrequencies(spark, dir), rounds = 50)
+    assert(distributed.length === 50)
+    assert(local === distributed)
+  }
+
+  test("delimiter-wrapped replace IS greedy left-to-right BPE on adjacent-pair runs") {
+    // the r8 space-padded form produced [ab, a, b] on 'abab' because
+    // consecutive occurrences shared a boundary space; the wrapped form
+    // must merge both occurrences in one pass, and 'aaaaa' must merge
+    // leftmost-first to [aa, aa, a]
+    import spark.implicits._
+    val words = Seq(("abab", 1L), ("aaaaa", 1L))
+    val local = Mining.learnBpeMergesLocal(words, rounds = 1)
+    // 'a b' count: abab has 2, aaaaa has 0; 'a a' count: aaaaa has 4
+    assert(local.head._2 === "a a") // (4 occurrences beats 'a b''s 2)
+    // apply ('a','b') and ('a','a') via the engine's replace on wrapped
+    // sequences and compare against hand-computed greedy merges
+    val df = words.toDF("w", "wn")
+    val wrapped = df.select(col("w"),
+      concat(lit("\u0001"),
+        array_join(split(col("w"), ""), "\u0001\u0001"),
+        lit("\u0001")).as("seq"))
+    def applied(a: String, b: String) = wrapped.select(col("w"),
+      split(
+        org.apache.spark.sql.functions.trim(
+          org.apache.spark.sql.functions.replace(col("seq"),
+            lit("\u0001" + a + "\u0001\u0001" + b + "\u0001"),
+            lit("\u0001" + a + b + "\u0001")), "\u0001"),
+        "\u0001\u0001").as("toks"))
+      .collect().map(r => (r.getString(0), r.getSeq[String](1).toList)).toMap
+    val ab = applied("a", "b")
+    assert(ab("abab") === List("ab", "ab")) // r8 shape gave [ab, a, b]
+    val aa = applied("a", "a")
+    assert(aa("aaaaa") === List("aa", "aa", "a")) // not [aa, a, aa]
+  }
+
   test("NB classifier recovers text-dependent labels; fixture degenerates to Bayes majority") {
     import spark.implicits._
     // separable construction: label = most frequent of three probe words
