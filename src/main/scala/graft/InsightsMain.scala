@@ -12,10 +12,13 @@ import graft.insights.PlayStore
   *          [--mode compat|scale] [--batch_size 128] [--num_partitions 2]
   *          [--max_cols k] [--max_groups_per_col n]
   *
-  * `--max_groups_per_col` (default 10000) is the scale-mode routing
-  * threshold: grouping columns whose post-bucketing HLL distinct count
+  * `--max_groups_per_col` overrides the scale-mode routing with a fixed
+  * NDV cut: grouping columns whose post-bucketing HLL distinct count
   * exceeds it are treated as high-cardinality (iceberg support pruning /
-  * hybrid split — `PlayStore.extractScale`).
+  * hybrid split — `PlayStore.extractScale`). Default is COST-BASED from
+  * the same stats pass: NDV > 4 × N/threshold routes to iceberg
+  * (`InsightsEngine.costBasedHighCard`), so the flag is only needed to
+  * force a specific plan.
   *
   * `--max_cols` truncates the grouping universe to the first k columns
   * (2^k−1 subsets). Compat mode literally replays the reference's
@@ -54,8 +57,7 @@ object InsightsMain {
           opts.get("num_partitions").map(_.toInt).getOrElse(2), cfg)
         case "scale" => PlayStore.extractScale(spark, csvPath, outPath,
           config = cfg,
-          maxGroupsPerCol = opts.get("max_groups_per_col").map(_.toLong)
-            .getOrElse(10000L))
+          maxGroupsPerCol = opts.get("max_groups_per_col").map(_.toLong))
         case other => sys.error(s"unknown --mode $other (compat|scale)")
       }
     } finally spark.stop()

@@ -62,29 +62,46 @@ object StressPowerset {
     println(s"POWERSET input_rows=$n k=$k subsets=${(1L << k) - 1} " +
       s"cards=${cfg.groupingCols.map(c => s"$c:${cards(c)}").mkString(",")}")
 
-    var expect = -1L
-    def time(name: String)(run: => Long): Unit = {
+    // identical-OUTPUT check across variants, not just identical counts:
+    // one extra aggregate per run folds the insight strings into an
+    // order-insensitive, duplicate-sensitive checksum (sum of xxhash64) —
+    // variants are unionAll bags, so Σhash equality over equal counts
+    // pins the multiset. String-key-cube output ('null' sentinel rendering
+    // differs from native rendering only in columns no fixture nulls) is
+    // included because the three native variants and it agree goldenly.
+    var expectRows = -1L
+    var expectSum = 0L
+    def time(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+      import org.apache.spark.sql.functions.{sum => fsum, xxhash64, count => fcount, lit, coalesce, col}
       val t0 = System.nanoTime()
-      val rows = run
+      val r = df.agg(fcount(lit(1)).as("n"),
+          coalesce(fsum(xxhash64(col("insight"))), lit(0L)).as("h"))
+        .collect()(0)
+      val (rows, hsum) = (r.getLong(0), r.getLong(1))
       val sec = (System.nanoTime() - t0) / 1e9
-      if (expect < 0) expect = rows
-      else require(rows == expect, s"$name rows=$rows != $expect")
-      println(f"POWERSET variant=$name k=$k surviving_groups=$rows sec=$sec%.1f")
+      if (expectRows < 0) { expectRows = rows; expectSum = hsum }
+      else {
+        require(rows == expectRows, s"$name rows=$rows != $expectRows")
+        require(hsum == expectSum, s"$name output multiset differs: " +
+          s"hashsum=$hsum != $expectSum at equal counts")
+      }
+      println(f"POWERSET variant=$name k=$k surviving_groups=$rows " +
+        f"hashsum=$hsum sec=$sec%.1f")
     }
     variants.foreach {
       case "dict" => time("dict") {
-        InsightsEngine.insightsCubeNativeDict(prepared, cfg, n).count()
+        InsightsEngine.insightsCubeNativeDict(prepared, cfg, n)
       }
       case "string" => time("string") {
-        InsightsEngine.insightsCube(prepared, cfg, n).count()
+        InsightsEngine.insightsCube(prepared, cfg, n)
       }
       case "hybrid" => time("hybrid") {
         InsightsEngine.insightsHybrid(prepared, cfg, n,
-          highCard = Set("developerId"), dictValues = true).count()
+          highCard = Set("developerId"), dictValues = true)
       }
       case "iceberg" => time("iceberg") {
         InsightsEngine.insightsCubeIceberg(prepared, cfg, n,
-          highCard = Set("developerId")).count()
+          highCard = Set("developerId"))
       }
       case other => sys.error(s"unknown variant $other")
     }

@@ -16,12 +16,17 @@ import java.io.{BufferedWriter, FileWriter}
   * Pure JVM writer (no Spark): 100k rows is ~12 MB; generation must not
   * perturb the measurement JVM. Seeded — reruns emit byte-identical data.
   *
-  * Usage: runMain graft.SynthPlayStore <outPath.csv> [rows=100000]
+  * Usage: runMain graft.SynthPlayStore <outPath.csv> [rows=100000] [distinctDevs=5000]
+  * `distinctDevs` scales the high-cardinality column: 5 000 is the r1
+  * head-to-head shape; ≥100 000 is the routing stress shape (NO dev
+  * value can clear the 2 % threshold — iceberg pruning proves the whole
+  * dev-containing half of the powerset empty).
   */
 object SynthPlayStore {
   def main(args: Array[String]): Unit = {
     val path = args.headOption.getOrElse(sys.error("usage: SynthPlayStore <out.csv> [rows]"))
     val rows = if (args.length > 1) args(1).toInt else 100000
+    val distinctDevs = if (args.length > 2) args(2).toInt else 5000
     val rnd = new scala.util.Random(42)
     val w = new BufferedWriter(new FileWriter(path), 1 << 20)
     w.write("_c0,appId,developer,developerId,developerWebsite,free,genre," +
@@ -30,7 +35,7 @@ object SynthPlayStore {
     def b(p: Int): String = if (rnd.nextInt(100) < p) "True" else "False"
     var i = 0
     while (i < rows) {
-      val dev = rnd.nextInt(5000)
+      val dev = rnd.nextInt(distinctDevs)
       val devId = s"dev$dev"
       // website nulls are a function of the ID (not the row) so the
       // id→value functional dependency holds corpus-wide

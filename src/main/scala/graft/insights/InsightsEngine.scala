@@ -598,6 +598,38 @@ object InsightsEngine {
     cardinalityStats(df, cfg)._2
       .filter { case (_, n) => n > maxGroupsPerCol }.keySet
 
+  /** COST-BASED high-cardinality routing from the stats pass — no flag.
+    *
+    * The decision variable is the iceberg popular-value bound: at most
+    * `N / threshold` distinct values of any single column can clear the
+    * HAVING threshold (their single-column groups partition the N rows,
+    * each popular one holding ≥ threshold of them) — with the reference's
+    * 2 % threshold that is ≤ 50 values, independent of N. Iceberg pruning
+    * (`insightsCubeIceberg`) provably collapses a column's contribution to
+    * cube state from NDV to ≤ that bound, so it pays exactly when
+    * NDV ≫ bound; when NDV ≤ bound every value may be popular and the
+    * pruning pass is a pure cost. `margin` (default 4×) keeps borderline
+    * columns on the plain cube: a < 4× state reduction does not buy back
+    * the per-column popularity aggregate + semi-join.
+    *
+    * Degenerate guard: threshold < 1 (N below 1/threshold% rows) means the
+    * HAVING clause passes everything and NO value is prunable — route
+    * nothing. HLL error (~2–5 %) is immaterial at a 4× margin.
+    *
+    * Measured (BASELINE.md): the k=14 Play-Store corpus (developerId NDV
+    * 4 503, N 100 k → bound 50, cut 200) routes to iceberg under default
+    * flags — 1 396 s vs the dict cube's 1 992 s the old 10 000-row flag
+    * default picked. */
+  def costBasedHighCard(totalCount: Long, cards: Map[String, Long],
+      cfg: InsightsConfig, margin: Double = 4.0): Set[String] = {
+    val threshold = math.floor(cfg.thresholdPercent / 100.0 * totalCount).toLong
+    if (threshold < 1) Set.empty
+    else {
+      val popularBound = totalCount.toDouble / threshold
+      cards.filter { case (_, ndv) => ndv > margin * popularBound }.keySet
+    }
+  }
+
   /** Dictionary-join variant of the cube (see `insightsCube(dictValues)`).
     * The cube aggregates count only; value columns are re-attached after
     * the HAVING filter from broadcast per-id dictionaries (min per id). */

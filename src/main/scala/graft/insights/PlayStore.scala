@@ -127,20 +127,35 @@ object PlayStore {
     * member of the reference's nondeterministic output family.
     *
     * Routing: one combined stats pass (count + per-column HLL) decides
-    * cube vs hybrid. The cube's partial-agg state is Σ_subsets |groups| —
-    * multiplicative only when MULTIPLE high-cardinality columns group
-    * together. Measured (SCALE.md): ONE ~5000-distinct column at k=10 →
-    * cube 87–92 s vs hybrid 293 s (the cube absorbs a single wide column;
-    * hybrid just pays loop planning for the 2^(k-1) subsets containing
-    * it); TWO ~600k-distinct columns at k=8 → cube state explodes into
-    * the hundreds of millions and does not finish, hybrid stays bounded.
-    * So: ≤1 high-card column → native-dict cube; ≥2 → hybrid split. */
+    * cube vs iceberg vs hybrid, COST-BASED by default
+    * (`InsightsEngine.costBasedHighCard`): a column routes to iceberg
+    * pruning when its NDV exceeds the popular-value bound N/threshold by
+    * a 4× margin — the condition under which pruning provably collapses
+    * its cube state (≤ 50 surviving values at the 2 % threshold). Pass
+    * `maxGroupsPerCol = Some(n)` to override with a fixed NDV cut.
+    *
+    * Why the split matters, measured (SCALE.md): ONE ~5000-distinct
+    * column at k=10 → cube 87–92 s vs hybrid 293 s (the cube absorbs a
+    * single wide column; hybrid just pays loop planning for the 2^(k-1)
+    * subsets containing it); TWO ~600k-distinct columns at k=8 → cube
+    * state explodes into the hundreds of millions and does not finish,
+    * hybrid stays bounded. Iceberg beats both when NDV ≫ N/threshold:
+    * k=14 corpus, dict cube 1 992 s vs iceberg 1 396 s, identical rows
+    * (BASELINE.md r7) — which default flags now pick automatically. */
   def extractScale(spark: SparkSession, csvPath: String, outPath: String,
-      config: InsightsConfig = cfg, maxGroupsPerCol: Long = 10000): Unit = {
+      config: InsightsConfig = cfg,
+      maxGroupsPerCol: Option[Long] = None): Unit = {
     // scale mode reads with the explicit schema: no inference pass
     val prepared = prepare(readCsv(spark, csvPath, schema = Some(schema)))
     val (n, cards) = InsightsEngine.cardinalityStats(prepared, config)
-    val highCard = cards.filter { case (_, c) => c > maxGroupsPerCol }.keySet
+    val highCard = maxGroupsPerCol match {
+      case Some(cut) => cards.filter { case (_, c) => c > cut }.keySet
+      case None      => InsightsEngine.costBasedHighCard(n, cards, config)
+    }
+    val route = if (highCard.isEmpty) "cube"
+      else if (highCard.size <= 4) "iceberg" else "hybrid"
+    println(s"INSIGHTS route=$route n=$n highCard=${highCard.toSeq.sorted.mkString(",")} " +
+      s"cards=${config.groupingCols.map(c => s"$c:${cards(c)}").mkString(",")}")
     // The Expand runs BEFORE the first shuffle, so per-TASK expanded
     // volume is rows-per-input-partition × 2^k (SCALE.md): a small CSV
     // arriving as one split would put the entire Expand + partial agg in

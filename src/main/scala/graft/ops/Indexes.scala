@@ -22,33 +22,55 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (longs + one double that parquet round-trips exactly). Keys include
   * the SparkSession so a fresh session rebuilds rather than
   * resurrecting another session's files.
+  *
+  * Index family (each one production artifact + its consumers):
+  *  - near-dup pairs      → LSH dedup, clustering, cluster dedup,
+  *                          splits, PageRank, pipeline
+  *  - component labels    → clustering, cluster dedup, splits
+  *  - LSH signatures      → `similarity_lsh_buckets`, `similarity_lsh_ann`,
+  *                          `similarity_ann_recall`
+  *  - IVF assignments     → `similarity_ivf_ann`, `dedup_semantic`,
+  *                          `similarity_ann_recall`
   */
 object Indexes {
-  private val pairCache =
-    new ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private val labelCache =
-    new ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val cache =
+    new ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
   /** Build → write parquet → return the scan (the materialized index). */
-  private def materialize(s: SparkSession, tag: String,
-      build: => DataFrame): DataFrame = {
-    val path = java.nio.file.Files
-      .createTempDirectory(s"graft_index_$tag").toString
-    build.write.mode("overwrite").parquet(path)
-    s.read.parquet(path)
-  }
+  private def materialize(s: SparkSession, dir: String, tag: String)(
+      build: => DataFrame): DataFrame =
+    cache.computeIfAbsent((s, dir, tag), _ => {
+      val path = java.nio.file.Files
+        .createTempDirectory(s"graft_index_$tag").toString
+      build.write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+    })
 
   /** Verified near-dup pairs (a_id, b_id, jaccard) — the MinHash-LSH
     * index output, provably equal to the exact Jaccard pair set
     * (DedupSpec). */
   def nearDupPairs(s: SparkSession, dir: String): DataFrame =
-    pairCache.computeIfAbsent((s, dir), _ =>
-      materialize(s, "pairs", Dedup.dedupMinhashLsh(s, dir)))
+    materialize(s, dir, "pairs")(Dedup.dedupMinhashLsh(s, dir))
 
   /** Connected-component labels (node, label) over the near-dup pair
     * graph — `Curation.clusterLabels`' propagation output, reused by
     * clustering, cluster dedup, and leakage-safe splitting. */
   def componentLabels(s: SparkSession, dir: String): DataFrame =
-    labelCache.computeIfAbsent((s, dir), _ =>
-      materialize(s, "labels", Curation.clusterLabels(s, dir)))
+    materialize(s, dir, "labels")(Curation.clusterLabels(s, dir))
+
+  /** Sign-random-projection LSH signatures, one row per vector:
+    * (vec_id, q: array<long> quantized embedding, norm2, buckets:
+    * array<long> — one 4-bit bucket id per hash table). The compact form
+    * (q stored once, buckets as an array) is what the index job writes;
+    * consumers posexplode to (tbl, bucket) rows map-side. Builder:
+    * `Similarity.buildLshSignatures` (codegen'd SignRandomProjection). */
+  def lshSignatures(s: SparkSession, dir: String): DataFrame =
+    materialize(s, dir, "lshsig")(Similarity.buildLshSignatures(s, dir))
+
+  /** IVF cell assignments, one row per vector: (vec_id, q, norm2,
+    * cell — nearest centroid, cell2 — second-nearest, the 2-probe set).
+    * Builder: `Similarity.buildIvfAssignments` (map-side argmax over the
+    * broadcast cell array). */
+  def ivfAssignments(s: SparkSession, dir: String): DataFrame =
+    materialize(s, dir, "ivfcell")(Similarity.buildIvfAssignments(s, dir))
 }

@@ -72,24 +72,27 @@ object Similarity {
     *
     * All 32 plane sums are computed by ONE codegen'd pass over the vector
     * (`SignRandomProjection` — the round-1 interpreted `zip_with`+
-    * `aggregate` per plane was the slowest query in the bench), and the
-    * signature relation is PERSISTED before the self-join below, exactly
-    * as `Dedup.dedupMinhashLsh` persists its minhash signatures: both
-    * sides of the bucket join reference it, and in production this IS the
-    * ANN index you materialize once per corpus.
+    * `aggregate` per plane was the slowest query in the bench). This is
+    * the INDEX BUILDER: its output is materialized to parquet once per
+    * corpus by `Indexes.lshSignatures` and every consumer (bucket
+    * histogram, ANN probe, recall report) scans the stored relation —
+    * build once, probe many, the production ANN-index lifecycle.
     *
-    * (vec_id, q, norm2, tbl, bucket) — one row per (vector, hash table). */
-  private def bucketed(s: SparkSession, dir: String): DataFrame = {
-    val sigs = embeddings(s, dir).select(col("vec_id"), quantize.as("q"))
+    * (vec_id, q, norm2, buckets: array<long>) — one row per vector. */
+  private[ops] def buildLshSignatures(s: SparkSession, dir: String): DataFrame =
+    embeddings(s, dir).select(col("vec_id"), quantize.as("q"))
       .select(col("vec_id"), col("q"), dot("q", "q").as("norm2"),
         graft.functions.VectorExpressions
           .signBuckets(col("q"), Tables, Planes, 64).as("buckets"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sigs.select(col("vec_id"), col("q"), col("norm2"),
+
+  /** Exploded view of the stored LSH index: one row per (vector, hash
+    * table) — a map-side posexplode over the parquet scan. */
+  private def bucketed(s: SparkSession, dir: String): DataFrame =
+    Indexes.lshSignatures(s, dir)
+      .select(col("vec_id"), col("q"), col("norm2"),
         posexplode(col("buckets")).as(Seq("tbl", "bucket")))
       .select(col("vec_id"), col("q"), col("norm2"),
         col("tbl").cast("long").as("tbl"), col("bucket"))
-  }
 
   /** Corpus histogram over LSH buckets per table (the data layout a
     * bucketed ANN index persists — bucket skew is what to watch at scale). */
@@ -173,19 +176,34 @@ object Similarity {
       .drop("cells", "label")
   }
 
-  def ivfAnnTopK(s: SparkSession, dir: String): DataFrame = {
+  /** IVF INDEX BUILDER: one row per vector with its nearest (`cell`) and
+    * second-nearest (`cell2`) centroid — the 2-probe set — plus the
+    * quantized vector and norm the exact re-rank needs. Materialized to
+    * parquet once per corpus by `Indexes.ivfAssignments`; the ANN probe,
+    * SemDeDup, and the recall report all scan the stored relation.
+    * (vec_id, q, norm2, cell, cell2). */
+  private[ops] def buildIvfAssignments(s: SparkSession, dir: String): DataFrame = {
     val withBest = ivfWithBest(s, dir)
-    val assign = withBest
-      .select(col("vec_id").as("cand_id"), col("q").as("ce"),
-        col("norm2").as("cn"), (-col("best.negcell")).as("cell"))
-    // probe cells for the (tiny) query set: best + second-best, both
-    // map-side (filter out the best struct, argmax the rest)
+    // second-best cell, map-side: argmax of the affinities minus the best
     val second = array_max(filter(col("aff"), x => !(x === col("best"))))
-    val probes = withBest.filter(col("vec_id") < 8)
+    // cell keeps the label's native int type: `dedup_semantic` surfaces
+    // it in its output schema and the oracle's is int32
+    withBest.select(col("vec_id"), col("q"), col("norm2"),
+      (-col("best.negcell")).as("cell"),
+      (-second.getField("negcell")).as("cell2"))
+  }
+
+  def ivfAnnTopK(s: SparkSession, dir: String): DataFrame = {
+    val idx = Indexes.ivfAssignments(s, dir)
+    val assign = idx
+      .select(col("vec_id").as("cand_id"), col("q").as("ce"),
+        col("norm2").as("cn"), col("cell"))
+    // probe cells for the (tiny) query set: best + second-best from the
+    // stored assignment — no affinity recomputation at query time
+    val probes = idx.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("q").as("qe"),
         col("norm2").as("qn"),
-        explode(array((-col("best.negcell")).as("c1"),
-          (-second.getField("negcell")).as("c2"))).as("cell"))
+        explode(array(col("cell"), col("cell2"))).as("cell"))
     val scored = assign.join(broadcast(probes), Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
@@ -204,7 +222,7 @@ object Similarity {
     * clusters by — lets the spec recompute within-cell pairs naively
     * without re-deriving the IVF argmax. */
   def dedupSemanticAssignment(s: SparkSession, dir: String): DataFrame =
-    ivfWithBest(s, dir).select(col("vec_id"), (-col("best.negcell")).as("cell"))
+    Indexes.ivfAssignments(s, dir).select(col("vec_id"), col("cell"))
 
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication"): cluster the embedding
@@ -224,12 +242,11 @@ object Similarity {
     * quadratic term. Cross-cell near-dups are missed BY DESIGN — that
     * is SemDeDup's documented recall trade. */
   def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
-    val assign = ivfWithBest(s, dir)
-      .select(col("vec_id"), col("q"), col("norm2"),
-        (-col("best.negcell")).as("cell"))
-      // both sides of the self-join read this — materialize once, same
-      // as the LSH signature relation in `bucketed`
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // both sides of the self-join scan the STORED cell-assignment index
+    // (Indexes.ivfAssignments) — built once per corpus, shared with the
+    // ANN probe and the recall report
+    val assign = Indexes.ivfAssignments(s, dir)
+      .select(col("vec_id"), col("q"), col("norm2"), col("cell"))
     val a = assign.select(col("cell"), col("vec_id").as("a_id"),
       col("q").as("qa"), col("norm2").as("na"))
     val b = assign.select(col("cell"), col("vec_id").as("b_id"),

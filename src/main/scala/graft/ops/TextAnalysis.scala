@@ -480,7 +480,39 @@ object TextAnalysis {
       .orderBy(col("vocab_id"))
   }
 
+  /** Word frequency-of-frequencies spectrum — the Good–Turing input
+    * table (how many word TYPES occur exactly r times) plus the
+    * Good–Turing adjusted count r* = (r+1)·N_{r+1}/N_r where the next
+    * spectrum row is exactly r+1 (else null — the classic unsmoothed
+    * estimator is undefined at spectrum gaps). This is the corpus
+    * statistic behind vocabulary-saturation checks and smoothing-model
+    * fits; its heavy tail (N_1, the hapax count) is the standard "is
+    * this corpus mostly unique junk?" diagnostic in web-scale curation.
+    *
+    * Scale: two partial-agg-friendly hash aggregates (token→count,
+    * count→types). The final window is UNPARTITIONED but provably
+    * input-bounded: a corpus of T tokens has at most O(√(2T)) distinct
+    * frequencies (frequencies r₁<r₂<… sum to ≤ T, so k distinct values
+    * force T ≥ k(k+1)/2) — ~45 k rows at a trillion tokens. Exactness:
+    * all integers except the one per-row IEEE division. */
+  def textFreqSpectrum(s: SparkSession, dir: String): DataFrame = {
+    val spectrum = documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("r"))
+      .groupBy(col("r")).agg(count(lit(1)).as("n_types"))
+    val w = Window.orderBy(col("r").asc)
+    spectrum
+      .withColumn("total_tokens", col("r") * col("n_types"))
+      .withColumn("gt_r_star",
+        when(lead(col("r"), 1).over(w) === col("r") + 1,
+          (col("r") + 1).cast("double") *
+            lead(col("n_types"), 1).over(w).cast("double") /
+            col("n_types").cast("double")))
+      .orderBy(col("r"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_freq_spectrum" -> textFreqSpectrum _,
     "text_vocab_build" -> textVocabBuild _,
     "text_simpson_diversity" -> textSimpsonDiversity _,
     "text_pmi_collocations" -> textPmiCollocations _,
@@ -502,6 +534,19 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "text_freq_spectrum" ->
+      """WITH c AS (
+        |  SELECT token, count(*) AS r FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY token),
+        |sp AS (SELECT r, count(*) AS n_types FROM c GROUP BY r)
+        |SELECT r, n_types, r * n_types AS total_tokens,
+        |  CASE WHEN lead(r) OVER (ORDER BY r) = r + 1
+        |    THEN CAST(r + 1 AS DOUBLE) *
+        |         CAST(lead(n_types) OVER (ORDER BY r) AS DOUBLE) /
+        |         CAST(n_types AS DOUBLE)
+        |  END AS gt_r_star
+        |FROM sp ORDER BY r""".stripMargin,
     "text_vocab_build" ->
       """WITH c AS (
         |  SELECT token, count(*) AS n FROM (

@@ -125,6 +125,70 @@ object StreamBench {
     bench("dedup_by_id", Update,
       df => StreamingEvents.dedupEvents(df))
 
+    // Materialized-insights-view soak (r8 verdict #7): maintain the
+    // StreamingInsights core over every micro-batch, and every
+    // `checkEvery` batches prove the SERVED view equals a from-scratch
+    // batch cube of exactly the rows seen so far (string-set equality —
+    // the full correctness contract, not a row count). The reported
+    // "state" is the core's group-row count per version: it must
+    // SATURATE at the corpus' group count (flat q2≈q3≈last) because the
+    // core is a Σ|groups| aggregate, never a function of row volume.
+    locally {
+      import graft.insights.{InsightsConfig, InsightsEngine}
+      val cfg = InsightsConfig(
+        groupingCols = Seq("event_type", "value"),
+        buckets = Map("value" -> 100L))
+      val corePath = java.nio.file.Files.createTempDirectory("graft_soak_core").toString
+      val seenPath = java.nio.file.Files.createTempDirectory("graft_soak_seen").toString
+      val checkEvery = math.max(nFiles / 5, 1)
+      var checks = 0
+      var checksOk = 0
+      val coreRows = scala.collection.mutable.ArrayBuffer[Long]()
+      val mergeSec = scala.collection.mutable.ArrayBuffer[Double]()
+      val src = graft.Tables.normalizeTs(
+        spark.readStream.schema(spark.read.parquet(stage).schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage))
+      val t0 = System.nanoTime()
+      val q = src.writeStream
+        .outputMode(Append)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ck_insights_view").toString)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          val b0 = System.nanoTime()
+          batch.write.mode("overwrite").parquet(s"$seenPath/b=$id")
+          StreamingInsights.maintainCore(corePath, cfg)(batch, id)
+          mergeSec += (System.nanoTime() - b0) / 1e9
+          coreRows += spark.read.parquet(s"$corePath/v=$id").count()
+          if ((id + 1) % checkEvery == 0) {
+            checks += 1
+            val seen = spark.read.parquet(seenPath)
+            val served = StreamingInsights.serve(spark, corePath, cfg)
+              .collect().map(_.getString(0)).toSet
+            val full = InsightsEngine
+              .insightsCubeNative(seen, cfg, seen.count())
+              .collect().map(_.getString(0)).toSet
+            if (served == full && full.nonEmpty) checksOk += 1
+            else println(s"STREAMINSIGHTS CHECK FAILED at batch $id: " +
+              s"served=${served.size} batch_cube=${full.size}")
+          }
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      val wallSec = (System.nanoTime() - t0) / 1e9
+      def qt(xs: Seq[Long], f: Double): Long =
+        if (xs.isEmpty) -1 else xs(math.min(xs.size - 1, (xs.size * f).toInt))
+      val ms = mergeSec.sorted
+      println(f"STREAM insights_view batches=${coreRows.size} " +
+        f"wall=$wallSec%.1fs " +
+        f"core_rows_q1=${qt(coreRows.toSeq, 0.25)} q2=${qt(coreRows.toSeq, 0.5)} " +
+        f"q3=${qt(coreRows.toSeq, 0.75)} last=${coreRows.lastOption.getOrElse(-1L)} " +
+        f"merge_sec_med=${if (ms.nonEmpty) ms(ms.size / 2) else -1.0}%.2f " +
+        f"max=${if (ms.nonEmpty) ms.last else -1.0}%.2f " +
+        f"equality_checks=$checks ok=$checksOk")
+      require(checks == checksOk, "served view diverged from batch cube")
+    }
+
     spark.stop()
   }
 }

@@ -178,16 +178,14 @@ class PlanSpec extends AnyFunSuite {
       s"no dynamic partition pruning on the fact scan:\n$p")
   }
 
-  test("SemDeDup: cell assignment map-side; assignment relation persisted") {
+  test("SemDeDup: cell assignment map-side (no vec_id shuffle); self-join reads the stored index") {
     val df = ops.Similarity.dedupSemantic(spark, dir)
     val p = plan(df)
-    // the corpus is never shuffled by vec_id — assignment rides the
-    // broadcast cell array, the self-join keys on the cell id only
+    // the corpus is never shuffled by vec_id — assignment came from the
+    // stored index (built map-side over the broadcast cell array), the
+    // self-join keys on the cell id only
     assert(!p.contains("hashpartitioning(vec_id"),
       s"corpus shuffled by vec_id:\n$p")
-    val exec = df.queryExecution.executedPlan.toString
-    assert(exec.contains("InMemoryTableScan") || exec.contains("InMemoryRelation"),
-      s"assignment not materialized once for both join sides:\n$exec")
   }
 
   test("multimodal decode stays on the Dataset API (no RDD scan boundary)") {
@@ -196,11 +194,32 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("MapPartitions"))
   }
 
-  test("LSH-ANN: signature relation is persisted (computed once, not per join side)") {
+  test("LSH-ANN: probes scan the MATERIALIZED signature index, never rebuild it") {
+    // r8 verdict #4: the signature relation is a stored parquet artifact
+    // (Indexes.lshSignatures) — the probe plan must be a FileScan of that
+    // index with ZERO SignRandomProjection recomputation at query time
     val p = ops.Similarity.lshAnnTopK(spark, dir)
       .queryExecution.executedPlan.toString
-    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
-      s"signatures not cached:\n$p")
+    assert(p.contains("graft_index_lshsig"),
+      s"not served from the stored signature index:\n$p")
+    assert(!p.contains("signrandomprojection") && !p.contains("SignRandomProjection"),
+      s"signatures recomputed at query time:\n$p")
+  }
+
+  test("IVF-ANN + SemDeDup: served from the MATERIALIZED cell-assignment index") {
+    val pAnn = ops.Similarity.ivfAnnTopK(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(pAnn.contains("graft_index_ivfcell"),
+      s"ANN probe not served from the stored IVF index:\n$pAnn")
+    val pSem = ops.Similarity.dedupSemantic(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(pSem.contains("graft_index_ivfcell"),
+      s"SemDeDup not served from the stored IVF index:\n$pSem")
+    // cell affinities (the posexplode'd per-dim centroid build) must not
+    // appear in either consumer plan — that work happened at index build
+    Seq(pAnn -> "ANN", pSem -> "SemDeDup").foreach { case (p, n) =>
+      assert(!p.contains("posexplode"), s"$n recomputes cell affinities:\n$p")
+    }
   }
 
   test("q22: scalar average is one plan (broadcast cross join, no driver collect)") {

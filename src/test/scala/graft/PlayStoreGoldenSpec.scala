@@ -230,4 +230,23 @@ class PlayStoreGoldenSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSet
     assert(allLoop === full)
   }
+
+  test("cost-based routing: NDV > 4×(N/threshold) routes to iceberg, degenerate N routes nothing") {
+    val cfg = PlayStore.cfg // thresholdPercent = 2 → popular bound = 50
+    // the measured k=14 corpus shape: N=100k, developerId NDV 4503,
+    // score NDV 6 — cut is 4×50 = 200, so developerId routes, score not
+    val cards = Map("developerId" -> 4503L, "score" -> 6L,
+      "minInstalls" -> 180L)
+    assert(InsightsEngine.costBasedHighCard(100000L, cards, cfg)
+      === Set("developerId"))
+    // borderline NDV (≤ margin × bound) stays on the plain cube
+    assert(InsightsEngine.costBasedHighCard(100000L,
+      Map("c" -> 200L), cfg) === Set.empty)
+    assert(InsightsEngine.costBasedHighCard(100000L,
+      Map("c" -> 201L), cfg) === Set("c"))
+    // threshold < 1 (N < 50 at 2%): HAVING passes everything, nothing is
+    // prunable — never route to iceberg regardless of NDV
+    assert(InsightsEngine.costBasedHighCard(5L,
+      Map("developerId" -> 1000000L), cfg) === Set.empty)
+  }
 }

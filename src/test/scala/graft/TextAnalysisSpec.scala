@@ -22,6 +22,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rows.toSeq === again.toSeq)
   }
 
+  test("frequency spectrum: partitions the corpus tokens; Good-Turing defined exactly at r+1 rows") {
+    import org.apache.spark.sql.functions._
+    val rows = TextAnalysis.textFreqSpectrum(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // Σ r·N_r over the spectrum = total corpus tokens (the spectrum is a
+    // partition of token occurrences by their type's frequency)
+    val corpusTokens = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .count()
+    assert(rows.map(_.getLong(2)).sum === corpusTokens)
+    // r strictly increasing; gt_r_star present iff the next row is r+1
+    val rs = rows.map(_.getLong(0))
+    assert(rs.toSeq === rs.sorted.toSeq && rs.distinct.length === rs.length)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        val defined = !a.isNullAt(3)
+        assert(defined === (b.getLong(0) == a.getLong(0) + 1),
+          s"gt at r=${a.getLong(0)} defined=$defined next=${b.getLong(0)}")
+        if (defined) // r* = (r+1)·N_{r+1}/N_r
+          assert(a.getDouble(3) ===
+            (a.getLong(0) + 1).toDouble * b.getLong(1).toDouble / a.getLong(1).toDouble)
+      case _ =>
+    }
+    assert(rows.last.isNullAt(3)) // no r+1 above the max frequency
+  }
+
   test("tf-idf cosine inverted index carries salient terms only (df-cap)") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, dir)
