@@ -531,7 +531,62 @@ object Mining {
       .orderBy(col("actual"), col("predicted"))
   }
 
+  /** Support thresholds for [[miningAssocRules]] as percentages of the
+    * document count — relative so the same query is meaningful at every
+    * SF. Items must appear in ≥ 40 % of docs, pairs in ≥ 25 %. */
+  private val ItemSupPct = 40L
+  private val PairSupPct = 25L
+
+  /** Frequent-2-itemset / association-rule mining (Apriori level 2) over
+    * the token SETS of documents — the market-basket workload on a text
+    * corpus: which word pairs co-occur in documents far more often than
+    * their independent rates predict. Output per surviving ordered pair
+    * (item_a < item_b): doc supports, confidence P(b|a) and lift
+    * n·n_ab/(n_a·n_b) (per-row IEEE divisions over exact integer
+    * operands — oracle-identical).
+    *
+    * Scale shape is the Apriori argument itself: candidate pairs are
+    * generated ONLY between frequent items (support ≥ 40 % of docs —
+    * the downward-closure prune), so the per-document pair explosion is
+    * bounded by the frequent-item count F, not vocabulary: the self-join
+    * per doc_id emits ≤ C(F,2) rows. The frequent-item relation is a
+    * broadcast semi-join (it is at most 100/ItemSupPct · … tiny by
+    * construction: at 40 % support at most 2·(corpus tokens / docs)
+    * items can qualify), and the one wide shuffle keys on doc_id — at
+    * 100 TB this is explode → semi-filter map-side → one doc-keyed
+    * shuffle → pair count, with the level-k extension running the same
+    * prune per level (k=2 here; the classic trade documented in Agrawal
+    * & Srikant's Apriori). */
+  def miningAssocRules(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    // presence, not multiplicity: market baskets are sets
+    val docItem = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("item"))
+    val freq = docItem.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("n_item") * 100 >= col("n_docs") * ItemSupPct)
+      .select(col("item"), col("n_item"))
+    val filtered = docItem.join(broadcast(freq), Seq("item"))
+    val a = filtered.select(col("doc_id"), col("item").as("item_a"),
+      col("n_item").as("n_a"))
+    val b = filtered.select(col("doc_id"), col("item").as("item_b"),
+      col("n_item").as("n_b"))
+    a.join(b, Seq("doc_id"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("n_ab") * 100 >= col("n_docs") * PairSupPct)
+      .select(col("item_a"), col("item_b"), col("n_a"), col("n_b"), col("n_ab"),
+        (col("n_ab").cast("double") / col("n_a").cast("double")).as("confidence"),
+        (col("n_docs").cast("double") * col("n_ab").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double"))).as("lift"))
+      .orderBy(col("item_a"), col("item_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mining_assoc_rules" -> miningAssocRules _,
     "text_bpe_merges" -> textBpeMerges _,
     "text_bpe_encode" -> textBpeEncode _,
     "text_nb_classifier" -> textNbClassifier _,
@@ -638,6 +693,28 @@ object Mining {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "mining_assoc_rules" ->
+      s"""WITH nd AS (SELECT count(*) AS n_docs FROM documents),
+         |di AS (
+         |  SELECT DISTINCT doc_id, item FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS item
+         |    FROM documents)),
+         |freq AS (
+         |  SELECT item, count(*) AS n_item FROM di GROUP BY item
+         |  HAVING count(*) * 100 >= (SELECT n_docs FROM nd) * $ItemSupPct),
+         |fi AS (SELECT d.doc_id, d.item, f.n_item
+         |       FROM di d JOIN freq f ON f.item = d.item),
+         |pairs AS (
+         |  SELECT a.item AS item_a, b.item AS item_b,
+         |    a.n_item AS n_a, b.n_item AS n_b, count(*) AS n_ab
+         |  FROM fi a JOIN fi b ON a.doc_id = b.doc_id AND a.item < b.item
+         |  GROUP BY 1, 2, 3, 4
+         |  HAVING count(*) * 100 >= (SELECT n_docs FROM nd) * $PairSupPct)
+         |SELECT item_a, item_b, n_a, n_b, n_ab,
+         |  CAST(n_ab AS DOUBLE) / CAST(n_a AS DOUBLE) AS confidence,
+         |  CAST((SELECT n_docs FROM nd) AS DOUBLE) * CAST(n_ab AS DOUBLE) /
+         |    (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS lift
+         |FROM pairs ORDER BY item_a, item_b""".stripMargin,
     "text_bpe_merges" -> bpeOracleSql,
     "text_bpe_encode" -> bpeEncodeSql,
     "text_nb_classifier" ->

@@ -12,6 +12,31 @@ class MiningSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val dir = "/root/testdata/sf0.001"
 
+  test("assoc rules: Apriori bounds hold (n_ab <= min support, confidence <= 1, thresholds met)") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.count()
+    val rows = graft.ops.Mining.miningAssocRules(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b, na, nb, nab) = (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(a < b)
+      assert(nab <= math.min(na, nb), s"($a,$b) pair support exceeds item support")
+      assert(na * 100 >= nDocs * 40 && nb * 100 >= nDocs * 40)
+      assert(nab * 100 >= nDocs * 25)
+      assert(r.getDouble(5) > 0 && r.getDouble(5) <= 1.0) // confidence
+      assert(r.getDouble(6) === nDocs.toDouble * nab / (na.toDouble * nb))
+    }
+    // spot-recount one pair against a direct contains-both scan
+    val r0 = rows.head
+    val direct = docs.filter(
+      array_contains(array_distinct(split(col("text"), " ")), r0.getString(0)) &&
+        array_contains(array_distinct(split(col("text"), " ")), r0.getString(1)))
+      .count()
+    assert(direct === r0.getLong(4))
+  }
+
   test("repeated passages: df>=2, deterministic order, df consistent with recount") {
     val rows = Mining.textRepeatedPassages(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
