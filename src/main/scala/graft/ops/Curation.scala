@@ -145,6 +145,35 @@ object Curation {
         sum(col("n_tokens")).as("n_tokens"))
       .orderBy(col("split"))
 
+  /** Triangle counting over the near-dup document graph — the third
+    * classic graph workload beside components and PageRank, and the
+    * local-clustering signal a dedup pipeline reads to tell CLIQUE-like
+    * duplicate families (template spam: every member similar to every
+    * other) from CHAIN-like ones (drifting near-dup sequences where
+    * A~B~C but A≁C — exactly the families where transitive cluster-dedup
+    * over-deletes). Per doc: the number of triangles it participates in.
+    *
+    * The stored pair index (Indexes.nearDupPairs) is already the
+    * canonically ORIENTED edge list (a_id < b_id), which is the classic
+    * distributed triangle-count trick (Suri & Vassilvitskii's MR model):
+    * each triangle a<b<c is found exactly once by joining (a,b)⋈(b,c) on
+    * the middle node and closing with (a,c) — no symmetrization, no
+    * 6-fold overcount, join volume Σ_v d⁺(v)² over FORWARD degrees
+    * (ordering by id here; by degree when skew demands — the documented
+    * production refinement that bounds d⁺ by O(√|E|)). Two equi-joins,
+    * both on pair-index columns; the corpus itself is never touched. */
+  def graphTriangleCounts(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Indexes.nearDupPairs(s, dir).select(col("a_id"), col("b_id"))
+    val wedges = pairs.select(col("a_id").as("a"), col("b_id").as("b"))
+      .join(pairs.select(col("a_id").as("b"), col("b_id").as("c")), Seq("b"))
+    val tri = wedges.join(
+      pairs.select(col("a_id").as("a"), col("b_id").as("c")), Seq("a", "c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("doc_id"))
+  }
+
   /** PageRank over the near-dup document graph — the canonical ITERATIVE
     * shuffle pattern (each round: join ranks to edges on src, aggregate
     * contributions on dst). Two rounds unrolled, ALL arithmetic in exact
@@ -537,6 +566,7 @@ object Curation {
     "pack_sequences" -> packSequences _,
     "embedding_quantize" -> embeddingQuantize _,
     "graph_pagerank_docs" -> graphPagerankDocs _,
+    "graph_triangle_counts" -> graphTriangleCounts _,
   )
 
   // cluster oracle: transitive closure by recursive CTE over the same
@@ -831,7 +861,32 @@ object Curation {
     "pack_sequences" -> packSql,
     "embedding_quantize" -> quantizeSql,
     "graph_pagerank_docs" -> pagerankSql,
+    "graph_triangle_counts" -> triangleSql,
   )
+
+  // same brute-force Jaccard pair CTE; oriented-edge (a<b) wedge close —
+  // each triangle a<b<c found exactly once, then exploded per member
+  private lazy val triangleSql =
+    """WITH sh AS (
+      |  SELECT doc_id, n_chars,
+      |    list_distinct([array_to_string(words[i:i+2], ' ')
+      |                   FOR i IN range(1, len(words) - 1)]) AS shingles
+      |  FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS words FROM documents)
+      |  WHERE len(words) >= 3),
+      |pairs AS MATERIALIZED (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM sh a JOIN sh b
+      |    ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 100
+      |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+      |        CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.5),
+      |tri AS (
+      |  SELECT e1.a_id AS a, e1.b_id AS b, e2.b_id AS c
+      |  FROM pairs e1
+      |  JOIN pairs e2 ON e2.a_id = e1.b_id
+      |  JOIN pairs e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id)
+      |SELECT doc_id, count(*) AS n_triangles
+      |FROM (SELECT unnest([a, b, c]) AS doc_id FROM tri)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // same brute-force Jaccard pair CTE as clustersSql (the LSH pair set
   // provably equals it); two PageRank rounds unrolled in integer units.

@@ -168,6 +168,25 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("triangle counts == brute-force enumeration over the same pair set") {
+    val pairs = ops.Dedup.dedupMinhashLsh(spark, dir01)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val edge = pairs.toSet // oriented a<b
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    // brute force: every a<b<c node triple with all three edges present
+    val triRef = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for {
+      a <- nodes; b <- nodes if a < b && edge((a, b))
+      c <- nodes if b < c && edge((b, c)) && edge((a, c))
+    } Seq(a, b, c).foreach(n => triRef(n) += 1)
+    val got = Curation.graphTriangleCounts(spark, dir01).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === triRef.toMap)
+    // sanity: total participation is 3 per triangle
+    assert(got.values.sum % 3 === 0)
+  }
+
   test("pagerank matches hand-computed integer ranks on a path + pair graph") {
     import spark.implicits._
     // path 1-2-3 plus isolated pair 4-5; two rounds in integer units:
