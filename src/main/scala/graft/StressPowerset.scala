@@ -70,14 +70,17 @@ object StressPowerset {
     // differs from native rendering only in columns no fixture nulls) is
     // included because the three native variants and it agree goldenly.
     var expectRows = -1L
-    var expectSum = 0L
+    var expectSum = BigDecimal(0)
     def time(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
       import org.apache.spark.sql.functions.{sum => fsum, xxhash64, count => fcount, lit, coalesce, col}
       val t0 = System.nanoTime()
+      // sum the 64-bit hashes in decimal(38,0): a Long sum of full-range
+      // hashes overflows (and throws under ANSI) beyond a handful of rows
       val r = df.agg(fcount(lit(1)).as("n"),
-          coalesce(fsum(xxhash64(col("insight"))), lit(0L)).as("h"))
+          coalesce(fsum(xxhash64(col("insight")).cast("decimal(38,0)")),
+            lit(0).cast("decimal(38,0)")).as("h"))
         .collect()(0)
-      val (rows, hsum) = (r.getLong(0), r.getLong(1))
+      val (rows, hsum) = (r.getLong(0), BigDecimal(r.getDecimal(1)))
       val sec = (System.nanoTime() - t0) / 1e9
       if (expectRows < 0) { expectRows = rows; expectSum = hsum }
       else {
