@@ -244,7 +244,39 @@ object Events {
         |ORDER BY user_id, event_id""".stripMargin)
   }
 
+  /** OHLC bar downsampling — the financial/telemetry time-series
+    * compaction: per (hour, event_type), the first (open) and last
+    * (close) value in event-time order plus low/high/volume. The whole
+    * bar is ONE hash aggregate: open/close are min/max over
+    * (ts, event_id, cents) structs — lexicographic struct ordering with
+    * the unique event_id as tie-break makes "first" total-ordered and
+    * deterministic (the oracle spells the same pick as two ranked
+    * windows; the engine never needs one). Values in integer cents.
+    *
+    * Scale: identical shape to `tumblingWindows` — partial-agg-friendly,
+    * keyed by (bucket, type), no windows, no joins; this is why bar
+    * compaction is the standard first reduction on tick-scale data
+    * (reduce volume by the bar width's average occupancy BEFORE any
+    * windowed analytics run). */
+  def ohlcBars(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(expr("unix_micros(ts) div 3600000000").as("hour_bucket"),
+        col("event_type"), unix_micros(col("ts")).as("us"),
+        col("event_id"), cents(col("value")).as("cents"))
+      .groupBy(col("hour_bucket"), col("event_type"))
+      .agg(
+        min(struct(col("us"), col("event_id"), col("cents")))
+          .getField("cents").as("open_cents"),
+        max(col("cents")).as("high_cents"),
+        min(col("cents")).as("low_cents"),
+        max(struct(col("us"), col("event_id"), col("cents")))
+          .getField("cents").as("close_cents"),
+        count(lit(1)).as("n_events"),
+        sum(col("cents")).as("sum_cents"))
+      .orderBy(col("hour_bucket"), col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_ohlc_bars" -> ohlcBars _,
     "events_interval_frame" -> intervalFrame _,
     "events_ab_test" -> abTestReadout _,
     "events_tumbling_windows" -> tumblingWindows _,
@@ -259,6 +291,35 @@ object Events {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // open/close: the engine's min/max over (us, event_id, cents)
+    // structs == rank-1 rows of the (ts, event_id) total order
+    "events_ohlc_bars" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type,
+        |    epoch_us(ts) AS us, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |agg AS (
+        |  SELECT hour_bucket, event_type,
+        |    CAST(max(cents) AS BIGINT) AS high_cents,
+        |    CAST(min(cents) AS BIGINT) AS low_cents,
+        |    count(*) AS n_events,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents
+        |  FROM e GROUP BY 1, 2),
+        |o AS (
+        |  SELECT hour_bucket, event_type, cents AS open_cents FROM e
+        |  QUALIFY row_number() OVER (PARTITION BY hour_bucket, event_type
+        |    ORDER BY us ASC, event_id ASC) = 1),
+        |c AS (
+        |  SELECT hour_bucket, event_type, cents AS close_cents FROM e
+        |  QUALIFY row_number() OVER (PARTITION BY hour_bucket, event_type
+        |    ORDER BY us DESC, event_id DESC) = 1)
+        |SELECT a.hour_bucket, a.event_type, o.open_cents, a.high_cents,
+        |  a.low_cents, c.close_cents, a.n_events, a.sum_cents
+        |FROM agg a
+        |JOIN o USING (hour_bucket, event_type)
+        |JOIN c USING (hour_bucket, event_type)
+        |ORDER BY hour_bucket, event_type""".stripMargin,
     "events_interval_frame" ->
       """SELECT user_id, event_id,
         |  CAST(count(*) OVER w AS BIGINT) AS n_1h,

@@ -27,6 +27,28 @@ class EventsSpec extends AnyFunSuite {
     assert(total === Tables.events(spark, dir).count())
   }
 
+  test("OHLC bars: low<=open/close<=high, volumes partition the table, open matches a direct first-event scan") {
+    import org.apache.spark.sql.functions._
+    val bars = Events.ohlcBars(spark, dir).collect()
+    assert(bars.nonEmpty)
+    bars.foreach { r =>
+      val (open, high, low, close) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(low <= open && open <= high, s"open outside [low,high]: $r")
+      assert(low <= close && close <= high, s"close outside [low,high]: $r")
+      assert(low <= high && r.getLong(6) >= 1)
+    }
+    assert(bars.map(_.getLong(6)).sum === Tables.events(spark, dir).count())
+    // direct recompute of one bar's open: earliest (ts, event_id) row
+    val r0 = bars.head
+    val direct = Tables.events(spark, dir)
+      .filter(expr("unix_micros(ts) div 3600000000") === r0.getLong(0) &&
+        col("event_type") === r0.getString(1))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .select(Tables.cents(col("value"))).head().getLong(0)
+    assert(direct === r0.getLong(2))
+  }
+
   test("funnel users have both event types in order") {
     val rows = Events.signupPurchaseFunnel(spark, dir).collect()
     assert(rows.forall(r => r.getLong(1) < r.getLong(2)))
