@@ -255,7 +255,7 @@ object Mining {
     * a driver bottleneck by construction at 50 000. */
   def textBpeMerges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    trainBpe(s, dir).toDF("rank", "pair", "merged", "n")
+    trainedBpe(s, dir).toDF("rank", "pair", "merged", "n")
       .orderBy(col("rank"))
   }
 
@@ -291,6 +291,20 @@ object Mining {
     * merge round over the word-frequency table. Public so MiningSpec can
     * drive it past the declared 10 rounds; production vocab sizes belong
     * on [[learnBpeMergesLocal]] (see crossover note there). */
+  /** Trained-tokenizer memo, same build-once discipline as the stored
+    * ANN/pair indexes (`ops.Indexes`): a tokenizer is a per-corpus
+    * ARTIFACT — trained once, applied everywhere — so the declared
+    * train query and the encode query (which must replay the training
+    * to know its rules) share one training run per (session, corpus)
+    * instead of each paying the 10-round loop. The memo holds the rule
+    * list itself (40 driver-side tuples), the exact thing a production
+    * pipeline persists as the tokenizer file. */
+  private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Seq[(Long, String, String, Long)]]()
+
+  def trainedBpe(s: SparkSession, dir: String): Seq[(Long, String, String, Long)] =
+    bpeCache.computeIfAbsent((s, dir), _ => trainBpe(s, dir))
+
   def trainBpe(s: SparkSession, dir: String,
       rounds: Int = BpeRounds): Seq[(Long, String, String, Long)] = {
     import org.apache.spark.storage.StorageLevel
@@ -429,7 +443,7 @@ object Mining {
     * characters (= tokens before any merge) vs BPE tokens after the 10
     * rules, per language. */
   def textBpeEncode(s: SparkSession, dir: String): DataFrame = {
-    val rules = trainBpe(s, dir)
+    val rules = trainedBpe(s, dir)
     val dd = BpeDelim + BpeDelim
     val encoded = rules.foldLeft(
       documents(s, dir)
