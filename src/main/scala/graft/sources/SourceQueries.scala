@@ -167,7 +167,38 @@ object SourceQueries {
         max(col("o_totalprice")).as("max_price"))
   }
 
+  /** Schema evolution across parquet generations — the drift every
+    * long-lived 100 TB table accumulates: generation 1 predates the
+    * `o_orderpriority` column, generation 2 carries it. One
+    * `mergeSchema` read reconciles both (old files surface the new
+    * column as NULL — parquet's add-column contract), and the aggregate
+    * distinguishes legacy rows explicitly instead of silently mixing
+    * them in. The oracle replays the generation split arithmetically
+    * over the original table, so a green row proves the merged read
+    * neither drops legacy rows nor invents values for them.
+    *
+    * Scale note: mergeSchema footer reconciliation reads EVERY file's
+    * footer at planning time — fine per-query here; a production table
+    * pins the merged schema in a catalog/metastore and reads with an
+    * explicit schema instead (the documented swap, same output). */
+  def sourceSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val base = tmpDir("graft_schema_evo")
+    val o = orders(s, dir).select(col("o_orderkey"), col("o_totalprice"),
+      col("o_orderpriority"))
+    o.filter(col("o_orderkey") % 2 === 0).drop("o_orderpriority")
+      .write.mode("overwrite").parquet(s"$base/gen=1")
+    o.filter(col("o_orderkey") % 2 === 1)
+      .write.mode("overwrite").parquet(s"$base/gen=2")
+    s.read.option("mergeSchema", "true").parquet(base)
+      .groupBy(coalesce(col("o_orderpriority"), lit("<legacy>")).as("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(cents(col("o_totalprice"))).as("total_cents"),
+        min(col("o_orderkey")).as("min_orderkey"))
+      .orderBy(col("priority"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_schema_evolution" -> sourceSchemaEvolution _,
     "source_orc_roundtrip" -> sourceOrcRoundtrip _,
     "source_json_roundtrip" -> sourceJsonRoundtrip _,
     "source_bucketed_join" -> sourceBucketedJoin _,
@@ -176,6 +207,14 @@ object SourceQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "source_schema_evolution" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority
+        |            ELSE '<legacy>' END AS priority,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents,
+        |  min(o_orderkey) AS min_orderkey
+        |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin,
     "source_orc_roundtrip" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)

@@ -64,6 +64,17 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.collect().toSet === orig.collect().toSet)
   }
 
+  test("schema evolution: legacy-generation rows surface with NULL in the added column, none dropped") {
+    import org.apache.spark.sql.functions._
+    val rows = sources.SourceQueries.sourceSchemaEvolution(spark, dir).collect()
+    val legacy = rows.find(_.getString(0) == "<legacy>").get
+    val o = Tables.orders(spark, dir)
+    // every even-keyed row (written without the column) lands in the
+    // legacy bucket; totals partition the table exactly
+    assert(legacy.getLong(1) === o.filter(col("o_orderkey") % 2 === 0).count())
+    assert(rows.map(_.getLong(1)).sum === o.count())
+  }
+
   test("partitioned parquet: planning-time partition pruning reaches the scan") {
     val tmp = Files.createTempDirectory("graft_part").toString
     val events = Tables.events(spark, dir)
