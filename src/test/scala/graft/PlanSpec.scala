@@ -188,6 +188,22 @@ class PlanSpec extends AnyFunSuite {
       s"corpus shuffled by vec_id:\n$p")
   }
 
+  test("assoc rules: frequent-item prune broadcasts, pair join keys on doc_id only") {
+    val p = plan(ops.Mining.miningAssocRules(spark, dir))
+    // the Apriori prune relation and the n_docs scalar ride broadcasts —
+    // the token relation is never shuffled to meet them
+    assert(p.contains("BroadcastHashJoin"), s"frequent-item prune not broadcast:\n$p")
+    // the one wide JOIN shuffle is the doc_id-keyed pair self-join;
+    // item-keyed exchanges exist only as the freq aggregate's own
+    // partial→final shuffle. Guard: at most ONE shuffled join in the
+    // whole plan (the doc-keyed one) — a second would mean an Apriori
+    // prune fell back from broadcast to a shuffled join
+    assert(p.contains("hashpartitioning(doc_id"),
+      s"pair generation not doc-keyed:\n$p")
+    assert(countNodes(p, "SortMergeJoin") + countNodes(p, "ShuffledHashJoin") <= 1,
+      s"more than one shuffled join — a prune join fell off broadcast:\n$p")
+  }
+
   test("multimodal decode stays on the Dataset API (no RDD scan boundary)") {
     val p = plan(ops.Multimodal.mediaDecodeStats(spark, dir))
     assert(!p.contains("ExistingRDD"), s"RDD round-trip in decode plan:\n$p")
