@@ -145,6 +145,59 @@ object Curation {
         sum(col("n_tokens")).as("n_tokens"))
       .orderBy(col("split"))
 
+  /** Group-aware k-fold cross-validation assignment (k=5) WITH its own
+    * leakage audit: per fold, the doc/group/token mass plus the number
+    * of near-dup pairs that span folds under this assignment
+    * (`cross_pairs_safe` — provably 0, because the fold is a function of
+    * the component id) and under the naive doc_id-hash assignment every
+    * pipeline starts with (`cross_pairs_naive` — the contamination that
+    * group-aware folding exists to remove). Emitting the A/B in the
+    * result makes the query self-auditing: the oracle re-derives both
+    * counts, so "no component spans folds" is hash-checked, not assumed.
+    *
+    * Scale: same posture as `splitLeakageSafe` — the label join
+    * broadcasts (labels cover only paired docs), the audit joins the
+    * stored pair index (tiny next to the corpus) against the fold map on
+    * doc_id, and the per-fold aggregates are k-row tables joined
+    * broadcast-side. The corpus itself never shuffles. */
+  def splitKfold(s: SparkSession, dir: String): DataFrame = {
+    val k = 5L
+    val labels = Indexes.componentLabels(s, dir)
+      .withColumnRenamed("node", "doc_id")
+    val docs = documents(s, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(broadcast(labels), Seq("doc_id"), "left_outer")
+      .withColumn("group_id", coalesce(col("label"), col("doc_id")))
+      .withColumn("fold",
+        pmod((col("group_id") * 1103515245L + 12345L) % 2147483647L, lit(k)))
+      .withColumn("naive_fold",
+        pmod((col("doc_id") * 1103515245L + 12345L) % 2147483647L, lit(k)))
+    val stats = docs.groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("group_id")).as("n_groups"),
+        sum(col("n_tokens")).as("n_tokens"))
+    val audit = Indexes.nearDupPairs(s, dir)
+      .select(col("a_id"), col("b_id"))
+      .join(docs.select(col("doc_id").as("a_id"), col("fold").as("fa"),
+        col("naive_fold").as("na")), Seq("a_id"))
+      .join(docs.select(col("doc_id").as("b_id"), col("fold").as("fb"),
+        col("naive_fold").as("nb")), Seq("b_id"))
+    val safeAudit = audit
+      .groupBy(least(col("fa"), col("fb")).as("fold"))
+      .agg(sum((col("fa") =!= col("fb")).cast("long")).as("cross_pairs_safe"))
+    val naiveAudit = audit
+      .groupBy(least(col("na"), col("nb")).as("fold"))
+      .agg(sum((col("na") =!= col("nb")).cast("long")).as("cross_pairs_naive"))
+    stats
+      .join(safeAudit, Seq("fold"), "left_outer")
+      .join(naiveAudit, Seq("fold"), "left_outer")
+      .select(col("fold"), col("n_docs"), col("n_groups"), col("n_tokens"),
+        coalesce(col("cross_pairs_safe"), lit(0L)).as("cross_pairs_safe"),
+        coalesce(col("cross_pairs_naive"), lit(0L)).as("cross_pairs_naive"))
+      .orderBy(col("fold"))
+  }
+
   /** Triangle counting over the near-dup document graph — the third
     * classic graph workload beside components and PageRank, and the
     * local-clustering signal a dedup pipeline reads to tell CLIQUE-like
@@ -561,6 +614,7 @@ object Curation {
     "dedup_clusters" -> dedupClusters _,
     "pipeline_cluster_dedup" -> pipelineClusterDedup _,
     "split_leakage_safe" -> splitLeakageSafe _,
+    "split_kfold" -> splitKfold _,
     "text_repetition" -> textRepetition _,
     "pii_scrub" -> piiScrub _,
     "pack_sequences" -> packSequences _,
@@ -664,6 +718,56 @@ object Curation {
       |  CAST(count(DISTINCT group_id) AS BIGINT) AS n_groups,
       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
       |FROM sp GROUP BY split ORDER BY split""".stripMargin
+
+  private val kfoldSql =
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id, n_chars,
+      |    list_distinct([array_to_string(words[i:i+2], ' ')
+      |                   FOR i IN range(1, len(words) - 1)]) AS shingles
+      |  FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS words FROM documents)
+      |  WHERE len(words) >= 3),
+      |pairs AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM sh a JOIN sh b
+      |    ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 100
+      |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+      |        CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.5),
+      |edges AS (
+      |  SELECT a_id AS src, b_id AS dst FROM pairs
+      |  UNION ALL SELECT b_id, a_id FROM pairs),
+      |reach(node, label) AS (
+      |  SELECT DISTINCT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node),
+      |comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+      |f AS (
+      |  SELECT d.doc_id,
+      |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+      |    COALESCE(c.component, d.doc_id) AS group_id,
+      |    ((COALESCE(c.component, d.doc_id) * 1103515245 + 12345) % 2147483647) % 5 AS fold,
+      |    ((d.doc_id * 1103515245 + 12345) % 2147483647) % 5 AS naive_fold
+      |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+      |stats AS (
+      |  SELECT fold, count(*) AS n_docs,
+      |    CAST(count(DISTINCT group_id) AS BIGINT) AS n_groups,
+      |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+      |  FROM f GROUP BY fold),
+      |audit AS (
+      |  SELECT least(a.fold, b.fold) AS sf,
+      |    CASE WHEN a.fold <> b.fold THEN 1 ELSE 0 END AS cs,
+      |    least(a.naive_fold, b.naive_fold) AS nf,
+      |    CASE WHEN a.naive_fold <> b.naive_fold THEN 1 ELSE 0 END AS cn
+      |  FROM pairs p JOIN f a ON p.a_id = a.doc_id JOIN f b ON p.b_id = b.doc_id),
+      |sa AS (SELECT sf AS fold, CAST(sum(cs) AS BIGINT) AS cross_pairs_safe
+      |       FROM audit GROUP BY sf),
+      |na AS (SELECT nf AS fold, CAST(sum(cn) AS BIGINT) AS cross_pairs_naive
+      |       FROM audit GROUP BY nf)
+      |SELECT s.fold, s.n_docs, s.n_groups, s.n_tokens,
+      |  COALESCE(sa.cross_pairs_safe, 0) AS cross_pairs_safe,
+      |  COALESCE(na.cross_pairs_naive, 0) AS cross_pairs_naive
+      |FROM stats s LEFT JOIN sa ON s.fold = sa.fold
+      |             LEFT JOIN na ON s.fold = na.fold
+      |ORDER BY s.fold""".stripMargin
 
   private val repetitionSql =
     """SELECT doc_id,
@@ -856,6 +960,7 @@ object Curation {
     "dedup_clusters" -> clustersSql,
     "pipeline_cluster_dedup" -> clusterDedupSql,
     "split_leakage_safe" -> leakageSplitSql,
+    "split_kfold" -> kfoldSql,
     "text_repetition" -> repetitionSql,
     "pii_scrub" -> piiSql,
     "pack_sequences" -> packSql,

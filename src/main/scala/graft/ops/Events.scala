@@ -123,6 +123,67 @@ object Events {
       .orderBy(col("user_id"), col("session_no"))
   }
 
+  /** Peak session concurrency per UTC day — the classic sweep-line
+    * (+1 at session start, −1 at session end) expressed relationally:
+    * how many user sessions overlap at the busiest instant of each day.
+    * This is the capacity-planning readout on top of sessionization
+    * (serving fleets are sized to peak concurrency, not event volume),
+    * and the interval-overlap aggregation pattern itself (concurrent
+    * calls, open connections, in-flight jobs) that plain groupBy cannot
+    * express because intervals, not points, carry the measure.
+    *
+    * Shape: sessions (the `sessionize` core) are split at UTC midnight
+    * boundaries map-side (`sequence` + `explode` — a generate, not a
+    * join; sessions are minutes long, so the expansion factor is ~1),
+    * clipped closed intervals contribute a +1/−1 delta pair, deltas
+    * collapse to one row per (day, instant) in a hash aggregate, and a
+    * per-day running sum over change points yields the concurrency
+    * curve. Closed-interval semantics: at instant t, sessions ending at
+    * t still occupy — peak(t) = running_after(t) + ends(t), an identity
+    * that avoids any intra-instant ordering (the output is provably
+    * independent of tie order among simultaneous starts/ends).
+    *
+    * Scale: one user_id shuffle (sessionize), one (day, t) hash
+    * aggregate, one day-partitioned window. Change points per day are
+    * bounded by 2×(sessions that day); at 100 TB the standard coarsening
+    * — bucket t to seconds/minutes in the delta aggregate — caps the
+    * window partition width with no change to the plan shape. */
+  def concurrencyPeaks(s: SparkSession, dir: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000000
+    val dayUs = 86400L * 1000000
+    val byUser =
+      Window.partitionBy(col("user_id")).orderBy(col("us").asc, col("event_id").asc)
+    val sess = events(s, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("new_session",
+        when(col("us") - lag(col("us"), 1).over(byUser) >= gapUs ||
+          lag(col("us"), 1).over(byUser).isNull, 1L).otherwise(0L))
+      .withColumn("session_no", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(min(col("us")).as("s_us"), max(col("us")).as("e_us"))
+    val parts = sess
+      .withColumn("day",
+        explode(sequence(expr(s"s_us div $dayUs"), expr(s"e_us div $dayUs"))))
+      .select(col("day"),
+        greatest(col("s_us"), col("day") * dayUs).as("cs"),
+        least(col("e_us"), (col("day") + 1) * dayUs - 1).as("ce"))
+    val deltas = parts
+      .select(col("day"), col("cs").as("t"), lit(1L).as("st"), lit(0L).as("en"))
+      .unionAll(parts.select(col("day"), col("ce"), lit(0L), lit(1L)))
+      .groupBy(col("day"), col("t"))
+      .agg(sum(col("st")).as("st"), sum(col("en")).as("en"))
+    val byDay = Window.partitionBy(col("day")).orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas
+      .withColumn("peak_t", sum(col("st") - col("en")).over(byDay) + col("en"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_change_points"),
+        sum(col("st")).as("n_session_parts"),
+        max(col("peak_t")).as("max_concurrent"))
+      .orderBy(col("day"))
+  }
+
   /** Funnel: users whose first signup precedes their first purchase. */
   def signupPurchaseFunnel(s: SparkSession, dir: String): DataFrame = {
     val e = events(s, dir).select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
@@ -277,6 +338,7 @@ object Events {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_ohlc_bars" -> ohlcBars _,
+    "events_concurrency" -> concurrencyPeaks _,
     "events_interval_frame" -> intervalFrame _,
     "events_ab_test" -> abTestReadout _,
     "events_tumbling_windows" -> tumblingWindows _,
@@ -375,6 +437,48 @@ object Events {
         |  count(*) AS n_events,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    // peak(t) = running_after(t) + ends(t): closed-interval identity,
+    // independent of tie order among simultaneous starts/ends
+    "events_concurrency" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+        |flagged AS (
+        |  SELECT event_id, user_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |              OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC)),
+        |numbered AS (
+        |  SELECT user_id, us,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        |  FROM flagged),
+        |sess AS (
+        |  SELECT user_id, session_no, min(us) AS s_us, max(us) AS e_us
+        |  FROM numbered GROUP BY user_id, session_no),
+        |parts0 AS (
+        |  SELECT s_us, e_us,
+        |    unnest(generate_series(s_us // 86400000000, e_us // 86400000000)) AS day
+        |  FROM sess),
+        |parts AS (
+        |  SELECT day,
+        |    greatest(s_us, day * 86400000000) AS cs,
+        |    least(e_us, (day + 1) * 86400000000 - 1) AS ce
+        |  FROM parts0),
+        |deltas AS (
+        |  SELECT day, t, CAST(sum(st) AS BIGINT) AS st, CAST(sum(en) AS BIGINT) AS en
+        |  FROM (
+        |    SELECT day, cs AS t, 1 AS st, 0 AS en FROM parts
+        |    UNION ALL SELECT day, ce, 0, 1 FROM parts)
+        |  GROUP BY day, t),
+        |swept AS (
+        |  SELECT day, st, en,
+        |    sum(st - en) OVER (PARTITION BY day ORDER BY t ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + en AS peak_t
+        |  FROM deltas)
+        |SELECT day, count(*) AS n_change_points,
+        |  CAST(sum(st) AS BIGINT) AS n_session_parts,
+        |  CAST(max(peak_t) AS BIGINT) AS max_concurrent
+        |FROM swept GROUP BY day ORDER BY day""".stripMargin,
     "events_sessionize" ->
       """WITH e AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events),

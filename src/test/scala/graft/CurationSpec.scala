@@ -244,6 +244,23 @@ class CurationSpec extends AnyFunSuite {
     assert(agg === assign.values.groupBy(identity).map { case (k, v) => k -> v.size.toLong })
   }
 
+  test("k-fold split: folds partition the corpus, no component spans folds, naive audit recounts") {
+    val rows = Curation.splitKfold(spark, dir01).collect()
+    assert(rows.map(_.getLong(0)).toSet.subsetOf((0L until 5L).toSet))
+    assert(rows.map(_.getLong(1)).sum === Tables.documents(spark, dir01).count())
+    // group-aware folds never split a near-dup component — by construction,
+    // and re-asserted here from the emitted audit column
+    assert(rows.forall(_.getLong(4) === 0L), s"safe cross pairs nonzero: ${rows.mkString(",")}")
+    // the naive-fold audit equals a driver-side recount over the pair index
+    val pairs = ops.Indexes.nearDupPairs(spark, dir01)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    def naive(d: Long) = ((d * 1103515245L + 12345L) % 2147483647L) % 5L
+    val naiveCross = pairs.count { case (a, b) => naive(a) != naive(b) }.toLong
+    assert(naiveCross > 0L, "fixture should scatter some pair across naive folds")
+    assert(rows.map(_.getLong(5)).sum === naiveCross)
+  }
+
   test("chunking: strided windows exactly tile every document") {
     val n = Tables.documents(spark, dir)
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))

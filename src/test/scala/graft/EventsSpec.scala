@@ -49,6 +49,34 @@ class EventsSpec extends AnyFunSuite {
     assert(direct === r0.getLong(2))
   }
 
+  test("concurrency peaks == brute-force sweep over collected sessions") {
+    val got = Events.concurrencyPeaks(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.nonEmpty)
+    val dayUs = 86400L * 1000000
+    val sess = Events.sessionize(spark, dir)
+      .select("session_start_us", "session_end_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parts = sess.flatMap { case (s0, e0) =>
+      (s0 / dayUs to e0 / dayUs).map { d =>
+        (d, math.max(s0, d * dayUs), math.min(e0, (d + 1) * dayUs - 1))
+      }
+    }
+    val byDay = parts.groupBy(_._1)
+    assert(got.keySet === byDay.keySet)
+    byDay.foreach { case (day, ps) =>
+      // max over continuous time of closed-interval coverage is attained
+      // at an interval endpoint, so probing all endpoints is exhaustive
+      val times = ps.flatMap(p => Seq(p._2, p._3)).distinct
+      val brute = times.map(t => ps.count(p => p._2 <= t && t <= p._3)).max
+      val (nChange, nParts, maxCon) = got(day)
+      assert(nParts === ps.size.toLong, s"day $day session parts")
+      assert(nChange === times.size.toLong, s"day $day change points")
+      assert(maxCon === brute.toLong, s"day $day peak concurrency")
+      assert(maxCon >= 1L && maxCon <= nParts)
+    }
+  }
+
   test("funnel users have both event types in order") {
     val rows = Events.signupPurchaseFunnel(spark, dir).collect()
     assert(rows.forall(r => r.getLong(1) < r.getLong(2)))
