@@ -373,6 +373,109 @@ object Similarity {
       .orderBy(col("method"))
   }
 
+  /** Product quantization with asymmetric distance (PQ-ADC, Jégou et al.
+    * TPAMI 2011) — the memory side of the IVF story: each vector is
+    * compressed to M=4 sub-codes (one codebook of K=8 centroids per
+    * 16-dim subspace, trained by the same exact-integer one-Lloyd-round
+    * recipe as `kmeansCells`), and query-to-candidate distance is then a
+    * TABLE LOOKUP, not arithmetic: the query precomputes its distance to
+    * every (subspace, centroid) once — an M×K LUT — and a candidate's
+    * ADC distance is the sum of M array reads indexed by its codes. The
+    * engine builds the dense LUT per query (missing cells → Long.Max
+    * sentinel, provably never read: codes only name surviving cells),
+    * broadcasts all 8 LUTs, and scores the corpus MAP-SIDE — the corpus
+    * never shuffles for scoring, exactly the Faiss IndexPQ scan shape.
+    * Top-3 per query by ADC is then re-ranked against the EXACT distance
+    * (the standard re-rank step), emitted as `true_d2` beside `adc_d2`.
+    *
+    * Exactness: subspace d² identities (x·x + c·c − 2x·c), floor-mean
+    * centroid updates, and LUT sums are all Long math — both engines
+    * agree bit-for-bit; ties break by (d², cell) / (adc_d2, cand_id).
+    *
+    * Scale: codebooks are M×K rows (broadcast); encoding is one
+    * map-side pass; at 100 TB the composition with IVF (restrict the
+    * ADC scan to probed cells via `buildIvfAssignments`) is the
+    * documented production shape — this query keeps the scan exhaustive
+    * so the oracle covers every candidate. */
+  def pqAdcTopK(s: SparkSession, dir: String): DataFrame = {
+    val M = 4; val sub = 16; val K = 8
+    val e = embeddings(s, dir).select(col("vec_id"), quantize.as("q"))
+    // subvector relation: (vec_id, m, x: array<long>, xn = x·x)
+    val sv = e.select(col("vec_id"),
+        explode(expr(s"transform(sequence(0, ${M - 1}), " +
+          s"m -> struct(CAST(m AS BIGINT) AS m, slice(q, m*$sub+1, $sub) AS x))")).as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.x").as("x"))
+      .withColumn("xn", dot("x", "x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seeds = sv.filter(col("vec_id") < K)
+      .select(col("m"), col("vec_id").as("cell"), col("x").as("cv"), col("xn").as("cn"))
+    // nearest centroid per (vec, m) against a broadcast codebook
+    def assign(codebook: DataFrame): DataFrame = {
+      val perM = codebook
+        .groupBy(col("m"))
+        .agg(collect_list(struct(col("cell"), col("cv"), col("cn"))).as("cells"))
+      sv.join(broadcast(perM), Seq("m"))
+        .withColumn("best", array_min(transform(col("cells"), c =>
+          struct(
+            (col("xn") + c.getField("cn") - lit(2L) *
+              graft.functions.VectorExpressions
+                .dotLongs(col("x"), c.getField("cv"))).as("d2"),
+            c.getField("cell").as("cell")))))
+        .select(col("vec_id"), col("m"), col("best.cell").as("code"))
+    }
+    // one Lloyd round: floor-mean update per (m, cell, dim)
+    val codebook = assign(seeds)
+      .join(sv, Seq("vec_id", "m"))
+      .select(col("m"), col("code").as("cell"), posexplode(col("x")).as(Seq("dim", "qv")))
+      .groupBy(col("m"), col("cell"), col("dim"))
+      .agg(floor(sum(col("qv")) / count(lit(1))).cast("long").as("cvi"))
+      .groupBy(col("m"), col("cell"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, cvi))), x -> x.cvi)")
+        .as("cv"))
+      .select(col("m"), col("cell"), col("cv"),
+        graft.functions.VectorExpressions.dotLongs(col("cv"), col("cv")).as("cn"))
+    val codes = assign(codebook)
+      .groupBy(col("vec_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(m, code))), x -> x.code)")
+        .as("codes"))
+    // per-query dense M×K LUT of subspace distances to every centroid
+    val lut = sv.filter(col("vec_id") < K)
+      .join(broadcast(codebook), Seq("m"))
+      .select(col("vec_id").as("query_id"), col("m"), col("cell"),
+        (col("xn") + col("cn") -
+          lit(2L) * dot("x", "cv")).as("ld2"))
+      .groupBy(col("query_id"), col("m"))
+      .agg(map_from_entries(collect_list(struct(col("cell"), col("ld2")))).as("mp"))
+      .select(col("query_id"), col("m"),
+        expr(s"transform(sequence(0, ${K - 1}), " +
+          s"c -> coalesce(element_at(mp, CAST(c AS BIGINT)), ${Long.MaxValue}L))")
+          .as("larr"))
+      .groupBy(col("query_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(m, larr))), x -> x.larr)")
+        .as("lut"))
+    // map-side ADC scan: M array reads per (candidate, query)
+    val adc = codes.crossJoin(broadcast(lut))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        expr(s"aggregate(sequence(0, ${M - 1}), 0L, (acc, m) -> " +
+          "acc + element_at(element_at(lut, m+1), " +
+          "CAST(element_at(codes, m+1) + 1 AS INT)))").as("adc_d2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_d2").asc, col("cand_id").asc)
+    val top = adc.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+    // exact re-rank distances for the selected pairs only
+    val full = e.select(col("vec_id"), col("q"), dot("q", "q").as("n2"))
+    top
+      .join(full.select(col("vec_id").as("query_id"), col("q").as("qx"),
+        col("n2").as("qn")), Seq("query_id"))
+      .join(full.select(col("vec_id").as("cand_id"), col("q").as("cx"),
+        col("n2").as("cn")), Seq("cand_id"))
+      .select(col("query_id"), col("rn"), col("cand_id"), col("adc_d2"),
+        (col("qn") + col("cn") - lit(2L) * dot("qx", "cx")).as("true_d2"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   /** Per-label centroid, element-wise: posexplode → one shuffle keyed by
     * (label, dim). Exact integer sums; centroid as double. */
   def labelCentroids(s: SparkSession, dir: String): DataFrame =
@@ -389,6 +492,7 @@ object Similarity {
     "similarity_ivf_ann" -> ivfAnnTopK _,
     "similarity_label_centroids" -> labelCentroids _,
     "similarity_kmeans" -> kmeansCells _,
+    "similarity_pq_adc" -> pqAdcTopK _,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine _,
     "dedup_semantic" -> dedupSemantic _,
     "similarity_ann_recall" -> annRecall _,
@@ -600,6 +704,60 @@ object Similarity {
          |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) = 1)
          |SELECT cell, count(*) AS n_vecs, CAST(sum(d2) AS BIGINT) AS inertia
          |FROM a2 GROUP BY cell ORDER BY cell""".stripMargin,
+    // PQ: per-subspace codebooks (seed + 1 Lloyd round), codes by min
+    // (d2, cell), ADC = Σ_m LUT[m][code]; the query LUT is d2t's rows
+    // for query vecs (same x·x + c·c − 2x·c integers as the engine)
+    "similarity_pq_adc" ->
+      s"""WITH $qElems,
+         |sv AS MATERIALIZED (
+         |  SELECT vec_id, (i - 1) // 16 AS m, (i - 1) % 16 AS j, v FROM qe),
+         |seeds AS (
+         |  SELECT m, vec_id AS cell, j, v AS cv FROM sv WHERE vec_id < 8),
+         |d1 AS (
+         |  SELECT x.vec_id, x.m, s.cell,
+         |    CAST(sum((x.v - s.cv) * (x.v - s.cv)) AS BIGINT) AS d2
+         |  FROM sv x JOIN seeds s ON x.m = s.m AND x.j = s.j
+         |  GROUP BY 1, 2, 3),
+         |a1 AS (
+         |  SELECT vec_id, m, cell FROM d1
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cell) = 1),
+         |c2 AS MATERIALIZED (
+         |  SELECT a.m, a.cell, x.j,
+         |    CAST(floor(CAST(sum(x.v) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+         |  FROM sv x JOIN a1 a ON x.vec_id = a.vec_id AND x.m = a.m
+         |  GROUP BY 1, 2, 3),
+         |d2t AS MATERIALIZED (
+         |  SELECT x.vec_id, x.m, c.cell,
+         |    CAST(sum((x.v - c.cv) * (x.v - c.cv)) AS BIGINT) AS d2
+         |  FROM sv x JOIN c2 c ON x.m = c.m AND x.j = c.j
+         |  GROUP BY 1, 2, 3),
+         |codes AS (
+         |  SELECT vec_id, m, cell AS code FROM d2t
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cell) = 1),
+         |adc AS (
+         |  SELECT l.vec_id AS query_id, c.vec_id AS cand_id,
+         |    CAST(sum(l.d2) AS BIGINT) AS adc_d2
+         |  FROM codes c JOIN d2t l ON l.m = c.m AND l.cell = c.code
+         |  WHERE l.vec_id < 8 AND l.vec_id <> c.vec_id
+         |  GROUP BY 1, 2),
+         |top AS MATERIALIZED (
+         |  SELECT query_id, cand_id, adc_d2,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adc_d2, cand_id) AS BIGINT) AS rn
+         |  FROM adc QUALIFY rn <= 3),
+         |dots AS (
+         |  SELECT t.query_id, t.cand_id, CAST(sum(a.v * b.v) AS BIGINT) AS d
+         |  FROM top t
+         |  JOIN qe a ON a.vec_id = t.query_id
+         |  JOIN qe b ON b.vec_id = t.cand_id AND a.i = b.i
+         |  GROUP BY 1, 2)
+         |SELECT t.query_id, t.rn, t.cand_id, t.adc_d2,
+         |  CAST(qn.n2 + cn.n2 - 2 * d.d AS BIGINT) AS true_d2
+         |FROM top t
+         |JOIN dots d ON d.query_id = t.query_id AND d.cand_id = t.cand_id
+         |JOIN norms qn ON qn.vec_id = t.query_id
+         |JOIN norms cn ON cn.vec_id = t.cand_id
+         |ORDER BY t.query_id, t.rn""".stripMargin,
     "similarity_lsh_ann" ->
       s"""WITH $qElems,
          |$duckBuckets,

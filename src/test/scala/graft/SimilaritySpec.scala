@@ -49,6 +49,47 @@ class SimilaritySpec extends AnyFunSuite {
       s"corpus shuffled by vec_id in:\n$plan")
   }
 
+  test("PQ-ADC == driver-side product quantization replay") {
+    val got = Similarity.pqAdcTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.length === 8 * 3)
+    // full driver-side replay: quantize, 4x16 subspaces, seed + 1 Lloyd
+    // round, encode, LUT, ADC, top-3, exact re-rank
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val M = 4; val sub = 16; val K = 8
+    def subv(v: Array[Long], m: Int) = v.slice(m * sub, (m + 1) * sub)
+    def d2(a: Array[Long], b: Array[Long]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def nearest(x: Array[Long], book: Map[Long, Array[Long]]): Long =
+      book.toSeq.map { case (c, cv) => (d2(x, cv), c) }.min._2
+    val seeds: Map[Int, Map[Long, Array[Long]]] =
+      (0 until M).map(m => m -> (0L until K).map(c =>
+        c -> subv(vecs(c), m)).toMap).toMap
+    val books: Map[Int, Map[Long, Array[Long]]] = (0 until M).map { m =>
+      val assigned = vecs.toSeq.groupBy { case (_, v) => nearest(subv(v, m), seeds(m)) }
+      m -> assigned.map { case (c, members) =>
+        val xs = members.map { case (_, v) => subv(v, m) }
+        c -> (0 until sub).map(j =>
+          math.floor(xs.map(_(j)).sum.toDouble / xs.size).toLong).toArray
+      }
+    }.toMap
+    val codes = vecs.map { case (id, v) =>
+      id -> (0 until M).map(m => nearest(subv(v, m), books(m))).toArray }
+    val expected = (0L until K).flatMap { q =>
+      val scored = codes.keys.filter(_ != q).map { c =>
+        val adc = (0 until M).map(m => d2(subv(vecs(q), m), books(m)(codes(c)(m)))).sum
+        (adc, c)
+      }.toSeq.sorted.take(3)
+      scored.zipWithIndex.map { case ((adc, c), i) =>
+        (q, (i + 1).toLong, c, adc, d2(vecs(q), vecs(c)))
+      }
+    }
+    assert(got.sortBy(r => (r._1, r._2)) === expected.sortBy(r => (r._1, r._2)))
+  }
+
   test("codegen'd SignRandomProjection equals the interpreted HOF plane math") {
     // the HOF form is the round-1 implementation (and mirrors the DuckDB
     // oracle's per-plane SQL); the codegen'd one-pass expression must
