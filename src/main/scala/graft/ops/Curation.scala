@@ -155,13 +155,17 @@ object Curation {
     * result makes the query self-auditing: the oracle re-derives both
     * counts, so "no component spans folds" is hash-checked, not assumed.
     *
-    * Scale: same posture as `splitLeakageSafe` — the label join
-    * broadcasts (labels cover only paired docs), the audit joins the
-    * stored pair index (tiny next to the corpus) against the fold map on
-    * doc_id, and the per-fold aggregates are k-row tables joined
-    * broadcast-side. The corpus itself never shuffles. */
+    * Scale: every join in the plan broadcasts (PlanSpec-asserted). The
+    * fold of a PAIR ENDPOINT derives from its component label alone —
+    * endpoints are by construction nodes of the pair graph, the exact
+    * domain of `componentLabels` — so the audit joins the stored pair
+    * index against the tiny labels relation and the corpus never enters
+    * it; the per-fold stats pass shuffles only k×partitions partial-agg
+    * rows. The corpus itself never shuffles row-level. */
   def splitKfold(s: SparkSession, dir: String): DataFrame = {
     val k = 5L
+    def fold(id: org.apache.spark.sql.Column) =
+      pmod((id * 1103515245L + 12345L) % 2147483647L, lit(k))
     val labels = Indexes.componentLabels(s, dir)
       .withColumnRenamed("node", "doc_id")
     val docs = documents(s, dir)
@@ -169,20 +173,20 @@ object Curation {
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
       .join(broadcast(labels), Seq("doc_id"), "left_outer")
       .withColumn("group_id", coalesce(col("label"), col("doc_id")))
-      .withColumn("fold",
-        pmod((col("group_id") * 1103515245L + 12345L) % 2147483647L, lit(k)))
-      .withColumn("naive_fold",
-        pmod((col("doc_id") * 1103515245L + 12345L) % 2147483647L, lit(k)))
+      .withColumn("fold", fold(col("group_id")))
     val stats = docs.groupBy(col("fold"))
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("group_id")).as("n_groups"),
         sum(col("n_tokens")).as("n_tokens"))
     val audit = Indexes.nearDupPairs(s, dir)
       .select(col("a_id"), col("b_id"))
-      .join(docs.select(col("doc_id").as("a_id"), col("fold").as("fa"),
-        col("naive_fold").as("na")), Seq("a_id"))
-      .join(docs.select(col("doc_id").as("b_id"), col("fold").as("fb"),
-        col("naive_fold").as("nb")), Seq("b_id"))
+      .join(broadcast(labels.select(col("doc_id").as("a_id"),
+        col("label").as("ga"))), Seq("a_id"), "left_outer")
+      .join(broadcast(labels.select(col("doc_id").as("b_id"),
+        col("label").as("gb"))), Seq("b_id"), "left_outer")
+      .select(fold(coalesce(col("ga"), col("a_id"))).as("fa"),
+        fold(coalesce(col("gb"), col("b_id"))).as("fb"),
+        fold(col("a_id")).as("na"), fold(col("b_id")).as("nb"))
     val safeAudit = audit
       .groupBy(least(col("fa"), col("fb")).as("fold"))
       .agg(sum((col("fa") =!= col("fb")).cast("long")).as("cross_pairs_safe"))
@@ -190,8 +194,8 @@ object Curation {
       .groupBy(least(col("na"), col("nb")).as("fold"))
       .agg(sum((col("na") =!= col("nb")).cast("long")).as("cross_pairs_naive"))
     stats
-      .join(safeAudit, Seq("fold"), "left_outer")
-      .join(naiveAudit, Seq("fold"), "left_outer")
+      .join(broadcast(safeAudit), Seq("fold"), "left_outer")   // ≤k rows
+      .join(broadcast(naiveAudit), Seq("fold"), "left_outer")  // ≤k rows
       .select(col("fold"), col("n_docs"), col("n_groups"), col("n_tokens"),
         coalesce(col("cross_pairs_safe"), lit(0L)).as("cross_pairs_safe"),
         coalesce(col("cross_pairs_naive"), lit(0L)).as("cross_pairs_naive"))

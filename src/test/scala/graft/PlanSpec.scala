@@ -408,4 +408,23 @@ class PlanSpec extends AnyFunSuite {
     // and the parquet scan is vectorized
     assert(p.contains("Batched: true"))
   }
+
+  test("k-fold split: every join broadcasts — corpus and pair index never shuffle for a join") {
+    // sf0.01: the pair index is non-empty there, so the audit joins exist
+    val p = plan(ops.Curation.splitKfold(spark, "/root/testdata/sf0.01"))
+    assert(countNodes(p, "SortMergeJoin") === 0, s"shuffled join:\n$p")
+    assert(countNodes(p, "ShuffledHashJoin") === 0, s"shuffled join:\n$p")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("PQ-ADC: LUT scoring is one broadcast pass and top-3 is group-limited before the shuffle") {
+    val p = plan(ops.Similarity.pqAdcTopK(spark, dir))
+    assert(countNodes(p, "CartesianProduct") === 0, s"cartesian:\n$p")
+    // the only nested-loop join is the 8-row LUT broadcast (scalar-
+    // broadcast pattern): candidates are scored map-side against it
+    assert(countNodes(p, "BroadcastNestedLoopJoin") === 1, s"plan:\n$p")
+    // rank<=3 pushes a partial per-partition limit below the window's
+    // exchange, so the scored relation never shuffles in full
+    assert(p.contains("WindowGroupLimit"), s"no group limit:\n$p")
+  }
 }
