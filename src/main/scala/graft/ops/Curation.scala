@@ -723,14 +723,18 @@ object Curation {
       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
       |FROM sp GROUP BY split ORDER BY split""".stripMargin
 
+  // sh/pairs/f are AS MATERIALIZED: each is referenced 2-3 times and
+  // DuckDB's default inlining would otherwise replay the quadratic
+  // shingle join per reference (the r8 "Too many open files" gotcha
+  // class — here it surfaced as a multi-hour sf0.1 sweep instead)
   private val kfoldSql =
-    """WITH RECURSIVE sh AS (
+    """WITH RECURSIVE sh AS MATERIALIZED (
       |  SELECT doc_id, n_chars,
       |    list_distinct([array_to_string(words[i:i+2], ' ')
       |                   FOR i IN range(1, len(words) - 1)]) AS shingles
       |  FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS words FROM documents)
       |  WHERE len(words) >= 3),
-      |pairs AS (
+      |pairs AS MATERIALIZED (
       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
       |  FROM sh a JOIN sh b
       |    ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 100
@@ -744,7 +748,7 @@ object Curation {
       |  UNION
       |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node),
       |comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
-      |f AS (
+      |f AS MATERIALIZED (
       |  SELECT d.doc_id,
       |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
       |    COALESCE(c.component, d.doc_id) AS group_id,
