@@ -36,15 +36,31 @@ object Indexes {
   private val cache =
     new ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
-  /** Build → write parquet → return the scan (the materialized index). */
+  /** Build → write parquet → return the scan (the materialized index).
+    *
+    * The build runs OUTSIDE any ConcurrentHashMap mapping function:
+    * index builds nest (componentLabels → Curation.clusterLabels →
+    * nearDupPairs hits this same map), and a nested `computeIfAbsent`
+    * on one CHM is a documented recursive-update violation that can
+    * throw IllegalStateException or corrupt the map when both keys land
+    * in the same bin. get → build eagerly → putIfAbsent keeps the
+    * fast path lock-free; a racing duplicate build is benign (both
+    * writes are complete parquet dirs; the loser's scan is discarded).
+    */
   private def materialize(s: SparkSession, dir: String, tag: String)(
-      build: => DataFrame): DataFrame =
-    cache.computeIfAbsent((s, dir, tag), _ => {
+      build: => DataFrame): DataFrame = {
+    val key = (s, dir, tag)
+    val hit = cache.get(key)
+    if (hit != null) hit
+    else {
       val path = java.nio.file.Files
         .createTempDirectory(s"graft_index_$tag").toString
       build.write.mode("overwrite").parquet(path)
-      s.read.parquet(path)
-    })
+      val scan = s.read.parquet(path)
+      val prev = cache.putIfAbsent(key, scan)
+      if (prev != null) prev else scan
+    }
+  }
 
   /** Verified near-dup pairs (a_id, b_id, jaccard) — the MinHash-LSH
     * index output, provably equal to the exact Jaccard pair set
@@ -73,4 +89,20 @@ object Indexes {
     * broadcast cell array). */
   def ivfAssignments(s: SparkSession, dir: String): DataFrame =
     materialize(s, dir, "ivfcell")(Similarity.buildIvfAssignments(s, dir))
+
+  /** Trained PQ codebook, M×K rows: (m, cell, cv: array<long>, cn).
+    * Builder: `Similarity.buildPqCodebook` (deterministic seeds + one
+    * Lloyd round). Broadcast-sized at any corpus scale. */
+  def pqCodebook(s: SparkSession, dir: String): DataFrame =
+    materialize(s, dir, "pqcodebook")(Similarity.buildPqCodebook(s, dir))
+
+  /** PQ codes co-located with their IVF cell, one row per vector:
+    * (vec_id, cell, codes: array<long>) — the Faiss-IVFPQ inverted-list
+    * entry. Builder: `Similarity.buildPqCodes` (encodes against the
+    * stored codebook, joins the stored cell assignment — both nested
+    * index reads, which is why `materialize` must never build inside
+    * the cache's mapping function). Consumers: `similarity_pq_adc`
+    * (exhaustive scan), `similarity_ivfpq_ann` (cell-restricted scan). */
+  def pqCodes(s: SparkSession, dir: String): DataFrame =
+    materialize(s, dir, "pqcodes")(Similarity.buildPqCodes(s, dir))
 }

@@ -369,62 +369,72 @@ object Similarity {
             .as("recall"))
     }
     recallOf("ivf", ivfAnnTopK(s, dir))
+      .unionAll(recallOf("ivfpq", ivfPqAnnTopK(s, dir)))
       .unionAll(recallOf("lsh", lshAnnTopK(s, dir)))
       .orderBy(col("method"))
   }
 
-  /** Product quantization with asymmetric distance (PQ-ADC, Jégou et al.
-    * TPAMI 2011) — the memory side of the IVF story: each vector is
-    * compressed to M=4 sub-codes (one codebook of K=8 centroids per
-    * 16-dim subspace, trained by the same exact-integer one-Lloyd-round
-    * recipe as `kmeansCells`), and query-to-candidate distance is then a
-    * TABLE LOOKUP, not arithmetic: the query precomputes its distance to
-    * every (subspace, centroid) once — an M×K LUT — and a candidate's
-    * ADC distance is the sum of M array reads indexed by its codes. The
-    * engine builds the dense LUT per query (missing cells → Long.Max
-    * sentinel, provably never read: codes only name surviving cells),
-    * broadcasts all 8 LUTs, and scores the corpus MAP-SIDE — the corpus
-    * never shuffles for scoring, exactly the Faiss IndexPQ scan shape.
-    * Top-3 per query by ADC is then re-ranked against the EXACT distance
-    * (the standard re-rank step), emitted as `true_d2` beside `adc_d2`.
-    *
-    * Exactness: subspace d² identities (x·x + c·c − 2x·c), floor-mean
-    * centroid updates, and LUT sums are all Long math — both engines
-    * agree bit-for-bit; ties break by (d², cell) / (adc_d2, cand_id).
-    *
-    * Scale: codebooks are M×K rows (broadcast); encoding is one
-    * map-side pass; at 100 TB the composition with IVF (restrict the
-    * ADC scan to probed cells via `buildIvfAssignments`) is the
-    * documented production shape — this query keeps the scan exhaustive
-    * so the oracle covers every candidate. */
-  def pqAdcTopK(s: SparkSession, dir: String): DataFrame = {
-    val M = 4; val sub = 16; val K = 8
-    val e = embeddings(s, dir).select(col("vec_id"), quantize.as("q"))
-    // subvector relation: (vec_id, m, x: array<long>, xn = x·x)
-    val sv = e.select(col("vec_id"),
-        explode(expr(s"transform(sequence(0, ${M - 1}), " +
-          s"m -> struct(CAST(m AS BIGINT) AS m, slice(q, m*$sub+1, $sub) AS x))")).as("s"))
+  // ---- Product quantization (PQ-ADC, Jégou et al. TPAMI 2011) ---------
+  //
+  // The memory side of the IVF story: each vector is compressed to M=4
+  // sub-codes (one codebook of K=8 centroids per 16-dim subspace, trained
+  // by the same exact-integer one-Lloyd-round recipe as `kmeansCells`),
+  // and query-to-candidate distance is then a TABLE LOOKUP, not
+  // arithmetic: the query precomputes its distance to every (subspace,
+  // centroid) once — an M×K LUT — and a candidate's ADC distance is the
+  // sum of M array reads indexed by its codes.
+  //
+  // Index lifecycle (build once / probe many, the Faiss layout): the
+  // TRAINED CODEBOOK (`buildPqCodebook` → Indexes.pqCodebook, M×K rows)
+  // and the PER-VECTOR CODES co-located with their IVF cell
+  // (`buildPqCodes` → Indexes.pqCodes — exactly the Faiss-IVFPQ
+  // inverted-list entry (cell, id, codes)) are materialized parquet
+  // artifacts; queries scan them and never re-train or re-encode.
+  //
+  // Exactness: subspace d² identities (x·x + c·c − 2x·c), floor-mean
+  // centroid updates, and LUT sums are all Long math — both engines
+  // agree bit-for-bit; ties break by (d², cell) / (adc_d2, cand_id).
+
+  private val PqM = 4; private val PqSub = 16; private val PqK = 8
+
+  /** Subvector view of a quantized corpus: one row per (vector,
+    * subspace) — (vec_id, m, x: array<long>, xn = x·x). Map-side
+    * explode of M fixed slices; no shuffle. */
+  private def pqSubvectors(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+        explode(expr(s"transform(sequence(0, ${PqM - 1}), " +
+          s"m -> struct(CAST(m AS BIGINT) AS m, slice(q, m*$PqSub+1, $PqSub) AS x))")).as("s"))
       .select(col("vec_id"), col("s.m").as("m"), col("s.x").as("x"))
       .withColumn("xn", dot("x", "x"))
+
+  /** Nearest centroid per (vec, m) against a broadcast codebook —
+    * map-side argmin over the K cells, ties → lowest cell. */
+  private def pqAssign(sv: DataFrame, codebook: DataFrame): DataFrame = {
+    val perM = codebook
+      .groupBy(col("m"))
+      .agg(collect_list(struct(col("cell"), col("cv"), col("cn"))).as("cells"))
+    sv.join(broadcast(perM), Seq("m"))
+      .withColumn("best", array_min(transform(col("cells"), c =>
+        struct(
+          (col("xn") + c.getField("cn") - lit(2L) *
+            graft.functions.VectorExpressions
+              .dotLongs(col("x"), c.getField("cv"))).as("d2"),
+          c.getField("cell").as("cell")))))
+      .select(col("vec_id"), col("m"), col("best.cell").as("code"))
+  }
+
+  /** PQ CODEBOOK BUILDER (index artifact): deterministic seeds
+    * (vec_id < K per subspace) + ONE Lloyd round of floor-mean updates.
+    * (m, cell, cv: array<long>, cn = cv·cv) — M×K rows, broadcast-sized
+    * at any corpus scale (training at 100 TB runs on a sample; the
+    * fixture trains on the full corpus for oracle determinism).
+    * Materialized by `Indexes.pqCodebook`. */
+  private[ops] def buildPqCodebook(s: SparkSession, dir: String): DataFrame = {
+    val sv = pqSubvectors(embeddings(s, dir).select(col("vec_id"), quantize.as("q")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val seeds = sv.filter(col("vec_id") < K)
+    val seeds = sv.filter(col("vec_id") < PqK)
       .select(col("m"), col("vec_id").as("cell"), col("x").as("cv"), col("xn").as("cn"))
-    // nearest centroid per (vec, m) against a broadcast codebook
-    def assign(codebook: DataFrame): DataFrame = {
-      val perM = codebook
-        .groupBy(col("m"))
-        .agg(collect_list(struct(col("cell"), col("cv"), col("cn"))).as("cells"))
-      sv.join(broadcast(perM), Seq("m"))
-        .withColumn("best", array_min(transform(col("cells"), c =>
-          struct(
-            (col("xn") + c.getField("cn") - lit(2L) *
-              graft.functions.VectorExpressions
-                .dotLongs(col("x"), c.getField("cv"))).as("d2"),
-            c.getField("cell").as("cell")))))
-        .select(col("vec_id"), col("m"), col("best.cell").as("code"))
-    }
-    // one Lloyd round: floor-mean update per (m, cell, dim)
-    val codebook = assign(seeds)
+    pqAssign(sv, seeds)
       .join(sv, Seq("vec_id", "m"))
       .select(col("m"), col("code").as("cell"), posexplode(col("x")).as(Seq("dim", "qv")))
       .groupBy(col("m"), col("cell"), col("dim"))
@@ -434,43 +444,137 @@ object Similarity {
         .as("cv"))
       .select(col("m"), col("cell"), col("cv"),
         graft.functions.VectorExpressions.dotLongs(col("cv"), col("cv")).as("cn"))
-    val codes = assign(codebook)
+  }
+
+  /** PQ CODES BUILDER (index artifact): every vector's M codes against
+    * the STORED codebook, co-located with its IVF cell — (vec_id, cell,
+    * codes: array<long>), exactly the Faiss-IVFPQ inverted-list entry.
+    * The cell join is the one corpus-size shuffle and it happens at
+    * INDEX BUILD time, never at query time. Materialized by
+    * `Indexes.pqCodes`. */
+  private[ops] def buildPqCodes(s: SparkSession, dir: String): DataFrame = {
+    val sv = pqSubvectors(embeddings(s, dir).select(col("vec_id"), quantize.as("q")))
+    pqAssign(sv, Indexes.pqCodebook(s, dir))
       .groupBy(col("vec_id"))
       .agg(expr("transform(array_sort(collect_list(struct(m, code))), x -> x.code)")
         .as("codes"))
-    // per-query dense M×K LUT of subspace distances to every centroid
-    val lut = sv.filter(col("vec_id") < K)
-      .join(broadcast(codebook), Seq("m"))
+      .join(Indexes.ivfAssignments(s, dir).select(col("vec_id"), col("cell")),
+        Seq("vec_id"))
+      .select(col("vec_id"), col("cell"), col("codes"))
+  }
+
+  /** Per-query dense M×K ADC LUTs from the STORED codebook:
+    * (query_id, lut: array<array<long>>). Query subvectors (tiny —
+    * filter pushed below the explode) × the broadcast M×K codebook;
+    * ld2 = x·x + c·c − 2x·c per (subspace, centroid). */
+  private def pqLuts(s: SparkSession, dir: String): DataFrame =
+    pqSubvectors(embeddings(s, dir).select(col("vec_id"), quantize.as("q"))
+        .filter(col("vec_id") < PqK))
+      .join(broadcast(Indexes.pqCodebook(s, dir)), Seq("m"))
       .select(col("vec_id").as("query_id"), col("m"), col("cell"),
         (col("xn") + col("cn") -
           lit(2L) * dot("x", "cv")).as("ld2"))
       .groupBy(col("query_id"), col("m"))
       .agg(map_from_entries(collect_list(struct(col("cell"), col("ld2")))).as("mp"))
       .select(col("query_id"), col("m"),
-        expr(s"transform(sequence(0, ${K - 1}), " +
-          s"c -> coalesce(element_at(mp, CAST(c AS BIGINT)), ${Long.MaxValue}L))")
+        expr(s"transform(sequence(0, ${PqK - 1}), " +
+          // try_element_at: under ANSI mode (this engine's default) a plain
+          // element_at on a missing map key throws before coalesce can run;
+          // the try_ variant yields NULL so the sentinel genuinely applies
+          // when a seed cell loses all members.
+          s"c -> coalesce(try_element_at(mp, CAST(c AS BIGINT)), ${Long.MaxValue}L))")
           .as("larr"))
       .groupBy(col("query_id"))
       .agg(expr("transform(array_sort(collect_list(struct(m, larr))), x -> x.larr)")
         .as("lut"))
-    // map-side ADC scan: M array reads per (candidate, query)
-    val adc = codes.crossJoin(broadcast(lut))
+
+  /** ADC distance of a candidate's `codes` against a query's `lut`:
+    * Σ_m lut[m][code_m] — M array reads, no arithmetic on vectors.
+    * Sentinel cells are provably never read: codes only name surviving
+    * cells. */
+  private val adcExpr =
+    s"aggregate(sequence(0, ${PqM - 1}), 0L, (acc, m) -> " +
+      "acc + element_at(element_at(lut, m+1), " +
+      "CAST(element_at(codes, m+1) + 1 AS INT)))"
+
+  /** Exhaustive PQ-ADC top-3 per query with exact re-rank: broadcast
+    * LUTs, map-side ADC scan over the STORED codes index (the corpus
+    * never shuffles for scoring — the Faiss IndexPQ scan shape), top-3
+    * per query by ADC, then the standard exact-distance re-rank emitted
+    * as `true_d2` beside `adc_d2`. This query keeps the scan exhaustive
+    * so the oracle covers every candidate; `ivfPqAnnTopK` is the
+    * cell-restricted production composition. */
+  def pqAdcTopK(s: SparkSession, dir: String): DataFrame = {
+    val codes = Indexes.pqCodes(s, dir).select(col("vec_id"), col("codes"))
+    val adc = codes.crossJoin(broadcast(pqLuts(s, dir)))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("cand_id"),
-        expr(s"aggregate(sequence(0, ${M - 1}), 0L, (acc, m) -> " +
-          "acc + element_at(element_at(lut, m+1), " +
-          "CAST(element_at(codes, m+1) + 1 AS INT)))").as("adc_d2"))
+        expr(adcExpr).as("adc_d2"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_d2").asc, col("cand_id").asc)
     val top = adc.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 3)
     // exact re-rank distances for the selected pairs only
+    val e = embeddings(s, dir).select(col("vec_id"), quantize.as("q"))
     val full = e.select(col("vec_id"), col("q"), dot("q", "q").as("n2"))
     top
       .join(full.select(col("vec_id").as("query_id"), col("q").as("qx"),
         col("n2").as("qn")), Seq("query_id"))
       .join(full.select(col("vec_id").as("cand_id"), col("q").as("cx"),
         col("n2").as("cn")), Seq("cand_id"))
+      .select(col("query_id"), col("rn"), col("cand_id"), col("adc_d2"),
+        (col("qn") + col("cn") - lit(2L) * dot("qx", "cx")).as("true_d2"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  /** IVF+PQ ANN — THE production composition (Faiss IndexIVFPQ; Jégou
+    * et al. 2011 §V): restrict the ADC scan to the query's probed IVF
+    * cells, score survivors by table lookup, exact re-rank the top-3.
+    * Both halves are STORED indexes: probe cells come from
+    * `Indexes.ivfAssignments` (best + second-best cell per vector, the
+    * 2-probe set) and candidate codes from `Indexes.pqCodes` (codes
+    * co-located with their cell — the inverted-list layout), so query
+    * time is: scan the codes index, broadcast-join the ≤2·|queries|
+    * probe rows on cell, broadcast-join the per-query LUTs, sum M
+    * lookups per survivor — zero corpus shuffles, zero re-training,
+    * zero re-encoding.
+    *
+    * At 100 TB this is the only ANN plan that runs: the exhaustive ADC
+    * scan touches every vector (bandwidth-bound), while the cell
+    * restriction cuts candidates by ~K/probes and the inverted-list
+    * co-location means the scan reads only the probed cells' files once
+    * the index is partitioned by cell (partition pruning on the cell
+    * column — the layout knob `Layout.scala` demonstrates).
+    *
+    * Exactness: candidates per (query, cand) are unique by construction
+    * (each vector lives in exactly one cell; the 2 probe cells are
+    * distinct), ADC sums are exact Longs, ties break (adc_d2, cand_id);
+    * re-rank emits `true_d2` beside `adc_d2` like `pqAdcTopK`. */
+  def ivfPqAnnTopK(s: SparkSession, dir: String): DataFrame = {
+    val ivf = Indexes.ivfAssignments(s, dir)
+    // 2-probe set for the query vectors: best + second-best stored cell
+    val probes = ivf.filter(col("vec_id") < PqK)
+      .select(col("vec_id").as("query_id"),
+        explode(array(col("cell"), col("cell2"))).as("cell"))
+    // inverted-list scan restricted to probed cells (broadcast restrict)
+    val cands = Indexes.pqCodes(s, dir)
+      .select(col("vec_id").as("cand_id"), col("cell"), col("codes"))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+    val adc = cands.join(broadcast(pqLuts(s, dir)), Seq("query_id"))
+      .select(col("query_id"), col("cand_id"), expr(adcExpr).as("adc_d2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_d2").asc, col("cand_id").asc)
+    val top = adc.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+    // exact re-rank from the stored IVF index (it carries q and norm2 —
+    // no second embeddings scan)
+    val full = ivf.select(col("vec_id"), col("q"), col("norm2"))
+    top
+      .join(full.select(col("vec_id").as("query_id"), col("q").as("qx"),
+        col("norm2").as("qn")), Seq("query_id"))
+      .join(full.select(col("vec_id").as("cand_id"), col("q").as("cx"),
+        col("norm2").as("cn")), Seq("cand_id"))
       .select(col("query_id"), col("rn"), col("cand_id"), col("adc_d2"),
         (col("qn") + col("cn") - lit(2L) * dot("qx", "cx")).as("true_d2"))
       .orderBy(col("query_id"), col("rn"))
@@ -493,6 +597,7 @@ object Similarity {
     "similarity_label_centroids" -> labelCentroids _,
     "similarity_kmeans" -> kmeansCells _,
     "similarity_pq_adc" -> pqAdcTopK _,
+    "similarity_ivfpq_ann" -> ivfPqAnnTopK _,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine _,
     "dedup_semantic" -> dedupSemantic _,
     "similarity_ann_recall" -> annRecall _,
@@ -544,6 +649,38 @@ object Similarity {
       |               a.cell ASC) AS rn
       |  FROM aff a JOIN cellnorm n ON n.cell = a.cell)""".stripMargin
 
+  /** Shared oracle CTE block: PQ training (subvectors -> seeds -> one
+    * Lloyd round -> per-(vec, m, cell) distances d2t -> codes). Mirrors
+    * [[buildPqCodebook]]/[[buildPqCodes]]; d2t's rows for query vectors
+    * double as the ADC LUT. Used by `similarity_pq_adc`,
+    * `similarity_ivfpq_ann`, and the recall report. */
+  private val pqTrainSql =
+    """sv AS MATERIALIZED (
+      |  SELECT vec_id, (i - 1) // 16 AS m, (i - 1) % 16 AS j, v FROM qe),
+      |seeds AS (
+      |  SELECT m, vec_id AS cell, j, v AS cv FROM sv WHERE vec_id < 8),
+      |d1 AS (
+      |  SELECT x.vec_id, x.m, s.cell,
+      |    CAST(sum((x.v - s.cv) * (x.v - s.cv)) AS BIGINT) AS d2
+      |  FROM sv x JOIN seeds s ON x.m = s.m AND x.j = s.j
+      |  GROUP BY 1, 2, 3),
+      |a1 AS (
+      |  SELECT vec_id, m, cell FROM d1
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cell) = 1),
+      |c2 AS MATERIALIZED (
+      |  SELECT a.m, a.cell, x.j,
+      |    CAST(floor(CAST(sum(x.v) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+      |  FROM sv x JOIN a1 a ON x.vec_id = a.vec_id AND x.m = a.m
+      |  GROUP BY 1, 2, 3),
+      |d2t AS MATERIALIZED (
+      |  SELECT x.vec_id, x.m, c.cell,
+      |    CAST(sum((x.v - c.cv) * (x.v - c.cv)) AS BIGINT) AS d2
+      |  FROM sv x JOIN c2 c ON x.m = c.m AND x.j = c.j
+      |  GROUP BY 1, 2, 3),
+      |codes AS (
+      |  SELECT vec_id, m, cell AS code FROM d2t
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cell) = 1)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     // recall@3 of both indexes vs the brute-force truth: replays the
     // three already-green pipelines and counts set hits
@@ -551,6 +688,7 @@ object Similarity {
       s"""WITH $qElems,
          |$duckBuckets,
          |$cellRankSql,
+         |$pqTrainSql,
          |bdots AS (
          |  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
          |         CAST(sum(a.v * b.v) AS BIGINT) AS dot
@@ -613,6 +751,19 @@ object Similarity {
          |    FROM idots
          |    JOIN norms qn ON qn.vec_id = query_id
          |    JOIN norms cn ON cn.vec_id = cand_id)
+         |  WHERE rn <= 3),
+         |padc AS (
+         |  SELECT cd.query_id, cd.cand_id, CAST(sum(l.d2) AS BIGINT) AS adc_d2
+         |  FROM icand cd
+         |  JOIN codes c ON c.vec_id = cd.cand_id
+         |  JOIN d2t l ON l.vec_id = cd.query_id AND l.m = c.m AND l.cell = c.code
+         |  GROUP BY 1, 2),
+         |ivfpq3 AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT query_id, cand_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY adc_d2, cand_id) AS rn
+         |    FROM padc)
          |  WHERE rn <= 3)
          |SELECT method, n_relevant, n_hit,
          |  CAST(n_hit AS DOUBLE) / CAST(n_relevant AS DOUBLE) AS recall
@@ -622,6 +773,12 @@ object Similarity {
          |    CAST((SELECT count(*) FROM truth t JOIN ivf3 g
          |          ON t.query_id = g.query_id AND t.cand_id = g.cand_id)
          |      AS BIGINT) AS n_hit
+         |  UNION ALL
+         |  SELECT 'ivfpq',
+         |    CAST((SELECT count(*) FROM truth) AS BIGINT),
+         |    CAST((SELECT count(*) FROM truth t JOIN ivfpq3 g
+         |          ON t.query_id = g.query_id AND t.cand_id = g.cand_id)
+         |      AS BIGINT)
          |  UNION ALL
          |  SELECT 'lsh',
          |    CAST((SELECT count(*) FROM truth) AS BIGINT),
@@ -709,36 +866,51 @@ object Similarity {
     // for query vecs (same x·x + c·c − 2x·c integers as the engine)
     "similarity_pq_adc" ->
       s"""WITH $qElems,
-         |sv AS MATERIALIZED (
-         |  SELECT vec_id, (i - 1) // 16 AS m, (i - 1) % 16 AS j, v FROM qe),
-         |seeds AS (
-         |  SELECT m, vec_id AS cell, j, v AS cv FROM sv WHERE vec_id < 8),
-         |d1 AS (
-         |  SELECT x.vec_id, x.m, s.cell,
-         |    CAST(sum((x.v - s.cv) * (x.v - s.cv)) AS BIGINT) AS d2
-         |  FROM sv x JOIN seeds s ON x.m = s.m AND x.j = s.j
-         |  GROUP BY 1, 2, 3),
-         |a1 AS (
-         |  SELECT vec_id, m, cell FROM d1
-         |  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cell) = 1),
-         |c2 AS MATERIALIZED (
-         |  SELECT a.m, a.cell, x.j,
-         |    CAST(floor(CAST(sum(x.v) AS DOUBLE) / count(*)) AS BIGINT) AS cv
-         |  FROM sv x JOIN a1 a ON x.vec_id = a.vec_id AND x.m = a.m
-         |  GROUP BY 1, 2, 3),
-         |d2t AS MATERIALIZED (
-         |  SELECT x.vec_id, x.m, c.cell,
-         |    CAST(sum((x.v - c.cv) * (x.v - c.cv)) AS BIGINT) AS d2
-         |  FROM sv x JOIN c2 c ON x.m = c.m AND x.j = c.j
-         |  GROUP BY 1, 2, 3),
-         |codes AS (
-         |  SELECT vec_id, m, cell AS code FROM d2t
-         |  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cell) = 1),
+         |$pqTrainSql,
          |adc AS (
          |  SELECT l.vec_id AS query_id, c.vec_id AS cand_id,
          |    CAST(sum(l.d2) AS BIGINT) AS adc_d2
          |  FROM codes c JOIN d2t l ON l.m = c.m AND l.cell = c.code
          |  WHERE l.vec_id < 8 AND l.vec_id <> c.vec_id
+         |  GROUP BY 1, 2),
+         |top AS MATERIALIZED (
+         |  SELECT query_id, cand_id, adc_d2,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adc_d2, cand_id) AS BIGINT) AS rn
+         |  FROM adc QUALIFY rn <= 3),
+         |dots AS (
+         |  SELECT t.query_id, t.cand_id, CAST(sum(a.v * b.v) AS BIGINT) AS d
+         |  FROM top t
+         |  JOIN qe a ON a.vec_id = t.query_id
+         |  JOIN qe b ON b.vec_id = t.cand_id AND a.i = b.i
+         |  GROUP BY 1, 2)
+         |SELECT t.query_id, t.rn, t.cand_id, t.adc_d2,
+         |  CAST(qn.n2 + cn.n2 - 2 * d.d AS BIGINT) AS true_d2
+         |FROM top t
+         |JOIN dots d ON d.query_id = t.query_id AND d.cand_id = t.cand_id
+         |JOIN norms qn ON qn.vec_id = t.query_id
+         |JOIN norms cn ON cn.vec_id = t.cand_id
+         |ORDER BY t.query_id, t.rn""".stripMargin,
+    // IVF+PQ composition: probe cells = the IVF ranking's top-2 per
+    // query, candidates = vectors assigned (rn=1) to a probed cell,
+    // ADC = sum_m d2t[query][m][code(cand, m)] over the restricted set,
+    // top-3 by (adc_d2, cand_id), exact re-rank via norms + dots
+    "similarity_ivfpq_ann" ->
+      s"""WITH $qElems,
+         |$cellRankSql,
+         |$pqTrainSql,
+         |iassign AS (SELECT vec_id AS cand_id, cell FROM ranked WHERE rn = 1),
+         |iprobes AS (SELECT vec_id AS query_id, cell FROM ranked
+         |            WHERE rn <= 2 AND vec_id < 8),
+         |cand AS (
+         |  SELECT DISTINCT p.query_id, a.cand_id
+         |  FROM iprobes p JOIN iassign a ON a.cell = p.cell
+         |  WHERE a.cand_id <> p.query_id),
+         |adc AS (
+         |  SELECT cd.query_id, cd.cand_id, CAST(sum(l.d2) AS BIGINT) AS adc_d2
+         |  FROM cand cd
+         |  JOIN codes c ON c.vec_id = cd.cand_id
+         |  JOIN d2t l ON l.vec_id = cd.query_id AND l.m = c.m AND l.cell = c.code
          |  GROUP BY 1, 2),
          |top AS MATERIALIZED (
          |  SELECT query_id, cand_id, adc_d2,

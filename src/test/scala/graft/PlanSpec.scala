@@ -12,6 +12,11 @@ import org.apache.spark.sql.execution.QueryExecution
 class PlanSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val dir = "/root/testdata/sf0.001"
+  // sf0.01 — only for queries whose fixtures are degenerate at sf0.001
+  // (e.g. the near-dup pair index is empty there, so audit joins vanish
+  // from the plan). The stored index is built once per (session, dir)
+  // and shared with CurationSpec's sf0.01 usage (Indexes cache).
+  val dir01 = "/root/testdata/sf0.01"
 
   private def plan(df: DataFrame): String =
     df.queryExecution.explainString(
@@ -369,8 +374,8 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("struct<c_custkey:bigint>"), s"anti scan not pruned:\n$p")
   }
 
-  test("the two deliberate global windows stay input-bounded by construction") {
-    // Both queries run an UNPARTITIONED window on purpose — legitimate
+  test("the three deliberate global windows stay input-bounded by construction") {
+    // These queries run an UNPARTITIONED window on purpose — legitimate
     // only because the window input is bounded before it (SCALE.md).
     // These guards stop a refactor from silently feeding them unbounded
     // input, which would serialize the whole table through one task.
@@ -397,6 +402,17 @@ class PlanSpec extends AnyFunSuite {
       assert(w.find(_.isInstanceOf[BaseAggregateExec]).isDefined,
         s"moving-avg window input is not the daily pre-aggregate:\n$ma")
     }
+    // text_freq_spectrum: the Good–Turing lead() window must sit above
+    // the r→n_types spectrum aggregate — O(√tokens) rows by the distinct-
+    // frequency bound — never the raw token relation
+    val fs = ops.TextAnalysis.textFreqSpectrum(spark, dir)
+      .queryExecution.sparkPlan
+    val fsWins = fs.collect { case w: WindowExec => w }
+    assert(fsWins.nonEmpty, s"no window in freq-spectrum plan:\n$fs")
+    fsWins.foreach { w =>
+      assert(w.find(_.isInstanceOf[BaseAggregateExec]).isDefined,
+        s"freq-spectrum window input is not the spectrum aggregate:\n$fs")
+    }
   }
 
   test("whole-stage codegen covers the scan→filter→project pipelines") {
@@ -410,11 +426,35 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("k-fold split: every join broadcasts — corpus and pair index never shuffle for a join") {
-    // sf0.01: the pair index is non-empty there, so the audit joins exist
-    val p = plan(ops.Curation.splitKfold(spark, "/root/testdata/sf0.01"))
+    // dir01: the pair index is non-empty there, so the audit joins exist
+    val p = plan(ops.Curation.splitKfold(spark, dir01))
     assert(countNodes(p, "SortMergeJoin") === 0, s"shuffled join:\n$p")
     assert(countNodes(p, "ShuffledHashJoin") === 0, s"shuffled join:\n$p")
     assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("IVF+PQ ANN: served from BOTH stored indexes, zero rebuild, cell-restricted map-side ADC") {
+    // r9 verdict #1: the production composition must read the stored IVF
+    // probe cells AND the stored cell-co-located PQ codes (plus the
+    // stored codebook for the query LUTs) — never re-train, re-encode,
+    // or re-derive cell affinities at query time
+    val df = ops.Similarity.ivfPqAnnTopK(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("graft_index_ivfcell"),
+      s"probe cells not served from the stored IVF index:\n$p")
+    assert(p.contains("graft_index_pqcodes"),
+      s"codes not served from the stored PQ index:\n$p")
+    assert(p.contains("graft_index_pqcodebook"),
+      s"LUTs not built from the stored codebook:\n$p")
+    // the per-dim centroid build (posexplode) happens at index build only
+    assert(!p.contains("posexplode"), s"cell affinities recomputed:\n$p")
+    val pf = plan(df)
+    assert(countNodes(pf, "CartesianProduct") === 0, s"cartesian:\n$pf")
+    // cell restrict + LUT attach both broadcast: the codes scan never
+    // shuffles to meet the probes or the LUTs
+    assert(pf.contains("BroadcastHashJoin"), s"restrict not broadcast:\n$pf")
+    // top-3 per query is group-limited below the window's exchange
+    assert(pf.contains("WindowGroupLimit"), s"no group limit:\n$pf")
   }
 
   test("PQ-ADC: LUT scoring is one broadcast pass and top-3 is group-limited before the shuffle") {

@@ -90,6 +90,43 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.sortBy(r => (r._1, r._2)) === expected.sortBy(r => (r._1, r._2)))
   }
 
+  test("IVF+PQ: probed-cell restriction, ADC ordering, and exact re-rank all verified") {
+    val assign = graft.ops.Indexes.ivfAssignments(spark, dir)
+      .selectExpr("vec_id", "CAST(cell AS BIGINT) AS cell",
+        "CAST(cell2 AS BIGINT) AS cell2")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val out = Similarity.ivfPqAnnTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    // every emitted candidate is assigned to one of the query's 2 probe cells
+    out.foreach { case (q, _, c, _, _) =>
+      val probes = Set(assign(q)._1, assign(q)._2)
+      assert(probes.contains(assign(c)._1),
+        s"cand $c of query $q outside probed cells $probes")
+    }
+    // rn follows (adc_d2, cand_id) within each query
+    out.groupBy(_._1).values.foreach { rows =>
+      val byRn = rows.sortBy(_._2).map(r => (r._4, r._3))
+      assert(byRn.sameElements(byRn.sorted), s"rn order != (adc_d2, cand_id): ${rows.toSeq}")
+    }
+    // true_d2 is the exact quantized squared distance (driver replay)
+    val vecs = Tables.embeddings(spark, dir)
+      .selectExpr("vec_id",
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    out.foreach { case (q, _, c, _, td2) =>
+      val d = vecs(q).zip(vecs(c)).map { case (x, y) => (x - y) * (x - y) }.sum
+      assert(td2 === d, s"true_d2 mismatch for ($q, $c)")
+    }
+    // pairs also present in the exhaustive ADC top-3 carry the SAME adc_d2
+    // (same stored codes, same stored codebook, same LUT)
+    val exhaustive = Similarity.pqAdcTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    out.foreach { case (q, _, c, adc, _) =>
+      exhaustive.get((q, c)).foreach(a => assert(a === adc,
+        s"ADC mismatch vs exhaustive scan for ($q, $c)")) }
+  }
+
   test("codegen'd SignRandomProjection equals the interpreted HOF plane math") {
     // the HOF form is the round-1 implementation (and mirrors the DuckDB
     // oracle's per-plane SQL); the codegen'd one-pass expression must
