@@ -231,6 +231,42 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Degree-ordered triangle counting — the skew refinement
+    * [[graphTriangleCounts]]'s scaladoc documents: orient each edge from
+    * its lower-(degree, id) endpoint to the higher, so every node's
+    * FORWARD degree is bounded by O(√|E|) (a node of total degree d keeps
+    * forward edges only to neighbors of degree ≥ d, and there are at most
+    * 2√|E| nodes of degree ≥ √|E|) — the Σ d⁺(v)² wedge-join volume stops
+    * depending on hub skew entirely (Suri & Vassilvitskii 2011 §3). The
+    * output is ORIENTATION-INVARIANT (each triangle still closes exactly
+    * once from its (deg, id)-smallest corner), so this variant sits
+    * behind the SAME oracle as the id-ordered one; CurationSpec pins the
+    * equality. Cost of the refinement: one degree aggregate over the
+    * pair index + two broadcast-sized joins to tag endpoints — worth it
+    * exactly when a template-spam hub would otherwise explode d⁺². */
+  def graphTriangleCountsDegree(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Indexes.nearDupPairs(s, dir).select(col("a_id"), col("b_id"))
+    val deg = pairs.select(col("a_id").as("node"))
+      .unionAll(pairs.select(col("b_id").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val tagged = pairs
+      .join(deg.select(col("node").as("a_id"), col("deg").as("da")), Seq("a_id"))
+      .join(deg.select(col("node").as("b_id"), col("deg").as("db")), Seq("b_id"))
+    // (deg, id) is a total order (id unique), so no tie branch is needed
+    val aFirst = struct(col("da"), col("a_id")) < struct(col("db"), col("b_id"))
+    val oriented = tagged.select(
+      when(aFirst, col("a_id")).otherwise(col("b_id")).as("u"),
+      when(aFirst, col("b_id")).otherwise(col("a_id")).as("v"))
+    val wedges = oriented.select(col("u").as("a"), col("v").as("b"))
+      .join(oriented.select(col("u").as("b"), col("v").as("c")), Seq("b"))
+    val tri = wedges.join(
+      oriented.select(col("u").as("a"), col("v").as("c")), Seq("a", "c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("doc_id"))
+  }
+
   /** PageRank over the near-dup document graph — the canonical ITERATIVE
     * shuffle pattern (each round: join ranks to edges on src, aggregate
     * contributions on dst). Two rounds unrolled, ALL arithmetic in exact
@@ -625,6 +661,7 @@ object Curation {
     "embedding_quantize" -> embeddingQuantize _,
     "graph_pagerank_docs" -> graphPagerankDocs _,
     "graph_triangle_counts" -> graphTriangleCounts _,
+    "graph_triangle_counts_degree" -> graphTriangleCountsDegree _,
   )
 
   // cluster oracle: transitive closure by recursive CTE over the same
@@ -975,6 +1012,8 @@ object Curation {
     "embedding_quantize" -> quantizeSql,
     "graph_pagerank_docs" -> pagerankSql,
     "graph_triangle_counts" -> triangleSql,
+    // orientation-invariant: the degree-ordered variant shares the oracle
+    "graph_triangle_counts_degree" -> triangleSql,
   )
 
   // same brute-force Jaccard pair CTE; oriented-edge (a<b) wedge close —

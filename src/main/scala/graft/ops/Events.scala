@@ -146,9 +146,29 @@ object Events {
     * Scale: one user_id shuffle (sessionize), one (day, t) hash
     * aggregate, one day-partitioned window. Change points per day are
     * bounded by 2×(sessions that day); at 100 TB the standard coarsening
-    * — bucket t to seconds/minutes in the delta aggregate — caps the
-    * window partition width with no change to the plan shape. */
-  def concurrencyPeaks(s: SparkSession, dir: String): DataFrame = {
+    * — bucket t to seconds/minutes in the delta aggregate
+    * ([[concurrencyPeaksWidth]]) — caps the window partition width with
+    * no change to the plan shape. The declared query runs exact
+    * (width 1). */
+  def concurrencyPeaks(s: SparkSession, dir: String): DataFrame =
+    concurrencyPeaksWidth(s, dir, 1L)
+
+  /** Sweep-line with change points bucketed to `widthUs`-µs instants —
+    * the knob that bounds the per-day window partition at scale: a hot
+    * day has at most 86 400 000 000/widthUs change points regardless of
+    * session volume (width 1 s → ≤86 400 rows/day; the exact sweep's
+    * change-point count grows with sessions). EXACT at widthUs = 1
+    * (floor(t/1) = t — EventsSpec pins equality); for widthUs > 1 the
+    * reported peak is a documented UPPER BOUND on the exact peak:
+    * bucketing merges instants, and closed-interval semantics count any
+    * two sessions sharing a bucket as concurrent, so coarsening can only
+    * merge-up, never split — peak_w ≥ peak_exact for every width (w = 1
+    * divides all widths, and bucket containment preserves coverage along
+    * divisor chains w ∣ W; incommensurate widths are NOT comparable to
+    * each other). Capacity planning wants exactly that side of the
+    * bound. */
+  def concurrencyPeaksWidth(s: SparkSession, dir: String, widthUs: Long): DataFrame = {
+    require(widthUs >= 1L, s"bucket width must be positive, got $widthUs")
     val gapUs = 30L * 60 * 1000000
     val dayUs = 86400L * 1000000
     val byUser =
@@ -169,8 +189,9 @@ object Events {
         greatest(col("s_us"), col("day") * dayUs).as("cs"),
         least(col("e_us"), (col("day") + 1) * dayUs - 1).as("ce"))
     val deltas = parts
-      .select(col("day"), col("cs").as("t"), lit(1L).as("st"), lit(0L).as("en"))
-      .unionAll(parts.select(col("day"), col("ce"), lit(0L), lit(1L)))
+      .select(col("day"), expr(s"cs div $widthUs").as("t"),
+        lit(1L).as("st"), lit(0L).as("en"))
+      .unionAll(parts.select(col("day"), expr(s"ce div $widthUs"), lit(0L), lit(1L)))
       .groupBy(col("day"), col("t"))
       .agg(sum(col("st")).as("st"), sum(col("en")).as("en"))
     val byDay = Window.partitionBy(col("day")).orderBy(col("t").asc)

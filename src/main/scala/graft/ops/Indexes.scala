@@ -35,6 +35,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Indexes {
   private val cache =
     new ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+  // where each built index lives on disk — survives a cache drop, so an
+  // appended index is RE-READ (merged scan), never rebuilt
+  private val paths =
+    new ConcurrentHashMap[(SparkSession, String, String), String]()
 
   /** Build → write parquet → return the scan (the materialized index).
     *
@@ -53,14 +57,45 @@ object Indexes {
     val hit = cache.get(key)
     if (hit != null) hit
     else {
-      val path = java.nio.file.Files
-        .createTempDirectory(s"graft_index_$tag").toString
-      build.write.mode("overwrite").parquet(path)
+      val path = Option(paths.get(key)).getOrElse {
+        val p = java.nio.file.Files
+          .createTempDirectory(s"graft_index_$tag").toString
+        build.write.mode("overwrite").parquet(p)
+        paths.putIfAbsent(key, p)
+        paths.get(key)
+      }
       val scan = s.read.parquet(path)
       val prev = cache.putIfAbsent(key, scan)
       if (prev != null) prev else scan
     }
   }
+
+  /** Daily-snapshot index REFRESH: append one batch's rows to a stored
+    * index's parquet dir (a new file commit, exactly how a production
+    * index table takes its daily delta) and drop the cached scan so the
+    * next consumer re-lists the dir — a MERGED scan, never a rebuild.
+    * Sound whenever an index row depends only on its own vector/document
+    * plus frozen index parameters (LSH hyperplanes, a frozen PQ
+    * codebook, frozen IVF centroids) — the per-vector-artifact property
+    * all the index builders here share. Callers own non-overlap of base
+    * and batch (production: partition by snapshot date). Single-writer
+    * motion; concurrent-reader isolation is the table format's job at
+    * scale (this engine's parquet-dir index keeps it one writer).
+    * IndexRefreshSpec pins merged-probes ≡ full-rebuild-probes. */
+  private[graft] def appendToIndex(
+      s: SparkSession, dir: String, tag: String, batch: DataFrame): Unit = {
+    val key = (s, dir, tag)
+    val path = paths.get(key)
+    require(path != null, s"index '$tag' for $dir has no stored build to append to")
+    batch.write.mode("append").parquet(path)
+    cache.remove(key)
+  }
+
+  /** Generic materialized-index entry (same cache + stored-path
+    * discipline as the named indexes) — the hook the refresh spec and
+    * future index families build through. */
+  private[graft] def materializedIndex(s: SparkSession, dir: String, tag: String)(
+      build: => DataFrame): DataFrame = materialize(s, dir, tag)(build)
 
   /** Verified near-dup pairs (a_id, b_id, jaccard) — the MinHash-LSH
     * index output, provably equal to the exact Jaccard pair set

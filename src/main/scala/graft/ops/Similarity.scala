@@ -79,20 +79,23 @@ object Similarity {
     * build once, probe many, the production ANN-index lifecycle.
     *
     * (vec_id, q, norm2, buckets: array<long>) — one row per vector. */
-  private[ops] def buildLshSignatures(s: SparkSession, dir: String): DataFrame =
+  private[graft] def buildLshSignatures(s: SparkSession, dir: String): DataFrame =
     embeddings(s, dir).select(col("vec_id"), quantize.as("q"))
       .select(col("vec_id"), col("q"), dot("q", "q").as("norm2"),
         graft.functions.VectorExpressions
           .signBuckets(col("q"), Tables, Planes, 64).as("buckets"))
 
-  /** Exploded view of the stored LSH index: one row per (vector, hash
+  /** Exploded view of a signature relation: one row per (vector, hash
     * table) — a map-side posexplode over the parquet scan. */
-  private def bucketed(s: SparkSession, dir: String): DataFrame =
-    Indexes.lshSignatures(s, dir)
+  private def bucketedFrom(sig: DataFrame): DataFrame =
+    sig
       .select(col("vec_id"), col("q"), col("norm2"),
         posexplode(col("buckets")).as(Seq("tbl", "bucket")))
       .select(col("vec_id"), col("q"), col("norm2"),
         col("tbl").cast("long").as("tbl"), col("bucket"))
+
+  private def bucketed(s: SparkSession, dir: String): DataFrame =
+    bucketedFrom(Indexes.lshSignatures(s, dir))
 
   /** Corpus histogram over LSH buckets per table (the data layout a
     * bucketed ANN index persists — bucket skew is what to watch at scale). */
@@ -106,8 +109,16 @@ object Similarity {
     * share the query's bucket in any table (dedup across tables); exact
     * cosine only on candidates. Recall vs brute force is checked in
     * SimilaritySpec. */
-  def lshAnnTopK(s: SparkSession, dir: String): DataFrame = {
-    val b = bucketed(s, dir)
+  def lshAnnTopK(s: SparkSession, dir: String): DataFrame =
+    lshAnnTopKFrom(Indexes.lshSignatures(s, dir))
+
+  /** Probe core over an arbitrary signature relation — the seam the
+    * index append/refresh motion exercises (IndexRefreshSpec: probes of
+    * a base+batch MERGED index are row-identical to a full rebuild's,
+    * because signatures are per-vector artifacts of frozen
+    * hyperplanes). */
+  private[graft] def lshAnnTopKFrom(sig: DataFrame): DataFrame = {
+    val b = bucketedFrom(sig)
     val queries = b.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("q").as("qe"),
         col("norm2").as("qn"), col("tbl"), col("bucket"))

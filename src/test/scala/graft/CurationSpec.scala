@@ -185,6 +185,11 @@ class CurationSpec extends AnyFunSuite {
     assert(got === triRef.toMap)
     // sanity: total participation is 3 per triangle
     assert(got.values.sum % 3 === 0)
+    // the degree-ordered skew refinement is orientation-invariant: same
+    // per-doc counts from the (deg, id)-oriented wedge join
+    val gotDeg = Curation.graphTriangleCountsDegree(spark, dir01).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(gotDeg === got)
   }
 
   test("pagerank matches hand-computed integer ranks on a path + pair graph") {

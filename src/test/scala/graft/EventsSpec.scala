@@ -77,6 +77,29 @@ class EventsSpec extends AnyFunSuite {
     }
   }
 
+  test("coarsened concurrency sweep: width 1 is exact, wider buckets upper-bound the peak") {
+    val exact = Events.concurrencyPeaks(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // widthUs = 1 must be row-identical to the declared exact query
+    val w1 = Events.concurrencyPeaksWidth(spark, dir, 1L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(w1 === exact)
+    // coarser widths (1 divides all): per day, same parts, no more change
+    // points than the bound and than exact, and peak_w >= peak_exact
+    Seq(1000000L /* 1 s */, 60000000L /* 1 min */).foreach { w =>
+      val coarse = Events.concurrencyPeaksWidth(spark, dir, w).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(coarse.keySet === exact.keySet)
+      coarse.foreach { case (day, (nChange, nParts, peak)) =>
+        val (exChange, exParts, exPeak) = exact(day)
+        assert(nParts === exParts, s"day $day parts at width $w")
+        assert(nChange <= exChange, s"day $day change points grew at width $w")
+        assert(nChange <= 86400L * 1000000 / w + 1, s"day $day bound at width $w")
+        assert(peak >= exPeak, s"day $day coarse peak below exact at width $w")
+      }
+    }
+  }
+
   test("funnel users have both event types in order") {
     val rows = Events.signupPurchaseFunnel(spark, dir).collect()
     assert(rows.forall(r => r.getLong(1) < r.getLong(2)))
