@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One-off scaling probe (not part of the declared suite): synthesizes an
+  * S×-scaled corpus from a base sf dir and times the heavy query families
+  * at 1× vs S×, so the claimed near-linearity of the bounded-by-
+  * construction plans is a MEASURED slope (recorded in BASELINE.md the
+  * way StressCube recorded the cube's k-curve), not a plan-shape
+  * argument.
+  *
+  * Scaled-corpus construction (deterministic):
+  *  - documents: S copies; copy k > 0 namespaces every token with a `_k`
+  *    suffix, so each copy's internal similarity structure (pair sets,
+  *    posting lists, df distribution) is IDENTICAL to the base corpus
+  *    while cross-copy similarity is exactly zero — the corpus grows S×
+  *    at CONSTANT near-dup density, which is the null a scaling probe
+  *    wants. (Verbatim copies would grow the identical-pair count
+  *    quadratically — a different, degenerate workload.) n_chars is
+  *    recomputed from the namespaced text so length-blocking keeps its
+  *    semantics; doc_ids are re-keyed by a 10M stride.
+  *  - embeddings: S re-keyed copies of the vectors (ADC/cosine scoring
+  *    work scales with rows; the probe query set stays vec_id < 8, so
+  *    per-query work is the scan, exactly as at 1×).
+  *  - orders: S re-keyed copies (profile_columns input; NDVs of the
+  *    non-key columns stay constant, row count grows S× — the exact-NDV
+  *    aggregate's work is row-bound).
+  *
+  * Output: one JSON line per (sf, query) with both pass times and the
+  * min, then a final ratios line. Two passes per query, min kept — the
+  * same steal-robust convention as Bench; pass 1 at the scaled dir also
+  * absorbs the stored-index builds (pq codes), so the min reflects the
+  * probe-time cost like the declared bench does.
+  */
+object StressScale {
+  /** Declared queries probed as-is, plus the scale-calibrated tf-idf LSH
+    * variant (16 tables × 12 planes — bits grow with log(corpus), the
+    * production bucket-sizing rule; the declared 8×4 config is
+    * fixture-calibrated and too coarse at 500k docs). */
+  private val Probes: Seq[(String, (org.apache.spark.sql.SparkSession, String) =>
+      org.apache.spark.sql.DataFrame)] = Seq(
+    "dedup_ngram_jaccard", "dedup_containment", "dedup_ngram_jaccard_prefix",
+    "text_tfidf_cosine", "similarity_pq_adc", "profile_columns")
+    .map(n => n -> SparkEntry.queries(n)) :+
+    ("text_tfidf_cosine_lsh_16x12" ->
+      ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        ops.TextAnalysis.textTfidfCosineLshAt(s, d, 16, 12)))
+
+  def main(args: Array[String]): Unit = {
+    val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val scale = if (args.length > 1) args(1).toInt else 10
+    val out = if (args.length > 2) args(2) else "/tmp/graft_scale"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val stride = 10000000L
+    def copies(df: DataFrame)(rekey: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until scale).map(k => if (k == 0) df else rekey(df, k))
+        .reduce(_ unionByName _)
+
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    copies(docs) { (d, k) =>
+      d.select(
+        (col("doc_id") + lit(k * stride)).as("doc_id"),
+        array_join(transform(split(col("text"), " "),
+          t => concat(t, lit(s"_$k"))), " ").as("text"),
+        col("lang"), col("source"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    }.write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    copies(emb) { (d, k) =>
+      d.select((col("vec_id") + lit(k * stride)).as("vec_id"),
+        col("embedding"), col("label"))
+    }.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    val orders = spark.read.parquet(s"$base/orders.parquet")
+    copies(orders) { (d, k) =>
+      d.withColumn("o_orderkey", col("o_orderkey") + lit(k * stride))
+    }.write.mode("overwrite").parquet(s"$out/orders.parquet")
+
+    def fmt(v: Double): String = (math.round(v * 1000) / 1000.0).toString
+    def time(q: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame, dir: String): Double = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      q(spark, dir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // warm up codegen/classloading before the first timed query
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    try time(Probes.head._2, base) catch { case _: Throwable => }
+
+    val mins = for (dir <- Seq(base, out); (name, q) <- Probes) yield {
+      val p1 = time(q, dir)
+      val p2 = time(q, dir)
+      val m = math.min(p1, p2)
+      println(s"""{"probe":"$name","dir":"$dir","p1":${fmt(p1)},"p2":${fmt(p2)},"min":${fmt(m)}}""")
+      (name, dir, m)
+    }
+    val at1 = mins.filter(_._2 == base).map(t => t._1 -> t._3).toMap
+    val atS = mins.filter(_._2 == out).map(t => t._1 -> t._3).toMap
+    val ratios = Probes.map(_._1).map(n =>
+        s""""$n":{"t1":${fmt(at1(n))},"tS":${fmt(atS(n))},"ratio":${fmt(atS(n) / at1(n))}}""")
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"scale_probe","scale":$scale,"base":"$base","ratios":$ratios}""")
+    spark.stop()
+  }
+}

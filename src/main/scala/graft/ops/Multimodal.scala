@@ -171,7 +171,44 @@ object Multimodal {
       .filter(col("n_copies") > 1)
       .orderBy(col("chunk_md5"))
 
+  /** Contrastive media-text pair assembly (the CLIP-style training-set
+    * builder): every media row paired with its own caption (positive)
+    * and ONE deterministically drawn non-matching caption (negative).
+    * The negative id is a Knuth multiplicative hash of the anchor id mod
+    * N, bumped by one on self-collision — uniform-ish, reproducible run
+    * to run, and oracle-checkable (a production pipeline wants exactly
+    * this property so the pair set is stable across re-runs). Captions
+    * are the first 8 tokens (a stub for a real caption column).
+    *
+    * Scale: captions are a map-side projection of the text table; the
+    * positive attach and the negative draw are two equi-joins keyed by
+    * doc ids (co-partitioned, both sides narrow); media BYTES never
+    * shuffle — only ids, types, lengths and captions move. In-batch
+    * negatives at training time replace the explicit draw; this is the
+    * offline-materialized variant. */
+  def mediaClipPairs(s: SparkSession, dir: String): DataFrame = {
+    val caps = documents(s, dir).select(col("doc_id"),
+      array_join(slice(split(col("text"), " "), 1, 8), " ").as("caption"))
+    val nDf = documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    val media = mediaTable(s, dir).select(col("doc_id"), col("media_type"),
+      octet_length(col("media")).cast("long").as("n_bytes"))
+    val withNeg = media.crossJoin(broadcast(nDf))
+      .withColumn("neg_raw", pmod(col("doc_id") * lit(2654435761L), col("n_docs")))
+      .withColumn("neg_doc_id",
+        when(col("neg_raw") === col("doc_id"),
+          pmod(col("neg_raw") + 1, col("n_docs"))).otherwise(col("neg_raw")))
+      .drop("neg_raw", "n_docs")
+    withNeg
+      .join(caps, Seq("doc_id"))
+      .join(caps.select(col("doc_id").as("neg_doc_id"),
+        col("caption").as("neg_caption")), Seq("neg_doc_id"))
+      .select(col("doc_id"), col("media_type"), col("n_bytes"),
+        col("caption"), col("neg_doc_id"), col("neg_caption"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_clip_pairs" -> mediaClipPairs _,
     "multimodal_meta" -> mediaMeta _,
     "multimodal_decode_stats" -> mediaDecodeStats _,
     "multimodal_resize_stats" -> mediaResizeStats _,
@@ -180,6 +217,29 @@ object Multimodal {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "multimodal_clip_pairs" ->
+      """WITH caps AS (
+        |  SELECT doc_id,
+        |    array_to_string(string_split(text, ' ')[1:8], ' ') AS caption
+        |  FROM documents),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |media AS (
+        |  SELECT doc_id,
+        |    ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+        |    CAST(strlen(text) AS BIGINT) AS n_bytes
+        |  FROM documents),
+        |neg AS (
+        |  SELECT m.doc_id, m.media_type, m.n_bytes,
+        |    CASE WHEN (m.doc_id * 2654435761) % n.n_docs = m.doc_id
+        |         THEN ((m.doc_id * 2654435761) % n.n_docs + 1) % n.n_docs
+        |         ELSE (m.doc_id * 2654435761) % n.n_docs END AS neg_doc_id
+        |  FROM media m CROSS JOIN n)
+        |SELECT g.doc_id, g.media_type, g.n_bytes, p.caption,
+        |  g.neg_doc_id, q.caption AS neg_caption
+        |FROM neg g
+        |JOIN caps p ON p.doc_id = g.doc_id
+        |JOIN caps q ON q.doc_id = g.neg_doc_id
+        |ORDER BY g.doc_id""".stripMargin,
     "multimodal_chunk_dedup" ->
       """WITH m AS (
         |  SELECT doc_id, lower(hex(text)) AS hx FROM documents

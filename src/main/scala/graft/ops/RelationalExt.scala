@@ -650,7 +650,41 @@ object RelationalExt {
       .orderBy(col("event_type"))
   }
 
+  /** Exact-integer Pearson correlation of line-item quantity vs price —
+    * the feature-screening statistic (corr matrix column) computed the
+    * ORACLE-SAFE way: Spark's `corr` accumulates doubles in partition
+    * order (non-deterministic across engines and even across runs), so
+    * instead the five moment sums n, Σx, Σy, Σxy, Σx², Σy² are taken
+    * EXACTLY — x fits long; the y² column would overflow long at
+    * ~1e5 rows, so its sum runs in decimal(38,0) (Spark) / HUGEINT
+    * (DuckDB) — and r = (nΣxy − ΣxΣy)/(√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²)) is
+    * then a fixed dag of IEEE ops (cast, −, ×, √, ÷) over identical
+    * integers: bit-identical across engines. ONE fused hash aggregate,
+    * partial-agg friendly — the same single-pass shape at 100 TB. */
+  def aggCorrLineitem(s: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(s, dir).select(
+      col("l_quantity").cast("long").as("x"),
+      cents(col("l_extendedprice")).as("y"))
+    val dec = (c: Column) => c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    li.agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sum_x"),
+        sum(col("y")).as("sum_y"),
+        sum(dec(col("x") * col("y"))).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(dec(col("y")) * dec(col("y"))).as("syy"))
+      .select(col("n"), col("sum_x"), col("sum_y"),
+        ((dec(col("n")) * col("sxy") - dec(col("sum_x")) * dec(col("sum_y")))
+          .cast("double") /
+          (sqrt((dec(col("n")) * dec(col("sxx")) -
+              dec(col("sum_x")) * dec(col("sum_x"))).cast("double")) *
+            sqrt((dec(col("n")) * col("syy") -
+              dec(col("sum_y")) * dec(col("sum_y"))).cast("double"))))
+          .as("corr_qty_price"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_corr_lineitem" -> aggCorrLineitem _,
     "events_anomaly_mad" -> eventsAnomalyMad _,
     "agg_bitmap_distinct" -> aggBitmapDistinct _,
     "agg_hll_rollup" -> aggHllRollup _, // sketch rollup, tolerance verdicts
@@ -689,6 +723,23 @@ object RelationalExt {
        |FROM orders""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "agg_corr_lineitem" ->
+      """WITH m AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sum_x,
+        |    CAST(sum(y) AS BIGINT) AS sum_y,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM (SELECT CAST(l_quantity AS BIGINT) AS x,
+        |               CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        |        FROM lineitem))
+        |SELECT n, sum_x, sum_y,
+        |  CAST(CAST(n AS HUGEINT) * sxy - CAST(sum_x AS HUGEINT) * sum_y AS DOUBLE) /
+        |    (sqrt(CAST(CAST(n AS HUGEINT) * sxx - CAST(sum_x AS HUGEINT) * sum_x AS DOUBLE)) *
+        |     sqrt(CAST(CAST(n AS HUGEINT) * syy - CAST(sum_y AS HUGEINT) * sum_y AS DOUBLE)))
+        |    AS corr_qty_price
+        |FROM m""".stripMargin,
     "events_anomaly_mad" ->
       """WITH e AS (
         |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc

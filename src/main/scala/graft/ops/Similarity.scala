@@ -354,8 +354,9 @@ object Similarity {
       .orderBy(col("cell"))
   }
 
-  /** ANN index quality report — recall@3 of both approximate indexes
-    * (LSH buckets, IVF cells) against the exact brute-force top-3, as a
+  /** ANN index quality report — recall@3 of the three approximate
+    * methods (LSH buckets, IVF cells, IVF+PQ ADC) against the exact
+    * brute-force top-3, as a
     * declared query: the evaluation a production pipeline runs before
     * trusting an index, and re-runs whenever the corpus drifts. Every
     * branch is the already-oracled pipeline (same cosines, same
@@ -693,8 +694,8 @@ object Similarity {
       |  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cell) = 1)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
-    // recall@3 of both indexes vs the brute-force truth: replays the
-    // three already-green pipelines and counts set hits
+    // recall@3 of all three ANN methods vs the brute-force truth:
+    // replays the already-green pipelines and counts set hits
     "similarity_ann_recall" ->
       s"""WITH $qElems,
          |$duckBuckets,

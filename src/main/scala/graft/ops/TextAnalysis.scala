@@ -227,6 +227,27 @@ object TextAnalysis {
     * genuinely rank different things, which is why production dedup
     * stacks run both. */
   def textTfidfCosine(s: SparkSession, dir: String): DataFrame = {
+    val weighted = tfidfWeighted(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dots = weighted.as("a")
+      .join(weighted.as("b"),
+        col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(sum(col("a.w") * col("b.w")).as("dot"))
+    tfidfCosineOf(dots, weighted)
+  }
+
+  /** Shared salient tf-idf weight relation: (doc_id, term, w) with
+    * integer w = tf · (N·1000 div df), keeping only terms with
+    * df·10 ≤ N. NOTE the salience cap is CORPUS-RELATIVE — sound when
+    * the corpus grows with a stable vocabulary profile, but under
+    * VOCABULARY DRIFT (merging disjoint-vocabulary subcorpora: new
+    * languages, namespaced fields) each subcorpus's locally-common
+    * terms look globally rare, pass the cap, and the exact pair join's
+    * Σdf² volume explodes — the r10 10× scaling probe measured exactly
+    * this (BASELINE.md: 71 756× join volume on a split-vocab corpus).
+    * [[textTfidfCosineLsh]] is the drift-robust scale path. */
+  private def tfidfWeighted(s: SparkSession, dir: String): DataFrame = {
     val docs = documents(s, dir)
     val nDf = docs.agg(count(lit(1)).as("n_docs"))
     val tf = docs
@@ -234,19 +255,19 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val weighted = tf.join(broadcast(df), Seq("term"))
+    tf.join(broadcast(df), Seq("term"))
       .crossJoin(broadcast(nDf))
       .filter(col("df") * 10 <= col("n_docs")) // salient terms only
       .select(col("doc_id"), col("term"),
         (col("tf") * expr("n_docs * 1000L div df")).as("w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Attach norms and emit the thresholded cosine rows — shared by the
+    * exact pair join and the LSH candidate verify (identical formula,
+    * so the LSH result is provably a SUBSET of the exact result). */
+  private def tfidfCosineOf(dots: DataFrame, weighted: DataFrame): DataFrame = {
     val norms = weighted.groupBy(col("doc_id"))
       .agg(sum(col("w") * col("w")).as("n2"))
-    val dots = weighted.as("a")
-      .join(weighted.as("b"),
-        col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(sum(col("a.w") * col("b.w")).as("dot"))
     dots
       .join(norms.select(col("doc_id").as("a_id"), col("n2").as("na")), "a_id")
       .join(norms.select(col("doc_id").as("b_id"), col("n2").as("nb")), "b_id")
@@ -255,6 +276,90 @@ object TextAnalysis {
           sqrt(col("na").cast("double") * col("nb").cast("double"))).as("cosine"))
       .filter(col("cosine") >= 0.5)
       .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private val TfidfTables = 8
+  private val TfidfPlanes = 4
+
+  /** SRP-LSH buckets over the sparse tf-idf vectors: one row per
+    * (doc, hash table). Plane weights are ±1 per (plane, term), derived
+    * from an md5-based term hash through an LCG — pure integer math both
+    * engines replay exactly; sign(Σ w·s) = sign(Σ ŵ·s), so raw integer
+    * weights give the exact same buckets as normalized ones. */
+  private def tfidfBuckets(weighted: DataFrame,
+      tables: Int, planesPerTable: Int): DataFrame = {
+    val planes = tables * planesPerTable
+    weighted
+      .withColumn("h",
+        expr("CAST(conv(substring(md5(term), 1, 8), 16, 10) AS BIGINT)"))
+      .select(col("doc_id"), col("w"), col("h"),
+        explode(expr(s"sequence(0, ${planes - 1})")).as("p"))
+      .groupBy(col("doc_id"), col("p"))
+      .agg(sum(when(
+          expr("((h + p * 2654435761L) % 1000003L) * 1103515245L % 65536 < 32768"),
+          col("w")).otherwise(-col("w"))).as("sp"))
+      .groupBy(col("doc_id"), expr(s"p div $planesPerTable").as("tbl"))
+      .agg(sum(when(col("sp") > 0,
+          expr(s"shiftleft(1L, CAST(p % $planesPerTable AS INT))"))
+        .otherwise(lit(0L))).as("bucket"))
+  }
+
+  /** All-pairs tf-idf cosine via SRP-LSH candidates + exact verify — the
+    * DRIFT-ROBUST scale path for [[textTfidfCosine]] (which, like
+    * `dedup_ngram_jaccard`, stays declared as the exact A/B baseline).
+    * Candidate volume is Σ_buckets |bucket|² over 8 independent 4-bit
+    * tables — governed by how the corpus spreads in weighted-angle
+    * space, NOT by posting-list lengths, so merging disjoint-vocabulary
+    * subcorpora (the probe corpus that blows the exact join up 71 756×)
+    * leaves it near-linear: cross-subcorpus docs are orthogonal and
+    * only collide at the 1/16-per-table background rate. Verification
+    * recomputes the EXACT cosine (same `tfidfCosineOf`), so output ⊆
+    * exact output; per-pair recall at cosine ≥ 0.5 is
+    * 1 − (1 − (2/3)⁴)⁸ ≈ 0.83 (arccos identity), measured by
+    * [[textTfidfLshRecall]]. This candidates-then-verify split is the
+    * same production shape as `dedup_minhash_lsh` for Jaccard. */
+  def textTfidfCosineLsh(s: SparkSession, dir: String): DataFrame =
+    textTfidfCosineLshAt(s, dir, TfidfTables, TfidfPlanes)
+
+  /** Parameterized LSH path — table count and bits-per-table are THE
+    * corpus-size knobs (bits ≈ log2(n_docs) − log2(target bucket size),
+    * so bucket occupancy and the Σ|bucket|² candidate volume stay flat
+    * as the corpus grows; the declared 8×4 is calibrated to the fixture,
+    * the 10× probe runs wider buckets per this rule — BASELINE.md). */
+  private[graft] def textTfidfCosineLshAt(s: SparkSession, dir: String,
+      tables: Int, planesPerTable: Int): DataFrame = {
+    val weighted = tfidfWeighted(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buckets = tfidfBuckets(weighted, tables, planesPerTable)
+    val cand = buckets.as("a").join(buckets.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    val dots = cand
+      .join(weighted.select(col("doc_id").as("a_id"), col("term"),
+        col("w").as("wa")), Seq("a_id"))
+      .join(weighted.select(col("doc_id").as("b_id"), col("term"),
+        col("w").as("wb")), Seq("b_id", "term"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(sum(col("wa") * col("wb")).as("dot"))
+    tfidfCosineOf(dots, weighted)
+  }
+
+  /** Recall report of the LSH path against the exact baseline — one row
+    * (n_exact, n_found, recall). found ⊆ exact by construction (same
+    * verify formula), so recall is the only quality number needed. At
+    * 100 TB the truth side runs on a sampled slice; here the fixture is
+    * small enough to compare in full. */
+  def textTfidfLshRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = textTfidfCosine(s, dir)
+      .agg(count(lit(1)).as("n_exact"))
+    val found = textTfidfCosineLsh(s, dir)
+      .agg(count(lit(1)).as("n_found"))
+    exact.crossJoin(broadcast(found))
+      .select(col("n_exact"), col("n_found"),
+        (col("n_found").cast("double") / col("n_exact").cast("double"))
+          .as("recall"))
   }
 
   /** Benchmark decontamination — the training-data hygiene op: flag every
@@ -511,7 +616,89 @@ object TextAnalysis {
       .orderBy(col("r"))
   }
 
+  /** Per-source token-distribution drift as TOTAL VARIATION DISTANCE
+    * against the rest of the corpus — the "which ingest source changed
+    * under us?" monitor a production pipeline runs per snapshot. TVD is
+    * chosen over KL/JS deliberately: it needs no logarithms, so the
+    * whole statistic is exact integer arithmetic (counts and products)
+    * with ONE final IEEE division — bit-identical across engines, where
+    * a log-based divergence would sum non-correctly-rounded transcendentals
+    * in engine-specific order.
+    *
+    * Identity that keeps it one-pass over each source's OWN vocabulary
+    * (never source × corpus-vocab):
+    *   2·NS·NR·TVD = Σ_{t∈S} |cS·NR − cR·NS| + NS·(NR − Σ_{t∈S} cR)
+    * (the closed form folds every token ABSENT from the source). Long
+    * headroom: each |term| ≤ NS·NR and the sum ≤ 2·NS·NR ≈ 2.5e10 at
+    * sf0.1 — decimal(38,0) sums are the drop-in swap past ~1e18.
+    *
+    * Scale: one (source, token) aggregate, one token-keyed join of the
+    * per-source counts to the corpus counts (both aggregates, partial-agg
+    * friendly), a ≤|sources|-row broadcast of NS, one scalar N. */
+  def textTvdDrift(s: SparkSession, dir: String): DataFrame = {
+    val tok = documents(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+    val perSrc = tok.groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("c_s"))
+    val corpus = tok.groupBy(col("token")).agg(count(lit(1)).as("c_t"))
+    val ns = perSrc.groupBy(col("source")).agg(sum(col("c_s")).as("n_s"))
+    val n = ns.agg(sum(col("n_s")).as("n_total"))
+    perSrc.join(corpus, Seq("token"))
+      .join(broadcast(ns), Seq("source"))
+      .crossJoin(broadcast(n))
+      .groupBy(col("source"))
+      .agg(
+        first(col("n_s")).as("n_tokens_src"),
+        first(col("n_total") - col("n_s")).as("n_tokens_rest"),
+        sum(abs(col("c_s") * (col("n_total") - col("n_s")) -
+          (col("c_t") - col("c_s")) * col("n_s"))).as("present_term"),
+        sum(col("c_t") - col("c_s")).as("rest_mass_present"))
+      .select(col("source"), col("n_tokens_src"), col("n_tokens_rest"),
+        ((col("present_term") +
+          col("n_tokens_src") * (col("n_tokens_rest") - col("rest_mass_present")))
+          .cast("double") /
+          (lit(2.0) * col("n_tokens_src").cast("double") *
+            col("n_tokens_rest").cast("double"))).as("tvd"))
+      .orderBy(col("source"))
+  }
+
+  /** Vocabulary growth curve (Heaps' law readout): documents in doc_id
+    * order, bucketed 50 at a time; per bucket the number of NEW word
+    * types (tokens whose first occurrence falls in the bucket), the
+    * token volume, and both cumulatives — the saturation diagnostic
+    * ("is new data still adding vocabulary?") a corpus-curation pipeline
+    * tracks per ingest batch. First occurrence = min(doc_id) per token,
+    * one partial-agg-friendly aggregate; the cumulative window is
+    * UNPARTITIONED but input-bounded by construction (≤ n_docs/50 bucket
+    * rows, sitting above the bucket aggregates — PlanSpec's global-window
+    * guard pins this). */
+  def textVocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    val bucketW = 50L
+    val tok = documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val newTypes = tok.groupBy(col("token"))
+      .agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(expr(s"first_doc div $bucketW").as("bucket"))
+      .agg(count(lit(1)).as("n_new_types"))
+    val volume = tok
+      .groupBy(expr(s"doc_id div $bucketW").as("bucket"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count_distinct(col("doc_id")).as("n_docs"))
+    val w = Window.orderBy(col("bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    volume.join(newTypes, Seq("bucket"), "left_outer")
+      .select(col("bucket"), col("n_docs"), col("n_tokens"),
+        coalesce(col("n_new_types"), lit(0L)).as("n_new_types"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("cum_types", sum(col("n_new_types")).over(w))
+      .orderBy(col("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tvd_drift" -> textTvdDrift _,
+    "text_vocab_growth" -> textVocabGrowth _,
+    "text_tfidf_cosine_lsh" -> textTfidfCosineLsh _,
+    "text_tfidf_lsh_recall" -> textTfidfLshRecall _,
     "text_freq_spectrum" -> textFreqSpectrum _,
     "text_vocab_build" -> textVocabBuild _,
     "text_simpson_diversity" -> textSimpsonDiversity _,
@@ -533,7 +720,126 @@ object TextAnalysis {
     "text_fingerprint" -> textFingerprint _,
   )
 
+  /** Shared oracle CTE block for the tf-idf LSH path: salient weights
+    * (w MATERIALIZED — referenced by buckets, verify, and norms), SRP
+    * buckets from the md5-term-hash LCG planes, candidate pairs, and
+    * the exact-verified thresholded pair set `lshpairs`. Mirrors
+    * [[tfidfWeighted]]/[[tfidfBuckets]]/[[textTfidfCosineLsh]]. */
+  private val tfidfLshCte =
+    """n AS (SELECT count(*) AS n_docs FROM documents),
+      |tf AS (
+      |  SELECT doc_id, term, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |        FROM documents) t
+      |  GROUP BY doc_id, term),
+      |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+      |w AS MATERIALIZED (
+      |  SELECT tf.doc_id, tf.term,
+      |    CAST(tf.tf * ((n.n_docs * 1000) // df.df) AS BIGINT) AS w
+      |  FROM tf JOIN df ON tf.term = df.term, n
+      |  WHERE df.df * 10 <= n.n_docs),
+      |norms AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2
+      |          FROM w GROUP BY doc_id),
+      |hterm AS (
+      |  SELECT doc_id, term, w,
+      |    CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) AS h
+      |  FROM w),
+      |bits AS (
+      |  SELECT doc_id, p.p AS p,
+      |    CAST(sum(CASE WHEN ((h + p.p * 2654435761) % 1000003)
+      |                       * 1103515245 % 65536 < 32768
+      |             THEN w ELSE -w END) AS BIGINT) AS sp
+      |  FROM hterm, range(32) p(p) GROUP BY 1, 2),
+      |buckets AS MATERIALIZED (
+      |  SELECT doc_id, p // 4 AS tbl,
+      |    CAST(sum(CASE WHEN sp > 0 THEN 1 << CAST(p % 4 AS INT) ELSE 0 END)
+      |      AS BIGINT) AS bucket
+      |  FROM bits GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM buckets a JOIN buckets b
+      |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+      |cdots AS (
+      |  SELECT c.a_id, c.b_id, CAST(sum(x.w * y.w) AS BIGINT) AS dot
+      |  FROM cand c
+      |  JOIN w x ON x.doc_id = c.a_id
+      |  JOIN w y ON y.doc_id = c.b_id AND y.term = x.term
+      |  GROUP BY 1, 2),
+      |lshpairs AS (
+      |  SELECT a_id, b_id, cosine FROM (
+      |    SELECT d.a_id, d.b_id,
+      |      CAST(d.dot AS DOUBLE) /
+      |        sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cosine
+      |    FROM cdots d
+      |    JOIN norms na ON na.doc_id = d.a_id
+      |    JOIN norms nb ON nb.doc_id = d.b_id)
+      |  WHERE cosine >= 0.5)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "text_tfidf_cosine_lsh" ->
+      s"""WITH $tfidfLshCte
+         |SELECT a_id, b_id, cosine FROM lshpairs
+         |ORDER BY a_id, b_id""".stripMargin,
+    "text_tfidf_lsh_recall" ->
+      s"""WITH $tfidfLshCte,
+         |edots AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    CAST(sum(a.w * b.w) AS BIGINT) AS dot
+         |  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |epairs AS (
+         |  SELECT a_id, b_id FROM (
+         |    SELECT d.a_id, d.b_id,
+         |      CAST(d.dot AS DOUBLE) /
+         |        sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cosine
+         |    FROM edots d
+         |    JOIN norms na ON na.doc_id = d.a_id
+         |    JOIN norms nb ON nb.doc_id = d.b_id)
+         |  WHERE cosine >= 0.5)
+         |SELECT
+         |  CAST((SELECT count(*) FROM epairs) AS BIGINT) AS n_exact,
+         |  CAST((SELECT count(*) FROM lshpairs) AS BIGINT) AS n_found,
+         |  CAST((SELECT count(*) FROM lshpairs) AS DOUBLE) /
+         |    CAST((SELECT count(*) FROM epairs) AS DOUBLE) AS recall""".stripMargin,
+    "text_tvd_drift" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+        |per_src AS (SELECT source, token, count(*) AS c_s FROM tok GROUP BY 1, 2),
+        |corpus AS (SELECT token, count(*) AS c_t FROM tok GROUP BY 1),
+        |ns AS (SELECT source, CAST(sum(c_s) AS BIGINT) AS n_s FROM per_src GROUP BY 1),
+        |n AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_total FROM ns),
+        |terms AS (
+        |  SELECT p.source, ns.n_s AS n_s, n.n_total - ns.n_s AS n_r,
+        |    CAST(sum(abs(p.c_s * (n.n_total - ns.n_s) - (c.c_t - p.c_s) * ns.n_s))
+        |      AS BIGINT) AS present_term,
+        |    CAST(sum(c.c_t - p.c_s) AS BIGINT) AS rest_mass
+        |  FROM per_src p
+        |  JOIN corpus c USING (token)
+        |  JOIN ns USING (source)
+        |  CROSS JOIN n
+        |  GROUP BY 1, 2, 3)
+        |SELECT source, n_s AS n_tokens_src, n_r AS n_tokens_rest,
+        |  CAST(present_term + n_s * (n_r - rest_mass) AS DOUBLE) /
+        |    (2.0 * CAST(n_s AS DOUBLE) * CAST(n_r AS DOUBLE)) AS tvd
+        |FROM terms ORDER BY source""".stripMargin,
+    "text_vocab_growth" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |nt AS (
+        |  SELECT first_doc // 50 AS bucket, count(*) AS n_new_types FROM (
+        |    SELECT token, min(doc_id) AS first_doc FROM tok GROUP BY token)
+        |  GROUP BY 1),
+        |vol AS (
+        |  SELECT doc_id // 50 AS bucket, count(*) AS n_tokens,
+        |         count(DISTINCT doc_id) AS n_docs
+        |  FROM tok GROUP BY 1)
+        |SELECT v.bucket, v.n_docs, v.n_tokens,
+        |  COALESCE(nt.n_new_types, 0) AS n_new_types,
+        |  CAST(sum(v.n_tokens) OVER (ORDER BY v.bucket) AS BIGINT) AS cum_tokens,
+        |  CAST(sum(COALESCE(nt.n_new_types, 0)) OVER (ORDER BY v.bucket)
+        |    AS BIGINT) AS cum_types
+        |FROM vol v LEFT JOIN nt ON nt.bucket = v.bucket
+        |ORDER BY v.bucket""".stripMargin,
     "text_freq_spectrum" ->
       """WITH c AS (
         |  SELECT token, count(*) AS r FROM (

@@ -374,7 +374,7 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("struct<c_custkey:bigint>"), s"anti scan not pruned:\n$p")
   }
 
-  test("the three deliberate global windows stay input-bounded by construction") {
+  test("the deliberate global windows stay input-bounded by construction") {
     // These queries run an UNPARTITIONED window on purpose — legitimate
     // only because the window input is bounded before it (SCALE.md).
     // These guards stop a refactor from silently feeding them unbounded
@@ -412,6 +412,16 @@ class PlanSpec extends AnyFunSuite {
     fsWins.foreach { w =>
       assert(w.find(_.isInstanceOf[BaseAggregateExec]).isDefined,
         s"freq-spectrum window input is not the spectrum aggregate:\n$fs")
+    }
+    // text_vocab_growth: the cumulative window must sit above the
+    // per-bucket aggregates (≤ n_docs/50 rows), never the token relation
+    val vg = ops.TextAnalysis.textVocabGrowth(spark, dir)
+      .queryExecution.sparkPlan
+    val vgWins = vg.collect { case w: WindowExec => w }
+    assert(vgWins.nonEmpty, s"no window in vocab-growth plan:\n$vg")
+    vgWins.foreach { w =>
+      assert(w.find(_.isInstanceOf[BaseAggregateExec]).isDefined,
+        s"vocab-growth window input is not the bucket aggregate:\n$vg")
     }
   }
 

@@ -140,4 +140,17 @@ class RelationalSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("exact-integer Pearson corr matches Spark's double-accumulated corr to 1e-9") {
+    val row = ops.RelationalExt.aggCorrLineitem(spark, dir).collect()(0)
+    val r = row.getDouble(3)
+    assert(r >= -1.0 && r <= 1.0)
+    // the built-in accumulates doubles (non-deterministic order, hence
+    // not oracle-safe) but must agree to ~1e-9 with the exact-moment form
+    val builtin = Tables.lineitem(spark, dir)
+      .select(corr(col("l_quantity").cast("double"),
+        Tables.cents(col("l_extendedprice")).cast("double")).as("c"))
+      .collect()(0).getDouble(0)
+    assert(math.abs(r - builtin) < 1e-9, s"exact=$r builtin=$builtin")
+  }
 }

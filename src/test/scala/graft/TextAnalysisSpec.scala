@@ -48,6 +48,82 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rows.last.isNullAt(3)) // no r+1 above the max frequency
   }
 
+  test("tf-idf LSH pairs are a subset of the exact pairs with identical cosines") {
+    val exact = ops.TextAnalysis.textTfidfCosine(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = ops.TextAnalysis.textTfidfCosineLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    assert(lsh.nonEmpty)
+    // found ⊆ exact, and the verify recomputed the identical cosine
+    lsh.foreach { case (pair, cos) =>
+      assert(exact.contains(pair), s"LSH invented pair $pair")
+      assert(exact(pair) === cos, s"cosine mismatch for $pair")
+    }
+    // the recall report is consistent with the two pair sets
+    val rec = ops.TextAnalysis.textTfidfLshRecall(spark, dir).collect()(0)
+    assert(rec.getLong(0) === exact.size.toLong)
+    assert(rec.getLong(1) === lsh.length.toLong)
+    assert(rec.getDouble(2) === lsh.length.toDouble / exact.size)
+    assert(rec.getDouble(2) > 0.5) // 8 tables x 4 planes on the fixture
+    // wider buckets (the scale-calibrated config) still verify exactly
+    val wide = ops.TextAnalysis.textTfidfCosineLshAt(spark, dir, 16, 12).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    wide.foreach { case (pair, cos) =>
+      assert(exact.contains(pair) && exact(pair) === cos, s"16x12 pair $pair")
+    }
+  }
+
+  test("TVD drift: bounds, identity on a self-comparison slice, brute-force agreement") {
+    import org.apache.spark.sql.functions._
+    val rows = ops.TextAnalysis.textTvdDrift(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // TVD is a metric on distributions: always within [0, 1]
+    rows.foreach { case (src0, ns, nr, tvd) =>
+      assert(tvd >= 0.0 && tvd <= 1.0, s"$src0 tvd=$tvd")
+      assert(ns > 0 && nr > 0)
+    }
+    // brute force one source end-to-end over the FULL union vocabulary
+    // (the query uses the folded absent-token closed form — must agree)
+    val (srcName, _, _, got) = rows.head
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("t"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val inS = toks.filter(_._1 == srcName).map(_._2)
+    val inR = toks.filter(_._1 != srcName).map(_._2)
+    val cS = inS.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cR = inR.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val (ns, nr) = (inS.length.toLong, inR.length.toLong)
+    val num = (cS.keySet ++ cR.keySet).toSeq.map(t =>
+      math.abs(cS.getOrElse(t, 0L) * nr - cR.getOrElse(t, 0L) * ns)).sum
+    assert(got === num.toDouble / (2.0 * ns * nr), s"$srcName brute-force TVD")
+  }
+
+  test("vocab growth: cumulatives monotone, totals close over the corpus") {
+    val rows = ops.TextAnalysis.textVocabGrowth(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    import org.apache.spark.sql.functions._
+    val tok = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("t"))
+    val (totTok, totTypes) = (tok.count(), tok.distinct().count())
+    // last cumulative row covers the whole corpus exactly
+    assert(rows.last._5 === totTok && rows.last._6 === totTypes)
+    // cum columns are running sums of the per-bucket columns, so they
+    // are monotone and each bucket's new types can't exceed its tokens
+    rows.foreach { case (_, nDocs, nTok, nNew, _, _) =>
+      assert(nNew <= nTok && nDocs >= 1)
+    }
+    assert(rows.map(_._3).sum === totTok)
+    assert(rows.map(_._4).sum === totTypes)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b._1 > a._1 && b._5 === a._5 + b._3 && b._6 === a._6 + b._4)
+      case _ =>
+    }
+  }
+
   test("tf-idf cosine inverted index carries salient terms only (df-cap)") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, dir)
