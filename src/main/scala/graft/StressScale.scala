@@ -51,6 +51,12 @@ object StressScale {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val scale = if (args.length > 1) args(1).toInt else 10
     val out = if (args.length > 2) args(2) else "/tmp/graft_scale"
+    // optional probe subset (comma-separated names), for re-running one
+    // family without paying the full sweep
+    val probes = if (args.length > 3) {
+      val want = args(3).split(",").map(_.trim).toSet
+      Probes.filter(p => want.contains(p._1))
+    } else Probes
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -98,9 +104,9 @@ object StressScale {
     }
     // warm up codegen/classloading before the first timed query
     spark.range(1000000).selectExpr("sum(id)").collect()
-    try time(Probes.head._2, base) catch { case _: Throwable => }
+    try time(probes.head._2, base) catch { case _: Throwable => }
 
-    val mins = for (dir <- Seq(base, out); (name, q) <- Probes) yield {
+    val mins = for (dir <- Seq(base, out); (name, q) <- probes) yield {
       val p1 = time(q, dir)
       val p2 = time(q, dir)
       val m = math.min(p1, p2)
@@ -109,7 +115,7 @@ object StressScale {
     }
     val at1 = mins.filter(_._2 == base).map(t => t._1 -> t._3).toMap
     val atS = mins.filter(_._2 == out).map(t => t._1 -> t._3).toMap
-    val ratios = Probes.map(_._1).map(n =>
+    val ratios = probes.map(_._1).map(n =>
         s""""$n":{"t1":${fmt(at1(n))},"tS":${fmt(atS(n))},"ratio":${fmt(atS(n) / at1(n))}}""")
       .mkString("{", ",", "}")
     println(s"""{"metric":"scale_probe","scale":$scale,"base":"$base","ratios":$ratios}""")

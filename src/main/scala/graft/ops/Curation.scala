@@ -106,6 +106,73 @@ object Curation {
       .orderBy(col("lang"))
   }
 
+  /** Effective-dataset-size accounting — the number every dataset card
+    * reports: per source, raw docs/tokens vs docs/tokens SURVIVING
+    * cluster dedup (one representative per near-dup component), and the
+    * surviving fraction. Composes the stored component-label index with
+    * a per-source aggregate: the corpus is scanned once, labels arrive
+    * as a broadcast-sized left join (only docs in some pair have a
+    * label row), and the result is a source-cardinality table. At
+    * 100 TB this is the cheap monthly readout OFF the already-built
+    * index — no re-pairing, no text comparison. */
+  def curationEffectiveTokens(s: SparkSession, dir: String): DataFrame = {
+    val losers = Indexes.componentLabels(s, dir)
+      .filter(col("node") =!= col("label"))
+      .select(col("node").as("doc_id"), lit(1L).as("is_loser"))
+    documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .join(losers, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(when(col("is_loser").isNull, 1L).otherwise(0L)).as("n_docs_kept"),
+        sum(when(col("is_loser").isNull, col("n_tok")).otherwise(0L))
+          .as("n_tokens_kept"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_docs_kept"), col("n_tokens_kept"),
+        (col("n_tokens_kept").cast("double") / col("n_tokens").cast("double"))
+          .as("kept_frac"))
+      .orderBy(col("source"))
+  }
+
+  /** Temperature-based source mixing (α = 0.5) — the multilingual/
+    * multi-source training recipe (Conneau & Lample 2019 §3.1): sample
+    * sources proportional to n_s^α so small sources are up-weighted
+    * relative to their raw share, targeting half the corpus overall.
+    * Per-source keep probability p_s = (N/2)·(w_s/W)/n_s with
+    * w_s = ⌊√(n_s·10⁶)⌋ — an INTEGER weight, so the normalizer W is an
+    * exact integer sum (a floating Σ√n_s would be partition-order-
+    * dependent) and p_s is one fixed IEEE dag over exact integers. The
+    * per-doc coin is the engine-portable LCG on doc_id (the
+    * `text_sample_hash` coin): a re-run — or another engine — selects
+    * the SAME sample. Shape: one source-cardinality aggregate, a
+    * broadcast rates join, a map-side coin; no corpus shuffle. */
+  def curationMixtureSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir).select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val per = docs.groupBy(col("source")).agg(count(lit(1)).as("n_raw"))
+      .withColumn("w", floor(sqrt(col("n_raw").cast("double") * 1000000.0)))
+    val tot = per.agg(sum(col("n_raw")).as("n_total"), sum(col("w")).as("w_total"))
+    val rates = per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_raw"),
+        least(lit(1.0),
+          (col("n_total").cast("double") * col("w").cast("double")) /
+            ((lit(2.0) * col("w_total").cast("double")) * col("n_raw").cast("double")))
+          .as("p_keep"))
+    val coin = pmod(col("doc_id") * 1103515245L + 12345L, lit(2147483647L))
+      .cast("double") / 2147483647.0
+    val kept = docs.join(broadcast(rates), Seq("source"))
+      .filter(coin < col("p_keep"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_tok")).as("n_tokens_kept"))
+    rates.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_raw"), col("p_keep"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"))
+      .orderBy(col("source"))
+  }
+
   /** Leakage-safe train/val/test split — assignment is keyed by the
     * near-dup COMPONENT, not the document: hashing doc_ids independently
     * would scatter near-duplicates of the same source across train and
@@ -653,6 +720,8 @@ object Curation {
     "dedup_levenshtein_names" -> dedupLevenshteinNames _,
     "dedup_clusters" -> dedupClusters _,
     "pipeline_cluster_dedup" -> pipelineClusterDedup _,
+    "curation_effective_tokens" -> curationEffectiveTokens _,
+    "curation_mixture_sample" -> curationMixtureSample _,
     "split_leakage_safe" -> splitLeakageSafe _,
     "split_kfold" -> splitKfold _,
     "text_repetition" -> textRepetition _,
@@ -690,6 +759,67 @@ object Curation {
       |SELECT component, count(*) AS n_docs,
       |       array_to_string(list_sort(list(node)), ',') AS members
       |FROM comp GROUP BY component ORDER BY component""".stripMargin
+
+  // same recursive-closure prefix; raw vs surviving docs/tokens per source
+  private val effectiveTokensSql =
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id, n_chars,
+      |    list_distinct([array_to_string(words[i:i+2], ' ')
+      |                   FOR i IN range(1, len(words) - 1)]) AS shingles
+      |  FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS words FROM documents)
+      |  WHERE len(words) >= 3),
+      |pairs AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM sh a JOIN sh b
+      |    ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 100
+      |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+      |        CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.5),
+      |edges AS (
+      |  SELECT a_id AS src, b_id AS dst FROM pairs
+      |  UNION ALL SELECT b_id, a_id FROM pairs),
+      |reach(node, label) AS (
+      |  SELECT DISTINCT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node),
+      |comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+      |losers AS (SELECT node AS doc_id FROM comp WHERE node <> component),
+      |d AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |    CASE WHEN doc_id IN (SELECT doc_id FROM losers) THEN 1 ELSE 0 END AS is_loser
+      |  FROM documents)
+      |SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+      |  CAST(count(*) FILTER (WHERE is_loser = 0) AS BIGINT) AS n_docs_kept,
+      |  CAST(sum(n_tok) FILTER (WHERE is_loser = 0) AS BIGINT) AS n_tokens_kept,
+      |  CAST(sum(n_tok) FILTER (WHERE is_loser = 0) AS DOUBLE) /
+      |    CAST(sum(n_tok) AS DOUBLE) AS kept_frac
+      |FROM d GROUP BY source ORDER BY source""".stripMargin
+
+  // integer-weight temperature mixing: exact normalizer, LCG coin replay
+  private val mixtureSampleSql =
+    """WITH per AS MATERIALIZED (
+      |  SELECT source, count(*) AS n_raw,
+      |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE) * 1000000.0)) AS BIGINT) AS w
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(sum(n_raw) AS BIGINT) AS n_total,
+      |               CAST(sum(w) AS BIGINT) AS w_total FROM per),
+      |rates AS MATERIALIZED (
+      |  SELECT source, n_raw, least(1.0,
+      |    (CAST(n_total AS DOUBLE) * CAST(w AS DOUBLE)) /
+      |    ((2.0 * CAST(w_total AS DOUBLE)) * CAST(n_raw AS DOUBLE))) AS p_keep
+      |  FROM per CROSS JOIN tot),
+      |kept AS (
+      |  SELECT d.source, count(*) AS n_kept,
+      |    CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS n_tokens_kept
+      |  FROM documents d JOIN rates r ON d.source = r.source
+      |  WHERE CAST((d.doc_id * 1103515245 + 12345) % 2147483647 AS DOUBLE) /
+      |        2147483647.0 < r.p_keep
+      |  GROUP BY d.source)
+      |SELECT r.source, CAST(r.n_raw AS BIGINT) AS n_raw, r.p_keep,
+      |  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+      |  CAST(COALESCE(k.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept
+      |FROM rates r LEFT JOIN kept k ON k.source = r.source
+      |ORDER BY r.source""".stripMargin
 
   // shared recursive-closure prefix, aggregated per-language after
   // dropping every non-representative component member
@@ -1004,6 +1134,8 @@ object Curation {
         |FROM pairs GROUP BY p_size ORDER BY p_size""".stripMargin,
     "dedup_clusters" -> clustersSql,
     "pipeline_cluster_dedup" -> clusterDedupSql,
+    "curation_effective_tokens" -> effectiveTokensSql,
+    "curation_mixture_sample" -> mixtureSampleSql,
     "split_leakage_safe" -> leakageSplitSql,
     "split_kfold" -> kfoldSql,
     "text_repetition" -> repetitionSql,

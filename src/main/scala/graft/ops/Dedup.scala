@@ -35,7 +35,7 @@ object Dedup {
     * words are excluded BEFORE the sequence is built (sequence(0, -1)
     * descends and slice() then throws at runtime) — mirroring the
     * oracle's `WHERE len(words) >= 3` guard. */
-  private def shingled(df: DataFrame): DataFrame =
+  private[graft] def shingled(df: DataFrame): DataFrame =
     df.filter(size(split(col("text"), " ")) >= 3)
       // codegen'd one-pass shingler (≡ array_distinct ∘ transform ∘
       // slice HOF pipeline — equivalence pinned in VectorExpressionsSpec;
@@ -235,20 +235,25 @@ object Dedup {
   /** (doc_id, band, bucket) LSH banding of a shingled relation — the
     * stored-index row format (the relation `dedupMinhashLsh` computes
     * inline; factored out so the incremental path below can band the
-    * corpus and a new batch with the same signature parameters). */
-  private def bandedSigs(sh: DataFrame): DataFrame = {
+    * corpus and a new batch with the same signature parameters; `keep`
+    * carries payload columns through the banding for the STREAMING
+    * admission probe, where the new document's shingles must travel with
+    * its band rows — a stream cannot re-join to itself for verification).
+    */
+  private[graft] def bandedSigs(sh: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     val sigs = sh
       .withColumn("hs",
         graft.functions.VectorExpressions.xxhashModArray(col("shingles"), P))
-      .select(col("doc_id"),
+      .select(col("doc_id") +: keep.map(col) :+
         graft.functions.VectorExpressions
-          .universalMinhash(col("hs"), MinhashPerms, P).as("mh"))
+          .universalMinhash(col("hs"), MinhashPerms, P).as("mh"): _*)
     val bands = (0 until Bands).map { bnd =>
       val cols = (0 until 4).map(r => col("mh").getItem(bnd * 4 + r))
       struct(lit(bnd).as("band"), hash(cols: _*).as("bucket")).as(s"b_$bnd")
     }
-    sigs.select(col("doc_id"), explode(array(bands: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    sigs.select(col("doc_id") +: keep.map(col) :+ explode(array(bands: _*)).as("bb"): _*)
+      .select(col("doc_id") +: keep.map(col) :+
+        col("bb.band").as("band") :+ col("bb.bucket").as("bucket"): _*)
   }
 
   /** INCREMENTAL MinHash dedup — the shape a production pipeline runs

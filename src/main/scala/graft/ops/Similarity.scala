@@ -601,7 +601,48 @@ object Similarity {
         .as("centroid"), count(lit(1)).as("n_vectors"))
       .orderBy(col("label"), col("dim"))
 
+  /** Matryoshka-truncation evaluation — recall@5 of PREFIX-dimension
+    * cosine top-5 (dims 8/16/32) against the full-64-dim truth, per the
+    * MRL deployment question: how few leading dimensions does this
+    * corpus need before ANN quality collapses? (Kusupati et al. 2022
+    * train embeddings so prefixes are usable; this measures whether a
+    * given corpus's vectors have that property.) Each dim is the same
+    * broadcast map-only scan as `similarity_cosine_topk` over `slice`d
+    * arrays — truncation costs a narrower dot product, nothing else; at
+    * 100 TB the 8-dim pass reads 1/8 the vector bytes, which is the
+    * entire point of shipping truncated embeddings. Exact-integer dots
+    * on the quantized prefixes keep the whole report oracle-replayable. */
+  def matryoshkaRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir).select(col("vec_id"), quantize.as("q"))
+    def topk(d: Int): DataFrame = {
+      val t = e.select(col("vec_id"), expr(s"slice(q, 1, $d)").as("qd"))
+        .select(col("vec_id"), col("qd"), dot("qd", "qd").as("n2"))
+      val qs = t.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("qd").as("qe"), col("n2").as("qn"))
+      val cand = t.select(col("vec_id").as("cand_id"), col("qd").as("ce"),
+        col("n2").as("cn"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("cand_id").asc)
+      cand.crossJoin(broadcast(qs))
+        .filter(col("query_id") =!= col("cand_id"))
+        .select(col("query_id"), col("cand_id"),
+          (dot("qe", "ce").cast("double") /
+            sqrt(col("qn").cast("double") * col("cn").cast("double"))).as("cosine"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select(lit(d.toLong).as("dim"), col("query_id"), col("cand_id"))
+    }
+    val truth = topk(64).select(col("query_id"), col("cand_id"), lit(1L).as("hit"))
+    Seq(8, 16, 32).map(topk).reduce(_ unionByName _)
+      .join(truth, Seq("query_id", "cand_id"), "left")
+      .groupBy(col("dim"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("dim"), col("n_hits"),
+        (col("n_hits").cast("double") / lit(40.0)).as("recall"))
+      .orderBy(col("dim"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "similarity_matryoshka_recall" -> matryoshkaRecall _,
     "similarity_cosine_topk" -> cosineTopK _,
     "similarity_lsh_buckets" -> lshBuckets _,
     "similarity_lsh_ann" -> lshAnnTopK _,
@@ -694,6 +735,36 @@ object Similarity {
       |  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cell) = 1)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // prefix-dim top-5 per (dim, query) vs the d=64 truth, hits counted
+    "similarity_matryoshka_recall" ->
+      s"""WITH $qElems,
+         |dims(d) AS (VALUES (8), (16), (32), (64)),
+         |pnorm AS MATERIALIZED (
+         |  SELECT dm.d, vec_id, CAST(sum(v * v) AS BIGINT) AS n2
+         |  FROM qe JOIN dims dm ON qe.i <= dm.d GROUP BY dm.d, vec_id),
+         |pdot AS MATERIALIZED (
+         |  SELECT dm.d, a.vec_id AS qid, b.vec_id AS cid,
+         |         CAST(sum(a.v * b.v) AS BIGINT) AS dot
+         |  FROM qe a JOIN qe b ON a.i = b.i AND a.vec_id <> b.vec_id
+         |  JOIN dims dm ON a.i <= dm.d
+         |  WHERE a.vec_id < 8
+         |  GROUP BY dm.d, a.vec_id, b.vec_id),
+         |top AS MATERIALIZED (
+         |  SELECT dt.d, dt.qid, dt.cid
+         |  FROM pdot dt
+         |  JOIN pnorm na ON na.d = dt.d AND na.vec_id = dt.qid
+         |  JOIN pnorm nb ON nb.d = dt.d AND nb.vec_id = dt.cid
+         |  QUALIFY row_number() OVER (PARTITION BY dt.d, dt.qid
+         |    ORDER BY CAST(dt.dot AS DOUBLE) /
+         |             sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) DESC,
+         |             dt.cid ASC) <= 5),
+         |truth AS (SELECT qid, cid FROM top WHERE d = 64)
+         |SELECT CAST(t.d AS BIGINT) AS dim,
+         |  CAST(count(tr.qid) AS BIGINT) AS n_hits,
+         |  CAST(count(tr.qid) AS DOUBLE) / 40.0 AS recall
+         |FROM top t LEFT JOIN truth tr ON tr.qid = t.qid AND tr.cid = t.cid
+         |WHERE t.d < 64
+         |GROUP BY t.d ORDER BY dim""".stripMargin,
     // recall@3 of all three ANN methods vs the brute-force truth:
     // replays the already-green pipelines and counts set hits
     "similarity_ann_recall" ->

@@ -1,0 +1,126 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{Dedup, Indexes}
+
+/** STREAMING near-dup admission filter — the production gate in front of
+  * a training corpus: every incoming document is probed against the
+  * STORED MinHash-LSH band index of the corpus-so-far, and verified
+  * matches (exact Jaccard ≥ 0.5, the same threshold and ±100-char length
+  * band as the batch dedup family) are emitted as (new_id, dup_of,
+  * jaccard) rejections. `StreamingPipeline` handles EXACT dedup in-stream
+  * (digest state); this closes the near-dup half the scaladoc there
+  * defers to the index: the index is a STATIC side (build once per
+  * corpus snapshot — `Indexes`), the stream probes it with a stateless
+  * stream-static equi-join on (band, bucket), and each admitted batch's
+  * own band rows are APPENDED to the stored index
+  * (`Indexes.appendToIndex`, the daily-snapshot motion) so later batches
+  * dedup against earlier ones — reference scope: the reference engine has
+  * no streaming or dedup at all; this is the §2.2 extension surface
+  * composed with Structured Streaming.
+  *
+  * Scale shape: the stream side carries its own shingle set through the
+  * banding (`bandedSigs(keep = shingles)`) because a stream cannot
+  * re-join to itself for verification — per-row cost is the shingle
+  * array ×8 band rows, bounded by document length, zero state. The
+  * candidate join shuffles only (band, bucket) keyed index rows; the
+  * verification join attaches corpus shingles for CANDIDATE dup_of ids
+  * only (a semi-join against the raw table — the index never stores
+  * text). The only stateful operator is the within-watermark candidate
+  * dedup (a doc's band rows can match the same corpus doc in several
+  * bands), whose state is the recent candidate-pair keys, watermark-
+  * bounded — O(recent batch × match rate), never O(corpus).
+  */
+object StreamingDedup {
+
+  /** Corpus split for the two-batch spec drive: the stored index is
+    * built from residues ∉ {0, 5}; batch 1 streams residue 0, batch 2
+    * residue 5 (after batch 1's bands are appended, batch 2's dups
+    * against batch-1 docs are caught — the cross-snapshot catch). */
+  private[graft] def residuePred(residues: Int*): Column =
+    pmod(col("doc_id"), lit(10)).isin(residues.map(_.asInstanceOf[Any]): _*)
+
+  /** The stored band index of the corpus-so-far (tag `mhbands`): same
+    * row format as `Dedup.bandedSigs` — (doc_id, band, bucket). First
+    * call builds + materializes; `appendBatch` adds snapshots. */
+  def corpusBandIndex(s: SparkSession, dir: String): DataFrame =
+    Indexes.materializedIndex(s, dir, "mhbands")(
+      Dedup.bandedSigs(Dedup.shingled(
+        Tables.documents(s, dir).filter(!residuePred(0, 5)))))
+
+  /** Append one admitted batch's band rows to the stored index — the
+    * post-admission half of the daily motion. */
+  def appendBatch(s: SparkSession, dir: String, batch: DataFrame): Unit =
+    Indexes.appendToIndex(s, dir, "mhbands",
+      Dedup.bandedSigs(Dedup.shingled(batch)))
+
+  /** Parquet-backed document stream over a staged arrival DIRECTORY
+    * (one "day's" feed; the file source needs a directory it can watch,
+    * so arrivals are staged as files), file-per-micro-batch. */
+  def readNewDocsStream(s: SparkSession, stagedDir: String): DataFrame = {
+    val schema = s.read.parquet(stagedDir).schema
+    s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(stagedDir)
+  }
+
+  /** newDocs (streaming) → (new_id, dup_of, jaccard) rejection stream.
+    *
+    * ingest_ts is synthesized from doc_id (the fixture has no arrival
+    * time; a real feed supplies its own) with a 24 h watermark so no
+    * in-fixture timestamp can be late-dropped regardless of file order;
+    * the watermark exists to bound the candidate-dedup state, not to
+    * sequence events. Verification recomputes the EXACT Jaccard, so the
+    * stream's rejections are provably the batch probe's pairs
+    * (StreamingDedupSpec pins stream ≡ batch for both snapshots). */
+  def admissionFilter(s: SparkSession, dir: String, newDocs: DataFrame): DataFrame = {
+    val banded = Dedup.bandedSigs(
+        Dedup.shingled(newDocs), keep = Seq("n_chars", "shingles"))
+      .withColumn("ingest_ts",
+        timestamp_micros((col("doc_id") + 86400L) * 1000000L))
+      .withWatermark("ingest_ts", "24 hours")
+    val candidates = banded
+      .join(corpusBandIndex(s, dir).withColumnRenamed("doc_id", "dup_of"),
+        Seq("band", "bucket"))
+      .select(col("doc_id").as("new_id"), col("dup_of"), col("ingest_ts"),
+        col("n_chars").as("a_nc"), col("shingles").as("a_sh"))
+      .dropDuplicatesWithinWatermark("new_id", "dup_of")
+    // corpus text enters only here, for candidate ids — never the index
+    val corpusSh = Dedup.shingled(Tables.documents(s, dir))
+      .select(col("doc_id").as("dup_of"),
+        col("n_chars").as("b_nc"), col("shingles").as("b_sh"))
+    candidates
+      .join(corpusSh, "dup_of")
+      .filter(abs(col("a_nc") - col("b_nc")) <= 100)
+      .select(col("new_id"), col("dup_of"),
+        (size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+          size(array_union(col("a_sh"), col("b_sh"))).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+  }
+
+  /** Batch replica of one admission snapshot — the spec's truth side:
+    * probe `newPred` docs against `corpusPred` docs with the identical
+    * band/verify parameters (mirrors `Dedup.dedupIncremental`'s shape
+    * with parameterized sides). */
+  private[graft] def batchTruth(s: SparkSession, dir: String,
+      newPred: Column, corpusPred: Column): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val newSh = Dedup.shingled(docs.filter(newPred))
+    val corpusSh = Dedup.shingled(docs.filter(corpusPred))
+    Dedup.bandedSigs(newSh).as("n")
+      .join(Dedup.bandedSigs(corpusSh).as("c"),
+        col("n.band") === col("c.band") && col("n.bucket") === col("c.bucket"))
+      .select(col("n.doc_id").as("new_id"), col("c.doc_id").as("dup_of"))
+      .dropDuplicates("new_id", "dup_of")
+      .join(newSh.select(col("doc_id").as("new_id"),
+        col("shingles").as("a_sh"), col("n_chars").as("a_nc")), "new_id")
+      .join(corpusSh.select(col("doc_id").as("dup_of"),
+        col("shingles").as("b_sh"), col("n_chars").as("b_nc")), "dup_of")
+      .filter(abs(col("a_nc") - col("b_nc")) <= 100)
+      .select(col("new_id"), col("dup_of"),
+        (size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+          size(array_union(col("a_sh"), col("b_sh"))).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+  }
+}

@@ -300,4 +300,40 @@ class CurationSpec extends AnyFunSuite {
       rows.getOrElse("unchanged", 0L) === total)
     assert(rows.getOrElse("changed", 0L) > 0 && rows.getOrElse("removed", 0L) > 0)
   }
+
+  test("effective tokens: per-source totals close over the corpus, losers = dropped docs") {
+    val rows = Curation.curationEffectiveTokens(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    val total = Tables.documents(spark, dir).count()
+    val losers = graft.ops.Indexes.componentLabels(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("node") =!=
+        org.apache.spark.sql.functions.col("label")).count()
+    assert(rows.map(_._2).sum === total)
+    assert(rows.map(_._4).sum === total - losers)
+    rows.foreach { case (_, nDocs, nTok, nKept, tokKept, frac) =>
+      assert(nKept <= nDocs && tokKept <= nTok)
+      assert(math.abs(frac - tokKept.toDouble / nTok.toDouble) === 0.0)
+    }
+  }
+
+  test("mixture sample: driver-side coin replay recounts every source's kept set") {
+    val rows = Curation.curationMixtureSample(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.map(_._2).sum === docs.length)
+    val byRate = rows.map(r => r._1 -> r._3).toMap
+    val recount = docs.groupBy(_._2).map { case (src, ds) =>
+      src -> ds.count { case (id, _) =>
+        val coin = ((id * 1103515245L + 12345L) % 2147483647L).toDouble / 2147483647.0
+        coin < byRate(src)
+      }.toLong
+    }
+    rows.foreach { case (src, _, p, kept) =>
+      assert(p > 0.0 && p <= 1.0)
+      assert(kept === recount(src), s"source $src kept mismatch")
+    }
+  }
 }

@@ -159,6 +159,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(byQuery.values.forall(_.map(_.getLong(1)).sorted.sameElements(1L to 5L)))
   }
 
+  test("matryoshka recall: bounds hold and a full-width replay would be perfect") {
+    val rows = Similarity.matryoshkaRecall(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq === Seq(8L, 16L, 32L))
+    rows.foreach { case (_, hits, recall) =>
+      assert(hits >= 0 && hits <= 40)
+      assert(math.abs(recall - hits.toDouble / 40.0) === 0.0)
+    }
+    // truncation can only lose candidates ranked by a prefix of the same
+    // dot product — recall at the widest prefix should dominate the
+    // narrowest on any corpus with signal in the tail dims
+    assert(rows.last._3 >= rows.head._3)
+  }
+
   test("VectorCentroid Aggregator matches the posexplode centroid query") {
     import spark.implicits._
     val agg = new Aggregators.VectorCentroid(64).toColumn
