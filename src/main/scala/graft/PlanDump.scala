@@ -47,7 +47,12 @@ object PlanDump {
       "similarity_ivfpq_ann"    -> "IVF+PQ (the production ANN plan): stored probe cells restrict the stored-codes ADC scan via two broadcast joins — zero corpus shuffles, zero re-encoding",
       "text_tvd_drift"          -> "drift monitor: token-keyed join of per-source counts to corpus counts, closed-form absent-token fold, one exact-integer aggregate per source",
       "events_concurrency"      -> "sweep line: one user_id shuffle (sessionize), map-side day split, per-day change-point window",
-      "split_kfold"             -> "k-fold audit: every join broadcast — labels to the corpus, labels to the pair index, k-row audits to stats")
+      "split_kfold"             -> "k-fold audit: every join broadcast — labels to the corpus, labels to the pair index, k-row audits to stats",
+      "similarity_matryoshka_recall" -> "matryoshka eval: four broadcast map-only prefix scans (8/16/32/64 dims), per-(dim,query) group-limit, hits joined on the d=64 truth",
+      "curation_mixture_sample" -> "temperature mix: source-cardinality aggregate + broadcast rates join + map-side LCG coin — the corpus never shuffles",
+      "curation_effective_tokens" -> "dataset-size readout: stored component-label index joined broadcast to one corpus scan, one source-cardinality aggregate",
+      "text_tfidf_cosine_minhash" -> "tf-idf via term-set MinHash banding: one codegen'd 32-perm pass over salient sets, (band,bucket) self-join, exact verify — no plane explode, no cartesian",
+      "text_bm25_topk" -> "BM25 retrieval: query terms broadcast (only their postings survive), corpus doc-length joins map-side, exact-integer scores, per-query group-limited top-10")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries (sf0.001)\n\n")
     sb.append("Generated by `sbt \"runMain graft.PlanDump\"`; asserted in PlanSpec.\n")

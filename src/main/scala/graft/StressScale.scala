@@ -16,10 +16,24 @@ import org.apache.spark.sql.functions._
   *    posting lists, df distribution) is IDENTICAL to the base corpus
   *    while cross-copy similarity is exactly zero — the corpus grows S×
   *    at CONSTANT near-dup density, which is the null a scaling probe
-  *    wants. (Verbatim copies would grow the identical-pair count
-  *    quadratically — a different, degenerate workload.) n_chars is
-  *    recomputed from the namespaced text so length-blocking keeps its
-  *    semantics; doc_ids are re-keyed by a 10M stride.
+  *    wants for the SHINGLE-set dedup family. (Verbatim copies would
+  *    grow the identical-pair count quadratically — a different,
+  *    degenerate workload.) n_chars is recomputed from the namespaced
+  *    text so length-blocking keeps its semantics; doc_ids are re-keyed
+  *    by a 10M stride.
+  *  - documents (df-aware variant, `${out}_dfaware`): namespaces ONLY
+  *    the SALIENT tokens (df·10 ≤ N on the base corpus). This is the
+  *    stationary-df null the TF-IDF family needs: common-word dfs scale
+  *    ×S so the RELATIVE df-cap keeps its semantics (a term is salient
+  *    at S× iff it was salient at 1×), salient posting lists stay
+  *    disjoint per copy, and the TRUE pair set is exactly S disjoint
+  *    copies of the base result — linear. Full namespacing is kept as
+  *    the ADVERSARIAL case for this family: it freezes absolute dfs
+  *    while N grows, the relative cap then admits the ENTIRE vocabulary
+  *    (salience collapse), and the true cosine≥t pair set itself becomes
+  *    Θ(n²) — a workload degeneracy no correct engine can beat, worth
+  *    measuring (it is what vocabulary drift does to relative-df
+  *    policies) but not a slope any candidate generator can fix.
   *  - embeddings: S re-keyed copies of the vectors (ADC/cosine scoring
   *    work scales with rows; the probe query set stays vec_id < 8, so
   *    per-query work is the scan, exactly as at 1×).
@@ -41,7 +55,8 @@ object StressScale {
   private val Probes: Seq[(String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame)] = Seq(
     "dedup_ngram_jaccard", "dedup_containment", "dedup_ngram_jaccard_prefix",
-    "text_tfidf_cosine", "similarity_pq_adc", "profile_columns")
+    "text_tfidf_cosine", "text_tfidf_cosine_minhash", "similarity_pq_adc",
+    "profile_columns")
     .map(n => n -> SparkEntry.queries(n)) :+
     ("text_tfidf_cosine_lsh_16x12" ->
       ((s: org.apache.spark.sql.SparkSession, d: String) =>
@@ -83,6 +98,29 @@ object StressScale {
         .withColumn("n_chars", length(col("text")).cast("long"))
     }.write.mode("overwrite").parquet(s"$out/documents.parquet")
 
+    // df-aware variant (scaladoc above): namespace only the base-salient
+    // tokens. The salient vocabulary is df ≤ N/10 BY CONSTRUCTION of the
+    // df-cap, and collecting it here is probe-harness convenience (at
+    // real scale this rewrite is a broadcast join on exploded tokens);
+    // lookup is a sorted-array binary search via array_position on a
+    // literal — fine at probe vocabulary sizes.
+    val nDocs = docs.count()
+    val salient = docs
+      .select(explode(array_distinct(split(col("text"), " "))).as("term"))
+      .groupBy("term").count()
+      .filter(col("count") * 10 <= nDocs)
+      .select("term").collect().map(_.getString(0)).sorted
+    val salientCol = lit(salient)
+    copies(docs) { (d, k) =>
+      d.select(
+        (col("doc_id") + lit(k * stride)).as("doc_id"),
+        array_join(transform(split(col("text"), " "),
+          t => when(array_contains(salientCol, t), concat(t, lit(s"_$k")))
+            .otherwise(t)), " ").as("text"),
+        col("lang"), col("source"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    }.write.mode("overwrite").parquet(s"${out}_dfaware/documents.parquet")
+
     val emb = spark.read.parquet(s"$base/embeddings.parquet")
     copies(emb) { (d, k) =>
       d.select((col("vec_id") + lit(k * stride)).as("vec_id"),
@@ -106,15 +144,21 @@ object StressScale {
     spark.range(1000000).selectExpr("sum(id)").collect()
     try time(probes.head._2, base) catch { case _: Throwable => }
 
-    val mins = for (dir <- Seq(base, out); (name, q) <- probes) yield {
+    // tf-idf probes run against the stationary-df (df-aware) corpus —
+    // the meaningful null for a relative-df-cap operator; everything
+    // else against the fully-namespaced one (constant near-dup density).
+    def scaledDir(name: String): String =
+      if (name.startsWith("text_tfidf")) s"${out}_dfaware" else out
+    val mins = for (leg <- Seq("base", "scaled"); (name, q) <- probes) yield {
+      val dir = if (leg == "base") base else scaledDir(name)
       val p1 = time(q, dir)
       val p2 = time(q, dir)
       val m = math.min(p1, p2)
       println(s"""{"probe":"$name","dir":"$dir","p1":${fmt(p1)},"p2":${fmt(p2)},"min":${fmt(m)}}""")
-      (name, dir, m)
+      (name, leg, m)
     }
-    val at1 = mins.filter(_._2 == base).map(t => t._1 -> t._3).toMap
-    val atS = mins.filter(_._2 == out).map(t => t._1 -> t._3).toMap
+    val at1 = mins.filter(_._2 == "base").map(t => t._1 -> t._3).toMap
+    val atS = mins.filter(_._2 == "scaled").map(t => t._1 -> t._3).toMap
     val ratios = probes.map(_._1).map(n =>
         s""""$n":{"t1":${fmt(at1(n))},"tS":${fmt(atS(n))},"ratio":${fmt(atS(n) / at1(n))}}""")
       .mkString("{", ",", "}")

@@ -166,7 +166,7 @@ object Curation {
       .filter(coin < col("p_keep"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_kept"), sum(col("n_tok")).as("n_tokens_kept"))
-    rates.join(kept, Seq("source"), "left")
+    rates.join(broadcast(kept), Seq("source"), "left")
       .select(col("source"), col("n_raw"), col("p_keep"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"))

@@ -509,7 +509,12 @@ object Mining {
     * accuracy; the spec supplies labels that DO depend on the text and
     * asserts the same learner recovers them. The label column must be
     * named `lang`. */
-  def nbConfusion(docs: DataFrame): DataFrame = {
+  /** The NB train→predict core shared by the confusion matrix and the
+    * AUC eval: returns the per-(test doc, class) integer score relation
+    * (doc_id, lang, cls, score). See [[textNbClassifier]] for the
+    * model; the dense (bk × class) weight grid guarantees every test
+    * doc scores against every class. */
+  private[graft] def nbScored(docs: DataFrame): DataFrame = {
     val toks = docs
       .select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("t"))
@@ -532,9 +537,13 @@ object Mining {
       .na.fill(1L, Seq("ct"))
       .select(col("bk"), col("cls"),
         expr("(1000000L * ct * nr) div (cr * nc)").as("w"))
-    val scored = test.join(broadcast(weights), "bk")
+    test.join(broadcast(weights), "bk")
       .groupBy(col("doc_id"), col("lang"), col("cls"))
       .agg(sum(col("w")).as("score"))
+  }
+
+  def nbConfusion(docs: DataFrame): DataFrame = {
+    val scored = nbScored(docs)
     val predicted = scored
       .groupBy(col("doc_id"), col("lang"))
       .agg(min(struct((-col("score")).as("neg"), col("cls").as("cls")))
@@ -543,6 +552,52 @@ object Mining {
     predicted.groupBy(col("actual"), col("predicted"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("actual"), col("predicted"))
+  }
+
+  /** Ranking-quality evaluation of the NB classifier: one-vs-rest AUC
+    * for the lexicographically smallest class, computed EXACTLY as the
+    * Mann–Whitney U statistic (AUC = U/(P·N), Mann & Whitney 1947 —
+    * the rank-sum identity, with ties at ½). No sampled thresholds, no
+    * trapezoids, no floats until the single final division:
+    * aggregating test scores to (score, n_pos, n_neg) rows turns U
+    * into the exact integer Σ np·(2·cum_nn + nn) / 2 (each positive
+    * beats every negative STRICTLY below its score and half-ties the
+    * negatives AT its score), so the emitted `u2` = 2U is a Long and
+    * `auc` is one IEEE division of exact operands — bit-identical in
+    * DuckDB.
+    *
+    * Scale: scoring is the same broadcast-model map pass as the
+    * confusion matrix; the rank cumulation is a window over the
+    * SCORE-DISTINCT aggregate (distinct integer score sums — the
+    * score-value cardinality, not the corpus; the PlanSpec
+    * bounded-window guard pins the window above the aggregate), never
+    * a global sort of per-document rows. */
+  def textNbAuc(s: SparkSession, dir: String): DataFrame =
+    nbAuc(documents(s, dir).select(col("doc_id"), col("lang"), col("text")))
+
+  private[graft] def nbAuc(docs: DataFrame): DataFrame = {
+    val scored = nbScored(docs)
+    val pos = scored.agg(min(col("cls")).as("pos_cls"))
+    val sc = scored.join(broadcast(pos), col("cls") === col("pos_cls"))
+      .select(col("pos_cls"),
+        when(col("lang") === col("cls"), lit(1L)).otherwise(lit(0L))
+          .as("is_pos"),
+        col("score"))
+    val byScore = sc.groupBy(col("pos_cls"), col("score"))
+      .agg(sum(col("is_pos")).as("np"),
+        (count(lit(1)) - sum(col("is_pos"))).as("nn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").asc)
+      .rowsBetween(Long.MinValue, -1)
+    val cum = byScore.withColumn("cum_nn",
+      coalesce(sum(col("nn")).over(w), lit(0L)))
+    cum.groupBy(col("pos_cls"))
+      .agg(sum(col("np") * (lit(2L) * col("cum_nn") + col("nn"))).as("u2"),
+        sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"))
+      .select(col("pos_cls"), col("n_pos"), col("n_neg"), col("u2"),
+        (col("u2").cast("double") /
+          (lit(2.0) * (col("n_pos") * col("n_neg")).cast("double")))
+          .as("auc"))
   }
 
   /** Support thresholds for [[miningAssocRules]] as percentages of the
@@ -604,6 +659,7 @@ object Mining {
     "text_bpe_merges" -> textBpeMerges _,
     "text_bpe_encode" -> textBpeEncode _,
     "text_nb_classifier" -> textNbClassifier _,
+    "text_nb_auc" -> textNbAuc _,
     "text_repeated_passages" -> textRepeatedPassages _,
     "text_dup_passage_ratio" -> textDupPassageRatio _,
     "text_dsir_sample" -> textDsirSample _,
@@ -706,6 +762,34 @@ object Mining {
        |FROM enc$BpeRounds GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** Shared oracle CTEs mirroring [[nbScored]] — the NB train→predict
+    * integer score relation both the confusion matrix and the AUC eval
+    * read. */
+  private val nbScoredCtes: String =
+    s"""tok AS (
+       |  SELECT doc_id, lang,
+       |    ('0x' || substr(md5(t), 1, 8))::BIGINT % $NbBuckets AS bk
+       |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+       |        FROM documents)),
+       |train AS (SELECT * FROM tok WHERE doc_id % 3 <> 0),
+       |test AS (SELECT * FROM tok WHERE doc_id % 3 = 0),
+       |perclass AS (SELECT bk, lang AS cls, count(*) + 1 AS ct
+       |             FROM train GROUP BY 1, 2),
+       |raw AS (SELECT bk, count(*) + 1 AS cr FROM train GROUP BY bk),
+       |totals AS (SELECT lang AS cls, count(*) + $NbBuckets AS nc
+       |           FROM train GROUP BY 1),
+       |nr AS (SELECT count(*) + $NbBuckets AS nr FROM train),
+       |weights AS (
+       |  SELECT r.bk, t.cls,
+       |    (1000000 * coalesce(p.ct, 1) * nr.nr) // (r.cr * t.nc) AS w
+       |  FROM raw r CROSS JOIN totals t
+       |  LEFT JOIN perclass p ON p.bk = r.bk AND p.cls = t.cls, nr),
+       |scored AS (
+       |  SELECT te.doc_id, te.lang, w.cls,
+       |    CAST(sum(w.w) AS BIGINT) AS score
+       |  FROM test te JOIN weights w ON w.bk = te.bk
+       |  GROUP BY 1, 2, 3)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "mining_assoc_rules" ->
       s"""WITH nd AS (SELECT count(*) AS n_docs FROM documents),
@@ -732,29 +816,7 @@ object Mining {
     "text_bpe_merges" -> bpeOracleSql,
     "text_bpe_encode" -> bpeEncodeSql,
     "text_nb_classifier" ->
-      s"""WITH tok AS (
-         |  SELECT doc_id, lang,
-         |    ('0x' || substr(md5(t), 1, 8))::BIGINT % $NbBuckets AS bk
-         |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
-         |        FROM documents)),
-         |train AS (SELECT * FROM tok WHERE doc_id % 3 <> 0),
-         |test AS (SELECT * FROM tok WHERE doc_id % 3 = 0),
-         |perclass AS (SELECT bk, lang AS cls, count(*) + 1 AS ct
-         |             FROM train GROUP BY 1, 2),
-         |raw AS (SELECT bk, count(*) + 1 AS cr FROM train GROUP BY bk),
-         |totals AS (SELECT lang AS cls, count(*) + $NbBuckets AS nc
-         |           FROM train GROUP BY 1),
-         |nr AS (SELECT count(*) + $NbBuckets AS nr FROM train),
-         |weights AS (
-         |  SELECT r.bk, t.cls,
-         |    (1000000 * coalesce(p.ct, 1) * nr.nr) // (r.cr * t.nc) AS w
-         |  FROM raw r CROSS JOIN totals t
-         |  LEFT JOIN perclass p ON p.bk = r.bk AND p.cls = t.cls, nr),
-         |scored AS (
-         |  SELECT te.doc_id, te.lang, w.cls,
-         |    CAST(sum(w.w) AS BIGINT) AS score
-         |  FROM test te JOIN weights w ON w.bk = te.bk
-         |  GROUP BY 1, 2, 3),
+      s"""WITH $nbScoredCtes,
          |pred AS (
          |  SELECT doc_id, lang AS actual, cls AS predicted,
          |    row_number() OVER (PARTITION BY doc_id
@@ -763,6 +825,28 @@ object Mining {
          |SELECT actual, predicted, count(*) AS n
          |FROM pred WHERE rn = 1
          |GROUP BY 1, 2 ORDER BY actual, predicted""".stripMargin,
+    "text_nb_auc" ->
+      s"""WITH $nbScoredCtes,
+         |pos AS (SELECT min(cls) AS pos_cls FROM scored),
+         |sc AS (SELECT pos.pos_cls,
+         |         CASE WHEN lang = cls THEN 1 ELSE 0 END AS is_pos, score
+         |       FROM scored, pos WHERE cls = pos.pos_cls),
+         |byscore AS (
+         |  SELECT pos_cls, score, CAST(sum(is_pos) AS BIGINT) AS np,
+         |    CAST(count(*) - sum(is_pos) AS BIGINT) AS nn
+         |  FROM sc GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT pos_cls, np, nn,
+         |    CAST(coalesce(sum(nn) OVER (ORDER BY score ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cum_nn
+         |  FROM byscore)
+         |SELECT pos_cls, CAST(sum(np) AS BIGINT) AS n_pos,
+         |  CAST(sum(nn) AS BIGINT) AS n_neg,
+         |  CAST(sum(np * (2 * cum_nn + nn)) AS BIGINT) AS u2,
+         |  CAST(sum(np * (2 * cum_nn + nn)) AS DOUBLE) /
+         |    (2.0 * CAST(sum(np) * sum(nn) AS DOUBLE)) AS auc
+         |FROM cum GROUP BY pos_cls""".stripMargin,
     "text_repeated_passages" ->
       s"""WITH $gramsSql
          |SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,

@@ -633,7 +633,7 @@ object Similarity {
     }
     val truth = topk(64).select(col("query_id"), col("cand_id"), lit(1L).as("hit"))
     Seq(8, 16, 32).map(topk).reduce(_ unionByName _)
-      .join(truth, Seq("query_id", "cand_id"), "left")
+      .join(broadcast(truth), Seq("query_id", "cand_id"), "left")
       .groupBy(col("dim"))
       .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
       .select(col("dim"), col("n_hits"),

@@ -304,20 +304,24 @@ object TextAnalysis {
         .otherwise(lit(0L))).as("bucket"))
   }
 
-  /** All-pairs tf-idf cosine via SRP-LSH candidates + exact verify — the
-    * DRIFT-ROBUST scale path for [[textTfidfCosine]] (which, like
-    * `dedup_ngram_jaccard`, stays declared as the exact A/B baseline).
-    * Candidate volume is Σ_buckets |bucket|² over 8 independent 4-bit
-    * tables — governed by how the corpus spreads in weighted-angle
-    * space, NOT by posting-list lengths, so merging disjoint-vocabulary
-    * subcorpora (the probe corpus that blows the exact join up 71 756×)
-    * leaves it near-linear: cross-subcorpus docs are orthogonal and
-    * only collide at the 1/16-per-table background rate. Verification
-    * recomputes the EXACT cosine (same `tfidfCosineOf`), so output ⊆
-    * exact output; per-pair recall at cosine ≥ 0.5 is
-    * 1 − (1 − (2/3)⁴)⁸ ≈ 0.83 (arccos identity), measured by
-    * [[textTfidfLshRecall]]. This candidates-then-verify split is the
-    * same production shape as `dedup_minhash_lsh` for Jaccard. */
+  /** All-pairs tf-idf cosine via SRP-LSH candidates + exact verify —
+    * the candidate generator for DENSE-salience corpora, where per-doc
+    * salient sets are large and the exact posting join's Σ df² term
+    * dominates. Candidate volume is Σ_buckets |bucket|² over independent
+    * sign-random-projection tables — governed by how the corpus spreads
+    * in weighted-angle space, NOT by posting-list lengths. Measured at
+    * the r10 10× probes (BASELINE.md): 2.35× wall for 10× data on the
+    * stationary-df corpus (16×12 config per the corpus-size rule below);
+    * on the SALIENCE-COLLAPSE corpus it degrades to 110× — but there the
+    * TRUE cosine ≥ 0.5 pair set is itself Θ(n²) (the relative df-cap
+    * admits the whole vocabulary once absolute dfs stop tracking corpus
+    * growth), so no correct engine is sub-quadratic; the production
+    * guard is monitoring salient posting volume, not a smarter
+    * candidate generator. Verification recomputes the EXACT cosine
+    * (same `tfidfCosineOf`), so output ⊆ exact output; per-pair recall
+    * at cosine ≥ 0.5 is 1 − (1 − (2/3)⁴)⁸ ≈ 0.83 (arccos identity),
+    * measured by [[textTfidfLshRecall]]. This candidates-then-verify
+    * split is the same production shape as `dedup_minhash_lsh`. */
   def textTfidfCosineLsh(s: SparkSession, dir: String): DataFrame =
     textTfidfCosineLshAt(s, dir, TfidfTables, TfidfPlanes)
 
@@ -333,6 +337,48 @@ object TextAnalysis {
     val buckets = tfidfBuckets(weighted, tables, planesPerTable)
     val cand = buckets.as("a").join(buckets.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    val dots = cand
+      .join(weighted.select(col("doc_id").as("a_id"), col("term"),
+        col("w").as("wa")), Seq("a_id"))
+      .join(weighted.select(col("doc_id").as("b_id"), col("term"),
+        col("w").as("wb")), Seq("b_id", "term"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(sum(col("wa") * col("wb")).as("dot"))
+    tfidfCosineOf(dots, weighted)
+  }
+
+  /** All-pairs tf-idf cosine via TERM-SET MinHash banding + exact
+    * verify — the third candidate generator of the family, reusing the
+    * dedup stack's machinery (one codegen'd 32-perm minhash pass per
+    * doc's SALIENT-term set, 8×4 banding, bucket join) so a pipeline
+    * that already banded its shingles pays nothing new. Near-dup pairs
+    * at cosine ≥ 0.5 share most salient terms, so set-Jaccard banding
+    * carries the weighted signal; empty salient sets never reach the
+    * bands (no rows to group), so cap-surviving stopword-free docs
+    * can't degenerately collide. Measured at the r10 10× probes
+    * (BASELINE.md): 1.86× wall for 10× data on the stationary-df
+    * corpus, between the exact posting join (1.34× — optimal when
+    * salience is sparse, as in this fixture) and SRP 16×12 (2.35×);
+    * on the salience-collapse corpus the banded join OOMs materializing
+    * the Θ(n²) candidates that ARE the true answer there (see
+    * [[textTfidfCosineLsh]] — a workload degeneracy, not a generator
+    * choice). Verification recomputes the EXACT cosine (same
+    * `tfidfCosineOf`), so output ⊆ exact; on the fixture it reproduces
+    * the full exact pair set (oracled against the exact SQL, the
+    * `dedup_minhash_lsh` discipline: qualifying pairs have identical
+    * salient sets ⇒ identical signatures ⇒ recall is deterministic 1,
+    * TextAnalysisSpec asserts the bit-for-bit equality). */
+  def textTfidfCosineMinhash(s: SparkSession, dir: String): DataFrame = {
+    val weighted = tfidfWeighted(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sets = weighted.groupBy(col("doc_id"))
+      .agg(collect_list(col("term")).as("shingles")) // order-free: minhash is a min
+    val banded = Dedup.bandedSigs(sets)
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
@@ -616,6 +662,68 @@ object TextAnalysis {
       .orderBy(col("r"))
   }
 
+  /** Okapi BM25 top-k retrieval (Robertson & Spärck Jones weighting;
+    * Robertson et al., TREC-3 1994) — the classic lexical ranking the
+    * RAG/eval side of a training pipeline runs beside embedding ANN.
+    * Queries are the first 5 distinct tokens of the 3 smallest-id docs
+    * (deterministic, engine-portable); k1 = 1.2 and b = 0.75 enter as
+    * the exact rationals 6/5 and 3/4 so the whole per-term score clears
+    * to Long floor-divisions:
+    *   score_t = (idf·f·2200) div (1000·f + 300 + dlq),
+    *   idf = (N·1000) div df   (the tf-idf family's monotone rational
+    *                            transform — no ln, no cross-engine ulps),
+    *   dlq = (900·dl·N) div L  (quantized length normalizer, = 900·b·
+    *                            dl/avgdl with b's denominator folded in).
+    * The per-doc score is a SUM OF EXACT INTEGERS, so ranking can never
+    * flip on float summation order; the quantization loses < 1/2200 of
+    * a rank unit per term (documented, same discipline as
+    * `embedding_quantize`). Long headroom: idf ≤ N·1000, ×f×2200 —
+    * fine to ~10⁹ docs; past that, widen to decimal(38,0) or rescale
+    * idf, exactly like the TVD note above.
+    *
+    * Scale shape: ONE (doc, term) shuffle builds tf; df and (N, L) are
+    * partial-agg-friendly aggregates; the query set broadcasts, so only
+    * query-term postings survive the prune; per-doc length dl is a
+    * MAP-ONLY projection of the corpus that the pruned candidate set
+    * broadcasts INTO (the corpus never shuffles for the join — right
+    * while |query terms| is bounded; unbounded query batches would flip
+    * to a doc_id-keyed shuffle join); top-k is a per-query window over
+    * the scored candidates only. */
+  def textBm25TopK(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("f"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val tot = docs.agg(count(lit(1)).as("n"),
+      sum(size(split(col("text"), " ")).cast("long")).as("l"))
+    val dl = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("dl"))
+    val q = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(slice(split(col("text"), " "), 1, 5))).as("term"))
+    // df must be the FULL-corpus document frequency (pruning before the
+    // df aggregate would silently change idf), so prune tf and df
+    // independently against the broadcast query terms
+    val cand = tf.join(broadcast(q), Seq("term"))
+      .join(broadcast(df.join(broadcast(q.select(col("term")).distinct()),
+        Seq("term"))), Seq("term"))
+    val scored = dl.join(broadcast(cand), Seq("doc_id"))
+      .crossJoin(broadcast(tot))
+      .withColumn("s",
+        expr("(((n * 1000L) div df) * f * 2200L) div " +
+          "((1000L * f) + 300L + ((900L * dl * n) div l))"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("s")).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("query_id"), col("rnk"), col("doc_id"), col("score"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** Per-source token-distribution drift as TOTAL VARIATION DISTANCE
     * against the rest of the corpus — the "which ingest source changed
     * under us?" monitor a production pipeline runs per snapshot. TVD is
@@ -698,6 +806,8 @@ object TextAnalysis {
     "text_tvd_drift" -> textTvdDrift _,
     "text_vocab_growth" -> textVocabGrowth _,
     "text_tfidf_cosine_lsh" -> textTfidfCosineLsh _,
+    "text_tfidf_cosine_minhash" -> textTfidfCosineMinhash _,
+    "text_bm25_topk" -> textBm25TopK _,
     "text_tfidf_lsh_recall" -> textTfidfLshRecall _,
     "text_freq_spectrum" -> textFreqSpectrum _,
     "text_vocab_build" -> textVocabBuild _,
@@ -774,6 +884,37 @@ object TextAnalysis {
       |    JOIN norms na ON na.doc_id = d.a_id
       |    JOIN norms nb ON nb.doc_id = d.b_id)
       |  WHERE cosine >= 0.5)""".stripMargin
+
+  // exact all-pairs tf-idf cosine — the oracle for BOTH the exact
+  // query and the MinHash-banded scale path (verified subset ≡ full set)
+  private val TfidfCosineExactSql =
+    """WITH n AS (SELECT count(*) AS n_docs FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM documents) t
+        |  GROUP BY doc_id, term),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |w AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    CAST(tf.tf * ((n.n_docs * 1000) // df.df) AS BIGINT) AS w
+        |  FROM tf JOIN df ON tf.term = df.term, n
+        |  WHERE df.df * 10 <= n.n_docs),
+        |norms AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2
+        |          FROM w GROUP BY doc_id),
+        |dots AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    CAST(sum(a.w * b.w) AS BIGINT) AS dot
+        |  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a_id, b_id, cosine FROM (
+        |  SELECT a_id, b_id,
+        |    CAST(dot AS DOUBLE) /
+        |    sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cosine
+        |  FROM dots
+        |  JOIN norms na ON na.doc_id = a_id
+        |  JOIN norms nb ON nb.doc_id = b_id)
+        |WHERE cosine >= 0.5 ORDER BY a_id, b_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "text_tfidf_cosine_lsh" ->
@@ -994,34 +1135,40 @@ object TextAnalysis {
         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
     // integer tf-idf weights (same monotone idf transform as topterms)
     // make dots/norms exact Longs; cosine is one IEEE division
-    "text_tfidf_cosine" ->
-      """WITH n AS (SELECT count(*) AS n_docs FROM documents),
-        |tf AS (
-        |  SELECT doc_id, term, count(*) AS tf
-        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-        |        FROM documents) t
-        |  GROUP BY doc_id, term),
+    "text_tfidf_cosine" -> TfidfCosineExactSql,
+    // quantized BM25: every arithmetic step is a Long floor-div (// in
+    // DuckDB ≡ div in Spark) and the per-doc sum is exact-integer
+    "text_bm25_topk" ->
+      """WITH docs AS (SELECT * FROM documents),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS l
+        |        FROM docs),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS f
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM docs) t
+        |  GROUP BY 1, 2),
         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
-        |w AS (
-        |  SELECT tf.doc_id, tf.term,
-        |    CAST(tf.tf * ((n.n_docs * 1000) // df.df) AS BIGINT) AS w
-        |  FROM tf JOIN df ON tf.term = df.term, n
-        |  WHERE df.df * 10 <= n.n_docs),
-        |norms AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2
-        |          FROM w GROUP BY doc_id),
-        |dots AS (
-        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |    CAST(sum(a.w * b.w) AS BIGINT) AS dot
-        |  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+        |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |       FROM docs),
+        |q AS (SELECT doc_id AS query_id,
+        |             unnest(list_distinct(string_split(text, ' ')[1:5])) AS term
+        |      FROM docs WHERE doc_id < 3),
+        |scored AS (
+        |  SELECT q.query_id, tf.doc_id,
+        |    sum((((tot.n * 1000) // df.df) * tf.f * 2200)
+        |        // ((1000 * tf.f) + 300 + ((900 * dl.dl * tot.n) // tot.l))) AS score
+        |  FROM q JOIN tf USING (term) JOIN df USING (term)
+        |       JOIN dl ON dl.doc_id = tf.doc_id, tot
         |  GROUP BY 1, 2)
-        |SELECT a_id, b_id, cosine FROM (
-        |  SELECT a_id, b_id,
-        |    CAST(dot AS DOUBLE) /
-        |    sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cosine
-        |  FROM dots
-        |  JOIN norms na ON na.doc_id = a_id
-        |  JOIN norms nb ON nb.doc_id = b_id)
-        |WHERE cosine >= 0.5 ORDER BY a_id, b_id""".stripMargin,
+        |SELECT query_id, rnk, doc_id, score FROM (
+        |  SELECT query_id, doc_id, score,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY score DESC, doc_id) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+    // MinHash-banded candidates + the SAME exact verify reproduce the
+    // full exact pair set (dedup_minhash_lsh discipline: verified-subset
+    // + ~1e-9 false-negative odds ⇒ the exact SQL IS the oracle)
+    "text_tfidf_cosine_minhash" -> TfidfCosineExactSql,
     // text_sample_stratified: the sampled SET is engine-RNG-specific, but
     // the per-stratum fraction verdict is oracle-checkable
     "text_sample_stratified" ->

@@ -181,6 +181,30 @@ class MiningSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     assert(fixture.map(_._2).distinct.length === 1,
       "on label-independent text every prediction collapses to the prior argmax")
+
+    // AUC eval on the same separable dataset: the aggregated Mann–
+    // Whitney identity must equal brute-force pair counting, and a
+    // working ranker must clear 0.5 by a wide margin
+    val aucRow = ops.Mining.nbAuc(docs).collect().head
+    val posCls = aucRow.getString(0)
+    val u2 = aucRow.getLong(3)
+    val auc = aucRow.getDouble(4)
+    val scored = ops.Mining.nbScored(docs)
+      .filter(col("cls") === posCls)
+      .select(col("lang"), col("score")).collect()
+      .map(r => (r.getString(0) == posCls, r.getLong(1)))
+    val posScores = scored.filter(_._1).map(_._2)
+    val negScores = scored.filterNot(_._1).map(_._2)
+    val bruteU2 = (for (p <- posScores; n <- negScores) yield {
+      if (p > n) 2L else if (p == n) 1L else 0L
+    }).sum
+    assert(u2 === bruteU2, "aggregated rank identity != brute-force U")
+    assert(aucRow.getLong(1) === posScores.length.toLong)
+    assert(aucRow.getLong(2) === negScores.length.toLong)
+    // one-vs-rest over 512 hashed-unigram buckets is a deliberately weak
+    // learner (multiclass accuracy bar above is 0.6); measured 0.70 here
+    // vs ~0.50 on the label-independent fixture — the gap is the signal
+    assert(auc > 0.65, s"separable labels must rank above chance, got $auc")
   }
 
   test("SemDeDup == brute-force within-cell near-dup scan (same cells, same tau)") {

@@ -413,6 +413,16 @@ class PlanSpec extends AnyFunSuite {
       assert(w.find(_.isInstanceOf[BaseAggregateExec]).isDefined,
         s"freq-spectrum window input is not the spectrum aggregate:\n$fs")
     }
+    // text_nb_auc: the Mann–Whitney cumulation window must sit above
+    // the score-distinct aggregate, never per-document score rows
+    val auc = ops.Mining.textNbAuc(spark, dir)
+      .queryExecution.sparkPlan
+    val aucWins = auc.collect { case w: WindowExec => w }
+    assert(aucWins.nonEmpty, s"no window in nb-auc plan:\n$auc")
+    aucWins.foreach { w =>
+      assert(w.find(_.isInstanceOf[BaseAggregateExec]).isDefined,
+        s"nb-auc window input is not the score-distinct aggregate:\n$auc")
+    }
     // text_vocab_growth: the cumulative window must sit above the
     // per-bucket aggregates (≤ n_docs/50 rows), never the token relation
     val vg = ops.TextAnalysis.textVocabGrowth(spark, dir)
@@ -476,5 +486,17 @@ class PlanSpec extends AnyFunSuite {
     // rank<=3 pushes a partial per-partition limit below the window's
     // exchange, so the scored relation never shuffles in full
     assert(p.contains("WindowGroupLimit"), s"no group limit:\n$p")
+  }
+
+  test("tf-idf MinHash path: banded equi-join candidates, no cartesian") {
+    val p = plan(ops.TextAnalysis.textTfidfCosineMinhash(spark, dir))
+    assert(countNodes(p, "CartesianProduct") === 0, s"plan:\n$p")
+    // the only nested-loop joins are the 1-row n_docs scalar broadcast
+    // inside tfidfWeighted (the q22 pattern), shown once per cache branch
+    assert(countNodes(p, "BroadcastNestedLoopJoin") <= 2, s"plan:\n$p")
+    // candidates come from the (band, bucket) self-join of the banded
+    // signature relation — the dedup stack's machinery, not an SRP
+    // plane explode; an equi-join keyed on band/bucket must survive
+    assert(p.contains("band"), s"no banded join keys in plan:\n$p")
   }
 }
