@@ -173,6 +173,51 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** Exact token-budget packing — the deterministic complement of
+    * [[curationMixtureSample]]: where the temperature mix hits its
+    * per-source fractions only in EXPECTATION (a probabilistic coin),
+    * this cuts each source to a hard token budget exactly — the "assemble
+    * a 500B-token mix from these sources" motion a training run actually
+    * executes. Each source gets an equal share of a 20 % total-token
+    * budget (swap the allocation vector for [[curationMixtureSample]]'s
+    * temperature rates to combine both); docs take a deterministic
+    * pseudo-random order (md5(doc_id), the engine's standing seeded
+    * shuffle) and are kept while the source's running token total stays
+    * within budget — a first-fit cut, so utilization can stop one doc
+    * short of the line (reported per source).
+    *
+    * Scale: one map pass for token counts, two tiny aggregates (per-
+    * source totals, source count), a broadcast of the ≤|sources|-row
+    * budget relation, and ONE source-partitioned cumulative window —
+    * never a global sort; the window partition is a source's docs, the
+    * same width every per-source operator here already handles. */
+  def curationTokenBudgetCut(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir).select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val tot = docs.agg(sum(col("n_tok")).as("tok_total"),
+      countDistinct(col("source")).as("n_sources"))
+    val budgets = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_raw"), sum(col("n_tok")).as("tok_raw"))
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("n_raw"), col("tok_raw"),
+        expr("tok_total div (5L * n_sources)").as("budget_tokens"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.join(broadcast(budgets), Seq("source"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .filter(col("cum_tok") <= col("budget_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_tok")).as("tokens_kept"),
+        first(col("n_raw")).as("n_raw"),
+        first(col("budget_tokens")).as("budget_tokens"))
+      .select(col("source"), col("n_raw"), col("n_kept"),
+        col("budget_tokens"), col("tokens_kept"),
+        (col("tokens_kept").cast("double") /
+          col("budget_tokens").cast("double")).as("utilization"))
+      .orderBy(col("source"))
+  }
+
   /** Leakage-safe train/val/test split — assignment is keyed by the
     * near-dup COMPONENT, not the document: hashing doc_ids independently
     * would scatter near-duplicates of the same source across train and
@@ -722,6 +767,7 @@ object Curation {
     "pipeline_cluster_dedup" -> pipelineClusterDedup _,
     "curation_effective_tokens" -> curationEffectiveTokens _,
     "curation_mixture_sample" -> curationMixtureSample _,
+    "curation_token_budget_cut" -> curationTokenBudgetCut _,
     "split_leakage_safe" -> splitLeakageSafe _,
     "split_kfold" -> splitKfold _,
     "text_repetition" -> textRepetition _,
@@ -820,6 +866,37 @@ object Curation {
       |  CAST(COALESCE(k.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept
       |FROM rates r LEFT JOIN kept k ON k.source = r.source
       |ORDER BY r.source""".stripMargin
+
+  private val tokenBudgetCutSql =
+    """WITH docs AS MATERIALIZED (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS tok_total,
+      |               CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+      |        FROM docs),
+      |budgets AS MATERIALIZED (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_raw,
+      |    (SELECT tok_total // (5 * n_sources) FROM tot) AS budget_tokens
+      |  FROM docs GROUP BY source),
+      |cum AS (
+      |  SELECT source, n_tok,
+      |    CAST(sum(n_tok) OVER (PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+      |      AS cum_tok
+      |  FROM docs),
+      |kept AS (
+      |  SELECT c.source, count(*) AS n_kept,
+      |    CAST(sum(c.n_tok) AS BIGINT) AS tokens_kept
+      |  FROM cum c JOIN budgets b ON b.source = c.source
+      |  WHERE c.cum_tok <= b.budget_tokens
+      |  GROUP BY c.source)
+      |SELECT b.source, b.n_raw, CAST(k.n_kept AS BIGINT) AS n_kept,
+      |  b.budget_tokens, k.tokens_kept,
+      |  CAST(k.tokens_kept AS DOUBLE) / CAST(b.budget_tokens AS DOUBLE)
+      |    AS utilization
+      |FROM budgets b JOIN kept k ON k.source = b.source
+      |ORDER BY b.source""".stripMargin
 
   // shared recursive-closure prefix, aggregated per-language after
   // dropping every non-representative component member
@@ -1136,6 +1213,7 @@ object Curation {
     "pipeline_cluster_dedup" -> clusterDedupSql,
     "curation_effective_tokens" -> effectiveTokensSql,
     "curation_mixture_sample" -> mixtureSampleSql,
+    "curation_token_budget_cut" -> tokenBudgetCutSql,
     "split_leakage_safe" -> leakageSplitSql,
     "split_kfold" -> kfoldSql,
     "text_repetition" -> repetitionSql,

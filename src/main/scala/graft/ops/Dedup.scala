@@ -314,13 +314,22 @@ object Dedup {
     * Documents with < 2 words are excluded before the bigram sequence is
     * built (sequence(0, -1) descends and slice() throws), mirroring the
     * oracle's len(words) >= 2 guard. */
-  def simhashSignatures(df: DataFrame): DataFrame = {
-    val tok = df
+  def simhashSignatures(df: DataFrame): DataFrame =
+    simhashFromFeatures(df
       .filter(size(split(col("text"), " ")) >= 2)
       .select(col("doc_id"),
         explode(graft.functions.VectorExpressions
           .wordShingles(col("text"), 2, distinct = false)).as("bg"))
-      .select(col("doc_id"), md5(col("bg")).as("m"))
+      .select(col("doc_id"), md5(col("bg")).as("m")))
+
+  /** Signed-vote 64-bit SimHash from ANY md5-hex feature relation
+    * (doc_id, m) — the feature extractor is the only thing that varies
+    * between the text variant (word bigrams, [[simhashSignatures]]) and
+    * the media variant (blob chunk fingerprints — the perceptual-hash
+    * shape, `Multimodal.mediaPhashDedup`). One aggregate collapses the
+    * feature stream to 64 vote sums per doc; map-side combinable. */
+  private[graft] def simhashFromFeatures(feats: DataFrame): DataFrame = {
+    val tok = feats
       .select(col("doc_id"),
         conv(substring(col("m"), 1, 8), 16, 10).cast("long").as("h_hi"),
         conv(substring(col("m"), 9, 8), 16, 10).cast("long").as("h_lo"))
@@ -346,9 +355,14 @@ object Dedup {
     * (pigeonhole) — candidates from an equi-join on (band, bits) are a
     * guaranteed superset, then the exact bit_count filter reproduces the
     * all-pairs result without the O(n²) nested-loop join. */
-  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    val sigs = simhashSignatures(documents(s, dir))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    simhashBandedPairs(simhashSignatures(documents(s, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Banded Hamming-≤12 pair join over a (doc_id, simhash) relation —
+    * shared by the text and media signature variants (pigeonhole recall
+    * argument in the scaladoc above). */
+  private[graft] def simhashBandedPairs(sigs: DataFrame): DataFrame = {
     val width = 64 / SimhashBands + 1 // 5 bits (last band takes the remainder)
     val bandCols = (0 until SimhashBands).map { b =>
       val lo = b * width
@@ -500,7 +514,11 @@ object Dedup {
     * per-document bit votes (fine at sf0.01), same md5-derived feature
     * bits as the Spark side. The banded equi-join is exact-recall by
     * pigeonhole, so the two result sets agree. */
-  private def simhashOracleSql: String = {
+  /** Brute-force simhash oracle over ANY feature CTE chain ending in
+    * `f AS (doc_id, m)` — all-pairs per-bit majority + hamming (fine at
+    * sf0.01). Shared with `Multimodal`'s perceptual-hash variant; the
+    * banded equi-join is exact-recall by pigeonhole, so the sets agree. */
+  private[graft] def simhashOracleFor(featureCtes: String): String = {
     val bitCols = (0 until 64).map { k =>
       val h = if (k < 32) "h_lo" else "h_hi"
       val div = 1L << (k % 32)
@@ -508,15 +526,7 @@ object Dedup {
         s" THEN 1 ELSE 0 END AS b$k"
     }.mkString(", ")
     val hamming = (0 until 64).map(k => s"abs(a.b$k - b2.b$k)").mkString(" + ")
-    s"""WITH w AS (
-       |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
-       |  WHERE len(string_split(text, ' ')) >= 2),
-       |f AS (
-       |  SELECT doc_id, md5(bg) AS m FROM (
-       |    SELECT doc_id,
-       |      unnest([array_to_string(words[i:i+1], ' ')
-       |              FOR i IN range(1, len(words))]) AS bg
-       |    FROM w)),
+    s"""WITH $featureCtes,
        |h AS (
        |  SELECT doc_id,
        |    ('0x' || substr(m, 1, 8))::BIGINT AS h_hi,
@@ -530,6 +540,17 @@ object Dedup {
        |SELECT a_id, b_id, hamming FROM p
        |WHERE hamming <= 12 ORDER BY a_id, b_id""".stripMargin
   }
+
+  private def simhashOracleSql: String = simhashOracleFor(
+    """w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |f AS (
+      |  SELECT doc_id, md5(bg) AS m FROM (
+      |    SELECT doc_id,
+      |      unnest([array_to_string(words[i:i+1], ' ')
+      |              FOR i IN range(1, len(words))]) AS bg
+      |    FROM w))""".stripMargin)
 
   private val jaccardPairsSql =
     """WITH sh AS (

@@ -171,6 +171,34 @@ object Multimodal {
       .filter(col("n_copies") > 1)
       .orderBy(col("chunk_md5"))
 
+  /** Perceptual-hash near-duplicate detection for media blobs — the
+    * image-dedup stage of a multimodal curation pipeline (pHash shape:
+    * per-blob features → signed bit votes → 64-bit signature → banded
+    * Hamming join; Hamming ≤ 12 ⇒ near-duplicate). Real pHash features
+    * are DCT coefficients of the decoded, downscaled image; this
+    * container has no codecs, so the features are the blob's 256-byte
+    * chunk fingerprints (this module's standing deterministic stand-in,
+    * same slicing as [[mediaChunkDedup]]) — the signature construction,
+    * the pigeonhole-banded candidate join, and the exact Hamming verify
+    * are `Dedup`'s SimHash machinery verbatim (`simhashFromFeatures` /
+    * `simhashBandedPairs`), which is the point: media near-dup rides the
+    * text stack's plumbing with only the feature extractor swapped.
+    *
+    * Scale: the blob is hexed and chunk-hashed in one map pass (bytes
+    * never shuffle); the vote aggregate is map-side combinable; the
+    * banded join is the same bounded-candidate shape as `dedup_simhash`. */
+  def mediaPhashDedup(s: SparkSession, dir: String): DataFrame = {
+    val feats = mediaTable(s, dir)
+      .select(col("doc_id"), lower(hex(col("media"))).as("hx"))
+      .filter(length(col("hx")) > 0)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, CAST((length(hx) + 511) div 512 - 1 AS INT)),
+          |          i -> md5(substring(hx, i * 512 + 1, 512)))""".stripMargin))
+        .as("m"))
+    Dedup.simhashBandedPairs(Dedup.simhashFromFeatures(feats)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
   /** Contrastive media-text pair assembly (the CLIP-style training-set
     * builder): every media row paired with its own caption (positive)
     * and ONE deterministically drawn non-matching caption (negative).
@@ -214,9 +242,21 @@ object Multimodal {
     "multimodal_resize_stats" -> mediaResizeStats _,
     "multimodal_nearest_neighbor" -> mediaNearestNeighbor _,
     "multimodal_chunk_dedup" -> mediaChunkDedup _,
+    "multimodal_phash_dedup" -> mediaPhashDedup _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    // brute-force per-bit-majority + all-pairs hamming over the chunk
+    // features (Dedup's shared oracle with the feature CTE swapped)
+    "multimodal_phash_dedup" -> Dedup.simhashOracleFor(
+      """m0 AS (
+        |  SELECT doc_id, lower(hex(text)) AS hx FROM documents
+        |  WHERE len(text) > 0),
+        |f AS (
+        |  SELECT doc_id, unnest([md5(substr(hx, i * 512 + 1, 512))
+        |                         FOR i IN range(0, (len(hx) + 511) // 512)])
+        |    AS m
+        |  FROM m0)""".stripMargin),
     "multimodal_clip_pairs" ->
       """WITH caps AS (
         |  SELECT doc_id,

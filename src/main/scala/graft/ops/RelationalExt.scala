@@ -222,6 +222,70 @@ object RelationalExt {
         median(cents(col("o_totalprice"))).as("med_cents"))
       .orderBy(col("o_orderstatus"))
 
+  /** Re-aggregable quantiles from a MERGEABLE equi-width histogram —
+    * the production approximate-percentile-at-scale pattern (the
+    * algebraic sibling of `agg_hll_rollup` for distincts and
+    * `rollup_reaggregate` for sums): each ingest partition stores a
+    * fixed-width bucket-count sketch, merges are plain per-bucket sums
+    * (commutative, associative, partial-agg friendly — exactly what a
+    * t-digest buys, minus the adaptivity, plus bit-exact determinism),
+    * and any quantile reads off the merged counts with a guaranteed
+    * ±one-bucket error. The two-level aggregate here (per-month bucket
+    * counts → merged bucket counts) IS the maintainable-sketch motion;
+    * the plan keeps both HashAggregates.
+    *
+    * Exactness contract: bucket = cents div 1 000 000 ($10k buckets,
+    * ~50 over this table's range), threshold test
+    * cum·100 ≥ q·N (integer, no ceil), picked bucket = min qualifying.
+    * The emitted `within_bucket` verdict compares the EXACT interpolated
+    * percentile (the `agg_stats_orders` bit-exact precedent) against the
+    * picked bucket's bounds — the oracle asserts every verdict true, so
+    * the sketch's error bound is value-checked, not just claimed. The
+    * cumulation window runs over the bucket-DISTINCT aggregate (≤
+    * range/width rows by construction — PlanSpec's bounded-window guard
+    * covers it). */
+  def aggHistogramQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val W = 1000000L
+    val o = orders(s, dir).select(cents(col("o_totalprice")).as("cents"),
+      date_trunc("month", col("o_orderdate")).as("mon"))
+    val perMonth = o.groupBy(col("mon"), expr(s"cents div $W").as("bucket"))
+      .agg(count(lit(1)).as("n")) // the stored per-partition sketch
+    val merged = perMonth.groupBy(col("bucket"))
+      .agg(sum(col("n")).as("n")) // sketch merge: per-bucket sum
+    val tot = merged.agg(sum(col("n")).as("n_total"))
+    val exact = o.agg(
+      expr("percentile(cents, 0.50D)").as("p50"),
+      expr("percentile(cents, 0.90D)").as("p90"),
+      expr("percentile(cents, 0.99D)").as("p99"))
+    val wcum = Window.orderBy(col("bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = merged
+      .withColumn("cum_count", sum(col("n")).over(wcum))
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(exact))
+    val cand = cum
+      .select(col("bucket"), col("cum_count"), col("n_total"),
+        explode(array(lit(50L), lit(90L), lit(99L))).as("q"),
+        col("p50"), col("p90"), col("p99"))
+      .filter(col("cum_count") * 100 >= col("q") * col("n_total"))
+      .withColumn("exact_pctl",
+        when(col("q") === 50, col("p50"))
+          .when(col("q") === 90, col("p90"))
+          .otherwise(col("p99")))
+    cand.groupBy(col("q"))
+      .agg(min(struct(col("bucket"), col("cum_count"), col("n_total"),
+        col("exact_pctl"))).as("best"))
+      .select(col("q"),
+        (col("best.bucket") * W).as("bucket_lo"),
+        (col("best.bucket") * W + (W - 1)).as("bucket_hi"),
+        col("best.cum_count").as("cum_count"),
+        col("best.n_total").as("n_total"),
+        (col("best.exact_pctl") >= col("best.bucket") * W &&
+          col("best.exact_pctl") <= col("best.bucket") * W + (W - 1))
+          .as("within_bucket"))
+      .orderBy(col("q"))
+  }
+
   /** CDC upsert (MERGE) semantics: apply a change batch to a dimension —
     * matched keys take the change's value, unmatched keep the current
     * row, and change-only keys insert. The change batch here is each
@@ -705,6 +769,7 @@ object RelationalExt {
     "upsert_customer_balances" -> upsertCustomerBalances _,
     "scd2_customer_history" -> scd2CustomerHistory _,
     "agg_median_orders" -> aggMedianOrders _,
+    "agg_histogram_quantiles" -> aggHistogramQuantiles _,
     "not_in_urgent_customers" -> notInUrgentCustomers _,
     "q7_nation_trade" -> q7NationTrade _,
     "subquery_exists_orders" -> subqueryExistsOrders _,
@@ -927,6 +992,36 @@ object RelationalExt {
         |  median(o_totalprice) AS med_price,
         |  median(CAST(round(o_totalprice*100) AS BIGINT)) AS med_cents
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // mergeable-histogram quantiles: merge level elided (per-bucket sums
+    // are associative, so merged counts == direct counts); the exact
+    // interpolated percentile (quantile_cont ≡ Spark percentile,
+    // bit-exact per the agg_stats precedent) checks the verdicts
+    "agg_histogram_quantiles" ->
+      """WITH o AS (SELECT CAST(round(o_totalprice*100) AS BIGINT) AS cents
+        |           FROM orders),
+        |h AS (SELECT cents // 1000000 AS bucket, CAST(count(*) AS BIGINT) AS n
+        |      FROM o GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM h),
+        |ex AS (SELECT quantile_cont(cents, 0.50) AS p50,
+        |              quantile_cont(cents, 0.90) AS p90,
+        |              quantile_cont(cents, 0.99) AS p99 FROM o),
+        |cum AS (SELECT bucket, CAST(sum(n) OVER (ORDER BY bucket) AS BIGINT)
+        |          AS cum_count FROM h),
+        |qv AS (SELECT CAST(unnest([50, 90, 99]) AS BIGINT) AS q),
+        |cand AS (
+        |  SELECT qv.q, cum.bucket, cum.cum_count, tot.n_total,
+        |    CASE qv.q WHEN 50 THEN ex.p50 WHEN 90 THEN ex.p90
+        |      ELSE ex.p99 END AS exact_pctl
+        |  FROM qv, cum, tot, ex
+        |  WHERE cum.cum_count * 100 >= qv.q * tot.n_total),
+        |pick AS (SELECT q, min(bucket) AS bucket FROM cand GROUP BY q)
+        |SELECT p.q, p.bucket * 1000000 AS bucket_lo,
+        |  p.bucket * 1000000 + 999999 AS bucket_hi,
+        |  c.cum_count, c.n_total,
+        |  (c.exact_pctl >= p.bucket * 1000000 AND
+        |   c.exact_pctl <= p.bucket * 1000000 + 999999) AS within_bucket
+        |FROM pick p JOIN cand c ON c.q = p.q AND c.bucket = p.bucket
+        |ORDER BY p.q""".stripMargin,
     "upsert_customer_balances" ->
       """WITH changes AS (
         |  SELECT o_custkey,

@@ -317,6 +317,35 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("token budget cut: within budget, first-fit maximal, deterministic order replayed") {
+    val rows = Curation.curationTokenBudgetCut(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    // driver-side replay: same md5 order, same first-fit cut
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        md5(col("doc_id").cast("string")).as("h")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    val tokTotal = docs.map(_._3).sum
+    val budget = tokTotal / (5L * docs.map(_._2).distinct.length)
+    val bySrc = docs.groupBy(_._2)
+    rows.foreach { case (src, nRaw, nKept, budgetTokens, tokensKept, util) =>
+      assert(budgetTokens === budget)
+      assert(tokensKept <= budgetTokens, s"$src over budget")
+      assert(math.abs(util - tokensKept.toDouble / budgetTokens) === 0.0)
+      val ordered = bySrc(src).sortBy(d => (d._4, d._1))
+      assert(nRaw === ordered.length.toLong)
+      val cums = ordered.scanLeft(0L)(_ + _._3).tail
+      val kept = cums.takeWhile(_ <= budget).length
+      assert(nKept === kept.toLong, s"$src kept-count mismatch")
+      assert(tokensKept === (if (kept == 0) 0L else cums(kept - 1)))
+      // first-fit maximality: the next doc (if any) would overflow
+      if (kept < ordered.length) assert(cums(kept) > budget)
+    }
+  }
+
   test("mixture sample: driver-side coin replay recounts every source's kept set") {
     val rows = Curation.curationMixtureSample(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))

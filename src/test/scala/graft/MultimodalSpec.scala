@@ -30,4 +30,28 @@ class MultimodalSpec extends AnyFunSuite {
       assert(negCap === texts(negId).split(" ").take(8).mkString(" "))
     }
   }
+
+  test("pHash dedup: byte-identical media pair at hamming 0; hamming bounded; no self/dup pairs") {
+    val pairs = Multimodal.mediaPhashDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    pairs.foreach { case (a, b, h) =>
+      assert(a < b, s"unordered pair ($a,$b)")
+      assert(h >= 0 && h <= 12, s"hamming $h out of the declared band")
+    }
+    assert(pairs.map(p => (p._1, p._2)).distinct.length === pairs.length)
+    // identical text ⇒ identical synthesized bytes ⇒ identical chunk
+    // features ⇒ identical signature: every exact-duplicate doc pair
+    // MUST surface at hamming 0 (recall floor of the banded join)
+    val byText = Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getString(1), r.getLong(0)))
+      .groupBy(_._1).values.map(_.map(_._2).sorted).filter(_.length > 1)
+    val got = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    byText.foreach { ids =>
+      for (a <- ids; b <- ids if a < b) {
+        assert(got.get((a, b)).contains(0L),
+          s"exact-duplicate media pair ($a,$b) missing or hamming != 0")
+      }
+    }
+  }
 }

@@ -413,6 +413,17 @@ class PlanSpec extends AnyFunSuite {
       assert(w.find(_.isInstanceOf[BaseAggregateExec]).isDefined,
         s"freq-spectrum window input is not the spectrum aggregate:\n$fs")
     }
+    // agg_histogram_quantiles: the cumulation window must sit above the
+    // bucket aggregate (≤ range/width rows by construction), never the
+    // per-order rows
+    val hq = ops.RelationalExt.aggHistogramQuantiles(spark, dir)
+      .queryExecution.sparkPlan
+    val hqWins = hq.collect { case w: WindowExec => w }
+    assert(hqWins.nonEmpty, s"no window in histogram-quantiles plan:\n$hq")
+    hqWins.foreach { w =>
+      assert(w.find(_.isInstanceOf[BaseAggregateExec]).isDefined,
+        s"histogram-quantiles window input is not the bucket aggregate:\n$hq")
+    }
     // text_nb_auc: the Mann–Whitney cumulation window must sit above
     // the score-distinct aggregate, never per-document score rows
     val auc = ops.Mining.textNbAuc(spark, dir)

@@ -141,6 +141,24 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("histogram quantiles: exact percentile inside every picked bucket, cumulative sanity") {
+    val rows = ops.RelationalExt.aggHistogramQuantiles(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(rows.map(_._1).toSeq === Seq(50L, 90L, 99L))
+    val n = rows.head._5
+    rows.foreach { case (q, lo, hi, cum, nTotal, within) =>
+      assert(within, s"p$q exact percentile escaped its bucket")
+      assert(hi === lo + 999999L)
+      assert(nTotal === n)
+      // picked bucket is the FIRST crossing: cum clears the threshold
+      assert(cum * 100 >= q * nTotal)
+      assert(cum <= nTotal)
+    }
+    // monotone: higher quantile never picks a lower bucket
+    assert(rows.sortBy(_._1).map(_._2).sliding(2).forall(p => p(0) <= p(1)))
+  }
+
   test("exact-integer Pearson corr matches Spark's double-accumulated corr to 1e-9") {
     val row = ops.RelationalExt.aggCorrLineitem(spark, dir).collect()(0)
     val r = row.getDouble(3)
