@@ -52,7 +52,8 @@ object PlanDump {
       "curation_mixture_sample" -> "temperature mix: source-cardinality aggregate + broadcast rates join + map-side LCG coin — the corpus never shuffles",
       "curation_effective_tokens" -> "dataset-size readout: stored component-label index joined broadcast to one corpus scan, one source-cardinality aggregate",
       "text_tfidf_cosine_minhash" -> "tf-idf via term-set MinHash banding: one codegen'd 32-perm pass over salient sets, (band,bucket) self-join, exact verify — no plane explode, no cartesian",
-      "text_bm25_topk" -> "BM25 retrieval: query terms broadcast (only their postings survive), corpus doc-length joins map-side, exact-integer scores, per-query group-limited top-10")
+      "text_bm25_topk" -> "BM25 retrieval: query terms broadcast (only their postings survive), corpus doc-length joins map-side, exact-integer scores, per-query group-limited top-10",
+      "similarity_pca_gram" -> "PCA: ONE typed-Aggregator corpus pass builds the 64x64 Gram; both power iterations + Rayleigh run on the constant 4096-row relation with broadcast joins")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries (sf0.001)\n\n")
     sb.append("Generated by `sbt \"runMain graft.PlanDump\"`; asserted in PlanSpec.\n")

@@ -67,6 +67,37 @@ object Aggregators {
     def outputEncoder: Encoder[Array[Long]] = ExprEncoders.longArray
   }
 
+  /** Quantized Gram matrix Σ q·qᵀ of float vectors (q = round(x·1000),
+    * the engine's standing embedding quantization): the ONE corpus pass
+    * PCA/whitening needs — everything downstream (power iteration,
+    * eigen read-off) runs on the constant-size dim×dim result. Exact
+    * Long sums; buffer = row-major dim² array; merge is element-wise
+    * add, so partial aggregation is exact and map-side. Long headroom:
+    * |G| ≤ 10⁶·n — swap the buffer to BigInt/decimal past ~10¹² rows. */
+  class GramMatrix(dim: Int) extends Aggregator[Array[Float], Array[Long], Array[Long]] {
+    def zero: Array[Long] = new Array[Long](dim * dim)
+    def reduce(buf: Array[Long], v: Array[Float]): Array[Long] = {
+      val q = new Array[Long](dim)
+      var i = 0
+      while (i < dim && i < v.length) { q(i) = math.round(v(i).toDouble * 1000); i += 1 }
+      i = 0
+      while (i < dim) {
+        val qi = q(i); var j = 0
+        while (j < dim) { buf(i * dim + j) += qi * q(j); j += 1 }
+        i += 1
+      }
+      buf
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    def finish(b: Array[Long]): Array[Long] = b
+    def bufferEncoder: Encoder[Array[Long]] = ExprEncoders.longArray
+    def outputEncoder: Encoder[Array[Long]] = ExprEncoders.longArray
+  }
+
   private object ExprEncoders {
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     import org.apache.spark.sql.catalyst.encoders.AgnosticEncoders._

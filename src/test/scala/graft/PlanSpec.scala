@@ -499,6 +499,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), s"no group limit:\n$p")
   }
 
+  test("PCA gram: the embedding corpus is scanned exactly once") {
+    // the whole point of the Gram-pass shape: one corpus read, then
+    // constant-size relations — a second embeddings scan means an
+    // iteration leaked back onto the corpus
+    // the Gram relation is persisted, so every downstream reference is
+    // an InMemoryTableScan of the dim²-row cache — the corpus-pass
+    // subtree appears only inside the cached relation, never as a live
+    // re-scan (unpersisted, the same DAG re-ran the corpus pass 11×)
+    val df = ops.Similarity.similarityPcaGram(spark, dir)
+    val p = plan(df)
+    assert(countNodes(p, "InMemoryTableScan") >= 4,
+      s"gram consumers not served from the cache:\n$p")
+    assert(countNodes(p, "CartesianProduct") === 0, s"plan:\n$p")
+  }
+
   test("tf-idf MinHash path: banded equi-join candidates, no cartesian") {
     val p = plan(ops.TextAnalysis.textTfidfCosineMinhash(spark, dir))
     assert(countNodes(p, "CartesianProduct") === 0, s"plan:\n$p")

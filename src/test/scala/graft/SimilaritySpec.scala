@@ -173,6 +173,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.last._3 >= rows.head._3)
   }
 
+  test("PCA gram: driver-side dense replay matches exactly; Rayleigh within trace bounds") {
+    val rows = Similarity.similarityPcaGram(spark, dir).collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val dim = 64
+    assert(rows.map(_._1).toSeq === (0 until dim))
+    // dense replay of the exact integer pipeline on the driver
+    val vecs = Tables.embeddings(spark, dir).select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray.map(x => math.round(x.toDouble * 1000)))
+    val g = Array.ofDim[Long](dim, dim)
+    vecs.foreach { q =>
+      for (i <- 0 until dim; j <- 0 until dim) g(i)(j) += q(i) * q(j)
+    }
+    val v1 = (0 until dim).map(i => g(i).sum).toArray
+    val s1 = math.max(1L, v1.map(math.abs).max / 1000L)
+    val v1q = v1.map(_ / s1)
+    val v2 = (0 until dim).map(i =>
+      (0 until dim).map(j => g(i)(j) * v1q(j)).sum).toArray
+    val s2 = math.max(1L, v2.map(math.abs).max / 1000L)
+    val lam = {
+      val num = (0 until dim).map(i => BigInt(v1q(i)) * v2(i)).sum
+      val den = (0 until dim).map(i => BigInt(v1q(i)) * v1q(i)).sum
+      if (den == 0) 0.0 else num.toDouble / den.toDouble
+    }
+    rows.foreach { case (i, eigQ, lambda1) =>
+      assert(eigQ === v2(i) / s2, s"dim $i eigenvector component")
+      assert(lambda1 === lam, "Rayleigh quotient")
+    }
+    // λ₁ estimate must sit in [trace/dim, trace] for a PSD Gram matrix
+    val trace = (0 until dim).map(i => g(i)(i)).sum.toDouble
+    assert(lam >= trace / dim - 1e-6 && lam <= trace + 1e-6,
+      s"lambda $lam outside PSD bounds [${trace / dim}, $trace]")
+  }
+
   test("VectorCentroid Aggregator matches the posexplode centroid query") {
     import spark.implicits._
     val agg = new Aggregators.VectorCentroid(64).toColumn
