@@ -343,6 +343,56 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** k-core membership of the near-dup graph (Seidman 1983; peeling per
+    * Matula & Beck 1983) for k ∈ {2, 3} — the dense-subgraph curation
+    * signal the component/triangle/PageRank family still lacked: a
+    * template-spam farm shows up as a high-k core (every member
+    * near-dups ≥ k others simultaneously) where organic near-dups are
+    * pendant pairs and chains that peel away immediately.
+    *
+    * Peeling: drop nodes of within-subgraph degree < k, restrict edges
+    * to survivors, repeat to the fixpoint. The edge count is a
+    * monotonically decreasing potential, so one narrow count per round
+    * doubles as materialization action and convergence check (the
+    * clusterLabels discipline); rounds needed = the longest peel chain,
+    * which the REQUIRE pins at ≤ 8 — exactly the unroll budget of the
+    * DuckDB oracle, so a pathological fixture fails loudly instead of
+    * silently disagreeing. Scale: each round is one degree aggregate +
+    * two semi-shaped joins keyed on node ids over a relation that only
+    * shrinks; production runs the same loop (more rounds, same shape)
+    * or the (k,coreness)-bucketed variant. */
+  def graphKcore(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Indexes.nearDupPairs(s, dir).select(col("a_id"), col("b_id"))
+    val edges0 = pairs
+      .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .toDF("src", "dst")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    edges0.count()
+    val cores = Seq(2, 3).map { k =>
+      var edges = edges0
+      var prev = -1L
+      var cur = edges0.count()
+      var rounds = 0
+      while (cur != prev && rounds < 20) {
+        val surv = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k).select(col("src"))
+        val next = edges.join(surv, Seq("src"))
+          .join(surv.select(col("src").as("dst")), Seq("dst"))
+          .select(col("src"), col("dst"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        prev = cur
+        cur = next.count()
+        if (edges ne edges0) edges.unpersist()
+        edges = next
+        rounds += 1
+      }
+      require(cur == prev && rounds <= 8,
+        s"$k-core peel needed $rounds rounds (oracle unrolls 8)")
+      edges.select(lit(k.toLong).as("k"), col("src").as("doc_id")).distinct()
+    }
+    cores.reduce(_ unionAll _).orderBy(col("k"), col("doc_id"))
+  }
+
   /** Degree-ordered triangle counting — the skew refinement
     * [[graphTriangleCounts]]'s scaladoc documents: orient each edge from
     * its lower-(degree, id) endpoint to the higher, so every node's
@@ -777,6 +827,7 @@ object Curation {
     "graph_pagerank_docs" -> graphPagerankDocs _,
     "graph_triangle_counts" -> graphTriangleCounts _,
     "graph_triangle_counts_degree" -> graphTriangleCountsDegree _,
+    "graph_kcore" -> graphKcore _,
   )
 
   // cluster oracle: transitive closure by recursive CTE over the same
@@ -1222,12 +1273,55 @@ object Curation {
     "embedding_quantize" -> quantizeSql,
     "graph_pagerank_docs" -> pagerankSql,
     "graph_triangle_counts" -> triangleSql,
+    "graph_kcore" -> kcoreSql,
     // orientation-invariant: the degree-ordered variant shares the oracle
     "graph_triangle_counts_degree" -> triangleSql,
   )
 
   // same brute-force Jaccard pair CTE; oriented-edge (a<b) wedge close —
   // each triangle a<b<c found exactly once, then exploded per member
+  // k-core oracle: same brute-force pair CTE, 8 unrolled peel rounds per
+  // k (idempotent past the fixpoint; the engine REQUIREs fixpoint ≤ 8).
+  // Every per-round CTE is MATERIALIZED — each is referenced twice, and
+  // default inlining would double the chain per round (the BPE lesson).
+  private def kcoreRounds(k: Int): String = {
+    val rounds = (1 to 8).map { r =>
+      s"""n${k}_$r AS MATERIALIZED (
+         |  SELECT src FROM e${k}_${r - 1} GROUP BY src HAVING count(*) >= $k),
+         |e${k}_$r AS MATERIALIZED (
+         |  SELECT e.src, e.dst FROM e${k}_${r - 1} e
+         |  JOIN n${k}_$r a ON a.src = e.src
+         |  JOIN n${k}_$r b ON b.src = e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""e${k}_0 AS MATERIALIZED (SELECT src, dst FROM edges),
+       |$rounds""".stripMargin
+  }
+
+  private lazy val kcoreSql =
+    s"""WITH sh AS (
+       |  SELECT doc_id, n_chars,
+       |    list_distinct([array_to_string(words[i:i+2], ' ')
+       |                   FOR i IN range(1, len(words) - 1)]) AS shingles
+       |  FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS words FROM documents)
+       |  WHERE len(words) >= 3),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM sh a JOIN sh b
+       |    ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 100
+       |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+       |        CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.5),
+       |edges AS MATERIALIZED (
+       |  SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION ALL SELECT b_id, a_id FROM pairs),
+       |${kcoreRounds(2)},
+       |${kcoreRounds(3)}
+       |SELECT CAST(2 AS BIGINT) AS k, src AS doc_id
+       |FROM (SELECT DISTINCT src FROM e2_8)
+       |UNION ALL
+       |SELECT CAST(3 AS BIGINT) AS k, src AS doc_id
+       |FROM (SELECT DISTINCT src FROM e3_8)
+       |ORDER BY k, doc_id""".stripMargin
+
   private lazy val triangleSql =
     """WITH sh AS (
       |  SELECT doc_id, n_chars,

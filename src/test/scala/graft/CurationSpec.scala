@@ -317,6 +317,38 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("k-core: driver-side peel replay, triangle nodes in the 2-core, 3-core nested") {
+    val core = Curation.graphKcore(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byK = core.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val c2 = byK.getOrElse(2L, Set.empty[Long])
+    val c3 = byK.getOrElse(3L, Set.empty[Long])
+    assert(c3.subsetOf(c2), "cores must nest")
+    // driver-side peel over the same pair index
+    val pairs = graft.ops.Indexes.nearDupPairs(spark, dir)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def peel(k: Int): Set[Long] = {
+      var nodes = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+      var changed = true
+      while (changed) {
+        val deg = pairs.filter(p => nodes(p._1) && nodes(p._2))
+          .flatMap(p => Seq(p._1, p._2))
+          .groupBy(identity).view.mapValues(_.length).toMap
+        val next = nodes.filter(n => deg.getOrElse(n, 0) >= k)
+        changed = next != nodes
+        nodes = next
+      }
+      nodes
+    }
+    assert(c2 === peel(2), "2-core mismatch vs driver peel")
+    assert(c3 === peel(3), "3-core mismatch vs driver peel")
+    // every triangle participant has two same-triangle neighbors → 2-core
+    val triNodes = Curation.graphTriangleCounts(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    assert(triNodes.subsetOf(c2), "triangle nodes must survive the 2-core peel")
+  }
+
   test("token budget cut: within budget, first-fit maximal, deterministic order replayed") {
     val rows = Curation.curationTokenBudgetCut(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
