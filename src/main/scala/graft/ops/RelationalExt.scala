@@ -222,6 +222,47 @@ object RelationalExt {
         median(cents(col("o_totalprice"))).as("med_cents"))
       .orderBy(col("o_orderstatus"))
 
+  /** RFM customer segmentation (recency / frequency / monetary — the
+    * classic marketing cube) in the formulation that SURVIVES scale:
+    * the textbook ntile(4)-per-axis needs a GLOBAL sort of the customer
+    * relation per axis; instead the three median thresholds come from
+    * ONE percentile aggregate (exact interpolated — the bit-exact
+    * cross-engine precedent of `agg_stats_orders`), broadcast, and every
+    * customer is bucketed MAP-SIDE against them — 2×2×2 segments, no
+    * global window anywhere. Monetary is exact integer cents; the one
+    * per-segment division (avg monetary) is a single IEEE op over exact
+    * operands. */
+  def aggRfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val per = orders(s, dir).groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate").cast("date")).as("last_dt"),
+        count(lit(1)).as("freq"),
+        sum(cents(col("o_totalprice"))).as("mon"))
+    val maxDt = per.agg(max(col("last_dt")).as("max_dt"))
+    val rfm = per.crossJoin(broadcast(maxDt))
+      .select(col("o_custkey"),
+        datediff(col("max_dt"), col("last_dt")).cast("long").as("rec"),
+        col("freq"), col("mon"))
+    val th = rfm.agg(
+      expr("percentile(rec, 0.5D)").as("r50"),
+      expr("percentile(freq, 0.5D)").as("f50"),
+      expr("percentile(mon, 0.5D)").as("m50"))
+    rfm.crossJoin(broadcast(th))
+      .select(
+        when(col("rec").cast("double") <= col("r50"), lit("recent"))
+          .otherwise(lit("stale")).as("r_seg"),
+        when(col("freq").cast("double") > col("f50"), lit("frequent"))
+          .otherwise(lit("rare")).as("f_seg"),
+        when(col("mon").cast("double") > col("m50"), lit("big"))
+          .otherwise(lit("small")).as("m_seg"),
+        col("mon"))
+      .groupBy(col("r_seg"), col("f_seg"), col("m_seg"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("mon")).as("mon_cents"))
+      .withColumn("avg_mon_cents",
+        col("mon_cents").cast("double") / col("n_customers").cast("double"))
+      .orderBy(col("r_seg"), col("f_seg"), col("m_seg"))
+  }
+
   /** Re-aggregable quantiles from a MERGEABLE equi-width histogram —
     * the production approximate-percentile-at-scale pattern (the
     * algebraic sibling of `agg_hll_rollup` for distincts and
@@ -770,6 +811,7 @@ object RelationalExt {
     "scd2_customer_history" -> scd2CustomerHistory _,
     "agg_median_orders" -> aggMedianOrders _,
     "agg_histogram_quantiles" -> aggHistogramQuantiles _,
+    "agg_rfm_segments" -> aggRfmSegments _,
     "not_in_urgent_customers" -> notInUrgentCustomers _,
     "q7_nation_trade" -> q7NationTrade _,
     "subquery_exists_orders" -> subqueryExistsOrders _,
@@ -992,6 +1034,35 @@ object RelationalExt {
         |  median(o_totalprice) AS med_price,
         |  median(CAST(round(o_totalprice*100) AS BIGINT)) AS med_cents
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "agg_rfm_segments" ->
+      """WITH per AS MATERIALIZED (
+        |  SELECT o_custkey, CAST(max(o_orderdate) AS DATE) AS last_dt,
+        |    CAST(count(*) AS BIGINT) AS freq,
+        |    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS mon
+        |  FROM orders GROUP BY o_custkey),
+        |mx AS (SELECT max(last_dt) AS max_dt FROM per),
+        |rfm AS MATERIALIZED (
+        |  SELECT o_custkey,
+        |    CAST(datediff('day', last_dt, (SELECT max_dt FROM mx)) AS BIGINT)
+        |      AS rec,
+        |    freq, mon
+        |  FROM per),
+        |th AS (SELECT quantile_cont(rec, 0.5) AS r50,
+        |              quantile_cont(freq, 0.5) AS f50,
+        |              quantile_cont(mon, 0.5) AS m50 FROM rfm)
+        |SELECT
+        |  CASE WHEN CAST(rec AS DOUBLE) <= th.r50 THEN 'recent'
+        |    ELSE 'stale' END AS r_seg,
+        |  CASE WHEN CAST(freq AS DOUBLE) > th.f50 THEN 'frequent'
+        |    ELSE 'rare' END AS f_seg,
+        |  CASE WHEN CAST(mon AS DOUBLE) > th.m50 THEN 'big'
+        |    ELSE 'small' END AS m_seg,
+        |  CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(mon) AS BIGINT) AS mon_cents,
+        |  CAST(sum(mon) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS avg_mon_cents
+        |FROM rfm, th
+        |GROUP BY 1, 2, 3 ORDER BY r_seg, f_seg, m_seg""".stripMargin,
     // mergeable-histogram quantiles: merge level elided (per-bucket sums
     // are associative, so merged counts == direct counts); the exact
     // interpolated percentile (quantile_cont ≡ Spark percentile,

@@ -141,6 +141,22 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("RFM segments partition the customer base; averages recompute exactly") {
+    val rows = ops.RelationalExt.aggRfmSegments(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    val nCustomers = Tables.orders(spark, dir)
+      .select("o_custkey").distinct().count()
+    assert(rows.map(_._4).sum === nCustomers, "segments must partition customers")
+    assert(rows.map(t => (t._1, t._2, t._3)).distinct.length === rows.length)
+    rows.foreach { case (r, f, m, n, cents, avg) =>
+      assert(Set("recent", "stale")(r) && Set("frequent", "rare")(f) &&
+        Set("big", "small")(m))
+      assert(n > 0)
+      assert(avg === cents.toDouble / n.toDouble)
+    }
+  }
+
   test("histogram quantiles: exact percentile inside every picked bucket, cumulative sanity") {
     val rows = ops.RelationalExt.aggHistogramQuantiles(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
