@@ -412,6 +412,36 @@ object RelationalExt {
       .orderBy(col("o_custkey"), col("valid_from_day"), col("o_orderkey"))
   }
 
+  /** Point-in-time (AS OF) join against the SCD2 dimension — the query
+    * the Type-2 history EXISTS for: attach to each fact row the
+    * dimension version that was valid AT the fact's timestamp
+    * (valid_from ≤ t < valid_to, open current version), never the
+    * version valid today. Here each order re-derives the customer state
+    * in force on its own day — every order matches EXACTLY one version
+    * (intervals tile each customer's timeline by construction;
+    * same-day state flips produce empty [d, d) intervals that match
+    * nothing, RelationalSpec pins the exactly-one property).
+    *
+    * Scale: the interval predicate rides the o_custkey EQUI key, so the
+    * plan is an ordinary co-keyed join (versions per key are few) with
+    * the range conditions as post-join filters — no interval explosion,
+    * no BNLJ; the version side is dimension-sized and broadcastable. */
+  def scd2PitJoin(s: SparkSession, dir: String): DataFrame = {
+    val hist = scd2CustomerHistory(s, dir)
+      .select(col("o_custkey").as("h_custkey"), col("state"),
+        col("valid_from_day"), col("valid_to_day"))
+    val o = orders(s, dir).select(col("o_custkey"), col("o_orderkey"),
+      datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date"))
+        .cast("long").as("day"))
+    o.join(hist, col("o_custkey") === col("h_custkey") &&
+        col("day") >= col("valid_from_day") &&
+        (col("valid_to_day").isNull || col("day") < col("valid_to_day")))
+      .groupBy(col("state"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"))
+      .orderBy(col("state"))
+  }
+
   /** Z-score outlier detection with EXACT cross-engine arithmetic: the
     * per-type mean/variance come from exact integer sums (Σvc, Σvc², n
     * are Longs — no double accumulation), and each row's test
@@ -812,6 +842,7 @@ object RelationalExt {
     "agg_median_orders" -> aggMedianOrders _,
     "agg_histogram_quantiles" -> aggHistogramQuantiles _,
     "agg_rfm_segments" -> aggRfmSegments _,
+    "scd2_pit_join" -> scd2PitJoin _,
     "not_in_urgent_customers" -> notInUrgentCustomers _,
     "q7_nation_trade" -> q7NationTrade _,
     "subquery_exists_orders" -> subqueryExistsOrders _,
@@ -1126,6 +1157,27 @@ object RelationalExt {
         |FROM c WHERE prev_state IS NULL OR prev_state <> state
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY day, o_orderkey)
         |ORDER BY o_custkey, valid_from_day, o_orderkey""".stripMargin,
+    "scd2_pit_join" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey, o_orderpriority AS state,
+        |    CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+        |         AS BIGINT) AS day
+        |  FROM orders),
+        |c AS (
+        |  SELECT *, lag(state) OVER (PARTITION BY o_custkey
+        |             ORDER BY day, o_orderkey) AS prev_state
+        |  FROM o),
+        |hist AS MATERIALIZED (
+        |  SELECT o_custkey, state, day AS valid_from_day,
+        |    lead(day) OVER (PARTITION BY o_custkey ORDER BY day, o_orderkey)
+        |      AS valid_to_day
+        |  FROM c WHERE prev_state IS NULL OR prev_state <> state)
+        |SELECT h.state, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_customers
+        |FROM o JOIN hist h ON h.o_custkey = o.o_custkey
+        |  AND o.day >= h.valid_from_day
+        |  AND (h.valid_to_day IS NULL OR o.day < h.valid_to_day)
+        |GROUP BY h.state ORDER BY h.state""".stripMargin,
     "q18_large_orders" ->
       """WITH big AS (
         |  SELECT l_orderkey, sum(l_quantity) AS total_qty

@@ -141,6 +141,19 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("SCD2 point-in-time join: every order matches exactly one version") {
+    val rows = ops.RelationalExt.scd2PitJoin(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val nOrders = Tables.orders(spark, dir).count()
+    // intervals tile each customer's timeline, so the per-state order
+    // counts must partition the fact table — any gap or overlap in the
+    // version intervals would break this sum
+    assert(rows.map(_._2).sum === nOrders)
+    rows.foreach { case (state, n, nc) =>
+      assert(state.nonEmpty && n > 0 && nc > 0 && nc <= n)
+    }
+  }
+
   test("RFM segments partition the customer base; averages recompute exactly") {
     val rows = ops.RelationalExt.aggRfmSegments(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2),
