@@ -674,6 +674,33 @@ object Similarity {
       .orderBy(col("i"))
   }
 
+  /** Projection of every embedding onto the learned dominant component
+    * — the APPLY half of [[similarityPcaGram]] (score each vector along
+    * the axis of maximum variance, the first step of a whitening rotate
+    * or a one-dimensional curriculum/diversity signal), aggregated per
+    * label so the readout doubles as a separation diagnostic. The
+    * component (64 rows) broadcasts; the projection is one map-side
+    * exact-integer dot per vector (|q|·|eig|·dim ≤ 6.4e7 — no overflow
+    * anywhere near); one (vec, label) aggregate then a label rollup.
+    * Production materializes the component once (the `Indexes` motion)
+    * instead of re-deriving it per query, as here for declarativity. */
+  def similarityPcaProject(s: SparkSession, dir: String): DataFrame = {
+    val eig = similarityPcaGram(s, dir).select(col("i"), col("eig_q"))
+    val qe = embeddings(s, dir).select(col("vec_id"), col("label"),
+      posexplode(expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
+        .as(Seq("i", "v")))
+    qe.join(broadcast(eig), Seq("i"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("v") * col("eig_q")).as("proj"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), min(col("proj")).as("min_proj"),
+        max(col("proj")).as("max_proj"), sum(col("proj")).as("sum_proj"))
+      .withColumn("avg_proj",
+        col("sum_proj").cast("double") / col("n").cast("double"))
+      .orderBy(col("label"))
+  }
+
   def matryoshkaRecall(s: SparkSession, dir: String): DataFrame = {
     val e = embeddings(s, dir).select(col("vec_id"), quantize.as("q"))
     def topk(d: Int): DataFrame = {
@@ -706,6 +733,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "similarity_matryoshka_recall" -> matryoshkaRecall _,
     "similarity_pca_gram" -> similarityPcaGram _,
+    "similarity_pca_project" -> similarityPcaProject _,
     "similarity_cosine_topk" -> cosineTopK _,
     "similarity_lsh_buckets" -> lshBuckets _,
     "similarity_lsh_ann" -> lshAnnTopK _,
@@ -718,6 +746,26 @@ object Similarity {
     "dedup_semantic" -> dedupSemantic _,
     "similarity_ann_recall" -> annRecall _,
   )
+
+  // Shared PCA oracle CTEs (consumed with qElems in scope): Gram matrix
+  // from the quantized elements + two integer power-iteration rounds.
+  private val pcaCtes =
+    """g AS MATERIALIZED (
+      |  SELECT a.i - 1 AS gi, b.i - 1 AS gj,
+      |    CAST(sum(a.v * b.v) AS BIGINT) AS g
+      |  FROM qe a JOIN qe b ON a.vec_id = b.vec_id
+      |  GROUP BY 1, 2),
+      |v1 AS MATERIALIZED (
+      |  SELECT gi AS i, CAST(sum(g) AS BIGINT) AS v1 FROM g GROUP BY gi),
+      |m1 AS (SELECT max(abs(v1)) AS m1 FROM v1),
+      |v1q AS MATERIALIZED (
+      |  SELECT i AS j,
+      |    v1 // greatest(1, (SELECT m1 FROM m1) // 1000) AS vq1
+      |  FROM v1),
+      |v2 AS MATERIALIZED (
+      |  SELECT g.gi AS i, CAST(sum(g.g * q.vq1) AS BIGINT) AS v2
+      |  FROM g JOIN v1q q ON q.j = g.gj GROUP BY 1),
+      |m2 AS (SELECT max(abs(v2)) AS m2 FROM v2)""".stripMargin
 
   // Shared oracle scaffolding: per-element quantized views.
   private val qElems =
@@ -804,22 +852,7 @@ object Similarity {
     // ray sums go through HUGEINT ≡ decimal(38,0))
     "similarity_pca_gram" ->
       s"""WITH $qElems,
-         |g AS MATERIALIZED (
-         |  SELECT a.i - 1 AS gi, b.i - 1 AS gj,
-         |    CAST(sum(a.v * b.v) AS BIGINT) AS g
-         |  FROM qe a JOIN qe b ON a.vec_id = b.vec_id
-         |  GROUP BY 1, 2),
-         |v1 AS MATERIALIZED (
-         |  SELECT gi AS i, CAST(sum(g) AS BIGINT) AS v1 FROM g GROUP BY gi),
-         |m1 AS (SELECT max(abs(v1)) AS m1 FROM v1),
-         |v1q AS MATERIALIZED (
-         |  SELECT i AS j,
-         |    v1 // greatest(1, (SELECT m1 FROM m1) // 1000) AS vq1
-         |  FROM v1),
-         |v2 AS MATERIALIZED (
-         |  SELECT g.gi AS i, CAST(sum(g.g * q.vq1) AS BIGINT) AS v2
-         |  FROM g JOIN v1q q ON q.j = g.gj GROUP BY 1),
-         |m2 AS (SELECT max(abs(v2)) AS m2 FROM v2),
+         |$pcaCtes,
          |ray AS (
          |  SELECT CASE WHEN sum(q.vq1 * q.vq1) = 0 THEN 0.0
          |    ELSE CAST(sum(q.vq1 * v2.v2) AS DOUBLE) /
@@ -829,6 +862,24 @@ object Similarity {
          |  v2.v2 // greatest(1, (SELECT m2 FROM m2) // 1000) AS eig_q,
          |  (SELECT lambda1 FROM ray) AS lambda1
          |FROM v2 ORDER BY v2.i""".stripMargin,
+    // projection of every vector onto the learned component (same CTEs),
+    // aggregated per label — exact integer dot products
+    "similarity_pca_project" ->
+      s"""WITH $qElems,
+         |$pcaCtes,
+         |eig AS MATERIALIZED (
+         |  SELECT i, v2 // greatest(1, (SELECT m2 FROM m2) // 1000) AS eig_q
+         |  FROM v2),
+         |proj AS MATERIALIZED (
+         |  SELECT qe.vec_id, CAST(sum(qe.v * eig.eig_q) AS BIGINT) AS proj
+         |  FROM qe JOIN eig ON eig.i = qe.i - 1
+         |  GROUP BY qe.vec_id)
+         |SELECT e.label, CAST(count(*) AS BIGINT) AS n,
+         |  min(p.proj) AS min_proj, max(p.proj) AS max_proj,
+         |  CAST(sum(p.proj) AS BIGINT) AS sum_proj,
+         |  CAST(sum(p.proj) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_proj
+         |FROM proj p JOIN embeddings e ON e.vec_id = p.vec_id
+         |GROUP BY e.label ORDER BY e.label""".stripMargin,
     "similarity_matryoshka_recall" ->
       s"""WITH $qElems,
          |dims(d) AS (VALUES (8), (16), (32), (64)),

@@ -207,6 +207,27 @@ class SimilaritySpec extends AnyFunSuite {
       s"lambda $lam outside PSD bounds [${trace / dim}, $trace]")
   }
 
+  test("PCA projection: driver dot-product replay per label; counts partition the corpus") {
+    val eig = Similarity.similarityPcaGram(spark, dir).collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1))).sortBy(_._1).map(_._2)
+    val rows = Similarity.similarityPcaProject(spark, dir).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .toMap
+    val vecs = Tables.embeddings(spark, dir)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getInt(1),
+        r.getSeq[Float](2).toArray.map(x => math.round(x.toDouble * 1000))))
+    assert(rows.values.map(_._1).sum === vecs.length.toLong)
+    vecs.groupBy(_._1).foreach { case (label, vs) =>
+      val projs = vs.map(v => v._2.zip(eig).map { case (q, e) => q * e }.sum)
+      val (n, minP, maxP, sumP) = rows(label)
+      assert(n === projs.length.toLong)
+      assert(minP === projs.min && maxP === projs.max && sumP === projs.sum,
+        s"label $label projection stats mismatch")
+    }
+  }
+
   test("VectorCentroid Aggregator matches the posexplode centroid query") {
     import spark.implicits._
     val agg = new Aggregators.VectorCentroid(64).toColumn
