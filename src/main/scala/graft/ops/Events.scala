@@ -249,6 +249,57 @@ object Events {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** 7-day ROLLING MEDIAN of the per-type daily revenue — the robust
+    * rolling statistic a monitoring pipeline plots instead of the
+    * spike-prone rolling mean (the windowed sibling of the global MAD
+    * outlier gate). The holistic `percentile` aggregate runs as a
+    * WINDOW function over a ROWS frame (6 PRECEDING..CURRENT) above the
+    * per-(type, day) aggregate — the window input is the daily series,
+    * never raw events, and it is partitioned by type (no global sort).
+    * Exactness: daily sums are exact Long cents; the interpolated
+    * median over ≤ 7 Longs is the bit-exact `agg_stats_orders`
+    * precedent. */
+  def eventsRollingMedian(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(sum(cents(col("value"))).as("vc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-6, 0)
+    daily.withColumn("med7", expr("percentile(vc, 0.5D)").over(w))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** Cohort lifetime value: cumulative per-user revenue by cohort age —
+    * the money companion of [[cohortRetention]] (same first-activity
+    * cohorts, same day arithmetic). One user_id shuffle builds cohorts,
+    * one (cohort, age) aggregate, then a cohort-partitioned cumulative
+    * window over the AGGREGATED series (≤ |days|² rows total) and one
+    * IEEE division per row for the per-user LTV readout. */
+  def cohortLtv(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("user_id"),
+      expr("unix_micros(ts) div 86400000000").as("day"),
+      cents(col("value")).as("vc"))
+    val cohorts = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    val sizes = cohorts.groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("cohort_users"))
+    val byAge = e.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(sum(col("vc")).as("rev_cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cohort_day")).orderBy(col("day_offset"))
+      .rowsBetween(Long.MinValue, 0)
+    byAge
+      .withColumn("cum_rev_cents", sum(col("rev_cents")).over(w))
+      .join(broadcast(sizes), Seq("cohort_day"))
+      .select(col("cohort_day"), col("day_offset"), col("rev_cents"),
+        col("cum_rev_cents"), col("cohort_users"),
+        (col("cum_rev_cents").cast("double") /
+          col("cohort_users").cast("double")).as("ltv_cents"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   /** Top user journeys: the first three event types per user in time
     * order, counted by path. Order inside collect_list is made
     * deterministic by sorting (ts, event_id, type) structs AFTER
@@ -370,6 +421,8 @@ object Events {
     "events_funnel" -> signupPurchaseFunnel _,
     "events_hourly_pivot" -> hourlyTypePivot _,
     "events_retention" -> cohortRetention _,
+    "events_rolling_median" -> eventsRollingMedian _,
+    "events_cohort_ltv" -> cohortLtv _,
     "events_top_paths" -> topEventPaths _,
   )
 
@@ -561,6 +614,40 @@ object Events {
         |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
         |FROM e JOIN c ON e.user_id = c.user_id
         |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+    "events_rolling_median" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS vc
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, vc,
+        |  quantile_cont(vc, 0.5) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7
+        |FROM daily ORDER BY event_type, day""".stripMargin,
+    "events_cohort_ltv" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(round(value*100) AS BIGINT) AS vc
+        |  FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id),
+        |sz AS (SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_users
+        |       FROM c GROUP BY cohort_day),
+        |byage AS (
+        |  SELECT c.cohort_day, e.day - c.cohort_day AS day_offset,
+        |    CAST(sum(e.vc) AS BIGINT) AS rev_cents
+        |  FROM e JOIN c ON e.user_id = c.user_id
+        |  GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT cohort_day, day_offset, rev_cents,
+        |    CAST(sum(rev_cents) OVER (PARTITION BY cohort_day
+        |      ORDER BY day_offset ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      CURRENT ROW) AS BIGINT) AS cum_rev_cents
+        |  FROM byage)
+        |SELECT cum.cohort_day, day_offset, rev_cents, cum_rev_cents,
+        |  sz.cohort_users,
+        |  CAST(cum_rev_cents AS DOUBLE) / CAST(sz.cohort_users AS DOUBLE)
+        |    AS ltv_cents
+        |FROM cum JOIN sz ON sz.cohort_day = cum.cohort_day
+        |ORDER BY cum.cohort_day, day_offset""".stripMargin,
     "events_top_paths" ->
       """WITH p AS (
         |  SELECT user_id,

@@ -100,6 +100,38 @@ class EventsSpec extends AnyFunSuite {
     }
   }
 
+  test("rolling median: frame replay; cohort LTV: cumulative closes over ages") {
+    // rolling median: driver replay of the 7-row frame on one series
+    val rm = ops.Events.eventsRollingMedian(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rm.nonEmpty)
+    rm.groupBy(_._1).foreach { case (_, series) =>
+      val s = series.sortBy(_._2)
+      s.indices.foreach { k =>
+        val frame = s.slice(math.max(0, k - 6), k + 1).map(_._3.toDouble).sorted
+        val n = frame.length
+        val med = // interpolated median, the percentile(0.5) definition
+          if (n % 2 == 1) frame(n / 2)
+          else (frame(n / 2 - 1) + frame(n / 2)) / 2.0
+        assert(s(k)._4 === med, s"frame median at ${s(k)._1}/${s(k)._2}")
+      }
+    }
+    // cohort LTV: per-cohort cumulative revenue closes over the ages and
+    // the final cumulative equals the cohort's total revenue
+    val ltv = ops.Events.cohortLtv(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    ltv.groupBy(_._1).foreach { case (_, ages) =>
+      val s = ages.sortBy(_._2)
+      var cum = 0L
+      s.foreach { case (_, _, rev, cumRev, users, l) =>
+        cum += rev
+        assert(cumRev === cum, "cumulative mismatch")
+        assert(l === cumRev.toDouble / users.toDouble)
+      }
+    }
+  }
+
   test("funnel users have both event types in order") {
     val rows = Events.signupPurchaseFunnel(spark, dir).collect()
     assert(rows.forall(r => r.getLong(1) < r.getLong(2)))
