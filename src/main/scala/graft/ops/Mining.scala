@@ -600,6 +600,43 @@ object Mining {
           .as("auc"))
   }
 
+  /** Calibration curve of the NB classifier — the third leg of the eval
+    * triad (confusion = accuracy, AUC = ranking, this = probability
+    * quality): one-vs-rest scores bucketed into 10 EQUAL-WIDTH bins over
+    * the observed score range (equal-width, not equal-count, keeps every
+    * boundary an exact integer expression — no quantile estimation in
+    * the binning itself), with the per-bin empirical positive rate as
+    * ONE IEEE division over exact counts. A well-calibrated scorer shows
+    * monotone rates; the fixture's label-independent text shows the flat
+    * base rate — both readouts are the point of the query.
+    *
+    * Scale: scoring is the broadcast-model map pass; the bin aggregate
+    * is 10 rows; min/max come from one narrow aggregate broadcast back
+    * (bucket = ((score − lo)·10) div (hi − lo + 1), truncating division
+    * identical in both engines). */
+  def textNbCalibration(s: SparkSession, dir: String): DataFrame =
+    nbCalibration(documents(s, dir).select(col("doc_id"), col("lang"), col("text")))
+
+  private[graft] def nbCalibration(docs: DataFrame): DataFrame = {
+    val scored = nbScored(docs)
+    val pos = scored.agg(min(col("cls")).as("pos_cls"))
+    val sc = scored.join(broadcast(pos), col("cls") === col("pos_cls"))
+      .select(
+        when(col("lang") === col("cls"), lit(1L)).otherwise(lit(0L))
+          .as("is_pos"),
+        col("score"))
+    val rng = sc.agg(min(col("score")).as("lo"), max(col("score")).as("hi"))
+    sc.crossJoin(broadcast(rng))
+      .withColumn("bucket",
+        expr("((score - lo) * 10L) div (hi - lo + 1L)"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("is_pos")).as("n_pos"),
+        min(col("score")).as("min_score"), max(col("score")).as("max_score"))
+      .withColumn("pos_rate",
+        col("n_pos").cast("double") / col("n").cast("double"))
+      .orderBy(col("bucket"))
+  }
+
   /** Support thresholds for [[miningAssocRules]] as percentages of the
     * document count — relative so the same query is meaningful at every
     * SF. Items must appear in ≥ 40 % of docs, pairs in ≥ 25 %. */
@@ -660,6 +697,7 @@ object Mining {
     "text_bpe_encode" -> textBpeEncode _,
     "text_nb_classifier" -> textNbClassifier _,
     "text_nb_auc" -> textNbAuc _,
+    "text_nb_calibration" -> textNbCalibration _,
     "text_repeated_passages" -> textRepeatedPassages _,
     "text_dup_passage_ratio" -> textDupPassageRatio _,
     "text_dsir_sample" -> textDsirSample _,
@@ -825,6 +863,18 @@ object Mining {
          |SELECT actual, predicted, count(*) AS n
          |FROM pred WHERE rn = 1
          |GROUP BY 1, 2 ORDER BY actual, predicted""".stripMargin,
+    "text_nb_calibration" ->
+      s"""WITH $nbScoredCtes,
+         |pos AS (SELECT min(cls) AS pos_cls FROM scored),
+         |sc AS (SELECT CASE WHEN lang = cls THEN 1 ELSE 0 END AS is_pos, score
+         |       FROM scored, pos WHERE cls = pos.pos_cls),
+         |rng AS (SELECT min(score) AS lo, max(score) AS hi FROM sc)
+         |SELECT ((score - rng.lo) * 10) // (rng.hi - rng.lo + 1) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(is_pos) AS BIGINT) AS n_pos,
+         |  min(score) AS min_score, max(score) AS max_score,
+         |  CAST(sum(is_pos) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pos_rate
+         |FROM sc, rng GROUP BY 1 ORDER BY bucket""".stripMargin,
     "text_nb_auc" ->
       s"""WITH $nbScoredCtes,
          |pos AS (SELECT min(cls) AS pos_cls FROM scored),

@@ -205,6 +205,20 @@ class MiningSpec extends AnyFunSuite {
     // learner (multiclass accuracy bar above is 0.6); measured 0.70 here
     // vs ~0.50 on the label-independent fixture — the gap is the signal
     assert(auc > 0.65, s"separable labels must rank above chance, got $auc")
+
+    // calibration curve on the same separable labels: buckets partition
+    // the scored test docs, counts close, and the top half of the score
+    // range must carry a higher positive rate than the bottom half
+    val cal = ops.Mining.nbCalibration(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(cal.map(_._1).forall(b => b >= 0 && b <= 9))
+    assert(cal.map(_._2).sum === posScores.length + negScores.length)
+    assert(cal.map(_._3).sum === posScores.length)
+    val (hi, loB) = cal.partition(_._1 >= 5)
+    val rate = (xs: Array[(Long, Long, Long)]) =>
+      xs.map(_._3).sum.toDouble / math.max(1L, xs.map(_._2).sum)
+    assert(rate(hi) > rate(loB),
+      s"separable scorer must concentrate positives up-range: ${rate(hi)} vs ${rate(loB)}")
   }
 
   test("SemDeDup == brute-force within-cell near-dup scan (same cells, same tau)") {
