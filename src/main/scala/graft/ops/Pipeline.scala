@@ -26,6 +26,62 @@ object Pipeline {
   def trainingMix(s: SparkSession, dir: String): DataFrame =
     trainingMixObserved(s, dir, None, None)
 
+  /** Budgeted training-mix assembly — the capstone composition of the
+    * r10 curation additions, and the job a data team actually schedules:
+    * "build an N-token mix from these sources at temperature-balanced
+    * proportions". Stages, one declarative plan:
+    *  1. quality gate (token-count band — the `text_quality` features);
+    *  2. exact dedup (md5 text digest, min-doc_id keeper);
+    *  3. per-source budget allocation: total budget = ⌊corpus tokens/5⌋,
+    *     split ∝ the √-temperature weights of `curation_mixture_sample`
+    *     (w_s = ⌊√(n_s·10⁶)⌋) — integer floor products, no float shares;
+    *  4. hard first-fit cut per source in md5(doc_id) order (the
+    *     `curation_token_budget_cut` motion) — EXACT budgets where the
+    *     probabilistic mix only hits them in expectation;
+    *  5. per-source accounting readout.
+    * Every stage is the already-verified operator's shape; composing
+    * them costs one extra broadcast join — no new shuffle beyond the
+    * cut's source-partitioned window. */
+  def pipelineBudgetMix(s: SparkSession, dir: String): DataFrame = {
+    val quality = documents(s, dir)
+      .select(col("doc_id"), col("source"), col("text"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .filter(col("n_tok").between(5, 2000))
+    // keeper = the min-doc_id ROW (struct-min, not independent per-column
+    // mins: identical texts can span sources, and the keeper must carry
+    // ITS OWN source)
+    val exact = quality
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(min(struct(col("doc_id"), col("source"), col("n_tok"))).as("k"))
+      .select(col("k.doc_id").as("doc_id"), col("k.source").as("source"),
+        col("k.n_tok").as("n_tok"))
+    val per = exact.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_dedup"), sum(col("n_tok")).as("tok_dedup"))
+      .withColumn("w", floor(sqrt(col("n_dedup").cast("double") * 1000000.0))
+        .cast("long"))
+    val tot = per.agg(sum(col("tok_dedup")).as("tok_total"),
+      sum(col("w")).as("w_total"))
+    val budgets = per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_dedup"), col("tok_dedup"),
+        expr("((tok_total div 5L) * w) div w_total").as("budget_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+      .rowsBetween(Long.MinValue, 0)
+    exact.join(broadcast(budgets), Seq("source"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .filter(col("cum_tok") <= col("budget_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_tok")).as("tokens_kept"),
+        first(col("n_dedup")).as("n_dedup"),
+        first(col("budget_tokens")).as("budget_tokens"))
+      .select(col("source"), col("n_dedup"), col("n_kept"),
+        col("budget_tokens"), col("tokens_kept"),
+        (col("tokens_kept").cast("double") /
+          col("budget_tokens").cast("double")).as("utilization"))
+      .orderBy(col("source"))
+  }
+
   /** Same plan, optionally instrumented with `observe` metrics: input
     * and output accounting (row counts, token sums) are computed AS the
     * pipeline runs — accumulator-backed, zero extra scans, no second
@@ -211,6 +267,7 @@ object Pipeline {
     "pipeline_epoch_shuffle" -> pipelineEpochShuffle _,
     "pipeline_negative_samples" -> pipelineNegativeSamples _,
     "pipeline_training_mix" -> trainingMix _,
+    "pipeline_budget_mix" -> pipelineBudgetMix _,
     "pipeline_upsample_mix" -> pipelineUpsampleMix _,
     "rollup_reaggregate" -> rollupReaggregate _,
     "dq_check_orders" -> dqCheckOrders _,
@@ -296,6 +353,49 @@ object Pipeline {
         |SELECT 'negative_acctbal',
         |  CAST(count(*) FILTER (c_acctbal < 0) AS BIGINT), count(*) FROM customer
         |ORDER BY rule""".stripMargin,
+    "pipeline_budget_mix" ->
+      """WITH quality AS (
+        |  SELECT doc_id, source, text,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |  WHERE len(string_split(text, ' ')) BETWEEN 5 AND 2000),
+        |ranked AS (
+        |  SELECT doc_id, source, n_tok,
+        |    row_number() OVER (PARTITION BY md5(text)
+        |      ORDER BY doc_id) AS rn
+        |  FROM quality),
+        |ex AS MATERIALIZED (
+        |  SELECT doc_id, source, n_tok FROM ranked WHERE rn = 1),
+        |per AS MATERIALIZED (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_dedup,
+        |    CAST(sum(n_tok) AS BIGINT) AS tok_dedup,
+        |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE) * 1000000.0)) AS BIGINT)
+        |      AS w
+        |  FROM ex GROUP BY source),
+        |tot AS (SELECT CAST(sum(tok_dedup) AS BIGINT) AS tok_total,
+        |               CAST(sum(w) AS BIGINT) AS w_total FROM per),
+        |budgets AS MATERIALIZED (
+        |  SELECT source, n_dedup, tok_dedup,
+        |    ((tot.tok_total // 5) * w) // tot.w_total AS budget_tokens
+        |  FROM per, tot),
+        |cum AS (
+        |  SELECT e.source, e.n_tok,
+        |    CAST(sum(e.n_tok) OVER (PARTITION BY e.source
+        |      ORDER BY md5(CAST(e.doc_id AS VARCHAR)), e.doc_id)
+        |      AS BIGINT) AS cum_tok
+        |  FROM ex e),
+        |kept AS (
+        |  SELECT c.source, count(*) AS n_kept,
+        |    CAST(sum(c.n_tok) AS BIGINT) AS tokens_kept
+        |  FROM cum c JOIN budgets b ON b.source = c.source
+        |  WHERE c.cum_tok <= b.budget_tokens
+        |  GROUP BY c.source)
+        |SELECT b.source, b.n_dedup, CAST(k.n_kept AS BIGINT) AS n_kept,
+        |  b.budget_tokens, k.tokens_kept,
+        |  CAST(k.tokens_kept AS DOUBLE) / CAST(b.budget_tokens AS DOUBLE)
+        |    AS utilization
+        |FROM budgets b JOIN kept k ON k.source = b.source
+        |ORDER BY b.source""".stripMargin,
     "pipeline_training_mix" ->
       """WITH sh AS (
         |  SELECT doc_id, n_chars,

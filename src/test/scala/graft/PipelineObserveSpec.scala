@@ -29,4 +29,31 @@ class PipelineObserveSpec extends AnyFunSuite {
     assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
       plain.map(r => (r.getLong(0), r.getLong(1))).toSeq)
   }
+
+  test("budget mix: budgets honored, allocation follows the sqrt weights, dedup shrinks input") {
+    import org.apache.spark.sql.functions._
+    val rows = Pipeline.pipelineBudgetMix(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, nDedup, nKept, budget, kept, util) =>
+      assert(kept <= budget, "hard budget violated")
+      assert(nKept <= nDedup)
+      assert(util === kept.toDouble / budget.toDouble)
+    }
+    // allocation ∝ floor(sqrt(n_dedup·1e6)): recompute the integer shares
+    // against the dedup-survivor token total (md5-keyed min-doc_id keeper)
+    val wTotal = rows.map(t => math.floor(math.sqrt(t._2.toDouble * 1e6)).toLong).sum
+    val exTok = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .filter(col("n_tok").between(5, 2000))
+      .groupBy(md5(col("text")))
+      .agg(min(struct(col("doc_id"), col("source"), col("n_tok"))).as("k"))
+      .agg(sum(col("k.n_tok"))).head().getLong(0)
+    rows.foreach { case (_, nDedup, _, budget, _, _) =>
+      val wS = math.floor(math.sqrt(nDedup.toDouble * 1e6)).toLong
+      assert(budget === ((exTok / 5L) * wS) / wTotal, "allocation share")
+    }
+  }
 }
