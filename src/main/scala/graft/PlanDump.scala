@@ -53,7 +53,10 @@ object PlanDump {
       "curation_effective_tokens" -> "dataset-size readout: stored component-label index joined broadcast to one corpus scan, one source-cardinality aggregate",
       "text_tfidf_cosine_minhash" -> "tf-idf via term-set MinHash banding: one codegen'd 32-perm pass over salient sets, (band,bucket) self-join, exact verify — no plane explode, no cartesian",
       "text_bm25_topk" -> "BM25 retrieval: query terms broadcast (only their postings survive), corpus doc-length joins map-side, exact-integer scores, per-query group-limited top-10",
-      "similarity_pca_gram" -> "PCA: ONE typed-Aggregator corpus pass builds the 64x64 Gram; both power iterations + Rayleigh run on the constant 4096-row relation with broadcast joins")
+      "similarity_pca_gram" -> "PCA: ONE typed-Aggregator corpus pass builds the 64x64 Gram; both power iterations + Rayleigh run on the constant 4096-row relation with broadcast joins",
+      "multimodal_phash_dedup" -> "pHash media dedup: one map pass chunk-hashes the blobs (bytes never shuffle), map-side-combinable vote aggregate, banded hamming join — the dedup SimHash machinery with the feature extractor swapped",
+      "graph_kcore" -> "k-core peel (final round's plan): degree aggregate + two node-keyed joins over the shrunken cached edge relation — each round is this shape over a smaller input",
+      "pipeline_budget_mix" -> "budgeted mix: quality gate + md5 dedup share one shuffle, sqrt-weight budgets broadcast, source-partitioned first-fit window, tiny accounting aggregate")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries (sf0.001)\n\n")
     sb.append("Generated by `sbt \"runMain graft.PlanDump\"`; asserted in PlanSpec.\n")

@@ -56,7 +56,8 @@ object StressScale {
       org.apache.spark.sql.DataFrame)] = Seq(
     "dedup_ngram_jaccard", "dedup_containment", "dedup_ngram_jaccard_prefix",
     "text_tfidf_cosine", "text_tfidf_cosine_minhash", "similarity_pq_adc",
-    "profile_columns")
+    "profile_columns", "multimodal_phash_dedup", "text_nb_auc",
+    "similarity_pca_gram", "graph_kcore")
     .map(n => n -> SparkEntry.queries(n)) :+
     ("text_tfidf_cosine_lsh_16x12" ->
       ((s: org.apache.spark.sql.SparkSession, d: String) =>

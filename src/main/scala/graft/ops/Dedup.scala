@@ -361,7 +361,20 @@ object Dedup {
 
   /** Banded Hamming-≤12 pair join over a (doc_id, simhash) relation —
     * shared by the text and media signature variants (pigeonhole recall
-    * argument in the scaladoc above). */
+    * argument in the scaladoc above).
+    *
+    * Scale caveat (measured, BASELINE.md r10 probe): 13 bands over a
+    * 64-bit signature leave only 5 bits (32 values) per band, so the
+    * candidate volume Σ|bucket|² grows quadratically with the corpus —
+    * ~32 M candidates at 50 k docs vs ~3.2 G at 500 k (wall still
+    * linear there only because the per-candidate XOR+bit_count is
+    * codegen-cheap). The production knob is signature LENGTH, not band
+    * count: pigeonhole for hamming ≤ 12 needs ≥ 13 bands, so keep
+    * ≥ log₂(n / target-bucket-size) bits per band by widening the
+    * signature (md5 already supplies 128 bits — 13 bands × 9–10 bits
+    * holds today's bucket occupancy at 10× the corpus; SHA-based
+    * features extend further), exactly the corpus-size rule
+    * `textTfidfCosineLshAt` documents for SRP tables. */
   private[graft] def simhashBandedPairs(sigs: DataFrame): DataFrame = {
     val width = 64 / SimhashBands + 1 // 5 bits (last band takes the remainder)
     val bandCols = (0 until SimhashBands).map { b =>
