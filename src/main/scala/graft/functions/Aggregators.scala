@@ -79,7 +79,15 @@ object Aggregators {
     def reduce(buf: Array[Long], v: Array[Float]): Array[Long] = {
       val q = new Array[Long](dim)
       var i = 0
-      while (i < dim && i < v.length) { q(i) = math.round(v(i).toDouble * 1000); i += 1 }
+      while (i < dim && i < v.length) {
+        // HALF_UP away from zero — Spark SQL round()/DuckDB round()
+        // semantics; Math.round is floor(x+0.5) (toward +inf), which
+        // differs on negative exact halves and would silently diverge
+        // from similarityPcaProject's expr-based quantize and the oracle
+        val d = v(i).toDouble * 1000
+        q(i) = (if (d < 0) -math.floor(-d + 0.5) else math.floor(d + 0.5)).toLong
+        i += 1
+      }
       i = 0
       while (i < dim) {
         val qi = q(i); var j = 0

@@ -201,12 +201,7 @@ object Curation {
       .crossJoin(broadcast(tot))
       .select(col("source"), col("n_raw"), col("tok_raw"),
         expr("tok_total div (5L * n_sources)").as("budget_tokens"))
-    val w = Window.partitionBy(col("source"))
-      .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.join(broadcast(budgets), Seq("source"))
-      .withColumn("cum_tok", sum(col("n_tok")).over(w))
-      .filter(col("cum_tok") <= col("budget_tokens"))
+    firstFitCut(docs.join(broadcast(budgets), Seq("source")))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_kept"), sum(col("n_tok")).as("tokens_kept"),
         first(col("n_raw")).as("n_raw"),
@@ -216,6 +211,23 @@ object Curation {
         (col("tokens_kept").cast("double") /
           col("budget_tokens").cast("double")).as("utilization"))
       .orderBy(col("source"))
+  }
+
+  /** THE first-fit token cut, shared by [[curationTokenBudgetCut]] and
+    * `Pipeline.pipelineBudgetMix` (whose scaladocs promise exactly this
+    * sharing — one definition so the tie-break order and the ≤-budget
+    * rule can never silently diverge between the two): given rows
+    * carrying (source, doc_id, n_tok, budget_tokens), keep each
+    * source's md5(doc_id)-ordered prefix whose running token total
+    * stays within budget. One source-partitioned window, no global
+    * sort. */
+  private[graft] def firstFitCut(docsWithBudget: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docsWithBudget
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .filter(col("cum_tok") <= col("budget_tokens"))
   }
 
   /** Leakage-safe train/val/test split — assignment is keyed by the
@@ -367,12 +379,13 @@ object Curation {
       .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .toDF("src", "dst")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    edges0.count()
+    val nEdges0 = edges0.count()
     val cores = Seq(2, 3).map { k =>
       var edges = edges0
       var prev = -1L
-      var cur = edges0.count()
-      var rounds = 0
+      var cur = nEdges0
+      var rounds = 0 // counts SHRINKING rounds; the confirming no-change
+      //               iteration is not a peel round
       while (cur != prev && rounds < 20) {
         val surv = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
           .filter(col("deg") >= k).select(col("src"))
@@ -384,13 +397,20 @@ object Curation {
         cur = next.count()
         if (edges ne edges0) edges.unpersist()
         edges = next
-        rounds += 1
+        if (cur != prev) rounds += 1
       }
+      // the oracle's 8 unrolled rounds are idempotent past the fixpoint,
+      // so an 8-round peel chain is still in contract
       require(cur == prev && rounds <= 8,
-        s"$k-core peel needed $rounds rounds (oracle unrolls 8)")
+        s"$k-core peel needed $rounds shrinking rounds (oracle unrolls 8)")
       edges.select(lit(k.toLong).as("k"), col("src").as("doc_id")).distinct()
     }
-    cores.reduce(_ unionAll _).orderBy(col("k"), col("doc_id"))
+    // the final per-k edge relations stay persisted (the returned plan
+    // reads them — the clusterLabels discipline); their lineage ancestor
+    // edges0 is materialized into them and safe to release
+    val out = cores.reduce(_ unionAll _).orderBy(col("k"), col("doc_id"))
+    edges0.unpersist()
+    out
   }
 
   /** Degree-ordered triangle counting — the skew refinement

@@ -253,12 +253,16 @@ object Events {
     * rolling statistic a monitoring pipeline plots instead of the
     * spike-prone rolling mean (the windowed sibling of the global MAD
     * outlier gate). The holistic `percentile` aggregate runs as a
-    * WINDOW function over a ROWS frame (6 PRECEDING..CURRENT) above the
-    * per-(type, day) aggregate — the window input is the daily series,
-    * never raw events, and it is partitioned by type (no global sort).
-    * Exactness: daily sums are exact Long cents; the interpolated
-    * median over ≤ 7 Longs is the bit-exact `agg_stats_orders`
-    * precedent. */
+    * WINDOW function over a value-bounded RANGE frame (day − 6 .. day)
+    * above the per-(type, day) aggregate — RANGE, not ROWS, so the
+    * window is CALENDAR-true: a gap day shrinks the frame instead of
+    * silently stretching it across older history (days with zero events
+    * still contribute no row — compose with `events_gap_fill` upstream
+    * when absent-day zeros should pull the median down). The window
+    * input is the daily series, never raw events, and it is partitioned
+    * by type (no global sort). Exactness: daily sums are exact Long
+    * cents; the interpolated median over ≤ 7 Longs is the bit-exact
+    * `agg_stats_orders` precedent. */
   def eventsRollingMedian(s: SparkSession, dir: String): DataFrame = {
     val daily = events(s, dir)
       .groupBy(col("event_type"),
@@ -266,7 +270,7 @@ object Events {
       .agg(sum(cents(col("value"))).as("vc"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("event_type")).orderBy(col("day"))
-      .rowsBetween(-6, 0)
+      .rangeBetween(-6, 0)
     daily.withColumn("med7", expr("percentile(vc, 0.5D)").over(w))
       .orderBy(col("event_type"), col("day"))
   }
@@ -621,7 +625,7 @@ object Events {
         |  FROM events GROUP BY 1, 2)
         |SELECT event_type, day, vc,
         |  quantile_cont(vc, 0.5) OVER (PARTITION BY event_type ORDER BY day
-        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7
         |FROM daily ORDER BY event_type, day""".stripMargin,
     "events_cohort_ltv" ->
       """WITH e AS (

@@ -64,13 +64,7 @@ object Pipeline {
     val budgets = per.crossJoin(broadcast(tot))
       .select(col("source"), col("n_dedup"), col("tok_dedup"),
         expr("((tok_total div 5L) * w) div w_total").as("budget_tokens"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source"))
-      .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
-      .rowsBetween(Long.MinValue, 0)
-    exact.join(broadcast(budgets), Seq("source"))
-      .withColumn("cum_tok", sum(col("n_tok")).over(w))
-      .filter(col("cum_tok") <= col("budget_tokens"))
+    Curation.firstFitCut(exact.join(broadcast(budgets), Seq("source")))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_kept"), sum(col("n_tok")).as("tokens_kept"),
         first(col("n_dedup")).as("n_dedup"),

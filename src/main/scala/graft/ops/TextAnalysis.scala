@@ -226,14 +226,36 @@ object TextAnalysis {
     * Jaccard family's (1/25 overlap at sf0.01) — the two measures
     * genuinely rank different things, which is why production dedup
     * stacks run both. */
-  def textTfidfCosine(s: SparkSession, dir: String): DataFrame = {
-    val weighted = tfidfWeighted(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  def textTfidfCosine(s: SparkSession, dir: String): DataFrame =
+    tfidfCosineFrom(tfidfWeighted(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Exact posting-join all-pairs path over a prepared weighted index —
+    * parameterized so [[textTfidfLshRecall]] can share ONE persisted
+    * weighted relation across both of its legs. */
+  private[graft] def tfidfCosineFrom(weighted: DataFrame): DataFrame = {
     val dots = weighted.as("a")
       .join(weighted.as("b"),
         col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(sum(col("a.w") * col("b.w")).as("dot"))
+    tfidfCosineOf(dots, weighted)
+  }
+
+  /** Exact-verify stage shared by every tf-idf CANDIDATE generator
+    * (SRP buckets, MinHash bands): join the candidate pairs back to the
+    * weighted index on both sides, take the exact integer dot, close
+    * with the same cosine/threshold formula — one definition, so every
+    * generator's "output ⊆ exact by construction" guarantee rests on
+    * literally the same code. */
+  private def verifiedPairs(cand: DataFrame, weighted: DataFrame): DataFrame = {
+    val dots = cand
+      .join(weighted.select(col("doc_id").as("a_id"), col("term"),
+        col("w").as("wa")), Seq("a_id"))
+      .join(weighted.select(col("doc_id").as("b_id"), col("term"),
+        col("w").as("wb")), Seq("b_id", "term"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(sum(col("wa") * col("wb")).as("dot"))
     tfidfCosineOf(dots, weighted)
   }
 
@@ -331,23 +353,20 @@ object TextAnalysis {
     * as the corpus grows; the declared 8×4 is calibrated to the fixture,
     * the 10× probe runs wider buckets per this rule — BASELINE.md). */
   private[graft] def textTfidfCosineLshAt(s: SparkSession, dir: String,
+      tables: Int, planesPerTable: Int): DataFrame =
+    tfidfCosineLshFrom(tfidfWeighted(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      tables, planesPerTable)
+
+  private[graft] def tfidfCosineLshFrom(weighted: DataFrame,
       tables: Int, planesPerTable: Int): DataFrame = {
-    val weighted = tfidfWeighted(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val buckets = tfidfBuckets(weighted, tables, planesPerTable)
     val cand = buckets.as("a").join(buckets.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
-    val dots = cand
-      .join(weighted.select(col("doc_id").as("a_id"), col("term"),
-        col("w").as("wa")), Seq("a_id"))
-      .join(weighted.select(col("doc_id").as("b_id"), col("term"),
-        col("w").as("wb")), Seq("b_id", "term"))
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(sum(col("wa") * col("wb")).as("dot"))
-    tfidfCosineOf(dots, weighted)
+    verifiedPairs(cand, weighted)
   }
 
   /** All-pairs tf-idf cosine via TERM-SET MinHash banding + exact
@@ -382,14 +401,7 @@ object TextAnalysis {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
-    val dots = cand
-      .join(weighted.select(col("doc_id").as("a_id"), col("term"),
-        col("w").as("wa")), Seq("a_id"))
-      .join(weighted.select(col("doc_id").as("b_id"), col("term"),
-        col("w").as("wb")), Seq("b_id", "term"))
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(sum(col("wa") * col("wb")).as("dot"))
-    tfidfCosineOf(dots, weighted)
+    verifiedPairs(cand, weighted)
   }
 
   /** Recall report of the LSH path against the exact baseline — one row
@@ -398,9 +410,13 @@ object TextAnalysis {
     * 100 TB the truth side runs on a sampled slice; here the fixture is
     * small enough to compare in full. */
   def textTfidfLshRecall(s: SparkSession, dir: String): DataFrame = {
-    val exact = textTfidfCosine(s, dir)
+    // ONE persisted weighted index feeds both legs (the two public
+    // queries would each build and cache their own copy)
+    val weighted = tfidfWeighted(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exact = tfidfCosineFrom(weighted)
       .agg(count(lit(1)).as("n_exact"))
-    val found = textTfidfCosineLsh(s, dir)
+    val found = tfidfCosineLshFrom(weighted, TfidfTables, TfidfPlanes)
       .agg(count(lit(1)).as("n_found"))
     exact.crossJoin(broadcast(found))
       .select(col("n_exact"), col("n_found"),
@@ -718,7 +734,7 @@ object TextAnalysis {
       .agg(sum(col("s")).as("score"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id").asc)
-    scored.withColumn("rnk", row_number().over(w))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 10)
       .select(col("query_id"), col("rnk"), col("doc_id"), col("score"))
       .orderBy(col("query_id"), col("rnk"))

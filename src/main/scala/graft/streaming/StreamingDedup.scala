@@ -67,10 +67,13 @@ object StreamingDedup {
 
   /** newDocs (streaming) → (new_id, dup_of, jaccard) rejection stream.
     *
-    * ingest_ts is synthesized from doc_id (the fixture has no arrival
-    * time; a real feed supplies its own) with a 24 h watermark so no
-    * in-fixture timestamp can be late-dropped regardless of file order;
-    * the watermark exists to bound the candidate-dedup state, not to
+    * ingest_ts is synthesized from doc_id AT MICROSECOND GRANULARITY
+    * (the fixture has no arrival time; a real feed supplies its own):
+    * a 24 h watermark then tolerates an id spread of 8.64e10 before any
+    * row could be late-dropped — seconds-granularity synthesis would
+    * hit that cliff at an id spread of just 86 400 (e.g. one 10M-stride
+    * re-key) and silently drop rejections on out-of-order files. The
+    * watermark exists to bound the candidate-dedup state, not to
     * sequence events. Verification recomputes the EXACT Jaccard, so the
     * stream's rejections are provably the batch probe's pairs
     * (StreamingDedupSpec pins stream ≡ batch for both snapshots). */
@@ -78,7 +81,7 @@ object StreamingDedup {
     val banded = Dedup.bandedSigs(
         Dedup.shingled(newDocs), keep = Seq("n_chars", "shingles"))
       .withColumn("ingest_ts",
-        timestamp_micros((col("doc_id") + 86400L) * 1000000L))
+        timestamp_micros(col("doc_id") + 86400000000L))
       .withWatermark("ingest_ts", "24 hours")
     val candidates = banded
       .join(corpusBandIndex(s, dir).withColumnRenamed("doc_id", "dup_of"),

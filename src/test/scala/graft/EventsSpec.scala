@@ -101,19 +101,22 @@ class EventsSpec extends AnyFunSuite {
   }
 
   test("rolling median: frame replay; cohort LTV: cumulative closes over ages") {
-    // rolling median: driver replay of the 7-row frame on one series
+    // rolling median: driver replay of the CALENDAR (RANGE day-6..day)
+    // frame on every series — a gap day must shrink the frame, never
+    // stretch it across older history
     val rm = ops.Events.eventsRollingMedian(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(rm.nonEmpty)
     rm.groupBy(_._1).foreach { case (_, series) =>
       val s = series.sortBy(_._2)
-      s.indices.foreach { k =>
-        val frame = s.slice(math.max(0, k - 6), k + 1).map(_._3.toDouble).sorted
+      s.foreach { case (t, day, _, got) =>
+        val frame = s.filter(p => p._2 >= day - 6 && p._2 <= day)
+          .map(_._3.toDouble).sorted
         val n = frame.length
         val med = // interpolated median, the percentile(0.5) definition
           if (n % 2 == 1) frame(n / 2)
           else (frame(n / 2 - 1) + frame(n / 2)) / 2.0
-        assert(s(k)._4 === med, s"frame median at ${s(k)._1}/${s(k)._2}")
+        assert(got === med, s"frame median at $t/$day")
       }
     }
     // cohort LTV: per-cohort cumulative revenue closes over the ages and

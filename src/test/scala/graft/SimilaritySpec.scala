@@ -179,9 +179,14 @@ class SimilaritySpec extends AnyFunSuite {
       .sortBy(_._1)
     val dim = 64
     assert(rows.map(_._1).toSeq === (0 until dim))
-    // dense replay of the exact integer pipeline on the driver
+    // dense replay of the exact integer pipeline on the driver (HALF_UP
+    // away from zero, the SQL round() rule — NOT Math.round)
+    def q1000(x: Float): Long = {
+      val d = x.toDouble * 1000
+      (if (d < 0) -math.floor(-d + 0.5) else math.floor(d + 0.5)).toLong
+    }
     val vecs = Tables.embeddings(spark, dir).select("embedding").collect()
-      .map(_.getSeq[Float](0).toArray.map(x => math.round(x.toDouble * 1000)))
+      .map(_.getSeq[Float](0).toArray.map(q1000))
     val g = Array.ofDim[Long](dim, dim)
     vecs.foreach { q =>
       for (i <- 0 until dim; j <- 0 until dim) g(i)(j) += q(i) * q(j)
@@ -214,10 +219,13 @@ class SimilaritySpec extends AnyFunSuite {
       .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4)))
       .toMap
+    def q1000p(x: Float): Long = {
+      val d = x.toDouble * 1000
+      (if (d < 0) -math.floor(-d + 0.5) else math.floor(d + 0.5)).toLong
+    }
     val vecs = Tables.embeddings(spark, dir)
       .select("vec_id", "label", "embedding").collect()
-      .map(r => (r.getInt(1),
-        r.getSeq[Float](2).toArray.map(x => math.round(x.toDouble * 1000))))
+      .map(r => (r.getInt(1), r.getSeq[Float](2).toArray.map(q1000p)))
     assert(rows.values.map(_._1).sum === vecs.length.toLong)
     vecs.groupBy(_._1).foreach { case (label, vs) =>
       val projs = vs.map(v => v._2.zip(eig).map { case (q, e) => q * e }.sum)

@@ -86,12 +86,12 @@ class TextAnalysisSpec extends AnyFunSuite {
 
   test("BM25: contiguous ranks, monotone scores, doc_id tie order, k cap") {
     val rows = ops.TextAnalysis.textBm25TopK(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(rows.nonEmpty)
     rows.groupBy(_._1).foreach { case (_, rs) =>
       val sorted = rs.sortBy(_._2)
       assert(sorted.length <= 10)
-      assert(sorted.map(_._2).toSeq === (1 to sorted.length))
+      assert(sorted.map(_._2).toSeq === (1L to sorted.length.toLong))
       sorted.sliding(2).foreach {
         case Array(a, b) =>
           assert(a._4 > b._4 || (a._4 === b._4 && a._3 < b._3),
