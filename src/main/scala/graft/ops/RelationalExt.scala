@@ -222,6 +222,46 @@ object RelationalExt {
         median(cents(col("o_totalprice"))).as("med_cents"))
       .orderBy(col("o_orderstatus"))
 
+  /** Audience overlap via THETA sketches (Spark 4's Datasketches theta
+    * family) — the capability the HLL family structurally lacks: HLL
+    * unions re-aggregate but cannot INTERSECT, while theta sketches
+    * support intersection and difference, so "how many click users also
+    * view" works from two mergeable per-segment sketches without
+    * re-scanning either side. Per the `agg_hll_orders` discipline the
+    * query emits EXACT counts (one distinct aggregate each) beside
+    * within-5 % verdicts on every sketch estimate — below the sketch's
+    * nominal-entries capacity (4096 > any fixture's 150–1500 users) the
+    * theta estimate is exact, so the verdicts are deterministic; the
+    * DuckDB oracle recomputes the exact counts and asserts every
+    * verdict. Scale: two sketch aggregates (map-side partial, mergeable
+    * — the re-aggregable audience-store shape), all set algebra on two
+    * broadcast 1-row relations. */
+  def aggThetaAudience(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("event_type"), col("user_id"))
+      .filter(col("event_type").isin("click", "view"))
+    val sk = e.groupBy(col("event_type"))
+      .agg(expr("theta_sketch_agg(user_id)").as("sk"),
+        countDistinct(col("user_id")).as("n_exact"))
+    val a = sk.filter(col("event_type") === "click")
+      .select(col("sk").as("ska"), col("n_exact").as("n_a"))
+    val b = sk.filter(col("event_type") === "view")
+      .select(col("sk").as("skb"), col("n_exact").as("n_b"))
+    val inter = e.groupBy(col("user_id"))
+      .agg(countDistinct(col("event_type")).as("nt"))
+      .agg(sum(when(col("nt") === 2, 1L).otherwise(0L)).as("n_inter"))
+    def ok(est: Column, exact: Column): Column =
+      abs(est - exact) * 20L <= exact
+    a.crossJoin(broadcast(b)).crossJoin(broadcast(inter))
+      .select(col("n_a"), col("n_b"), col("n_inter"),
+        (col("n_a") - col("n_inter")).as("n_diff"),
+        ok(expr("theta_sketch_estimate(ska)"), col("n_a")).as("ok_a"),
+        ok(expr("theta_sketch_estimate(skb)"), col("n_b")).as("ok_b"),
+        ok(expr("theta_sketch_estimate(theta_intersection(ska, skb))"),
+          col("n_inter")).as("ok_inter"),
+        ok(expr("theta_sketch_estimate(theta_difference(ska, skb))"),
+          col("n_a") - col("n_inter")).as("ok_diff"))
+  }
+
   /** RFM customer segmentation (recency / frequency / monetary — the
     * classic marketing cube) in the formulation that SURVIVES scale:
     * the textbook ntile(4)-per-axis needs a GLOBAL sort of the customer
@@ -843,6 +883,7 @@ object RelationalExt {
     "agg_histogram_quantiles" -> aggHistogramQuantiles _,
     "agg_rfm_segments" -> aggRfmSegments _,
     "scd2_pit_join" -> scd2PitJoin _,
+    "agg_theta_audience" -> aggThetaAudience _,
     "not_in_urgent_customers" -> notInUrgentCustomers _,
     "q7_nation_trade" -> q7NationTrade _,
     "subquery_exists_orders" -> subqueryExistsOrders _,
@@ -1065,6 +1106,20 @@ object RelationalExt {
         |  median(o_totalprice) AS med_price,
         |  median(CAST(round(o_totalprice*100) AS BIGINT)) AS med_cents
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // theta audience: DuckDB has no theta sketches — it recomputes the
+    // EXACT counts and asserts the sketch verdicts (the HLL pattern)
+    "agg_theta_audience" ->
+      """WITH e AS (SELECT DISTINCT event_type, user_id FROM events
+        |           WHERE event_type IN ('click', 'view')),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_a FROM e
+        |      WHERE event_type = 'click'),
+        |b AS (SELECT CAST(count(*) AS BIGINT) AS n_b FROM e
+        |      WHERE event_type = 'view'),
+        |i AS (SELECT CAST(count(*) AS BIGINT) AS n_inter FROM (
+        |  SELECT user_id FROM e GROUP BY user_id HAVING count(*) = 2))
+        |SELECT n_a, n_b, n_inter, n_a - n_inter AS n_diff,
+        |  TRUE AS ok_a, TRUE AS ok_b, TRUE AS ok_inter, TRUE AS ok_diff
+        |FROM a, b, i""".stripMargin,
     "agg_rfm_segments" ->
       """WITH per AS MATERIALIZED (
         |  SELECT o_custkey, CAST(max(o_orderdate) AS DATE) AS last_dt,

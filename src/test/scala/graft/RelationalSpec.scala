@@ -141,6 +141,27 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("theta audience: sketch estimates exact below capacity; set algebra closes") {
+    val r = ops.RelationalExt.aggThetaAudience(spark, dir).collect().head
+    val (nA, nB, nInter, nDiff) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nInter <= math.min(nA, nB))
+    assert(nDiff === nA - nInter)
+    // fixture cardinalities sit far below the sketch's nominal entries,
+    // so every estimate is exact and every verdict must hold
+    (4 to 7).foreach(i => assert(r.getBoolean(i), s"verdict $i"))
+    // recompute the exact overlap independently
+    import org.apache.spark.sql.functions._
+    val e = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .select("event_type", "user_id").distinct().collect()
+      .map(row => (row.getString(0), row.getLong(1)))
+    val clicks = e.filter(_._1 == "click").map(_._2).toSet
+    val views = e.filter(_._1 == "view").map(_._2).toSet
+    assert(nA === clicks.size.toLong && nB === views.size.toLong)
+    assert(nInter === (clicks & views).size.toLong)
+  }
+
   test("SCD2 point-in-time join: every order matches exactly one version") {
     val rows = ops.RelationalExt.scd2PitJoin(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
