@@ -349,6 +349,74 @@ object Dedup {
   private val SimhashMaxHamming = 12
   private val SimhashBands = 13 // > max hamming → pigeonhole guarantees recall
 
+  /** THE scale knob the 64-bit scaladocs document, in code: a 128-bit
+    * signature from the SAME md5 features (all four 32-bit words vote),
+    * so the 13 pigeonhole bands carry 10 bits (last band 8) instead of
+    * 5 — per-band bucket space grows 32×, and the banded join's
+    * Σ|bucket|² candidate volume drops accordingly at equal corpus
+    * size (DedupSpec measures the drop and the hamming-0 recall floor
+    * on the fixture). private[graft]: hamming ≤ 12 over 128 bits is a
+    * TIGHTER similarity scale than over 64, so this is the
+    * parameterization a larger corpus would DECLARE, not a drop-in for
+    * the existing oracle. */
+  private[graft] def simhash128FromFeatures(feats: DataFrame): DataFrame = {
+    val tok = feats.select(col("doc_id") +:
+      (0 until 4).map(wd => conv(substring(col("m"), wd * 8 + 1, 8), 16, 10)
+        .cast("long").as(s"h$wd")): _*)
+    val bitSums = (0 until 128).map { k =>
+      val h = col(s"h${k / 32}")
+      sum(when(shiftright(h, k % 32).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"s_$k")
+    }
+    def word(off: Int) = (0 until 64).map { k =>
+      when(col(s"s_${k + off}") > 0, shiftleft(lit(1L), k)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+    tok.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), word(64).as("sig_hi"), word(0).as("sig_lo"))
+  }
+
+  /** Banded pairs over the 128-bit signatures: 12 bands × 10 bits + one
+    * 8-bit band partition all 128 bits, so hamming ≤ 12 still pigeonholes
+    * into at least one untouched band. */
+  private[graft] def simhash128BandedPairs(sigs: DataFrame): DataFrame = {
+    val width = 10
+    val bandCols = (0 until SimhashBands).map { b =>
+      val lo = b * width
+      val w = math.min(width, 128 - lo)
+      val mask = (1L << w) - 1
+      val bits =
+        if (lo >= 64)
+          shiftright(col("sig_hi"), lo - 64).bitwiseAND(mask)
+        else if (lo + w <= 64)
+          shiftright(col("sig_lo"), lo).bitwiseAND(mask)
+        else { // band straddles the 64-bit word boundary
+          val fromLo = shiftright(col("sig_lo"), lo)
+          val hiBits = w - (64 - lo)
+          fromLo.bitwiseOR(
+            shiftleft(col("sig_hi").bitwiseAND((1L << hiBits) - 1), 64 - lo))
+            .bitwiseAND(mask)
+        }
+      struct(lit(b).as("band"), bits.as("bits"))
+    }
+    val banded = sigs
+      .select(col("doc_id"), col("sig_hi"), col("sig_lo"),
+        explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("sig_hi"), col("sig_lo"),
+        col("bb.band").as("band"), col("bb.bits").as("bits"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        (bit_count(col("a.sig_hi").bitwiseXOR(col("b.sig_hi"))) +
+          bit_count(col("a.sig_lo").bitwiseXOR(col("b.sig_lo"))))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= SimhashMaxHamming)
+      .dropDuplicates("a_id", "b_id")
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** Pairs at Hamming ≤ 12 via banded equi-join: split the 64-bit
     * signature into 13 bit-bands; two signatures within Hamming 12 differ
     * in at most 12 bands, so they agree EXACTLY on at least one band

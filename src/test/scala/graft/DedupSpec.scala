@@ -64,6 +64,59 @@ class DedupSpec extends AnyFunSuite {
     assert(sigs.map(_.getLong(0)).toSet === Set(2L, 3L))
   }
 
+  test("128-bit simhash knob: recall floor holds and bucket occupancy collapses vs 64-bit") {
+    import org.apache.spark.sql.functions._
+    // same bigram md5 features both ways
+    val feats = Tables.documents(spark, dir)
+      .filter(size(split(col("text"), " ")) >= 2)
+      .select(col("doc_id"),
+        explode(graft.functions.VectorExpressions
+          .wordShingles(col("text"), 2, distinct = false)).as("bg"))
+      .select(col("doc_id"), md5(col("bg")).as("m"))
+    // recall floor: byte-identical texts (identical feature streams)
+    // must pair at hamming 0 in the 128-bit space too
+    val p128 = ops.Dedup.simhash128BandedPairs(
+      ops.Dedup.simhash128FromFeatures(feats)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val dupGroups = Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getString(1), r.getLong(0)))
+      .groupBy(_._1).values.map(_.map(_._2).sorted).filter(_.length > 1)
+    dupGroups.foreach { ids =>
+      for (a <- ids; b <- ids if a < b)
+        assert(p128.get((a, b)).contains(0L), s"identical pair ($a,$b) missed")
+    }
+    // the knob's actual claim: candidate volume Σ|bucket|² collapses
+    // when bands carry 10 bits instead of 5
+    def bucketVolume(banded: org.apache.spark.sql.DataFrame): Long = banded
+      .groupBy(col("band"), col("bits")).agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") * col("n"))).head().getLong(0)
+    val v64 = bucketVolume(ops.Dedup.simhashFromFeatures(feats)
+      .select(col("doc_id"),
+        explode(array((0 until 13).map { b =>
+          val lo = b * 5; val w = math.min(5, 64 - lo)
+          struct(lit(b).as("band"),
+            shiftright(col("simhash"), lo).bitwiseAND((1L << w) - 1).as("bits"))
+        }: _*)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bits").as("bits")))
+    val sigs128 = ops.Dedup.simhash128FromFeatures(feats)
+    val v128 = bucketVolume(sigs128
+      .select(col("doc_id"), explode(array((0 until 13).map { b =>
+        val lo = b * 10; val w = math.min(10, 128 - lo)
+        val mask = (1L << w) - 1
+        val bits =
+          if (lo >= 64) shiftright(col("sig_hi"), lo - 64).bitwiseAND(mask)
+          else if (lo + w <= 64) shiftright(col("sig_lo"), lo).bitwiseAND(mask)
+          else shiftright(col("sig_lo"), lo).bitwiseOR(
+            shiftleft(col("sig_hi").bitwiseAND((1L << (w - (64 - lo))) - 1),
+              64 - lo)).bitwiseAND(mask)
+        struct(lit(b).as("band"), bits.as("bits"))
+      }: _*)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bits").as("bits")))
+    assert(v128 * 2 <= v64,
+      s"10-bit bands must at least halve candidate volume: 64-bit=$v64 128-bit=$v128")
+  }
+
   test("exact dedup groups every doc exactly once") {
     val total = Dedup.dedupExact(spark, dir)
       .agg(org.apache.spark.sql.functions.sum("n_copies")).collect()(0).getLong(0)
