@@ -40,6 +40,53 @@ object SourceQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** parquet → parquet-with-BLOOM-FILTERS → point-lookup aggregate —
+    * the third data-skipping lever beside min/max row-group stats
+    * (clustered layout) and Z-order: bloom filters serve HIGH-
+    * CARDINALITY point predicates that min/max ranges can't (a needle
+    * o_custkey hits every row group's [min,max] unless the file is
+    * sorted by exactly that key). The writer stamps a bloom filter on
+    * o_custkey into every file (`parquet.bloom.filter.enabled#col`),
+    * the reader's IN-list probe then skips row groups whose filter
+    * proves absence; SourcesSpec asserts the footer really CARRIES the
+    * filter (an ignored option would silently demote this to a plain
+    * scan). Results are oracle-exact because bloom skipping is
+    * false-positive-only — it never drops a matching row. */
+  def sourceBloomRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = writeBloomOrders(s, dir)
+    s.read.parquet(path)
+      .filter(col("o_custkey").isin(1L, 7L, 42L, 999L))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(cents(col("o_totalprice"))).as("total_cents"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** Bloom-stamped writer half of [[sourceBloomRoundtrip]], exposed so
+    * SourcesSpec can inspect the written footers directly.
+    *
+    * Dictionary interaction (measured, not folklore): parquet-mr
+    * SUPPRESSES the bloom filter on any column whose every page stayed
+    * dictionary-encoded — the dictionary already answers point lookups
+    * exactly, so a bloom would be redundant bytes. Fixture
+    * cardinalities fit the dictionary, so the writer here disables
+    * dictionary encoding to force the fallback and actually exercise
+    * the bloom machinery; at 100 TB the situation inverts by itself —
+    * bloom filters matter precisely on the high-NDV columns that BLOW
+    * the dictionary, where the fallback (and thus the bloom) happens
+    * naturally and this option must NOT be set. */
+  private[graft] def writeBloomOrders(s: SparkSession, dir: String): String = {
+    val path = tmpDir("graft_bloom_rt") + "/orders_bloom"
+    orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .write
+      .option("parquet.bloom.filter.enabled#o_custkey", "true")
+      .option("parquet.bloom.filter.expected.ndv#o_custkey", "2000")
+      .option("parquet.enable.dictionary", "false")
+      .mode("overwrite").parquet(path)
+    path
+  }
+
   /** parquet → JSON lines → aggregate, read back under an explicit
     * StructType. Money goes through as integer cents (exact in text);
     * the aggregate must reproduce the parquet-side numbers bit-for-bit
@@ -200,6 +247,7 @@ object SourceQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "source_schema_evolution" -> sourceSchemaEvolution _,
     "source_orc_roundtrip" -> sourceOrcRoundtrip _,
+    "source_bloom_roundtrip" -> sourceBloomRoundtrip _,
     "source_json_roundtrip" -> sourceJsonRoundtrip _,
     "source_bucketed_join" -> sourceBucketedJoin _,
     "source_dpp_join" -> sourceDppJoin _,
@@ -207,6 +255,14 @@ object SourceQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // bloom skipping is false-positive-only, so the round-trip must
+    // reproduce the plain filter exactly
+    "source_bloom_roundtrip" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM orders WHERE o_custkey IN (1, 7, 42, 999)
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "source_schema_evolution" ->
       """SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority
         |            ELSE '<legacy>' END AS priority,

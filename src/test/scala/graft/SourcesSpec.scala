@@ -123,4 +123,42 @@ class SourcesSpec extends AnyFunSuite {
     assert(inferred.schema.map(_.dataType.typeName).toSet === Set("integer", "string"))
     assert(inferred.count() === 5)
   }
+
+  test("bloom round-trip: every written footer CARRIES the o_custkey bloom filter") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    // an ignored writer option would silently demote the declared query
+    // to a plain scan — assert the filter is physically in the footer
+    val path = graft.sources.SourceQueries.writeBloomOrders(spark, dir)
+    val files = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val rdr = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getPath),
+        spark.sparkContext.hadoopConfiguration))
+      try {
+        rdr.getRowGroups.asScala.foreach { block =>
+          val custCol = block.getColumns.asScala
+            .find(_.getPath.toDotString == "o_custkey").get
+          val bf = rdr.getBloomFilterDataReader(block).readBloomFilter(custCol)
+          assert(bf != null, s"${f.getName}: no bloom filter on o_custkey")
+          val keyCol = block.getColumns.asScala
+            .find(_.getPath.toDotString == "o_orderkey").get
+          assert(rdr.getBloomFilterDataReader(block).readBloomFilter(keyCol) == null,
+            "bloom must be stamped ONLY on the configured column")
+        }
+      } finally rdr.close()
+    }
+    // and the declared query's aggregate equals the plain-parquet filter
+    val got = graft.sources.SourceQueries.sourceBloomRoundtrip(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Tables.orders(spark, dir)
+      .filter(col("o_custkey").isin(1L, 7L, 42L, 999L))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"), sum(Tables.cents(col("o_totalprice"))).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want)
+  }
 }
