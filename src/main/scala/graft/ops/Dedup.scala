@@ -355,10 +355,10 @@ object Dedup {
     * 5 — per-band bucket space grows 32×, and the banded join's
     * Σ|bucket|² candidate volume drops accordingly at equal corpus
     * size (DedupSpec measures the drop and the hamming-0 recall floor
-    * on the fixture). private[graft]: hamming ≤ 12 over 128 bits is a
-    * TIGHTER similarity scale than over 64, so this is the
-    * parameterization a larger corpus would DECLARE, not a drop-in for
-    * the existing oracle. */
+    * on the fixture). Hamming ≤ 12 over 128 bits is a TIGHTER
+    * similarity scale than over 64, so this is a separately DECLARED
+    * parameterization ([[dedupSimhash128]], its own brute-force
+    * oracle), not a drop-in for the 64-bit one. */
   private[graft] def simhash128FromFeatures(feats: DataFrame): DataFrame = {
     val tok = feats.select(col("doc_id") +:
       (0 until 4).map(wd => conv(substring(col("m"), wd * 8 + 1, 8), 16, 10)
@@ -376,22 +376,30 @@ object Dedup {
       .select(col("doc_id"), word(64).as("sig_hi"), word(0).as("sig_lo"))
   }
 
-  /** Banded pairs over the 128-bit signatures: 12 bands × 10 bits + one
-    * 8-bit band partition all 128 bits, so hamming ≤ 12 still pigeonholes
-    * into at least one untouched band. */
-  private[graft] def simhash128BandedPairs(sigs: DataFrame): DataFrame = {
+  /** The 13-band decomposition of a (doc_id, sig_hi, sig_lo) relation:
+    * one row per (doc_id, band, bits), 12 bands × 10 bits + one 8-bit
+    * band partitioning all 128 bits. Exposed separately from the pair
+    * join so DedupSpec can pin the extracted band bits against an
+    * independent plain-Scala formulation (the r10 sign-extension bug
+    * lived exactly here and was invisible to any test that reused this
+    * expression as its own ground truth). */
+  private[graft] def simhash128Banded(sigs: DataFrame): DataFrame = {
     val width = 10
     val bandCols = (0 until SimhashBands).map { b =>
       val lo = b * width
       val w = math.min(width, 128 - lo)
       val mask = (1L << w) - 1
+      // unsigned shifts throughout: an arithmetic shiftright on a
+      // signature with its sign bit set would OR sign-extension 1s over
+      // the straddle band's sig_hi contribution, collapsing half the
+      // corpus into 2^(64-lo) of the band's 2^w buckets
       val bits =
         if (lo >= 64)
-          shiftright(col("sig_hi"), lo - 64).bitwiseAND(mask)
+          shiftrightunsigned(col("sig_hi"), lo - 64).bitwiseAND(mask)
         else if (lo + w <= 64)
-          shiftright(col("sig_lo"), lo).bitwiseAND(mask)
+          shiftrightunsigned(col("sig_lo"), lo).bitwiseAND(mask)
         else { // band straddles the 64-bit word boundary
-          val fromLo = shiftright(col("sig_lo"), lo)
+          val fromLo = shiftrightunsigned(col("sig_lo"), lo)
           val hiBits = w - (64 - lo)
           fromLo.bitwiseOR(
             shiftleft(col("sig_hi").bitwiseAND((1L << hiBits) - 1), 64 - lo))
@@ -399,11 +407,18 @@ object Dedup {
         }
       struct(lit(b).as("band"), bits.as("bits"))
     }
-    val banded = sigs
+    sigs
       .select(col("doc_id"), col("sig_hi"), col("sig_lo"),
         explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("sig_hi"), col("sig_lo"),
         col("bb.band").as("band"), col("bb.bits").as("bits"))
+  }
+
+  /** Banded pairs over the 128-bit signatures: hamming ≤ 12 still
+    * pigeonholes into at least one untouched band ([[simhash128Banded]]
+    * for the band layout). */
+  private[graft] def simhash128BandedPairs(sigs: DataFrame): DataFrame = {
+    val banded = simhash128Banded(sigs)
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
@@ -425,6 +440,29 @@ object Dedup {
     * all-pairs result without the O(n²) nested-loop join. */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     simhashBandedPairs(simhashSignatures(documents(s, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** 128-bit signatures over the same word-bigram md5 features as
+    * [[simhashSignatures]] (same < 2-word exclusion); only the vote
+    * width differs — all four 32-bit md5 words vote instead of two. */
+  def simhash128Signatures(df: DataFrame): DataFrame =
+    simhash128FromFeatures(df
+      .filter(size(split(col("text"), " ")) >= 2)
+      .select(col("doc_id"),
+        explode(graft.functions.VectorExpressions
+          .wordShingles(col("text"), 2, distinct = false)).as("bg"))
+      .select(col("doc_id"), md5(col("bg")).as("m")))
+
+  /** The production parameterization of the banded-hamming join — the
+    * tree's one measured quadratic (BASELINE.md 10x probe): 128-bit
+    * signatures give the 13 pigeonhole bands 10 bits each, so bucket
+    * space per band grows 32x over the 64-bit variant and the equi-join
+    * candidate volume collapses accordingly. Declared with its own
+    * brute-force all-pairs oracle (hamming <= 12 over 128 bits is a
+    * tighter similarity scale — a distinct query, not a re-check of
+    * `dedup_simhash`). */
+  def dedupSimhash128(s: SparkSession, dir: String): DataFrame =
+    simhash128BandedPairs(simhash128Signatures(documents(s, dir))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Banded Hamming-≤12 pair join over a (doc_id, simhash) relation —
@@ -589,6 +627,7 @@ object Dedup {
     "dedup_minhash_lsh" -> ((s, d) => Indexes.nearDupPairs(s, d)),
     "dedup_incremental" -> dedupIncremental _,
     "dedup_simhash" -> dedupSimhash _,
+    "dedup_simhash128" -> dedupSimhash128 _,
   )
 
   /** DuckDB oracle for the simhash pipeline: brute-force all-pairs over
@@ -622,7 +661,34 @@ object Dedup {
        |WHERE hamming <= 12 ORDER BY a_id, b_id""".stripMargin
   }
 
-  private def simhashOracleSql: String = simhashOracleFor(
+  /** 128-bit sibling of [[simhashOracleFor]]: all four md5 words vote
+    * (bit k comes from word k/32, i.e. hex chars 1+8*(k/32)..8), same
+    * all-pairs majority + hamming shape. The banded join is exact-recall
+    * by pigeonhole, so the brute force IS the oracle. */
+  private[graft] def simhash128OracleFor(featureCtes: String): String = {
+    val bitCols = (0 until 128).map { k =>
+      val div = 1L << (k % 32)
+      s"CASE WHEN sum(CASE WHEN (h${k / 32} // $div) % 2 = 1 THEN 1 ELSE -1 END) > 0" +
+        s" THEN 1 ELSE 0 END AS b$k"
+    }.mkString(", ")
+    // chunked parens: a left-deep 128-term `+` chain exceeds DuckDB's
+    // binder recursion limit (128), so group 16 terms per paren
+    val hamming = (0 until 128).map(k => s"abs(a.b$k - b2.b$k)")
+      .grouped(16).map(_.mkString("(", " + ", ")")).mkString(" + ")
+    val words = (0 until 4).map(wd =>
+      s"('0x' || substr(m, ${1 + 8 * wd}, 8))::BIGINT AS h$wd").mkString(", ")
+    s"""WITH $featureCtes,
+       |h AS (SELECT doc_id, $words FROM f),
+       |b AS (SELECT doc_id, $bitCols FROM h GROUP BY doc_id),
+       |p AS (
+       |  SELECT a.doc_id AS a_id, b2.doc_id AS b_id,
+       |         CAST($hamming AS BIGINT) AS hamming
+       |  FROM b a JOIN b b2 ON a.doc_id < b2.doc_id)
+       |SELECT a_id, b_id, hamming FROM p
+       |WHERE hamming <= 12 ORDER BY a_id, b_id""".stripMargin
+  }
+
+  private val simhashFeatureCtes =
     """w AS (
       |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
       |  WHERE len(string_split(text, ' ')) >= 2),
@@ -631,7 +697,9 @@ object Dedup {
       |    SELECT doc_id,
       |      unnest([array_to_string(words[i:i+1], ' ')
       |              FOR i IN range(1, len(words))]) AS bg
-      |    FROM w))""".stripMargin)
+      |    FROM w))""".stripMargin
+
+  private def simhashOracleSql: String = simhashOracleFor(simhashFeatureCtes)
 
   private val jaccardPairsSql =
     """WITH sh AS (
@@ -688,5 +756,6 @@ object Dedup {
         |      CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.5
         |ORDER BY new_id, dup_of""".stripMargin,
     "dedup_simhash" -> simhashOracleSql,
+    "dedup_simhash128" -> simhash128OracleFor(simhashFeatureCtes),
   )
 }

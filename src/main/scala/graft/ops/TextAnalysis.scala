@@ -1170,8 +1170,9 @@ object TextAnalysis {
         |      FROM docs WHERE doc_id < 3),
         |scored AS (
         |  SELECT q.query_id, tf.doc_id,
-        |    sum((((tot.n * 1000) // df.df) * tf.f * 2200)
-        |        // ((1000 * tf.f) + 300 + ((900 * dl.dl * tot.n) // tot.l))) AS score
+        |    CAST(sum((((tot.n * 1000) // df.df) * tf.f * 2200)
+        |        // ((1000 * tf.f) + 300 + ((900 * dl.dl * tot.n) // tot.l)))
+        |      AS BIGINT) AS score
         |  FROM q JOIN tf USING (term) JOIN df USING (term)
         |       JOIN dl ON dl.doc_id = tf.doc_id, tot
         |  GROUP BY 1, 2)

@@ -99,22 +99,60 @@ class DedupSpec extends AnyFunSuite {
             shiftright(col("simhash"), lo).bitwiseAND((1L << w) - 1).as("bits"))
         }: _*)).as("bb"))
       .select(col("bb.band").as("band"), col("bb.bits").as("bits")))
-    val sigs128 = ops.Dedup.simhash128FromFeatures(feats)
-    val v128 = bucketVolume(sigs128
-      .select(col("doc_id"), explode(array((0 until 13).map { b =>
-        val lo = b * 10; val w = math.min(10, 128 - lo)
-        val mask = (1L << w) - 1
-        val bits =
-          if (lo >= 64) shiftright(col("sig_hi"), lo - 64).bitwiseAND(mask)
-          else if (lo + w <= 64) shiftright(col("sig_lo"), lo).bitwiseAND(mask)
-          else shiftright(col("sig_lo"), lo).bitwiseOR(
-            shiftleft(col("sig_hi").bitwiseAND((1L << (w - (64 - lo))) - 1),
-              64 - lo)).bitwiseAND(mask)
-        struct(lit(b).as("band"), bits.as("bits"))
-      }: _*)).as("bb"))
-      .select(col("bb.band").as("band"), col("bb.bits").as("bits")))
+    // PRODUCTION band extraction (not a reimplementation — the r10 bug
+    // was invisible because this test used to copy the same expression)
+    val v128 = bucketVolume(ops.Dedup.simhash128Banded(
+      ops.Dedup.simhash128FromFeatures(feats)))
     assert(v128 * 2 <= v64,
       s"10-bit bands must at least halve candidate volume: 64-bit=$v64 128-bit=$v128")
+  }
+
+  test("128-bit band bits match an independent BigInt formulation (negative words included)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // fixtures chosen so sign-extension bugs are visible: sig_lo with
+    // bit 63 set (negative long) across varying sig_hi low bits — the
+    // straddle band (band 6, bits 60..69) mixes exactly these
+    val sigs = Seq(
+      (1L, 0x0000000000000000L, 0x8000000000000000L),
+      (2L, 0x0000000000000001L, 0x8000000000000000L),
+      (3L, 0x000000000000002AL, 0xF000000000000000L),
+      (4L, 0xFFFFFFFFFFFFFFFFL, 0xFFFFFFFFFFFFFFFFL),
+      (5L, 0x0000000000000015L, 0xA000000000000000L),
+      (6L, 0x123456789ABCDEF0L, 0x8FEDCBA987654321L),
+      (7L, 0x8000000000000000L, 0x0000000000000001L),
+      (8L, 0x7FFFFFFFFFFFFFFFL, 0x7FFFFFFFFFFFFFFFL))
+      .toDF("doc_id", "sig_hi", "sig_lo")
+    val got = ops.Dedup.simhash128Banded(sigs)
+      .select(col("doc_id"), col("band"), col("bits")).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // independent ground truth: assemble the full 128-bit value as a
+    // BigInt from the unsigned word values and slice bands arithmetically
+    val fixtures = Seq(
+      1L -> (0x0000000000000000L, 0x8000000000000000L),
+      2L -> (0x0000000000000001L, 0x8000000000000000L),
+      3L -> (0x000000000000002AL, 0xF000000000000000L),
+      4L -> (0xFFFFFFFFFFFFFFFFL, 0xFFFFFFFFFFFFFFFFL),
+      5L -> (0x0000000000000015L, 0xA000000000000000L),
+      6L -> (0x123456789ABCDEF0L, 0x8FEDCBA987654321L),
+      7L -> (0x8000000000000000L, 0x0000000000000001L),
+      8L -> (0x7FFFFFFFFFFFFFFFL, 0x7FFFFFFFFFFFFFFFL))
+    fixtures.foreach { case (id, (hi, lo)) =>
+      val full = (BigInt(java.lang.Long.toUnsignedString(hi)) << 64) |
+        BigInt(java.lang.Long.toUnsignedString(lo))
+      (0 until 13).foreach { b =>
+        val w = math.min(10, 128 - b * 10)
+        val want = ((full >> (b * 10)) & ((BigInt(1) << w) - 1)).toLong
+        assert(got((id, b)) === want,
+          s"doc $id band $b: got ${got((id, b))}, want $want")
+      }
+    }
+    // dispersion: docs 1-6 all have negative sig_lo but distinct sig_hi
+    // low bits; their band-6 buckets must be distinct (the r10
+    // sign-extending shiftright collapsed them toward all-ones)
+    val band6 = fixtures.collect { case (id, (_, lo)) if lo < 0 => got((id, 6)) }
+    assert(band6.distinct.size === band6.size,
+      s"negative-sig_lo docs collapsed in band 6: $band6")
   }
 
   test("exact dedup groups every doc exactly once") {

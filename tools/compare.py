@@ -55,10 +55,21 @@ def main():
             print(f"FAIL {name}: rows spark={len(sdf)} duck={len(ddf)}")
             n_bad += 1
             continue
-        # exact value compare (string-render both sides to dodge dtype noise)
+        # driver-strict compare: the driver hashes canonical string
+        # renders, which are dtype-sensitive — an int64 10077 vs a
+        # float64 10077.0 hash-mismatch there, so they must FAIL here
+        # too (r10 lesson: an uncast DuckDB sum() returns HUGEINT ->
+        # float64 and the numeric == compare was silently green while
+        # the driver's hash_match was red)
         mism = None
         for c in sdf.columns:
             a, b = sdf[c], ddf[c]
+            ka, kb = a.dtype.kind, b.dtype.kind
+            classes = {"i": "int", "u": "int", "f": "float", "b": "bool",
+                       "M": "ts", "O": "obj"}
+            if classes.get(ka, ka) != classes.get(kb, kb):
+                mism = (c, -1, f"dtype {a.dtype}", f"dtype {b.dtype}", len(a))
+                break
             try:
                 eq = (a.isna() & b.isna()) | (a == b)
             except Exception:
