@@ -56,7 +56,10 @@ object PlanDump {
       "similarity_pca_gram" -> "PCA: ONE typed-Aggregator corpus pass builds the 64x64 Gram; both power iterations + Rayleigh run on the constant 4096-row relation with broadcast joins",
       "multimodal_phash_dedup" -> "pHash media dedup: one map pass chunk-hashes the blobs (bytes never shuffle), map-side-combinable vote aggregate, banded hamming join — the dedup SimHash machinery with the feature extractor swapped",
       "graph_kcore" -> "k-core peel (final round's plan): degree aggregate + two node-keyed joins over the shrunken cached edge relation — each round is this shape over a smaller input",
-      "pipeline_budget_mix" -> "budgeted mix: quality gate + md5 dedup share one shuffle, sqrt-weight budgets broadcast, source-partitioned first-fit window, tiny accounting aggregate")
+      "pipeline_budget_mix" -> "budgeted mix: quality gate + md5 dedup share one shuffle, sqrt-weight budgets broadcast, source-partitioned first-fit window, tiny accounting aggregate",
+      "dedup_simhash128" -> "128-bit banded hamming (the production knob): unsigned-shift band extraction, 10-bit buckets — 32x the 64-bit bucket space at identical join shape",
+      "text_salience_monitor" -> "salience guard: ONE posting aggregate + broadcast df join; per-source Σdf/Σdf² + corpus row — the pre-flight before any exact tf-idf pair join",
+      "multimodal_cdc_chunks" -> "content-defined chunking: boundary detection + chunk fingerprints in one map-only array projection, only (chunk_md5, doc_id) shuffles")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries (sf0.001)\n\n")
     sb.append("Generated by `sbt \"runMain graft.PlanDump\"`; asserted in PlanSpec.\n")

@@ -61,7 +61,14 @@ object StressScale {
     .map(n => n -> SparkEntry.queries(n)) :+
     ("text_tfidf_cosine_lsh_16x12" ->
       ((s: org.apache.spark.sql.SparkSession, d: String) =>
-        ops.TextAnalysis.textTfidfCosineLshAt(s, d, 16, 12)))
+        ops.TextAnalysis.textTfidfCosineLshAt(s, d, 16, 12))) :+
+    // the banded-hamming quadratic's production knob: same chunk
+    // features as multimodal_phash_dedup, 128-bit signature → 10-bit
+    // bands — the wall here should stay near-linear where the 64-bit
+    // probe bends candidate-bound (BASELINE.md r10)
+    ("multimodal_phash_dedup_128" ->
+      ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        ops.Multimodal.mediaPhashDedup128(s, d)))
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -134,6 +141,19 @@ object StressScale {
     }.write.mode("overwrite").parquet(s"$out/orders.parquet")
 
     def fmt(v: Double): String = (math.round(v * 1000) / 1000.0).toString
+    // pre-flight the salient-posting-volume guard on each scaled corpus
+    // (the production gate before any exact tf-idf pair query): on the
+    // full-namespace null the relative df-cap admits the whole
+    // vocabulary and the guard FIRES; on the df-aware null it passes
+    for (d <- Seq(out, s"${out}_dfaware")) {
+      val row = ops.TextAnalysis.textSalienceMonitor(spark, d)
+        .filter(col("source") === "__all__").head()
+      val ok = row.getBoolean(row.fieldIndex("guard_ok"))
+      val note = if (ok) "exact pair join admitted"
+        else "guard would have fired: route to LSH, skip exact pair join"
+      println(s"""{"salience_guard":{"dir":"$d","n_docs":${row.getLong(1)},""" +
+        s""""join_volume":${row.getLong(4)},"guard_ok":$ok,"note":"$note"}}""")
+    }
     def time(q: (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame, dir: String): Double = {
       spark.catalog.clearCache()

@@ -171,6 +171,53 @@ object Multimodal {
       .filter(col("n_copies") > 1)
       .orderBy(col("chunk_md5"))
 
+  /** Content-defined chunking (CDC) dedup — the production upgrade the
+    * [[mediaChunkDedup]] scaladoc promises: chunk boundaries are placed
+    * where a rolling content hash hits a pattern (here: md5 of the
+    * 8-byte window ending at offset i starts with hex '0' → boundary
+    * probability 1/16, mean chunk ≈ 16 bytes), so INSERTING or deleting
+    * bytes only perturbs chunks near the edit — every boundary
+    * downstream re-synchronizes and the shared tail deduplicates, where
+    * fixed-offset slicing shifts every subsequent chunk and shares
+    * nothing (MultimodalSpec proves exactly this contrast). This is the
+    * rsync/LBFS/backup-dedup shape (Muthitacharoen et al., SOSP'01).
+    *
+    * Scale: boundary detection and chunk fingerprinting are ONE per-row
+    * projection over array expressions — bytes never shuffle, only
+    * (chunk_md5, doc_id) pairs enter the aggregate. The md5-per-offset
+    * window hash is the engine-portable stand-in (it gives the oracle
+    * bit-identical boundaries); at 100 TB swap in a Rabin/Gear rolling
+    * hash (O(1) per byte, same plan shape) plus a min/max chunk-size
+    * clamp against pathological boundary densities. */
+  private[graft] def cdcChunksOf(media: DataFrame): DataFrame = {
+    val win = 8
+    media
+      .select(col("doc_id"), lower(hex(col("media"))).as("hx"))
+      .withColumn("nb", (length(col("hx")) / 2).cast("int"))
+      .filter(col("nb") >= win)
+      .withColumn("bounds", expr(
+        s"""filter(sequence($win, nb),
+           |       i -> substring(md5(substring(hx, (i - $win) * 2 + 1, ${win * 2})),
+           |                      1, 1) = '0')""".stripMargin))
+      .withColumn("starts", expr("concat(array(0), bounds)"))
+      .withColumn("ends", expr("concat(bounds, array(nb))"))
+      .select(col("doc_id"), explode(expr(
+        """filter(zip_with(starts, ends,
+          |              (st, en) -> IF(en > st,
+          |                             md5(substring(hx, st * 2 + 1, (en - st) * 2)),
+          |                             NULL)),
+          |       x -> x IS NOT NULL)""".stripMargin)).as("chunk_md5"))
+  }
+
+  def mediaCdcChunks(s: SparkSession, dir: String): DataFrame =
+    cdcChunksOf(mediaTable(s, dir))
+      .groupBy(col("chunk_md5"))
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_copies") > 1)
+      .orderBy(col("chunk_md5"))
+
   /** Perceptual-hash near-duplicate detection for media blobs — the
     * image-dedup stage of a multimodal curation pipeline (pHash shape:
     * per-blob features → signed bit votes → 64-bit signature → banded
@@ -187,17 +234,38 @@ object Multimodal {
     * Scale: the blob is hexed and chunk-hashed in one map pass (bytes
     * never shuffle); the vote aggregate is map-side combinable; the
     * banded join is the same bounded-candidate shape as `dedup_simhash`. */
-  def mediaPhashDedup(s: SparkSession, dir: String): DataFrame = {
-    val feats = mediaTable(s, dir)
+  def mediaPhashDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashBandedPairs(Dedup.simhashFromFeatures(phashFeatures(s, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Chunk-fingerprint feature stream shared by the 64- and 128-bit
+    * perceptual-hash variants (same slicing as [[mediaChunkDedup]]). */
+  private def phashFeatures(s: SparkSession, dir: String): DataFrame =
+    mediaTable(s, dir)
       .select(col("doc_id"), lower(hex(col("media"))).as("hx"))
       .filter(length(col("hx")) > 0)
       .select(col("doc_id"), explode(expr(
         """transform(sequence(0, CAST((length(hx) + 511) div 512 - 1 AS INT)),
           |          i -> md5(substring(hx, i * 512 + 1, 512)))""".stripMargin))
         .as("m"))
-    Dedup.simhashBandedPairs(Dedup.simhashFromFeatures(feats)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-  }
+
+  /** 128-bit parameterization of [[mediaPhashDedup]] — the production
+    * config for the banded-hamming join's measured quadratic (BASELINE.md
+    * 10x probe: the 64-bit bands' Σ|bucket|² candidate volume bends the
+    * wall super-linear at ~500 k blobs; 10-bit bands defer that by 32x
+    * in bucket space). Same features, same pigeonhole discipline —
+    * hamming ≤ 12 over 128 bits is a tighter similarity scale — at
+    * fixture scale the chunk features of planted near-dups (word edits
+    * shift every downstream fixed-offset chunk) land beyond it, so this
+    * variant returns no pairs there and is exercised as the StressScale
+    * candidate-volume probe plus a hamming-0 recall spec rather than as
+    * a declared fixture query; `dedup_simhash128` (word-bigram
+    * features, which near-dups mostly share) is the oracle-checked
+    * declared 128-bit query. */
+  def mediaPhashDedup128(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash128BandedPairs(
+      Dedup.simhash128FromFeatures(phashFeatures(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Contrastive media-text pair assembly (the CLIP-style training-set
     * builder): every media row paired with its own caption (positive)
@@ -242,21 +310,53 @@ object Multimodal {
     "multimodal_resize_stats" -> mediaResizeStats _,
     "multimodal_nearest_neighbor" -> mediaNearestNeighbor _,
     "multimodal_chunk_dedup" -> mediaChunkDedup _,
+    "multimodal_cdc_chunks" -> mediaCdcChunks _,
     "multimodal_phash_dedup" -> mediaPhashDedup _,
   )
+
+  private val PhashFeatureCtes =
+    """m0 AS (
+      |  SELECT doc_id, lower(hex(text)) AS hx FROM documents
+      |  WHERE len(text) > 0),
+      |f AS (
+      |  SELECT doc_id, unnest([md5(substr(hx, i * 512 + 1, 512))
+      |                         FOR i IN range(0, (len(hx) + 511) // 512)])
+      |    AS m
+      |  FROM m0)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     // brute-force per-bit-majority + all-pairs hamming over the chunk
     // features (Dedup's shared oracle with the feature CTE swapped)
-    "multimodal_phash_dedup" -> Dedup.simhashOracleFor(
-      """m0 AS (
-        |  SELECT doc_id, lower(hex(text)) AS hx FROM documents
-        |  WHERE len(text) > 0),
-        |f AS (
-        |  SELECT doc_id, unnest([md5(substr(hx, i * 512 + 1, 512))
-        |                         FOR i IN range(0, (len(hx) + 511) // 512)])
-        |    AS m
-        |  FROM m0)""".stripMargin),
+    "multimodal_phash_dedup" -> Dedup.simhashOracleFor(PhashFeatureCtes),
+    // same window hash, boundary rule, and chunk fingerprints as the
+    // engine; list comprehensions mirror the array expressions 1:1
+    "multimodal_cdc_chunks" ->
+      """WITH m AS (
+        |  SELECT doc_id, lower(hex(text)) AS hx,
+        |         CAST(len(lower(hex(text))) // 2 AS INT) AS nb
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, hx, nb,
+        |    [i FOR i IN range(8, nb + 1)
+        |     IF substr(md5(substr(hx, (i - 8) * 2 + 1, 16)), 1, 1) = '0']
+        |      AS bounds
+        |  FROM m WHERE nb >= 8),
+        |sp AS (
+        |  SELECT doc_id, hx,
+        |    list_prepend(0, bounds) AS starts,
+        |    list_append(bounds, nb) AS ends
+        |  FROM b),
+        |c AS (
+        |  SELECT doc_id,
+        |    unnest([md5(substr(hx, starts[k] * 2 + 1, (ends[k] - starts[k]) * 2))
+        |            FOR k IN range(1, len(starts) + 1) IF ends[k] > starts[k]])
+        |      AS chunk_md5
+        |  FROM sp)
+        |SELECT chunk_md5, count(*) AS n_copies,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  min(doc_id) AS first_doc
+        |FROM c GROUP BY chunk_md5 HAVING count(*) > 1
+        |ORDER BY chunk_md5""".stripMargin,
     "multimodal_clip_pairs" ->
       """WITH caps AS (
         |  SELECT doc_id,

@@ -257,8 +257,43 @@ object Pipeline {
       .orderBy(col("shard"), col("pos"))
   }
 
+  /** Globally-CONTIGUOUS epoch index (0..N-1) — what a dataloader needs
+    * to address any training example by position — computed WITHOUT the
+    * naive global row_number's single-partition sort: the classic
+    * two-phase distributed enumeration. Phase 1 buckets rows by the
+    * first two hex chars of the seeded md5 key (an ORDER-PRESERVING
+    * range split: the bucket is a prefix of the sort key, so bucket
+    * order + within-bucket key order IS the global key order) and ranks
+    * within each of the 256 buckets in parallel; phase 2 computes
+    * per-bucket offsets as a prefix sum over the 256-row count relation
+    * (driver-scale, broadcast back) and adds them. Global position =
+    * offset + local rank, provably equal to `row_number() OVER (ORDER
+    * BY key)` — the oracle states exactly that. At 100 TB this is the
+    * only shape that works: the data-sized work is one hash-partitioned
+    * window per bucket; only the 256-row count relation ever sees a
+    * single-partition window. */
+  def pipelineEpochGlobalIndex(s: SparkSession, dir: String): DataFrame = {
+    val epoch = 1
+    val key = md5(concat(col("doc_id").cast("string"), lit(s":$epoch")))
+    val keyed = documents(s, dir)
+      .select(col("doc_id"), key.as("key"))
+      .withColumn("b", substring(col("key"), 1, 2))
+    val wOff = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy(col("b")).agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(sum(col("n")).over(wOff), lit(0L)))
+      .select(col("b"), col("off"))
+    val wB = Window.partitionBy(col("b")).orderBy(col("key"), col("doc_id"))
+    keyed
+      .withColumn("r", row_number().over(wB).cast("long"))
+      .join(broadcast(offsets), Seq("b"))
+      .select(col("doc_id"), (col("off") + col("r") - 1).as("epoch_pos"))
+      .orderBy(col("epoch_pos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_epoch_shuffle" -> pipelineEpochShuffle _,
+    "pipeline_epoch_global_index" -> pipelineEpochGlobalIndex _,
     "pipeline_negative_samples" -> pipelineNegativeSamples _,
     "pipeline_training_mix" -> trainingMix _,
     "pipeline_budget_mix" -> pipelineBudgetMix _,
@@ -270,6 +305,14 @@ object Pipeline {
   // near-dup pairs: same brute-force formulation as Dedup.jaccardPairsSql
   // (the LSH result provably equals it); only the loser ids are needed
   val oracleSql: Map[String, String] = Map(
+    // the contract the two-phase enumeration must reproduce exactly:
+    // the naive global row_number over the seeded key
+    "pipeline_epoch_global_index" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':1'), doc_id) - 1
+        |    AS BIGINT) AS epoch_pos
+        |FROM documents ORDER BY epoch_pos""".stripMargin,
     "pipeline_epoch_shuffle" ->
       """WITH k AS (
         |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':1') AS key

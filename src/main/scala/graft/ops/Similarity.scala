@@ -601,17 +601,6 @@ object Similarity {
         .as("centroid"), count(lit(1)).as("n_vectors"))
       .orderBy(col("label"), col("dim"))
 
-  /** Matryoshka-truncation evaluation — recall@5 of PREFIX-dimension
-    * cosine top-5 (dims 8/16/32) against the full-64-dim truth, per the
-    * MRL deployment question: how few leading dimensions does this
-    * corpus need before ANN quality collapses? (Kusupati et al. 2022
-    * train embeddings so prefixes are usable; this measures whether a
-    * given corpus's vectors have that property.) Each dim is the same
-    * broadcast map-only scan as `similarity_cosine_topk` over `slice`d
-    * arrays — truncation costs a narrower dot product, nothing else; at
-    * 100 TB the 8-dim pass reads 1/8 the vector bytes, which is the
-    * entire point of shipping truncated embeddings. Exact-integer dots
-    * on the quantized prefixes keep the whole report oracle-replayable. */
   /** Principal-component extraction for the embedding corpus as ONE
     * Gram-matrix pass + deterministic integer power iteration — the
     * PCA/whitening front-end an ANN/clustering pipeline runs before
@@ -701,6 +690,17 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** Matryoshka-truncation evaluation — recall@5 of PREFIX-dimension
+    * cosine top-5 (dims 8/16/32) against the full-64-dim truth, per the
+    * MRL deployment question: how few leading dimensions does this
+    * corpus need before ANN quality collapses? (Kusupati et al. 2022
+    * train embeddings so prefixes are usable; this measures whether a
+    * given corpus's vectors have that property.) Each dim is the same
+    * broadcast map-only scan as `similarity_cosine_topk` over `slice`d
+    * arrays — truncation costs a narrower dot product, nothing else; at
+    * 100 TB the 8-dim pass reads 1/8 the vector bytes, which is the
+    * entire point of shipping truncated embeddings. Exact-integer dots
+    * on the quantized prefixes keep the whole report oracle-replayable. */
   def matryoshkaRecall(s: SparkSession, dir: String): DataFrame = {
     val e = embeddings(s, dir).select(col("vec_id"), quantize.as("q"))
     def topk(d: Int): DataFrame = {

@@ -818,7 +818,62 @@ object TextAnalysis {
       .orderBy(col("bucket"))
   }
 
+  /** Salient-posting-volume guard — the production pre-flight for every
+    * tf-idf pair query. The pair joins' cost driver is Σ df² over the
+    * cap-surviving ("salient", df·10 ≤ N) terms: under vocabulary drift
+    * (merging disjoint-vocabulary subcorpora) locally-common terms look
+    * globally rare, pass the corpus-relative cap, and the join volume
+    * explodes — the r10 10× probe measured 71 756× join volume / 242×
+    * wall on exactly that null (BASELINE.md). This monitor is ONE cheap
+    * aggregate pass over the posting relation the pair queries build
+    * anyway: per source (≈ ingest snapshot) it reports how many
+    * global-cap-surviving terms the source contributes postings to, its
+    * posting volume (Σ per-source df), and its self-join volume
+    * (Σ per-source df²), plus an `__all__` row carrying the corpus-wide
+    * Σ df / Σ df². `guard_ok` = join_volume ≤ 100·n_docs (≤ 100
+    * candidates per doc on average) — false is the signal to route the
+    * snapshot to the LSH path instead of the exact posting join.
+    * Exact-integer throughout → full DuckDB oracle. */
+  def textSalienceMonitor(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val nAll = docs.agg(count(lit(1)).as("n_all"))
+    val tf = docs
+      .select(col("source"), col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("source"), col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // global df (postings per term) — vocabulary-sized (Heaps-bounded),
+    // broadcast like every other tf-idf consumer of this relation
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val sal = tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(nAll))
+      .filter(col("df") * 10 <= col("n_all"))
+    val perSourceTerm = sal.groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("p"))
+    val perSource = perSourceTerm.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_salient_terms"),
+        sum(col("p")).as("posting_volume"),
+        sum(col("p") * col("p")).as("join_volume"))
+    val srcDocs = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val bySource = srcDocs.join(perSource, Seq("source"), "left_outer")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_salient_terms"), lit(0L)).as("n_salient_terms"),
+        coalesce(col("posting_volume"), lit(0L)).as("posting_volume"),
+        coalesce(col("join_volume"), lit(0L)).as("join_volume"))
+    val total = df.crossJoin(broadcast(nAll))
+      .filter(col("df") * 10 <= col("n_all"))
+      .agg(coalesce(count(lit(1)), lit(0L)).as("n_salient_terms"),
+        coalesce(sum(col("df")), lit(0L)).as("posting_volume"),
+        coalesce(sum(col("df") * col("df")), lit(0L)).as("join_volume"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
+      .select(lit("__all__").as("source"), col("n_docs"),
+        col("n_salient_terms"), col("posting_volume"), col("join_volume"))
+    bySource.unionByName(total)
+      .withColumn("guard_ok", col("join_volume") <= col("n_docs") * 100)
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_salience_monitor" -> textSalienceMonitor _,
     "text_tvd_drift" -> textTvdDrift _,
     "text_vocab_growth" -> textVocabGrowth _,
     "text_tfidf_cosine_lsh" -> textTfidfCosineLsh _,
@@ -933,6 +988,39 @@ object TextAnalysis {
         |WHERE cosine >= 0.5 ORDER BY a_id, b_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same global df·10 ≤ N cap as every tf-idf oracle; exact integers
+    "text_salience_monitor" ->
+      """WITH tf AS MATERIALIZED (
+        |  SELECT source, doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT source, doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM documents) t
+        |  GROUP BY 1, 2, 3),
+        |n AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n_all FROM documents),
+        |df AS MATERIALIZED (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |sal AS (
+        |  SELECT tf.source, tf.term FROM tf JOIN df USING (term), n
+        |  WHERE df.df * 10 <= n.n_all),
+        |st AS (SELECT source, term, CAST(count(*) AS BIGINT) AS p
+        |       FROM sal GROUP BY 1, 2),
+        |src AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |        FROM documents GROUP BY 1),
+        |per AS (
+        |  SELECT src.source, src.n_docs,
+        |    CAST(count(st.term) AS BIGINT) AS n_salient_terms,
+        |    CAST(coalesce(sum(st.p), 0) AS BIGINT) AS posting_volume,
+        |    CAST(coalesce(sum(st.p * st.p), 0) AS BIGINT) AS join_volume
+        |  FROM src LEFT JOIN st USING (source) GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT '__all__' AS source, (SELECT n_all FROM n) AS n_docs,
+        |    CAST(count(*) AS BIGINT) AS n_salient_terms,
+        |    CAST(coalesce(sum(df.df), 0) AS BIGINT) AS posting_volume,
+        |    CAST(coalesce(sum(df.df * df.df), 0) AS BIGINT) AS join_volume
+        |  FROM df, n WHERE df.df * 10 <= n.n_all)
+        |SELECT source, n_docs, n_salient_terms, posting_volume, join_volume,
+        |  join_volume <= n_docs * 100 AS guard_ok
+        |FROM (SELECT * FROM per UNION ALL SELECT * FROM tot)
+        |ORDER BY source""".stripMargin,
     "text_tfidf_cosine_lsh" ->
       s"""WITH $tfidfLshCte
          |SELECT a_id, b_id, cosine FROM lshpairs

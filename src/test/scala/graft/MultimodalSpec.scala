@@ -54,4 +54,34 @@ class MultimodalSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("CDC chunking re-synchronizes after a front insertion; fixed-offset does not") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // doc 2 = doc 1 with 11 bytes INSERTED at the front; long enough
+    // that many boundaries land in the shared tail
+    val base = (1 to 400).map(i => s"w${i % 37}").mkString(" ")
+    val media = Seq((1L, base), (2L, "INSERTED!! " + base))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+    val chunks = Multimodal.cdcChunksOf(media).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val c1 = chunks.collect { case (1L, c) => c }.toSet
+    val c2 = chunks.collect { case (2L, c) => c }.toSet
+    val shared = c1.intersect(c2)
+    assert(shared.size * 2 >= c1.size,
+      s"CDC must share most chunks after re-sync: ${shared.size} of ${c1.size}")
+    // the fixed-offset chunker on the same pair: the 11-byte shift
+    // misaligns every 256-byte slice, so NO chunk survives
+    val fixedShared = media
+      .select(col("doc_id"), lower(hex(col("media"))).as("hx"))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, CAST((length(hx) + 511) div 512 - 1 AS INT)),
+          |          i -> md5(substring(hx, i * 512 + 1, 512)))""".stripMargin))
+        .as("chunk_md5"))
+      .groupBy("chunk_md5").agg(countDistinct("doc_id").as("n"))
+      .filter(col("n") === 2).count()
+    assert(fixedShared === 0L,
+      s"fixed-offset unexpectedly aligned: $fixedShared shared chunks")
+  }
 }

@@ -56,4 +56,22 @@ class PipelineObserveSpec extends AnyFunSuite {
       assert(budget === ((exTok / 5L) * wS) / wTotal, "allocation share")
     }
   }
+
+  test("two-phase global epoch index equals the naive global row_number") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val got = Pipeline.pipelineEpochGlobalIndex(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // naive single-partition formulation — fine at fixture size, the
+    // thing the two-phase plan must reproduce bit-for-bit
+    val key = md5(concat(col("doc_id").cast("string"), lit(":1")))
+    val naive = Tables.documents(spark, dir)
+      .select(col("doc_id"), key.as("key"))
+      .withColumn("epoch_pos",
+        row_number().over(Window.orderBy(col("key"), col("doc_id"))).cast("long") - 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got === naive)
+    // contiguity: positions are exactly 0..N-1
+    assert(got.values.toSeq.sorted === (0L until got.size.toLong))
+  }
 }
