@@ -837,19 +837,26 @@ object TextAnalysis {
   def textSalienceMonitor(s: SparkSession, dir: String): DataFrame = {
     val docs = documents(s, dir)
     val nAll = docs.agg(count(lit(1)).as("n_all"))
-    val tf = docs
+    // the ONE corpus-sized pass: postings → per-(source, term) posting
+    // counts. Persisted because every downstream relation (global df,
+    // the cap, both report legs) derives from it, and a DataFrame
+    // referenced N times re-executes its subtree N times — without the
+    // persist this query scanned the corpus four times (measured in
+    // PLANS.md before the restructure). The persisted relation is
+    // vocabulary × sources — Heaps-bounded, tiny next to the corpus.
+    val stp = docs
       .select(col("source"), col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      .groupBy(col("source"), col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    // global df (postings per term) — vocabulary-sized (Heaps-bounded),
-    // broadcast like every other tf-idf consumer of this relation
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val sal = tf.join(broadcast(df), Seq("term"))
-      .crossJoin(broadcast(nAll))
+      .groupBy(col("source"), col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("p"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // global df per term = Σ over sources of p (postings are partitioned
+    // by source, so the sums agree with the direct per-term count)
+    val dfRel = stp.groupBy(col("term")).agg(sum(col("p")).as("df"))
+    val salTerms = dfRel.crossJoin(broadcast(nAll))
       .filter(col("df") * 10 <= col("n_all"))
-    val perSourceTerm = sal.groupBy(col("source"), col("term"))
-      .agg(count(lit(1)).as("p"))
-    val perSource = perSourceTerm.groupBy(col("source"))
+    val perSource = stp
+      .join(broadcast(salTerms.select(col("term"))), Seq("term"))
+      .groupBy(col("source"))
       .agg(count(lit(1)).as("n_salient_terms"),
         sum(col("p")).as("posting_volume"),
         sum(col("p") * col("p")).as("join_volume"))
@@ -859,8 +866,7 @@ object TextAnalysis {
         coalesce(col("n_salient_terms"), lit(0L)).as("n_salient_terms"),
         coalesce(col("posting_volume"), lit(0L)).as("posting_volume"),
         coalesce(col("join_volume"), lit(0L)).as("join_volume"))
-    val total = df.crossJoin(broadcast(nAll))
-      .filter(col("df") * 10 <= col("n_all"))
+    val total = salTerms
       .agg(coalesce(count(lit(1)), lit(0L)).as("n_salient_terms"),
         coalesce(sum(col("df")), lit(0L)).as("posting_volume"),
         coalesce(sum(col("df") * col("df")), lit(0L)).as("join_volume"))
