@@ -617,8 +617,75 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Token width of the duplicate-substring grams. Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * ExactSubstr) use 50 BPE tokens on real corpora; the fixture docs
+    * average ~54 words, so the declared query pins the semantics at
+    * width 10 and the production width is a config knob — the plan
+    * shape is identical at any width. */
+  private val SpanK = 10
+
+  /** Maximal cross-document duplicate substring spans — the ExactSubstr
+    * dedup deliverable (Lee et al. 2022): not WHICH grams repeat
+    * ([[Mining.textRepeatedPassages]] already counts those) but WHICH
+    * TOKEN RANGES of each document are covered by text that also
+    * appears verbatim in another document, merged into maximal spans a
+    * pipeline can cut before training.
+    *
+    * Plan (reference-engine suffix arrays don't distribute; this does):
+    *   1. map-only positional K-grams per doc — (doc_id, pos, gh) where
+    *      gh = md5 of the K-token window. Hashing the gram BEFORE the
+    *      shuffle keeps shuffle rows constant-width (32 hex chars vs
+    *      ~6 K·avg-token bytes); md5 collisions would only merge spans
+    *      conservatively and are vanishing at 128 bits.
+    *   2. one hash-aggregate shuffle keyed on gh → grams seen in ≥ 2
+    *      DISTINCT docs (within-doc self-repeats are [[Curation]]'s
+    *      `text_repetition` concern, not dedup).
+    *   3. big-big equi-join grams ⋈ dup-ghs, both sides hash-partitioned
+    *      on gh — the standard posting join, no broadcast assumption.
+    *   4. per-doc gaps-and-islands: overlapping/adjacent duplicated
+    *      gram starts (pos − row_number() constant) merge into maximal
+    *      spans [min pos, max pos + K − 1]. The window partitions by
+    *      doc_id — bounded by document length, never corpus-global.
+    *
+    * At 100 TB: stages 1–3 are the same shape as the tf-idf posting
+    * pipeline (measured sub-linear in the 10× probe); stage 4 is a
+    * per-doc window. The [[TextAnalysis.textSalienceMonitor]] analogue
+    * here is the df ≥ 2 cut itself — boilerplate/template grams with
+    * huge df inflate stage 3's join volume, so production would also
+    * cap df (cutting spans only from the df ≤ cap tail is still
+    * conservative-correct for removal decisions). */
+  def dedupSubstringSpans(s: SparkSession, dir: String): DataFrame = {
+    val toks = documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= SpanK)
+    val grams = toks.select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("w")) - SpanK),
+          i => struct(i.cast("long").as("pos"),
+            md5(array_join(slice(col("w"), i + 1, lit(SpanK)), " ")).as("gh"))))
+          .as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.gh").as("gh"))
+    val dup = grams.groupBy(col("gh"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2)
+      .select(col("gh"))
+    val hits = grams.join(dup, "gh").select(col("doc_id"), col("pos"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    hits
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + SpanK - 1).as("span_end"),
+        (max(col("pos")) - min(col("pos")) + SpanK).as("n_tokens"),
+        count(lit(1)).as("n_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("n_tokens"), col("n_grams"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact _,
+    "dedup_substring_spans" -> dedupSubstringSpans _,
     "dedup_containment" -> dedupContainment _,
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "dedup_ngram_jaccard_prefix" -> dedupNgramJaccardPrefix _,
@@ -757,5 +824,28 @@ object Dedup {
         |ORDER BY new_id, dup_of""".stripMargin,
     "dedup_simhash" -> simhashOracleSql,
     "dedup_simhash128" -> simhash128OracleFor(simhashFeatureCtes),
+    // maximal duplicate spans: positional 10-gram md5s, df >= 2 over
+    // distinct docs, gaps-and-islands merge (pos - row_number()).
+    // g is referenced twice -> MATERIALIZED (DuckDB default inlining
+    // would re-expand the gram build per consumer).
+    "dedup_substring_spans" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 10),
+        |g AS MATERIALIZED (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |         md5(array_to_string(words[i:i+9], ' ')) AS gh
+        |  FROM (SELECT doc_id, words,
+        |               unnest(range(1, len(words) - 8)) AS i FROM w)),
+        |dup AS (
+        |  SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+        |h AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gh)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM h)
+        |SELECT doc_id, min(pos) AS span_start, max(pos) + 9 AS span_end,
+        |  max(pos) - min(pos) + 10 AS n_tokens, count(*) AS n_grams
+        |FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin,
   )
 }

@@ -182,6 +182,42 @@ class DedupSpec extends AnyFunSuite {
     got.foreach { case (_, _, c) => assert(c >= 0.8 && c <= 1.0) }
   }
 
+  test("duplicate substring spans equal a from-scratch suffix-scan recomputation") {
+    val got = Dedup.dedupSubstringSpans(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // independent brute force in plain Scala: positional 10-gram strings
+    // (no hashing — proves the md5 keying changes nothing), cross-doc
+    // df >= 2, then island-merge of overlapping gram starts
+    val k = 10
+    val docs = graft.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+      .filter(_._2.length >= k)
+    val occ = for ((id, ws) <- docs; (g, p) <- ws.sliding(k).zipWithIndex)
+      yield (id, p.toLong, g.mkString(" "))
+    val dupGrams = occ.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2).keySet
+    val want = docs.flatMap { case (id, ws) =>
+      val hit = ws.sliding(k).zipWithIndex
+        .collect { case (g, p) if dupGrams(g.mkString(" ")) => p.toLong }.toSeq
+      // islands: consecutive positions chain into one maximal span
+      val islands = hit.foldLeft(List.empty[List[Long]]) {
+        case (acc @ (cur :: rest), p) if p == cur.head + 1 => (p :: cur) :: rest
+        case (acc, p) => List(p) :: acc
+      }.map(_.reverse).reverse
+      islands.map(is => (id, is.head, is.last + k - 1, is.last - is.head + k, is.size.toLong))
+    }
+    assert(got.toSet === want.toSet)
+    assert(got.nonEmpty)
+    // spans never overlap within a doc and all have >= k tokens
+    got.groupBy(_._1).values.foreach { spans =>
+      spans.sortBy(_._2).sliding(2).foreach {
+        case Array(a, b) => assert(b._2 > a._3)
+        case _ =>
+      }
+    }
+    got.foreach { case (_, s, e, n, _) => assert(n === e - s + 1 && n >= k) }
+  }
+
   test("rolling fingerprint is deterministic and text-sensitive") {
     import graft.ops.TextAnalysis
     val fp1 = TextAnalysis.rollingFingerprint(Tables.documents(spark, dir))
