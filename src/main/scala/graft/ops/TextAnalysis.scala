@@ -878,7 +878,64 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  private val WinnowK = 3  // gram width (tokens)
+  private val WinnowW = 4  // window: one fingerprint per w consecutive grams
+  private val WinnowPosSpace = 1L << 20 // pos < 2^20 (1M-token docs; chunk longer)
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003,
+    * the MOSS algorithm): per document, hash every [[WinnowK]]-token gram
+    * and in each sliding window of [[WinnowW]] consecutive gram hashes
+    * select the minimum (ties → rightmost). The selected set is ~2/(w+1)
+    * of the grams yet GUARANTEES any verbatim overlap of at least
+    * w + k − 1 tokens between two documents shares a fingerprint — the
+    * detection floor [[dedup_substring_spans]]' full posting index pays
+    * ~w× more rows for.
+    *
+    * Declarative selection trick: encode (hash, pos) into ONE long,
+    * key = h·2²⁰ + (2²⁰−1−pos), so a plain window `min` picks the
+    * rightmost-minimal gram (smaller key = larger pos among equal
+    * hashes) — no argmin UDF, no struct ordering, exact in both engines.
+    * The window partitions by doc_id and spans w rows — map-side after
+    * one narrow sort per doc; DISTINCT dedups keys selected by several
+    * overlapping windows. Positions are dense (every gram start exists),
+    * so `pos ≥ w−1` is the full-window guard without a row_number.
+    *
+    * At 100 TB this is a map-only pass per document (the per-doc window
+    * never crosses documents); the fingerprint index it feeds is ~20×
+    * smaller than the substring-span posting index at (k=3, w=4) fixture
+    * calibration — production would raise k/w (MOSS uses k=50, w=100
+    * chars for code) and band the fingerprint join like the MinHash
+    * index. */
+  def textWinnowFingerprints(s: SparkSession, dir: String): DataFrame =
+    winnowFromDocs(documents(s, dir))
+
+  private[graft] def winnowFromDocs(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= WinnowK)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("w")) - WinnowK),
+          i => struct(i.cast("long").as("pos"),
+            conv(substring(md5(array_join(slice(col("w"), i + 1, lit(WinnowK)), " ")),
+              1, 10), 16, 10).cast("long").as("h")))).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"),
+        (col("g.h") * WinnowPosSpace + (lit(WinnowPosSpace - 1) - col("g.pos")))
+          .as("key"))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(-(WinnowW - 1), 0)
+    grams
+      .withColumn("mk", min(col("key")).over(win))
+      .filter(col("pos") >= WinnowW - 1)
+      .select(col("doc_id"), col("mk")).distinct()
+      .select(col("doc_id"),
+        (lit(WinnowPosSpace - 1) - col("mk").bitwiseAND(lit(WinnowPosSpace - 1)))
+          .as("pos"),
+        shiftrightunsigned(col("mk"), 20).as("fp"))
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_winnow_fingerprints" -> textWinnowFingerprints _,
     "text_salience_monitor" -> textSalienceMonitor _,
     "text_tvd_drift" -> textTvdDrift _,
     "text_vocab_growth" -> textVocabGrowth _,
@@ -1348,5 +1405,25 @@ object TextAnalysis {
       """SELECT doc_id,
         |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // winnowing: same (hash,pos)->single-long encoding, plain window min,
+    // distinct, decode. 40-bit md5-prefix hash, 2^20 position space.
+    "text_winnow_fingerprints" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |g AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |    ('0x' || substr(md5(array_to_string(words[i:i+2], ' ')), 1, 10))::BIGINT
+        |      * 1048576 + (1048575 - CAST(i - 1 AS BIGINT)) AS key
+        |  FROM (SELECT doc_id, words,
+        |               unnest(range(1, len(words) - 1)) AS i FROM w)),
+        |m AS (
+        |  SELECT doc_id, pos,
+        |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
+        |                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mk
+        |  FROM g),
+        |sel AS (SELECT DISTINCT doc_id, mk FROM m WHERE pos >= 3)
+        |SELECT doc_id, 1048575 - (mk % 1048576) AS pos, mk // 1048576 AS fp
+        |FROM sel ORDER BY doc_id, pos""".stripMargin,
   )
 }

@@ -7,6 +7,52 @@ class TextAnalysisSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val dir = "/root/testdata/sf0.001"
 
+  // plain-Scala winnowing (k=3, w=4, 40-bit md5-prefix hash): the
+  // independent formulation the Spark single-long-key trick must equal
+  private def winnowScala(text: String): Set[(Long, Long)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(g: String): Long = java.lang.Long.parseLong(
+      md.digest(g.getBytes("UTF-8")).take(5).map("%02x".format(_)).mkString, 16)
+    val ws = text.split(" ", -1).toSeq
+    if (ws.length < 3) return Set.empty
+    val hashes = ws.sliding(3).map(_.mkString(" ")).map(h).toVector
+    (3 until hashes.length).map { p =>
+      val (mh, mi) = (p - 3 to p).map(i => (hashes(i), -i)).min
+      (-mi.toLong, mh) // (pos, hash): min hash, rightmost (max i) on ties
+    }.toSet
+  }
+
+  test("winnowing fingerprints equal an independent plain-Scala formulation") {
+    val got = TextAnalysis.textWinnowFingerprints(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    val want = Tables.documents(spark, dir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> winnowScala(r.getString(1)))
+      .filter(_._2.nonEmpty).toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("winnowing guarantee: any shared run of >= w+k-1 tokens shares a fingerprint") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    def words(n: Int) = Seq.fill(n)("w" + rnd.nextInt(5000)).mkString(" ")
+    // 40 doc pairs, each sharing a planted run of exactly w+k-1=6 tokens
+    val docs = (0 until 40).flatMap { i =>
+      val shared = words(6)
+      Seq((i * 2L, s"${words(10 + rnd.nextInt(20))} $shared ${words(10)}"),
+        (i * 2L + 1, s"${words(15)} $shared ${words(5 + rnd.nextInt(10))}"))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFromDocs(df).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    (0 until 40).foreach { i =>
+      val common = fps(i * 2L) intersect fps(i * 2L + 1)
+      assert(common.nonEmpty, s"pair $i shares no fingerprint")
+    }
+  }
+
   test("tf-idf cosine pairs: ordered, bounded, deterministic") {
     val rows = TextAnalysis.textTfidfCosine(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
