@@ -730,7 +730,54 @@ object Similarity {
       .orderBy(col("dim"))
   }
 
+  /** Mutual k-NN graph (k = 5) over the embedding corpus — the offline
+    * building block SemDeDup-style semantic curation, graph clustering,
+    * and NN-descent all consume: an undirected edge (a, b) exists iff
+    * each vector ranks the other in its cosine top-k. Mutuality is the
+    * standard symmetrization that strips hub vectors (a hub appears in
+    * thousands of top-k lists but reciprocates only k of them).
+    *
+    * Declared query pins EXACT semantics at fixture scale (all-pairs
+    * scored via the codegen'd integer dot on the broadcast 500-vector
+    * side, per-node window top-k, self-join on reversed (a,b) for
+    * mutuality). At 100 TB the all-pairs stage is replaced by the stored
+    * ANN index this module already maintains — IVF probe cells
+    * ([[ivfAnnTopK]]) or LSH bands ([[lshAnnTopK]]) generate candidates,
+    * the SAME window + mutual join run downstream; the edge relation is
+    * k·n rows hash-partitioned on the key, never materialized all-pairs.
+    * Ranks ride the single-long trick nowhere here — cosine doubles are
+    * deterministic (IEEE divide/sqrt over exact integer dots/norms), so
+    * the rank window agrees bit-for-bit cross-engine. */
+  def similarityKnnGraph(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir).select(col("vec_id"), quantize.as("q"))
+      .select(col("vec_id"), col("q"), dot("q", "q").as("n2"))
+    val l = e.select(col("vec_id").as("a_id"), col("q").as("aq"), col("n2").as("an"))
+    val r = e.select(col("vec_id").as("b_id"), col("q").as("bq"), col("n2").as("bn"))
+    val w = Window.partitionBy(col("a_id"))
+      .orderBy(col("cosine").desc, col("b_id").asc)
+    val ranked = l.crossJoin(broadcast(r))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (dot("aq", "bq").cast("double") /
+          sqrt(col("an").cast("double") * col("bn").cast("double"))).as("cosine"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("a_id"), col("b_id"), col("rn").cast("long").as("rn"), col("cosine"))
+      // consumed twice below (both join sides): persist the k·n edge
+      // relation, not the all-pairs subtree behind it
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ranked.as("x")
+      .join(ranked.as("y"),
+        col("x.a_id") === col("y.b_id") && col("x.b_id") === col("y.a_id"))
+      .filter(col("x.a_id") < col("x.b_id"))
+      .select(col("x.a_id").as("a_id"), col("x.b_id").as("b_id"),
+        col("x.rn").as("rank_ab"), col("y.rn").as("rank_ba"),
+        col("x.cosine").as("cosine"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "similarity_knn_graph" -> similarityKnnGraph _,
     "similarity_matryoshka_recall" -> matryoshkaRecall _,
     "similarity_pca_gram" -> similarityPcaGram _,
     "similarity_pca_project" -> similarityPcaProject _,
@@ -1059,6 +1106,29 @@ object Similarity {
          |  FROM scored)
          |SELECT query_id, CAST(rn AS BIGINT) AS rn, cand_id, cosine
          |FROM ranked WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+    // mutual 5-NN graph: all-pairs exact dots, rank per node, reversed
+    // self-join for mutuality. k is referenced twice -> MATERIALIZED.
+    "similarity_knn_graph" ->
+      s"""WITH $qElems,
+         |dots AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |         CAST(sum(a.v * b.v) AS BIGINT) AS dot
+         |  FROM qe a JOIN qe b ON a.i = b.i
+         |  WHERE a.vec_id <> b.vec_id GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT a_id, b_id,
+         |    CAST(dot AS DOUBLE) / sqrt(CAST(an.n2 AS DOUBLE) * CAST(bn.n2 AS DOUBLE)) AS cosine
+         |  FROM dots
+         |  JOIN norms an ON an.vec_id = a_id
+         |  JOIN norms bn ON bn.vec_id = b_id),
+         |k AS MATERIALIZED (
+         |  SELECT a_id, b_id, cosine,
+         |    row_number() OVER (PARTITION BY a_id ORDER BY cosine DESC, b_id ASC) AS rn
+         |  FROM scored QUALIFY rn <= 5)
+         |SELECT x.a_id, x.b_id, CAST(x.rn AS BIGINT) AS rank_ab,
+         |  CAST(y.rn AS BIGINT) AS rank_ba, x.cosine
+         |FROM k x JOIN k y ON x.a_id = y.b_id AND x.b_id = y.a_id
+         |WHERE x.a_id < x.b_id ORDER BY x.a_id, x.b_id""".stripMargin,
     "similarity_lsh_buckets" ->
       s"""WITH $qElems,
          |$duckBuckets

@@ -9,6 +9,37 @@ class SimilaritySpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val dir = "/root/testdata/sf0.001"
 
+  test("mutual kNN graph equals a from-scratch recomputation and caps degree at k") {
+    val got = Similarity.similarityKnnGraph(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // independent brute force: quantized integer dots, rank per node,
+    // reciprocal filter — plain Scala, no Spark expressions
+    val vecs = graft.Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.round(x.toDouble * 1000)).toArray)
+      .toMap
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d.toDouble / math.sqrt(a.map(x => x * x).sum.toDouble * b.map(x => x * x).sum.toDouble)
+    }
+    val topk = vecs.map { case (id, v) =>
+      id -> vecs.toSeq.filter(_._1 != id)
+        .map { case (o, w) => (o, cos(v, w)) }
+        .sortBy { case (o, c) => (-c, o) }.take(5).zipWithIndex
+        .map { case ((o, _), i) => o -> (i + 1L) }.toMap
+    }
+    val want = (for {
+      (a, nbrs) <- topk.toSeq; (b, rab) <- nbrs if a < b
+      rba <- topk(b).get(a)
+    } yield (a, b, rab, rba)).toSet
+    assert(got.toSet === want)
+    assert(got.nonEmpty)
+    // mutuality caps undirected degree at k on BOTH endpoints
+    val deg = got.flatMap(e => Seq(e._1, e._2)).groupBy(identity).view.mapValues(_.size)
+    deg.values.foreach(d => assert(d <= 5))
+  }
+
   test("multi-table LSH-ANN approximates the exact top-5 with usable precision") {
     val brute = Similarity.cosineTopK(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet // (query, cand) true top-5
