@@ -934,8 +934,61 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("pos"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift between every source pair over
+    * the document-length distribution — the NUMERIC companion of
+    * [[textTvdDrift]] (which compares token categoricals). KS is chosen
+    * over PSI/JS deliberately: it needs only max / abs / division over
+    * exact integer cumulative counts, so the statistic is bit-identical
+    * cross-engine (PSI's ln() is not IEEE-pinned and would flap the
+    * driver hash).
+    *
+    * Shape: ONE corpus aggregate — the (source × n_chars) histogram,
+    * bounded by sources · distinct lengths, tiny next to the corpus —
+    * then everything downstream (per-source cumulative CDF, the
+    * union-of-values grid with monotone-max forward fill, the pairwise
+    * max-gap join) runs on that histogram relation. At 100 TB a
+    * continuous metric would be bucketed to a fixed-width grid first
+    * (same plan, coarser x-axis); the pair join is sources² · values —
+    * driver-trivial for any real source count. `drift` applies the
+    * classic α = 0.05 two-sample threshold 1.36·√((nₐ+n_b)/(nₐ·n_b)). */
+  def textKsDrift(s: SparkSession, dir: String): DataFrame = {
+    val hist = documents(s, dir)
+      .groupBy(col("source"), col("n_chars"))
+      .agg(count(lit(1)).as("c"))
+    val srcN = hist.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val cum = hist.withColumn("cum",
+      sum(col("c")).over(Window.partitionBy(col("source")).orderBy(col("n_chars"))))
+    val grid = hist.select(col("n_chars")).distinct()
+      .crossJoin(broadcast(srcN))
+    // cum is monotone per source, so a running max over the left-joined
+    // grid forward-fills the step function (max skips nulls); rows
+    // before a source's first value coalesce to 0
+    val filled = grid.join(cum.select(col("source"), col("n_chars"), col("cum")),
+        Seq("source", "n_chars"), "left")
+      .withColumn("cumf", coalesce(
+        max(col("cum")).over(Window.partitionBy(col("source"))
+          .orderBy(col("n_chars"))), lit(0L)))
+      .select(col("source"), col("n_chars"),
+        (col("cumf").cast("double") / col("n").cast("double")).as("cdf"),
+        col("n"))
+    val a = filled.select(col("source").as("source_a"), col("n_chars"),
+      col("cdf").as("cdf_a"), col("n").as("n_a"))
+    val b = filled.select(col("source").as("source_b"), col("n_chars"),
+      col("cdf").as("cdf_b"), col("n").as("n_b"))
+    a.join(b, Seq("n_chars"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"), col("n_a"), col("n_b"))
+      .agg(max(abs(col("cdf_a") - col("cdf_b"))).as("ks"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("ks"),
+        (col("ks") > lit(1.36) * sqrt((col("n_a") + col("n_b")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double"))).as("drift"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_winnow_fingerprints" -> textWinnowFingerprints _,
+    "text_ks_drift" -> textKsDrift _,
     "text_salience_monitor" -> textSalienceMonitor _,
     "text_tvd_drift" -> textTvdDrift _,
     "text_vocab_growth" -> textVocabGrowth _,
@@ -1405,6 +1458,35 @@ object TextAnalysis {
       """SELECT doc_id,
         |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // KS drift: (source x n_chars) histogram, per-source cumulative CDF
+    // forward-filled over the union value grid, pairwise max gap.
+    // hist/filled are each referenced more than once -> MATERIALIZED.
+    "text_ks_drift" ->
+      """WITH hist AS MATERIALIZED (
+        |  SELECT source, n_chars, count(*) AS c FROM documents GROUP BY 1, 2),
+        |srcn AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM hist GROUP BY 1),
+        |cum AS (
+        |  SELECT source, n_chars,
+        |    sum(c) OVER (PARTITION BY source ORDER BY n_chars) AS cum
+        |  FROM hist),
+        |grid AS (
+        |  SELECT v.n_chars, s.source, s.n
+        |  FROM (SELECT DISTINCT n_chars FROM hist) v CROSS JOIN srcn s),
+        |filled AS MATERIALIZED (
+        |  SELECT g.source, g.n_chars,
+        |    CAST(coalesce(max(cum.cum) OVER (PARTITION BY g.source
+        |      ORDER BY g.n_chars), 0) AS DOUBLE) / CAST(g.n AS DOUBLE) AS cdf,
+        |    g.n
+        |  FROM grid g LEFT JOIN cum
+        |    ON cum.source = g.source AND cum.n_chars = g.n_chars)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  a.n AS n_a, b.n AS n_b,
+        |  max(abs(a.cdf - b.cdf)) AS ks,
+        |  max(abs(a.cdf - b.cdf)) > 1.36 * sqrt(CAST(a.n + b.n AS DOUBLE) /
+        |    CAST(a.n * b.n AS DOUBLE)) AS drift
+        |FROM filled a JOIN filled b ON a.n_chars = b.n_chars
+        |WHERE a.source < b.source
+        |GROUP BY 1, 2, 3, 4 ORDER BY 1, 2""".stripMargin,
     // winnowing: same (hash,pos)->single-long encoding, plain window min,
     // distinct, decode. 40-bit md5-prefix hash, 2^20 position space.
     "text_winnow_fingerprints" ->

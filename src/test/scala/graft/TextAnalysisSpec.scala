@@ -53,6 +53,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("KS drift equals a from-scratch empirical-CDF recomputation") {
+    val got = TextAnalysis.textKsDrift(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(4))).toMap
+    val docs = Tables.documents(spark, dir).select("source", "n_chars").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted).toMap
+    val values = docs.values.flatten.toSeq.distinct.sorted
+    def cdf(xs: Seq[Long], v: Long) = xs.count(_ <= v).toDouble / xs.size
+    val srcs = docs.keys.toSeq.sorted
+    for (a <- srcs; b <- srcs if a < b) {
+      val ks = values.map(v => math.abs(cdf(docs(a), v) - cdf(docs(b), v))).max
+      assert(math.abs(got((a, b)) - ks) < 1e-12, s"($a,$b)")
+    }
+    assert(got.size === srcs.size * (srcs.size - 1) / 2)
+  }
+
   test("tf-idf cosine pairs: ordered, bounded, deterministic") {
     val rows = TextAnalysis.textTfidfCosine(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
