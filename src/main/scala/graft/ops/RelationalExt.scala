@@ -858,7 +858,51 @@ object RelationalExt {
           .as("corr_qty_price"))
   }
 
+  /** Exact join-size pre-flight — the relational analogue of
+    * [[TextAnalysis.textSalienceMonitor]]: BEFORE running an equi-join,
+    * compute its exact output cardinality Σₖ n_l(k)·n_r(k), the largest
+    * single-key contribution, and the skew share, from the two per-key
+    * count aggregates alone. The count aggregates are map-side
+    * combinable and emit |keys| rows — orders of magnitude cheaper than
+    * the join they de-risk — so a pipeline runs this guard on every
+    * candidate self-join / fan-out join and routes to a salted or
+    * pre-aggregated plan when `guard_ok` is false (amplification above
+    * 16× the larger input) or `skew_share` concentrates in one key
+    * (AQE's skew-join threshold logic, surfaced as data).
+    *
+    * Three audited joins: the orders⋈lineitem FK join (benign, ~4×),
+    * the events-on-user_id SELF-join (the pair-blowup shape the guard
+    * exists for), and lineitem⋈part (benign FK). */
+  def joinVolumeGuard(s: SparkSession, dir: String): DataFrame = {
+    def audit(name: String, l: DataFrame, r: DataFrame): DataFrame = {
+      val lc = l.groupBy(col("k")).agg(count(lit(1)).as("n_l"))
+      val rc = r.groupBy(col("k")).agg(count(lit(1)).as("n_r"))
+      lc.join(rc, Seq("k"), "full_outer")
+        .agg(sum(coalesce(col("n_l"), lit(0L))).as("left_rows"),
+          sum(coalesce(col("n_r"), lit(0L))).as("right_rows"),
+          coalesce(sum(col("n_l") * col("n_r")), lit(0L)).as("out_rows"),
+          coalesce(max(col("n_l") * col("n_r")), lit(0L)).as("max_key_out"))
+        .select(lit(name).as("join_name"), col("left_rows"), col("right_rows"),
+          col("out_rows"), col("max_key_out"),
+          when(col("out_rows") > 0,
+            col("max_key_out").cast("double") / col("out_rows").cast("double"))
+            .otherwise(lit(0.0)).as("skew_share"),
+          (col("out_rows") <=
+            greatest(col("left_rows"), col("right_rows")) * 16).as("guard_ok"))
+    }
+    val ev = events(s, dir).select(col("user_id").as("k"))
+    audit("orders_lineitem_orderkey",
+        orders(s, dir).select(col("o_orderkey").as("k")),
+        lineitem(s, dir).select(col("l_orderkey").as("k")))
+      .unionByName(audit("events_self_userid", ev, ev))
+      .unionByName(audit("lineitem_part_partkey",
+        lineitem(s, dir).select(col("l_partkey").as("k")),
+        part(s, dir).select(col("p_partkey").as("k"))))
+      .orderBy(col("join_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_volume_guard" -> joinVolumeGuard _,
     "agg_corr_lineitem" -> aggCorrLineitem _,
     "events_anomaly_mad" -> eventsAnomalyMad _,
     "agg_bitmap_distinct" -> aggBitmapDistinct _,
@@ -902,6 +946,33 @@ object RelationalExt {
        |FROM orders""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // exact join-size pre-flight: per-key count aggregates full-joined,
+    // one summary row per audited join (sums cast back to BIGINT)
+    "join_volume_guard" -> {
+      def one(name: String, lsql: String, rsql: String) =
+        s"""SELECT '$name' AS join_name,
+           |  CAST(sum(coalesce(n_l, 0)) AS BIGINT) AS left_rows,
+           |  CAST(sum(coalesce(n_r, 0)) AS BIGINT) AS right_rows,
+           |  CAST(coalesce(sum(n_l * n_r), 0) AS BIGINT) AS out_rows,
+           |  CAST(coalesce(max(n_l * n_r), 0) AS BIGINT) AS max_key_out,
+           |  CASE WHEN coalesce(sum(n_l * n_r), 0) > 0
+           |    THEN CAST(coalesce(max(n_l * n_r), 0) AS DOUBLE) /
+           |         CAST(sum(n_l * n_r) AS DOUBLE) ELSE 0.0 END AS skew_share,
+           |  coalesce(sum(n_l * n_r), 0) <=
+           |    greatest(sum(coalesce(n_l, 0)), sum(coalesce(n_r, 0))) * 16 AS guard_ok
+           |FROM ($lsql) lc FULL JOIN ($rsql) rc USING (k)""".stripMargin
+      Seq(
+        one("orders_lineitem_orderkey",
+          "SELECT o_orderkey AS k, count(*) AS n_l FROM orders GROUP BY 1",
+          "SELECT l_orderkey AS k, count(*) AS n_r FROM lineitem GROUP BY 1"),
+        one("events_self_userid",
+          "SELECT user_id AS k, count(*) AS n_l FROM events GROUP BY 1",
+          "SELECT user_id AS k, count(*) AS n_r FROM events GROUP BY 1"),
+        one("lineitem_part_partkey",
+          "SELECT l_partkey AS k, count(*) AS n_l FROM lineitem GROUP BY 1",
+          "SELECT p_partkey AS k, count(*) AS n_r FROM part GROUP BY 1"))
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY join_name")
+    },
     "agg_corr_lineitem" ->
       """WITH m AS (
         |  SELECT count(*) AS n,

@@ -10,6 +10,23 @@ class RelationalSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val dir = "/root/testdata/sf0.001"
 
+  test("join-volume guard predicts the EXECUTED join cardinalities exactly") {
+    val got = graft.ops.RelationalExt.joinVolumeGuard(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(3), r.getBoolean(6))).toMap
+    // the guard's whole claim: out_rows equals what the join would emit
+    val ol = Tables.orders(spark, dir).select(col("o_orderkey").as("k"))
+      .join(Tables.lineitem(spark, dir).select(col("l_orderkey").as("k")), "k")
+      .count()
+    val ev = Tables.events(spark, dir).select(col("user_id").as("k"))
+    val ee = ev.as("a").join(ev.as("b"), "k").count()
+    assert(got("orders_lineitem_orderkey")._1 === ol)
+    assert(got("events_self_userid")._1 === ee)
+    // and the routing decision: FK joins admitted, the self-join flagged
+    assert(got("orders_lineitem_orderkey")._2 === true)
+    assert(got("lineitem_part_partkey")._2 === true)
+    assert(got("events_self_userid")._2 === false)
+  }
+
   test("approx_count_distinct (HLL++) lands within 5% of exact") {
     val row = Tables.lineitem(spark, dir)
       .agg(countDistinct(col("l_partkey")).as("exact"),
