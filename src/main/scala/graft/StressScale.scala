@@ -57,7 +57,11 @@ object StressScale {
     "dedup_ngram_jaccard", "dedup_containment", "dedup_ngram_jaccard_prefix",
     "text_tfidf_cosine", "text_tfidf_cosine_minhash", "similarity_pq_adc",
     "profile_columns", "multimodal_phash_dedup", "text_nb_auc",
-    "similarity_pca_gram", "graph_kcore")
+    "similarity_pca_gram", "graph_kcore",
+    // r11: the substring-span posting join (occurrence-linear by design —
+    // the df>=2 cut dedups GRAMS, islands are per-doc windows) and its
+    // ~w-x-cheaper winnowing fingerprint sibling (map-only per doc)
+    "dedup_substring_spans", "text_winnow_fingerprints")
     .map(n => n -> SparkEntry.queries(n)) :+
     ("text_tfidf_cosine_lsh_16x12" ->
       ((s: org.apache.spark.sql.SparkSession, d: String) =>

@@ -986,9 +986,78 @@ object TextAnalysis {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** The Gopher quality-rule bundle (Rae et al. 2021, "Scaling Language
+    * Models", Appendix A) — the named pre-filter battery production
+    * pipelines (Gopher, FineWeb, Dolma) run before any model-based
+    * scoring, re-expressed exactly:
+    *   word count ∈ [50, 100k]; mean word length ∈ [3, 10]; ≥ 80 % of
+    *   words contain an alphabetic character; ≥ 2 distinct required
+    *   function words (Gopher's 8-word English list swapped for this
+    *   corpus' own [[stopwords]] — same rule, corpus-appropriate list);
+    *   ≤ 20 % of characters inside occurrences of the single most
+    *   frequent 2-gram; ≤ 30 % of characters inside non-first
+    *   occurrences of duplicated 5-grams.
+    *
+    * Everything is exact-integer until the final ratio: gram char mass
+    * is count·length(gram) over the doc's raw length. Plan: one map-only
+    * projection for the per-word rules + two per-doc gram aggregates
+    * (partial-aggregation-friendly: keyed on (doc_id, gram), then
+    * doc_id — never corpus-global; the top-2-gram window partitions by
+    * doc). `keep` is the conjunction — the bundle's FineWeb-measured
+    * value is that it deletes boilerplate the perplexity filters rate
+    * fluent. */
+  def textGopherRules(s: SparkSession, dir: String): DataFrame = {
+    val base = documents(s, dir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars_raw"),
+        split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("n_chars_raw"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        expr("aggregate(toks, 0L, (acc, t) -> acc + length(t))").as("chars_in_tokens"),
+        expr("size(filter(toks, t -> t rlike '[a-z]'))").cast("long").as("n_alpha"),
+        expr(s"size(array_intersect(array_distinct(toks), $stopwordArray))")
+          .cast("long").as("stop_hits"))
+    def gramCounts(n: Int) = documents(s, dir)
+      .filter(size(split(col("text"), " ")) >= n)
+      .select(col("doc_id"),
+        explode(graft.functions.VectorExpressions
+          .wordShingles(col("text"), n, distinct = false)).as("gram"))
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("cnt"))
+    val top2 = gramCounts(2)
+      .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("cnt").desc, col("gram").asc)))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), (col("cnt") * length(col("gram"))).as("top2_chars"))
+    val dup5 = gramCounts(5)
+      .filter(col("cnt") >= 2)
+      .groupBy(col("doc_id"))
+      .agg(sum((col("cnt") - 1) * length(col("gram"))).as("dup5_chars"))
+    base
+      .join(top2, Seq("doc_id"), "left")
+      .join(dup5, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (coalesce(col("top2_chars"), lit(0L)).cast("double") /
+          col("n_chars_raw").cast("double")).as("top2_frac"),
+        (coalesce(col("dup5_chars"), lit(0L)).cast("double") /
+          col("n_chars_raw").cast("double")).as("dup5_frac"),
+        (col("n_tokens") >= 50 && col("n_tokens") <= 100000).as("pass_wordcount"),
+        (col("chars_in_tokens") >= col("n_tokens") * 3 &&
+          col("chars_in_tokens") <= col("n_tokens") * 10).as("pass_wordlen"),
+        (col("n_alpha") * 5 >= col("n_tokens") * 4).as("pass_alpha"),
+        (col("stop_hits") >= 2).as("pass_stopwords"),
+        (coalesce(col("top2_chars"), lit(0L)) * 5 <= col("n_chars_raw"))
+          .as("pass_top2gram"),
+        (coalesce(col("dup5_chars"), lit(0L)) * 10 <= col("n_chars_raw") * 3)
+          .as("pass_dup5gram"))
+      .withColumn("keep",
+        col("pass_wordcount") && col("pass_wordlen") && col("pass_alpha") &&
+          col("pass_stopwords") && col("pass_top2gram") && col("pass_dup5gram"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_winnow_fingerprints" -> textWinnowFingerprints _,
     "text_ks_drift" -> textKsDrift _,
+    "text_gopher_rules" -> textGopherRules _,
     "text_salience_monitor" -> textSalienceMonitor _,
     "text_tvd_drift" -> textTvdDrift _,
     "text_vocab_growth" -> textVocabGrowth _,
@@ -1458,6 +1527,61 @@ object TextAnalysis {
       """SELECT doc_id,
         |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Gopher rule bundle: per-word rules from one projection; top-2-gram
+    // and duplicate-5-gram char mass from per-doc gram counts. w feeds
+    // three consumers -> MATERIALIZED. DuckDB allows lateral alias reuse,
+    // so `keep` references the pass_* aliases directly.
+    "text_gopher_rules" ->
+      """WITH w AS MATERIALIZED (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_raw,
+        |         string_split(text, ' ') AS toks FROM documents),
+        |base AS (
+        |  SELECT doc_id, n_chars_raw,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT)
+        |      AS chars_in_tokens,
+        |    CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS BIGINT)
+        |      AS n_alpha,
+        |    CAST(len(list_intersect(list_distinct(toks),
+        |      ['the','a','of','and','to','in'])) AS BIGINT) AS stop_hits
+        |  FROM w),
+        |c2 AS (
+        |  SELECT doc_id, gram, count(*) AS cnt FROM (
+        |    SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram
+        |    FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+        |          FROM w WHERE len(toks) >= 2)) GROUP BY 1, 2),
+        |top2 AS (
+        |  SELECT doc_id, cnt * length(gram) AS top2_chars FROM (
+        |    SELECT doc_id, gram, cnt,
+        |      row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY cnt DESC, gram ASC) AS rn FROM c2)
+        |  WHERE rn = 1),
+        |c5 AS (
+        |  SELECT doc_id, gram, count(*) AS cnt FROM (
+        |    SELECT doc_id, array_to_string(toks[i:i+4], ' ') AS gram
+        |    FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i
+        |          FROM w WHERE len(toks) >= 5)) GROUP BY 1, 2),
+        |dup5 AS (
+        |  SELECT doc_id, CAST(sum((cnt - 1) * length(gram)) AS BIGINT) AS dup5_chars
+        |  FROM c5 WHERE cnt >= 2 GROUP BY 1)
+        |SELECT b.doc_id, b.n_tokens,
+        |  CAST(coalesce(top2_chars, 0) AS DOUBLE) / CAST(n_chars_raw AS DOUBLE)
+        |    AS top2_frac,
+        |  CAST(coalesce(dup5_chars, 0) AS DOUBLE) / CAST(n_chars_raw AS DOUBLE)
+        |    AS dup5_frac,
+        |  b.n_tokens BETWEEN 50 AND 100000 AS pass_wordcount,
+        |  chars_in_tokens >= b.n_tokens * 3 AND chars_in_tokens <= b.n_tokens * 10
+        |    AS pass_wordlen,
+        |  n_alpha * 5 >= b.n_tokens * 4 AS pass_alpha,
+        |  stop_hits >= 2 AS pass_stopwords,
+        |  coalesce(top2_chars, 0) * 5 <= n_chars_raw AS pass_top2gram,
+        |  coalesce(dup5_chars, 0) * 10 <= n_chars_raw * 3 AS pass_dup5gram,
+        |  pass_wordcount AND pass_wordlen AND pass_alpha AND pass_stopwords
+        |    AND pass_top2gram AND pass_dup5gram AS keep
+        |FROM base b
+        |LEFT JOIN top2 USING (doc_id)
+        |LEFT JOIN dup5 USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
     // KS drift: (source x n_chars) histogram, per-source cumulative CDF
     // forward-filled over the union value grid, pairwise max gap.
     // hist/filled are each referenced more than once -> MATERIALIZED.

@@ -53,6 +53,44 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("Gopher rules equal a from-scratch recomputation and split the corpus") {
+    val got = TextAnalysis.textGopherRules(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3),
+        r.getBoolean(4), r.getBoolean(8), r.getBoolean(9), r.getBoolean(10))).toMap
+    val docs = Tables.documents(spark, dir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ", -1).toSeq
+      val (top2F, dup5F, wc, t2, d5, keep) = got(id)
+      // top-2-gram char fraction
+      val top2Chars: Long =
+        if (toks.length < 2) 0L
+        else {
+          val counts = toks.sliding(2).map(_.mkString(" ")).toSeq
+            .groupBy(identity).view.mapValues(_.size)
+          val (g, c) = counts.toSeq.minBy { case (g0, c0) => (-c0, g0) }
+          c.toLong * g.length
+        }
+      assert(math.abs(top2F - top2Chars / text.length.toDouble) < 1e-12, s"doc $id top2")
+      // duplicate-5-gram char mass (non-first occurrences)
+      val dup5Chars: Long =
+        if (toks.length < 5) 0L
+        else toks.sliding(5).map(_.mkString(" ")).toSeq
+          .groupBy(identity).view.mapValues(_.size)
+          .collect { case (g, c) if c >= 2 => (c - 1).toLong * g.length }
+          .sum
+      assert(math.abs(dup5F - dup5Chars / text.length.toDouble) < 1e-12, s"doc $id dup5")
+      assert(wc === (toks.length >= 50 && toks.length <= 100000), s"doc $id wc")
+      // verdicts via the SAME integer arithmetic the engine uses (no
+      // double-boundary ambiguity at exactly 20% / 30%)
+      assert(t2 === (top2Chars * 5 <= text.length), s"doc $id t2")
+      assert(d5 === (dup5Chars * 10 <= text.length.toLong * 3), s"doc $id d5")
+    }
+    // the bundle discriminates on this corpus: both verdicts occur
+    val keeps = got.values.map(_._6).toSeq
+    assert(keeps.contains(true) && keeps.contains(false))
+  }
+
   test("KS drift equals a from-scratch empirical-CDF recomputation") {
     val got = TextAnalysis.textKsDrift(spark, dir).collect()
       .map(r => ((r.getString(0), r.getString(1)), r.getDouble(4))).toMap
