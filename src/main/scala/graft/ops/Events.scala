@@ -412,7 +412,40 @@ object Events {
         sum(col("cents")).as("sum_cents"))
       .orderBy(col("hour_bucket"), col("event_type"))
 
+  /** DAU / trailing-7-day WAU / stickiness per day — the product-metric
+    * staple. The trailing-distinct count is NOT a window aggregate
+    * (count distinct over a sliding frame doesn't exist); the scalable
+    * formulation used here is WINDOW EXPANSION: each distinct
+    * (day, user) row contributes to the 7 window-end days it is active
+    * for, so one explode + DISTINCT + equi-keyed count replaces the
+    * day×activity range join. Cost is 7× the distinct-activity relation
+    * (tiny next to raw events), all equi-shuffles, no range join, no
+    * per-day re-scan. At 100 TB the same motion runs on mergeable
+    * per-day HLL partials ([[RelationalExt.aggHllRollup]]'s rollup) when
+    * a ±2 % WAU is acceptable; this declared query pins the exact
+    * semantics. Window ends with no activity day are dropped via the
+    * semi join to observed days (same contract as the oracle). */
+  def dauWauStickiness(s: SparkSession, dir: String): DataFrame = {
+    val du = events(s, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val days = du.select(col("day")).distinct()
+    val wau = du
+      .select(explode(expr("sequence(0, 6)")).as("i"), col("day"), col("user_id"))
+      .select(expr("date_add(day, i)").as("day"), col("user_id"))
+      .distinct()
+      .join(days, Seq("day"), "left_semi")
+      .groupBy(col("day")).agg(count(lit(1)).as("wau7"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau7"),
+        (col("dau").cast("double") / col("wau7").cast("double")).as("stickiness"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_dau_wau" -> dauWauStickiness _,
     "events_ohlc_bars" -> ohlcBars _,
     "events_concurrency" -> concurrencyPeaks _,
     "events_interval_frame" -> intervalFrame _,
@@ -431,6 +464,23 @@ object Events {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // DAU/WAU via the same window-expansion: each (day,user) activity
+    // contributes to 7 window-end days; semi join keeps observed days
+    "events_dau_wau" ->
+      """WITH du AS MATERIALIZED (
+        |  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+        |  FROM events),
+        |days AS (SELECT DISTINCT day FROM du),
+        |dau AS (SELECT day, count(*) AS dau FROM du GROUP BY 1),
+        |contrib AS (
+        |  SELECT DISTINCT du.day + CAST(t.i AS INTEGER) AS day, du.user_id
+        |  FROM du, range(0, 7) t(i)),
+        |wau AS (
+        |  SELECT c.day, count(*) AS wau7 FROM contrib c
+        |  WHERE c.day IN (SELECT day FROM days) GROUP BY 1)
+        |SELECT dau.day, dau.dau, wau.wau7,
+        |  CAST(dau.dau AS DOUBLE) / CAST(wau.wau7 AS DOUBLE) AS stickiness
+        |FROM dau JOIN wau USING (day) ORDER BY dau.day""".stripMargin,
     // open/close: the engine's min/max over (us, event_id, cents)
     // structs == rank-1 rows of the (ts, event_id) total order
     "events_ohlc_bars" ->

@@ -8,6 +8,23 @@ class EventsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val dir = "/root/testdata/sf0.001"
 
+  test("DAU/WAU window-expansion equals a per-day trailing-set recomputation") {
+    val got = Events.dauWauStickiness(spark, dir).collect()
+      .map(r => r.getDate(0).toLocalDate -> (r.getLong(1), r.getLong(2))).toMap
+    val acts = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("d"), col("user_id")).distinct().collect()
+      .map(r => r.getDate(0).toLocalDate -> r.getLong(1))
+    val byDay = acts.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got.keySet === byDay.keySet)
+    byDay.foreach { case (d, users) =>
+      // the naive formulation: union the 7 trailing daily sets
+      val trailing = (0 to 6).flatMap(i => byDay.getOrElse(d.minusDays(i), Set.empty))
+        .toSet
+      assert(got(d) === ((users.size.toLong, trailing.size.toLong)), s"day $d")
+      assert(users.size <= trailing.size)
+    }
+  }
+
   test("batch gaps-and-islands sessionize == Spark's native session_window") {
     val custom = Events.sessionize(spark, dir)
       .select("user_id", "session_start_us", "session_end_us", "n_events")
