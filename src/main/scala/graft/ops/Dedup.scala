@@ -826,26 +826,36 @@ object Dedup {
     "dedup_simhash128" -> simhash128OracleFor(simhashFeatureCtes),
     // maximal duplicate spans: positional 10-gram md5s, df >= 2 over
     // distinct docs, gaps-and-islands merge (pos - row_number()).
-    // g is referenced twice -> MATERIALIZED (DuckDB default inlining
-    // would re-expand the gram build per consumer).
     "dedup_substring_spans" ->
-      """WITH w AS (
-        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 10),
-        |g AS MATERIALIZED (
-        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
-        |         md5(array_to_string(words[i:i+9], ' ')) AS gh
-        |  FROM (SELECT doc_id, words,
-        |               unnest(range(1, len(words) - 8)) AS i FROM w)),
-        |dup AS (
-        |  SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
-        |h AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gh)),
-        |isl AS (
-        |  SELECT doc_id, pos,
-        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-        |  FROM h)
-        |SELECT doc_id, min(pos) AS span_start, max(pos) + 9 AS span_end,
-        |  max(pos) - min(pos) + 10 AS n_tokens, count(*) AS n_grams
-        |FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin,
+      s"""WITH $substringSpanCtes
+         |SELECT doc_id, span_start, span_end, n_tokens, n_grams
+         |FROM spans ORDER BY doc_id, span_start""".stripMargin,
   )
+
+  /** CTE chain ending in `spans(doc_id, span_start, span_end, n_tokens,
+    * n_grams)` — shared by the span query's oracle and Pipeline's
+    * span-cut oracle. g feeds two consumers -> MATERIALIZED (DuckDB
+    * default inlining would re-expand the gram build per consumer).
+    * A def, not a val: the oracleSql map above interpolates it during
+    * object init, which would read a later-initialized val as null. */
+  private[graft] def substringSpanCtes =
+    """w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 10),
+      |g AS MATERIALIZED (
+      |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+      |         md5(array_to_string(words[i:i+9], ' ')) AS gh
+      |  FROM (SELECT doc_id, words,
+      |               unnest(range(1, len(words) - 8)) AS i FROM w)),
+      |dup AS (
+      |  SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+      |h AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gh)),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |  FROM h),
+      |spans AS (
+      |  SELECT doc_id, min(pos) AS span_start, max(pos) + 9 AS span_end,
+      |    max(pos) - min(pos) + 10 AS n_tokens, count(*) AS n_grams
+      |  FROM isl GROUP BY doc_id, grp)""".stripMargin
 }

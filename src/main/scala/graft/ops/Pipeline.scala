@@ -291,7 +291,44 @@ object Pipeline {
       .orderBy(col("epoch_pos"))
   }
 
+  /** The APPLY step of exact-substring dedup (Lee et al. 2022): take
+    * [[Dedup.dedupSubstringSpans]]' maximal duplicate spans and CUT them
+    * from every document, emitting the cleaned text plus accounting.
+    * Contract: every occurrence is removed (the "drop all copies" mode —
+    * Lee et al. measured no quality loss vs keep-one, and it needs no
+    * global ownership election, so it is the distributed-friendly
+    * choice; keep-one would add a min-doc_id winner join per span
+    * cluster).
+    *
+    * Shape: spans explode to covered token positions (bounded by Σ doc
+    * length, sub-corpus-sized), collect per doc, one broadcast-free
+    * equi-join back to documents on doc_id, then a map-only indexed
+    * filter over the token array. No window, no global structure —
+    * the cut is embarrassingly per-document once the span relation
+    * exists. */
+  def pipelineSpanCut(s: SparkSession, dir: String): DataFrame = {
+    val cov = Dedup.dedupSubstringSpans(s, dir)
+      .select(col("doc_id"),
+        explode(sequence(col("span_start"), col("span_end"))).as("pos"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("pos")).as("cov")) // spans never overlap: unique
+    documents(s, dir)
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), split(col("text"), " ").as("w"),
+        coalesce(col("cov"), array().cast("array<bigint>")).as("cov"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens_before"),
+        expr("filter(w, (t, i) -> NOT array_contains(cov, CAST(i AS BIGINT)))")
+          .as("kept"))
+      .select(col("doc_id"), col("n_tokens_before"),
+        size(col("kept")).cast("long").as("n_tokens_after"),
+        (col("n_tokens_before") - size(col("kept")).cast("long")).as("n_tokens_cut"),
+        array_join(col("kept"), " ").as("text_clean"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_span_cut" -> pipelineSpanCut _,
     "pipeline_epoch_shuffle" -> pipelineEpochShuffle _,
     "pipeline_epoch_global_index" -> pipelineEpochGlobalIndex _,
     "pipeline_negative_samples" -> pipelineNegativeSamples _,
@@ -305,6 +342,29 @@ object Pipeline {
   // near-dup pairs: same brute-force formulation as Dedup.jaccardPairsSql
   // (the LSH result provably equals it); only the loser ids are needed
   val oracleSql: Map[String, String] = Map(
+    // span cut: shared span CTEs -> covered positions per doc -> indexed
+    // list_filter (DuckDB lambda index i is 1-based; positions 0-based)
+    "pipeline_span_cut" ->
+      s"""WITH ${Dedup.substringSpanCtes},
+         |cov AS (
+         |  SELECT doc_id, list(pos) AS cov FROM (
+         |    SELECT doc_id, unnest(range(span_start, span_end + 1)) AS pos
+         |    FROM spans) GROUP BY doc_id),
+         |cut AS (
+         |  SELECT d.doc_id,
+         |    string_split(d.text, ' ') AS w,
+         |    coalesce(cov.cov, []::BIGINT[]) AS cov
+         |  FROM documents d LEFT JOIN cov USING (doc_id)),
+         |kept AS (
+         |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens_before,
+         |    list_filter(w, (t, i) -> NOT list_contains(cov, CAST(i - 1 AS BIGINT)))
+         |      AS k
+         |  FROM cut)
+         |SELECT doc_id, n_tokens_before,
+         |  CAST(len(k) AS BIGINT) AS n_tokens_after,
+         |  n_tokens_before - CAST(len(k) AS BIGINT) AS n_tokens_cut,
+         |  coalesce(array_to_string(k, ' '), '') AS text_clean
+         |FROM kept ORDER BY doc_id""".stripMargin,
     // the contract the two-phase enumeration must reproduce exactly:
     // the naive global row_number over the seeded key
     "pipeline_epoch_global_index" ->

@@ -11,6 +11,31 @@ class PipelineObserveSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val dir = "/root/testdata/sf0.001"
 
+  test("span cut removes exactly the detected spans and reconstructs the text") {
+    val spans = graft.ops.Dedup.dedupSubstringSpans(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sortBy(_._1).toSeq).toMap
+    val cut = Pipeline.pipelineSpanCut(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toMap
+    val docs = Tables.documents(spark, dir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cut.keySet === docs.keySet) // every doc present, cut or not
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val ss: Seq[(Long, Long)] = spans.getOrElse(id, Seq.empty[(Long, Long)])
+      val covered = ss.flatMap { case (a, b) => a to b }.toSet
+      val (nb, na, nc, clean) = cut(id)
+      assert(nb === toks.length.toLong)
+      assert(nc === covered.size.toLong) // spans are disjoint: cut == covered mass
+      assert(na === nb - nc)
+      val want = toks.zipWithIndex.collect { case (t, i) if !covered(i.toLong) => t }
+      assert(clean === want.mkString(" "), s"doc $id")
+    }
+    // the cut bit: at least one doc actually lost tokens
+    assert(cut.values.exists(_._3 > 0))
+  }
+
   test("observed training-mix metrics match recomputation, plan unchanged") {
     val obsIn = Observation("mix_in")
     val obsOut = Observation("mix_out")
