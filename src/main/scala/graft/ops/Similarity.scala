@@ -776,8 +776,51 @@ object Similarity {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Recall of the LSH-candidate mutual k-NN graph against the exact
+    * one — the [[annRecall]] evaluation discipline applied to
+    * [[similarityKnnGraph]]'s scale path. The LSH leg generates
+    * candidate pairs from shared (table, bucket) membership in the
+    * stored signature index (never all-pairs: candidate volume is
+    * Σ|bucket|² per table), ranks per node AMONG CANDIDATES ONLY, and
+    * symmetrizes; recall counts which exact mutual edges survive. Both
+    * legs replay in one query by design — a recall report's cost IS the
+    * two pipelines. */
+  def similarityKnnGraphLshRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = similarityKnnGraph(s, dir).select(col("a_id"), col("b_id"))
+    val b = bucketed(s, dir)
+    val x = b.select(col("vec_id").as("a_id"), col("q").as("aq"),
+      col("norm2").as("an"), col("tbl"), col("bucket"))
+    val y = b.select(col("vec_id").as("b_id"), col("q").as("bq"),
+      col("norm2").as("bn"), col("tbl"), col("bucket"))
+    val w = Window.partitionBy(col("a_id"))
+      .orderBy(col("cosine").desc, col("b_id").asc)
+    val ranked = x.join(y, Seq("tbl", "bucket"))
+      .filter(col("a_id") =!= col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .select(col("a_id"), col("b_id"),
+        (dot("aq", "bq").cast("double") /
+          sqrt(col("an").cast("double") * col("bn").cast("double"))).as("cosine"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("a_id"), col("b_id"), col("rn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lshEdges = ranked.as("p")
+      .join(ranked.as("q"),
+        col("p.a_id") === col("q.b_id") && col("p.b_id") === col("q.a_id"))
+      .filter(col("p.a_id") < col("p.b_id"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val nFound = lshEdges.join(exact, Seq("a_id", "b_id"))
+      .agg(count(lit(1)).as("n_found"))
+    nExact.crossJoin(nFound)
+      .select(col("n_exact"), col("n_found"),
+        (col("n_found").cast("double") / col("n_exact").cast("double"))
+          .as("recall"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "similarity_knn_graph" -> similarityKnnGraph _,
+    "similarity_knn_graph_lsh_recall" -> similarityKnnGraphLshRecall _,
     "similarity_matryoshka_recall" -> matryoshkaRecall _,
     "similarity_pca_gram" -> similarityPcaGram _,
     "similarity_pca_project" -> similarityPcaProject _,
@@ -1106,6 +1149,52 @@ object Similarity {
          |  FROM scored)
          |SELECT query_id, CAST(rn AS BIGINT) AS rn, cand_id, cosine
          |FROM ranked WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+    // LSH-candidate mutual graph recall: scored (all-pairs cosines)
+    // serves both legs - the exact ranking and the LSH candidate subset
+    "similarity_knn_graph_lsh_recall" ->
+      s"""WITH $qElems,
+         |dots AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |         CAST(sum(a.v * b.v) AS BIGINT) AS dot
+         |  FROM qe a JOIN qe b ON a.i = b.i
+         |  WHERE a.vec_id <> b.vec_id GROUP BY 1, 2),
+         |scored AS MATERIALIZED (
+         |  SELECT a_id, b_id,
+         |    CAST(dot AS DOUBLE) / sqrt(CAST(an.n2 AS DOUBLE) * CAST(bn.n2 AS DOUBLE)) AS cosine
+         |  FROM dots
+         |  JOIN norms an ON an.vec_id = a_id
+         |  JOIN norms bn ON bn.vec_id = b_id),
+         |ke AS MATERIALIZED (
+         |  SELECT a_id, b_id,
+         |    row_number() OVER (PARTITION BY a_id ORDER BY cosine DESC, b_id ASC) AS rn
+         |  FROM scored QUALIFY rn <= 5),
+         |exact_edges AS MATERIALIZED (
+         |  SELECT x.a_id, x.b_id FROM ke x
+         |  JOIN ke y ON x.a_id = y.b_id AND x.b_id = y.a_id
+         |  WHERE x.a_id < x.b_id),
+         |$duckBuckets,
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+         |  FROM buckets x JOIN buckets y
+         |    ON x.tbl = y.tbl AND x.bucket = y.bucket
+         |  WHERE x.vec_id <> y.vec_id),
+         |kl AS MATERIALIZED (
+         |  SELECT c.a_id, c.b_id,
+         |    row_number() OVER (PARTITION BY c.a_id
+         |      ORDER BY s.cosine DESC, c.b_id ASC) AS rn
+         |  FROM cand c JOIN scored s ON s.a_id = c.a_id AND s.b_id = c.b_id
+         |  QUALIFY rn <= 5),
+         |lsh_edges AS (
+         |  SELECT p.a_id, p.b_id FROM kl p
+         |  JOIN kl q ON p.a_id = q.b_id AND p.b_id = q.a_id
+         |  WHERE p.a_id < p.b_id)
+         |SELECT
+         |  (SELECT count(*) FROM exact_edges) AS n_exact,
+         |  (SELECT count(*) FROM lsh_edges l
+         |     JOIN exact_edges e ON l.a_id = e.a_id AND l.b_id = e.b_id) AS n_found,
+         |  CAST((SELECT count(*) FROM lsh_edges l
+         |     JOIN exact_edges e ON l.a_id = e.a_id AND l.b_id = e.b_id) AS DOUBLE) /
+         |  CAST((SELECT count(*) FROM exact_edges) AS DOUBLE) AS recall""".stripMargin,
     // mutual 5-NN graph: all-pairs exact dots, rank per node, reversed
     // self-join for mutuality. k is referenced twice -> MATERIALIZED.
     "similarity_knn_graph" ->

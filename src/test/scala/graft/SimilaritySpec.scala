@@ -40,6 +40,17 @@ class SimilaritySpec extends AnyFunSuite {
     deg.values.foreach(d => assert(d <= 5))
   }
 
+  test("LSH kNN-graph recall: found is a subset count, bounds hold") {
+    val r = Similarity.similarityKnnGraphLshRecall(spark, dir).collect()(0)
+    val (nExact, nFound, recall) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    assert(nExact > 0)
+    assert(nFound >= 0 && nFound <= nExact)
+    assert(math.abs(recall - nFound.toDouble / nExact) < 1e-12)
+    // fixture embeddings are near-random (see the LSH-ANN test below):
+    // candidate banding still has to recover a usable fraction
+    assert(recall > 0.2, s"recall $recall")
+  }
+
   test("multi-table LSH-ANN approximates the exact top-5 with usable precision") {
     val brute = Similarity.cosineTopK(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet // (query, cand) true top-5
