@@ -655,8 +655,15 @@ object Dedup {
     * huge df inflate stage 3's join volume, so production would also
     * cap df (cutting spans only from the df ≤ cap tail is still
     * conservative-correct for removal decisions). */
-  def dedupSubstringSpans(s: SparkSession, dir: String): DataFrame = {
-    val toks = documents(s, dir)
+  def dedupSubstringSpans(s: SparkSession, dir: String): DataFrame =
+    spansFromDocs(documents(s, dir))
+
+  /** Span detection over an arbitrary (doc_id, text) relation — the seam
+    * [[Pipeline.pipelineCurationFunnel]] uses to recompute spans on the
+    * quality+dedup SURVIVOR set (duplicate grams are df ≥ 2 among
+    * survivors, not the raw corpus). */
+  private[graft] def spansFromDocs(docs: DataFrame): DataFrame = {
+    val toks = docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= SpanK)
     val grams = toks.select(col("doc_id"),
@@ -838,9 +845,13 @@ object Dedup {
     * default inlining would re-expand the gram build per consumer).
     * A def, not a val: the oracleSql map above interpolates it during
     * object init, which would read a later-initialized val as null. */
-  private[graft] def substringSpanCtes =
-    """w AS (
-      |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+  private[graft] def substringSpanCtes: String = substringSpanCtesFor("documents")
+
+  /** Same CTE chain over an arbitrary (doc_id, text) relation name —
+    * the funnel oracle recomputes spans on its survivor CTE. */
+  private[graft] def substringSpanCtesFor(rel: String): String =
+    s"""w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS words FROM $rel
       |  WHERE len(string_split(text, ' ')) >= 10),
       |g AS MATERIALIZED (
       |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,

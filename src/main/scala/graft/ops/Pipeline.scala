@@ -327,8 +327,54 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Curation-funnel accounting — the stage-by-stage report every
+    * production pipeline publishes beside its output: documents and
+    * tokens surviving each gate, in order
+    *   0_raw → 1_quality (Gopher rule bundle keep) →
+    *   2_dedup (exact dedup, min-doc_id keeper among survivors) →
+    *   3_span_cut (duplicate-substring mass cut from survivors, spans
+    *   recomputed AMONG survivors — df ≥ 2 is relative to the corpus
+    *   that remains, the order Lee et al. run the two dedups in).
+    * Each stage is a semi join on doc_id + one count/sum aggregate over
+    * the survivor relation — accounting rides relations the pipeline
+    * already builds; only the stage totals (4 rows) ever reach the
+    * driver. */
+  def pipelineCurationFunnel(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+      .select(col("doc_id"), col("text"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def stage(name: String, df: DataFrame): DataFrame =
+      df.agg(coalesce(count(lit(1)), lit(0L)).as("n_docs"),
+          coalesce(sum(col("n_toks")), lit(0L)).as("n_tokens"))
+        .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+    val quality = docs.join(
+      TextAnalysis.textGopherRules(s, dir).filter(col("keep"))
+        .select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keepers = quality.join(
+      quality.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // span mass among survivors: spans are disjoint per doc, so the cut
+    // token total is one sum over the span relation
+    val spanMass = Dedup.spansFromDocs(keepers)
+      .agg(coalesce(sum(col("n_tokens")), lit(0L)).as("cut"))
+    val afterCut = stage("2_dedup", keepers).crossJoin(spanMass)
+      .select(lit("3_span_cut").as("stage"), col("n_docs"),
+        (col("n_tokens") - col("cut")).as("n_tokens"))
+    stage("0_raw", docs)
+      .unionByName(stage("1_quality", quality))
+      .unionByName(stage("2_dedup", keepers))
+      .unionByName(afterCut)
+      .orderBy(col("stage"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_span_cut" -> pipelineSpanCut _,
+    "pipeline_curation_funnel" -> pipelineCurationFunnel _,
     "pipeline_epoch_shuffle" -> pipelineEpochShuffle _,
     "pipeline_epoch_global_index" -> pipelineEpochGlobalIndex _,
     "pipeline_negative_samples" -> pipelineNegativeSamples _,
@@ -342,6 +388,76 @@ object Pipeline {
   // near-dup pairs: same brute-force formulation as Dedup.jaccardPairsSql
   // (the LSH result provably equals it); only the loser ids are needed
   val oracleSql: Map[String, String] = Map(
+    // funnel: gopher-keep CTEs (g-prefixed; the rule arithmetic mirrors
+    // the text_gopher_rules oracle - drift shows red at the driver),
+    // exact-dedup keepers among survivors, spans recomputed on keepers
+    "pipeline_curation_funnel" ->
+      s"""WITH gw AS MATERIALIZED (
+         |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars_raw,
+         |         string_split(text, ' ') AS toks FROM documents),
+         |gbase AS (
+         |  SELECT doc_id, n_chars_raw,
+         |    CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT)
+         |      AS chars_in_tokens,
+         |    CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS BIGINT)
+         |      AS n_alpha,
+         |    CAST(len(list_intersect(list_distinct(toks),
+         |      ['the','a','of','and','to','in'])) AS BIGINT) AS stop_hits
+         |  FROM gw),
+         |gc2 AS (
+         |  SELECT doc_id, gram, count(*) AS cnt FROM (
+         |    SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram
+         |    FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+         |          FROM gw WHERE len(toks) >= 2)) GROUP BY 1, 2),
+         |gtop2 AS (
+         |  SELECT doc_id, cnt * length(gram) AS top2_chars FROM (
+         |    SELECT doc_id, gram, cnt,
+         |      row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY cnt DESC, gram ASC) AS rn FROM gc2)
+         |  WHERE rn = 1),
+         |gc5 AS (
+         |  SELECT doc_id, gram, count(*) AS cnt FROM (
+         |    SELECT doc_id, array_to_string(toks[i:i+4], ' ') AS gram
+         |    FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i
+         |          FROM gw WHERE len(toks) >= 5)) GROUP BY 1, 2),
+         |gdup5 AS (
+         |  SELECT doc_id, CAST(sum((cnt - 1) * length(gram)) AS BIGINT) AS dup5_chars
+         |  FROM gc5 WHERE cnt >= 2 GROUP BY 1),
+         |gk AS (
+         |  SELECT b.doc_id FROM gbase b
+         |  LEFT JOIN gtop2 USING (doc_id)
+         |  LEFT JOIN gdup5 USING (doc_id)
+         |  WHERE b.n_tokens BETWEEN 50 AND 100000
+         |    AND chars_in_tokens >= b.n_tokens * 3
+         |    AND chars_in_tokens <= b.n_tokens * 10
+         |    AND n_alpha * 5 >= b.n_tokens * 4
+         |    AND stop_hits >= 2
+         |    AND coalesce(top2_chars, 0) * 5 <= n_chars_raw
+         |    AND coalesce(dup5_chars, 0) * 10 <= n_chars_raw * 3),
+         |quality AS MATERIALIZED (
+         |  SELECT g.doc_id, g.text, CAST(len(g.toks) AS BIGINT) AS n_toks
+         |  FROM gw g JOIN gk USING (doc_id)),
+         |keepers AS MATERIALIZED (
+         |  SELECT q.doc_id, q.text, q.n_toks FROM quality q
+         |  JOIN (SELECT md5(text) AS h, min(doc_id) AS doc_id
+         |        FROM quality GROUP BY 1) k USING (doc_id)),
+         |${Dedup.substringSpanCtesFor("keepers")},
+         |cutmass AS (
+         |  SELECT CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS cut FROM spans)
+         |SELECT * FROM (
+         |  SELECT '0_raw' AS stage, count(*) AS n_docs,
+         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT '1_quality', count(*), CAST(sum(n_toks) AS BIGINT) FROM quality
+         |  UNION ALL
+         |  SELECT '2_dedup', count(*), CAST(sum(n_toks) AS BIGINT) FROM keepers
+         |  UNION ALL
+         |  SELECT '3_span_cut', (SELECT count(*) FROM keepers),
+         |    (SELECT CAST(sum(n_toks) AS BIGINT) FROM keepers) -
+         |      (SELECT cut FROM cutmass)
+         |) ORDER BY stage""".stripMargin,
     // span cut: shared span CTEs -> covered positions per doc -> indexed
     // list_filter (DuckDB lambda index i is 1-based; positions 0-based)
     "pipeline_span_cut" ->

@@ -11,6 +11,24 @@ class PipelineObserveSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val dir = "/root/testdata/sf0.001"
 
+  test("curation funnel stages are monotone and agree with the declared gates") {
+    val rows = Pipeline.pipelineCurationFunnel(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val raw = Tables.documents(spark, dir).count()
+    assert(rows("0_raw")._1 === raw)
+    // stage 1 must equal the declared gopher gate's keep count
+    val keepN = graft.ops.TextAnalysis.textGopherRules(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("keep")).count()
+    assert(rows("1_quality")._1 === keepN)
+    // docs monotone non-increasing; tokens too; span cut only trims tokens
+    assert(rows("1_quality")._1 <= rows("0_raw")._1)
+    assert(rows("2_dedup")._1 <= rows("1_quality")._1)
+    assert(rows("3_span_cut")._1 === rows("2_dedup")._1)
+    assert(rows("1_quality")._2 <= rows("0_raw")._2)
+    assert(rows("2_dedup")._2 <= rows("1_quality")._2)
+    assert(rows("3_span_cut")._2 <= rows("2_dedup")._2)
+  }
+
   test("span cut removes exactly the detected spans and reconstructs the text") {
     val spans = graft.ops.Dedup.dedupSubstringSpans(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
