@@ -1016,18 +1016,27 @@ object TextAnalysis {
         expr("size(filter(toks, t -> t rlike '[a-z]'))").cast("long").as("n_alpha"),
         expr(s"size(array_intersect(array_distinct(toks), $stopwordArray))")
           .cast("long").as("stop_hits"))
-    def gramCounts(n: Int) = documents(s, dir)
-      .filter(size(split(col("text"), " ")) >= n)
-      .select(col("doc_id"),
-        explode(graft.functions.VectorExpressions
-          .wordShingles(col("text"), n, distinct = false)).as("gram"))
-      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("cnt"))
-    val top2 = gramCounts(2)
+    // both gram widths ride ONE corpus scan and ONE shuffle: the 2-gram
+    // and 5-gram arrays concatenate under a width tag before the explode,
+    // and the per-(doc, width, gram) count serves both rules
+    val gramCounts = documents(s, dir)
+      .filter(size(split(col("text"), " ")) >= 2)
+      .select(col("doc_id"), explode(concat(
+        transform(graft.functions.VectorExpressions
+          .wordShingles(col("text"), 2, distinct = false),
+          g => struct(lit(2).as("width"), g.as("gram"))),
+        transform(graft.functions.VectorExpressions
+          .wordShingles(col("text"), 5, distinct = false),
+          g => struct(lit(5).as("width"), g.as("gram"))))).as("wg"))
+      .groupBy(col("doc_id"), col("wg.width").as("width"), col("wg.gram").as("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val top2 = gramCounts.filter(col("width") === 2)
       .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
         .orderBy(col("cnt").desc, col("gram").asc)))
       .filter(col("rn") === 1)
       .select(col("doc_id"), (col("cnt") * length(col("gram"))).as("top2_chars"))
-    val dup5 = gramCounts(5)
+    val dup5 = gramCounts.filter(col("width") === 5)
       .filter(col("cnt") >= 2)
       .groupBy(col("doc_id"))
       .agg(sum((col("cnt") - 1) * length(col("gram"))).as("dup5_chars"))
