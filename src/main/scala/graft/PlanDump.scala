@@ -59,7 +59,14 @@ object PlanDump {
       "pipeline_budget_mix" -> "budgeted mix: quality gate + md5 dedup share one shuffle, sqrt-weight budgets broadcast, source-partitioned first-fit window, tiny accounting aggregate",
       "dedup_simhash128" -> "128-bit banded hamming (the production knob): unsigned-shift band extraction, 10-bit buckets — 32x the 64-bit bucket space at identical join shape",
       "text_salience_monitor" -> "salience guard: ONE posting aggregate + broadcast df join; per-source Σdf/Σdf² + corpus row — the pre-flight before any exact tf-idf pair join",
-      "multimodal_cdc_chunks" -> "content-defined chunking: boundary detection + chunk fingerprints in one map-only array projection, only (chunk_md5, doc_id) shuffles")
+      "multimodal_cdc_chunks" -> "content-defined chunking: boundary detection + chunk fingerprints in one map-only array projection, only (chunk_md5, doc_id) shuffles",
+      "dedup_substring_spans" -> "ExactSubstr spans: constant-width gram-hash shuffle, df>=2 cut, posting join, per-doc gaps-and-islands window — no suffix array, no all-pairs",
+      "text_winnow_fingerprints" -> "winnowing: map-only per-doc pass — (hash,pos) packed into one long so a plain w-row window min is the rightmost-argmin",
+      "similarity_knn_graph" -> "mutual kNN graph: broadcast all-pairs scoring at fixture (scale path = stored IVF/LSH candidates), per-node group-limit, reversed-key self-join on the persisted k*n edges",
+      "text_gopher_rules" -> "Gopher rule bundle: one map-only projection + ONE fused (doc,width,gram) count shuffle serving both the top-2-gram and dup-5-gram rules",
+      "join_volume_guard" -> "join pre-flight: two map-side-combinable per-key counts + full-outer merge per audited join — |keys| rows to predict the join it de-risks",
+      "events_dau_wau" -> "DAU/WAU: window expansion — explode each (day,user) to its 7 window ends, distinct, equi-keyed count; no range join, no sliding count-distinct",
+      "pipeline_curation_funnel" -> "curation funnel: gate semi joins + one aggregate per stage; spans recomputed among survivors; 4 rows reach the driver")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries (sf0.001)\n\n")
     sb.append("Generated by `sbt \"runMain graft.PlanDump\"`; asserted in PlanSpec.\n")

@@ -672,11 +672,16 @@ object Dedup {
             md5(array_join(slice(col("w"), i + 1, lit(SpanK)), " ")).as("gh"))))
           .as("g"))
       .select(col("doc_id"), col("g.pos").as("pos"), col("g.gh").as("gh"))
-    val dup = grams.groupBy(col("gh"))
-      .agg(countDistinct(col("doc_id")).as("df"))
-      .filter(col("df") >= 2)
-      .select(col("gh"))
-    val hits = grams.join(dup, "gh").select(col("doc_id"), col("pos"))
+    // "seen in >= 2 DISTINCT docs" as a single whole-partition window:
+    // min(doc_id) != max(doc_id) over the gram's partition. One shuffle
+    // on gh and ONE gram build, where a df-aggregate + join-back would
+    // re-scan and re-explode the corpus for the probe side.
+    val gw = Window.partitionBy(col("gh"))
+    val hits = grams
+      .withColumn("mn", min(col("doc_id")).over(gw))
+      .withColumn("mx", max(col("doc_id")).over(gw))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("doc_id"), col("pos"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     hits
       .withColumn("grp", col("pos") - row_number().over(w))
