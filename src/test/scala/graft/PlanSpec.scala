@@ -514,6 +514,32 @@ class PlanSpec extends AnyFunSuite {
     assert(countNodes(p, "CartesianProduct") === 0, s"plan:\n$p")
   }
 
+  test("substring spans: one gram build, window df-cut, no join, no cartesian") {
+    val p = plan(ops.Dedup.dedupSubstringSpans(spark, dir))
+    // the min!=max window replaced the df-aggregate + join-back: the
+    // whole plan is scan -> explode -> two windows -> aggregate
+    assert(countNodes(p, "CartesianProduct") === 0, s"plan:\n$p")
+    assert(countNodes(p, "BroadcastHashJoin") + countNodes(p, "SortMergeJoin") +
+      countNodes(p, "ShuffledHashJoin") === 0, s"span plan joins:\n$p")
+    assert(countNodes(p, "Scan parquet") === 1, s"gram relation built twice:\n$p")
+  }
+
+  test("winnowing: map-only per-doc pass — no joins, single corpus scan") {
+    val p = plan(ops.TextAnalysis.textWinnowFingerprints(spark, dir))
+    assert(countNodes(p, "Scan parquet") === 1, s"plan:\n$p")
+    assert(countNodes(p, "BroadcastHashJoin") + countNodes(p, "SortMergeJoin") +
+      countNodes(p, "ShuffledHashJoin") +
+      countNodes(p, "CartesianProduct") === 0, s"plan:\n$p")
+  }
+
+  test("Gopher rules: both gram widths share ONE fused gram aggregate (cached)") {
+    val p = plan(ops.TextAnalysis.textGopherRules(spark, dir))
+    // top2 and dup5 must read the persisted (doc,width,gram) counts, not
+    // re-explode the corpus per width
+    assert(countNodes(p, "InMemoryTableScan") >= 2, s"plan:\n$p")
+    assert(countNodes(p, "CartesianProduct") === 0, s"plan:\n$p")
+  }
+
   test("tf-idf MinHash path: banded equi-join candidates, no cartesian") {
     val p = plan(ops.TextAnalysis.textTfidfCosineMinhash(spark, dir))
     assert(countNodes(p, "CartesianProduct") === 0, s"plan:\n$p")
