@@ -109,6 +109,14 @@ object Indexes {
   def componentLabels(s: SparkSession, dir: String): DataFrame =
     materialize(s, dir, "labels")(Curation.clusterLabels(s, dir))
 
+  /** Exact mutual 5-NN edges (a_id, b_id, rank_ab, rank_ba, cosine) —
+    * a kNN graph is a stored pipeline artifact (SemDeDup, graph
+    * curation, recall evaluation all probe it); rebuilding the all-pairs
+    * scoring per consumer is the anti-pattern. Builder:
+    * `Similarity.buildKnnGraph`. */
+  def knnGraphEdges(s: SparkSession, dir: String): DataFrame =
+    materialize(s, dir, "knngraph")(Similarity.buildKnnGraph(s, dir))
+
   /** Sign-random-projection LSH signatures, one row per vector:
     * (vec_id, q: array<long> quantized embedding, norm2, buckets:
     * array<long> — one 4-bit bucket id per hash table). The compact form

@@ -747,8 +747,17 @@ object Similarity {
     * k·n rows hash-partitioned on the key, never materialized all-pairs.
     * Ranks ride the single-long trick nowhere here — cosine doubles are
     * deterministic (IEEE divide/sqrt over exact integer dots/norms), so
-    * the rank window agrees bit-for-bit cross-engine. */
-  def similarityKnnGraph(s: SparkSession, dir: String): DataFrame = {
+    * the rank window agrees bit-for-bit cross-engine.
+    *
+    * Served from the MATERIALIZED stored index ([[Indexes.knnGraphEdges]])
+    * — a kNN graph is a build-once/probe-many artifact like the LSH
+    * signatures and PQ codes, and the recall report reuses the same
+    * stored build instead of re-scoring all pairs. */
+  def similarityKnnGraph(s: SparkSession, dir: String): DataFrame =
+    Indexes.knnGraphEdges(s, dir).orderBy(col("a_id"), col("b_id"))
+
+  /** The builder behind the stored index. */
+  private[graft] def buildKnnGraph(s: SparkSession, dir: String): DataFrame = {
     val e = embeddings(s, dir).select(col("vec_id"), quantize.as("q"))
       .select(col("vec_id"), col("q"), dot("q", "q").as("n2"))
     val l = e.select(col("vec_id").as("a_id"), col("q").as("aq"), col("n2").as("an"))
@@ -786,7 +795,7 @@ object Similarity {
     * legs replay in one query by design — a recall report's cost IS the
     * two pipelines. */
   def similarityKnnGraphLshRecall(s: SparkSession, dir: String): DataFrame = {
-    val exact = similarityKnnGraph(s, dir).select(col("a_id"), col("b_id"))
+    val exact = Indexes.knnGraphEdges(s, dir).select(col("a_id"), col("b_id"))
     val b = bucketed(s, dir)
     val x = b.select(col("vec_id").as("a_id"), col("q").as("aq"),
       col("norm2").as("an"), col("tbl"), col("bucket"))
