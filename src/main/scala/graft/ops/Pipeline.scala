@@ -291,6 +291,35 @@ object Pipeline {
       .orderBy(col("epoch_pos"))
   }
 
+  /** Dataloader shard assignment over the global epoch order — the step
+    * between [[pipelineEpochGlobalIndex]] and W data-parallel workers:
+    * worker w reads the contiguous position range
+    * [⌊w·N/W⌋, ⌊(w+1)·N/W⌋), assigned per row as
+    * shard = ⌊pos·W/N⌋ (exact integer arithmetic, no ntile — ntile's
+    * global sort is the thing the two-phase index exists to avoid).
+    * Emits per shard: document count, contiguous position bounds, and
+    * the token mass each worker will actually stream (the balance a
+    * dataloader cares about — count-balanced shards can be token-skewed,
+    * which this report surfaces). One broadcast of the scalar N; the
+    * shard aggregate is map-side combinable on ≤ W keys. */
+  def pipelineWorkerShards(s: SparkSession, dir: String): DataFrame = {
+    val W = 8
+    val idx = pipelineEpochGlobalIndex(s, dir)
+    val n = idx.agg(count(lit(1)).as("n_total"))
+    val toks = documents(s, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_toks"))
+    idx.crossJoin(broadcast(n))
+      .join(toks, Seq("doc_id"))
+      .select(expr(s"(epoch_pos * $W) div n_total").as("shard"),
+        col("epoch_pos"), col("n_toks"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("epoch_pos")).as("pos_lo"),
+        max(col("epoch_pos")).as("pos_hi"),
+        sum(col("n_toks")).as("n_tokens"))
+      .orderBy(col("shard"))
+  }
+
   /** The APPLY step of exact-substring dedup (Lee et al. 2022): take
     * [[Dedup.dedupSubstringSpans]]' maximal duplicate spans and CUT them
     * from every document, emitting the cleaned text plus accounting.
@@ -375,6 +404,7 @@ object Pipeline {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_span_cut" -> pipelineSpanCut _,
     "pipeline_curation_funnel" -> pipelineCurationFunnel _,
+    "pipeline_worker_shards" -> pipelineWorkerShards _,
     "pipeline_epoch_shuffle" -> pipelineEpochShuffle _,
     "pipeline_epoch_global_index" -> pipelineEpochGlobalIndex _,
     "pipeline_negative_samples" -> pipelineNegativeSamples _,
@@ -481,6 +511,25 @@ object Pipeline {
          |  n_tokens_before - CAST(len(k) AS BIGINT) AS n_tokens_cut,
          |  coalesce(array_to_string(k, ' '), '') AS text_clean
          |FROM kept ORDER BY doc_id""".stripMargin,
+    // worker shards: the naive epoch enumeration as a CTE, shard by
+    // exact integer division, count/bounds/token-mass per shard
+    "pipeline_worker_shards" ->
+      """WITH idx AS (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':1'), doc_id) - 1
+        |      AS BIGINT) AS epoch_pos
+        |  FROM documents),
+        |n AS (SELECT count(*) AS n_total FROM idx),
+        |t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+        |        AS n_toks FROM documents)
+        |SELECT (idx.epoch_pos * 8) // n.n_total AS shard,
+        |  count(*) AS n_docs,
+        |  min(idx.epoch_pos) AS pos_lo,
+        |  max(idx.epoch_pos) AS pos_hi,
+        |  CAST(sum(t.n_toks) AS BIGINT) AS n_tokens
+        |FROM idx JOIN t ON t.doc_id = idx.doc_id CROSS JOIN n
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the contract the two-phase enumeration must reproduce exactly:
     // the naive global row_number over the seeded key
     "pipeline_epoch_global_index" ->

@@ -11,6 +11,25 @@ class PipelineObserveSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val dir = "/root/testdata/sf0.001"
 
+  test("worker shards: contiguous, count-balanced within 1, partition the epoch") {
+    val rows = Pipeline.pipelineWorkerShards(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    val total = Tables.documents(spark, dir).count()
+    assert(rows.map(_._1).toSeq === (0L until 8L))
+    assert(rows.map(_._2).sum === total)
+    // contiguity: each shard covers exactly its [lo, hi] range and the
+    // next shard starts right after
+    rows.foreach { case (_, n, lo, hi, _) => assert(hi - lo + 1 === n) }
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(b._3 === a._4 + 1)
+      case _ =>
+    }
+    assert(rows.head._3 === 0L && rows.last._4 === total - 1)
+    // floor-division assignment balances counts within 1
+    assert(rows.map(_._2).max - rows.map(_._2).min <= 1)
+  }
+
   test("curation funnel stages are monotone and agree with the declared gates") {
     val rows = Pipeline.pipelineCurationFunnel(spark, dir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
