@@ -179,7 +179,60 @@ object Temporal {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** NEAREST-with-tolerance as-of join — the third merge_asof mode
+    * beside backward ([[asofJoin]]) and the SCD2 point-in-time join:
+    * for each purchase, the view by the same user with minimal |Δt|
+    * within ±10 minutes, ties → the earlier view, then the smaller id
+    * (sensor-alignment semantics). Window-only formulation: ONE
+    * user-keyed shuffle of the tagged union, a backward running
+    * max-struct and a forward running min-struct produce both
+    * candidates, and the winner is a per-row comparison — no
+    * time-range join, no candidate blowup, the same plan at any scale.
+    * Struct extrema encode the tie-breaks: backward max(ts, −id) ⇒
+    * latest-then-smallest-id; forward min(ts, id) ⇒
+    * earliest-then-smallest-id. */
+  def eventsAsofNearest(s: SparkSession, dir: String): DataFrame = {
+    val tol = 600000000L // 10 min in us
+    val e = events(s, dir).select(col("user_id"), col("event_type"),
+      col("event_id"), unix_micros(col("ts")).as("us"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us"), lit(1).as("tag"),
+        col("event_id"), lit(null).cast("long").as("vid"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("us"), lit(0).as("tag"),
+        lit(null).cast("long").as("event_id"), col("event_id").as("vid"))
+    val u = p.unionByName(v)
+      .withColumn("bs", when(col("tag") === 0,
+        struct(col("us").as("vt"), (-col("vid")).as("negid"))))
+      .withColumn("fs", when(col("tag") === 0,
+        struct(col("us").as("vt"), col("vid").as("vid"))))
+    val wB = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("tag").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    u
+      .withColumn("back", max(col("bs")).over(wB))
+      .withColumn("fwd", min(col("fs")).over(wF))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("user_id"), col("us"),
+        (col("us") - col("back.vt")).as("bgap"),
+        (-col("back.negid")).as("bid"),
+        (col("fwd.vt") - col("us")).as("fgap"),
+        col("fwd.vid").as("fid"))
+      .withColumn("vb", col("bgap").isNotNull && col("bgap") <= tol)
+      .withColumn("vf", col("fgap").isNotNull && col("fgap") <= tol)
+      .select(col("event_id"), col("user_id"), col("us"),
+        when(col("vb") && (!col("vf") || col("bgap") <= col("fgap")), col("bid"))
+          .when(col("vf"), col("fid")).as("nearest_view_id"),
+        when(col("vb") && (!col("vf") || col("bgap") <= col("fgap")), -col("bgap"))
+          .when(col("vf"), col("fgap")).as("delta_us"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_asof_nearest" -> eventsAsofNearest _,
     "events_range_bucketed" -> eventsRangeBucketed _,
     "events_asof_attribution" -> eventsAsofAttribution _,
     "events_range_pairs" -> eventsRangePairs _,
@@ -188,6 +241,29 @@ object Temporal {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // nearest as-of: explicit candidate ranking (gap, view_us, view_id)
+    // within the +-10min tolerance; LEFT JOIN keeps unmatched purchases
+    "events_asof_nearest" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+        |  WHERE event_type = 'purchase'),
+        |v AS (
+        |  SELECT event_id AS view_id, user_id, epoch_us(ts) AS view_us
+        |  FROM events WHERE event_type = 'view'),
+        |cand AS (
+        |  SELECT p.event_id, v.view_id, v.view_us,
+        |    abs(v.view_us - p.us) AS gap, v.view_us - p.us AS delta
+        |  FROM p JOIN v USING (user_id)
+        |  WHERE abs(v.view_us - p.us) <= 600000000),
+        |best AS (
+        |  SELECT event_id, view_id, delta,
+        |    row_number() OVER (PARTITION BY event_id
+        |      ORDER BY gap ASC, view_us ASC, view_id ASC) AS rn
+        |  FROM cand)
+        |SELECT p.event_id, p.user_id, p.us,
+        |  b.view_id AS nearest_view_id, b.delta AS delta_us
+        |FROM p LEFT JOIN best b ON b.event_id = p.event_id AND b.rn = 1
+        |ORDER BY p.event_id""".stripMargin,
     "events_range_bucketed" ->
       """WITH p AS (
         |  SELECT event_id, epoch_us(ts) AS us FROM events

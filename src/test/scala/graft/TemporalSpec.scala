@@ -7,6 +7,33 @@ import graft.ops.Temporal
 class TemporalSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  test("nearest as-of equals a brute-force candidate ranking (tolerance, ties)") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Temporal.eventsAsofNearest(spark, dir).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None
+        else Some((r.getLong(3), r.getLong(4))))).toMap
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val views = ev.filter(_._2 == "view").groupBy(_._1)
+      .view.mapValues(_.map(t => (t._3, t._4)).toSeq).toMap
+    val purchases = ev.filter(_._2 == "purchase")
+    assert(got.size === purchases.length)
+    purchases.foreach { case (u, _, pid, pus) =>
+      val cands = views.getOrElse(u, Seq.empty)
+        .map { case (vid, vus) => (math.abs(vus - pus), vus, vid) }
+        .filter(_._1 <= 600000000L)
+      val want =
+        if (cands.isEmpty) None
+        else { val (_, vus, vid) = cands.min; Some((vid, vus - pus)) }
+      assert(got(pid) === want, s"purchase $pid user $u")
+    }
+    // both signs occur on real data (views before AND after purchases)
+    val deltas = got.values.flatten.map(_._2)
+    assert(deltas.exists(_ < 0) && deltas.exists(_ > 0))
+  }
+
   test("asofJoin picks the latest right row at-or-before each left time") {
     import spark.implicits._
     val left = Seq((1L, 100L, "p1"), (1L, 250L, "p2"), (2L, 50L, "p3"))
