@@ -787,39 +787,33 @@ object Similarity {
 
   /** Recall of the LSH-candidate mutual k-NN graph against the exact
     * one — the [[annRecall]] evaluation discipline applied to
-    * [[similarityKnnGraph]]'s scale path. The LSH leg generates
-    * candidate pairs from shared (table, bucket) membership in the
-    * stored signature index (never all-pairs: candidate volume is
-    * Σ|bucket|² per table), ranks per node AMONG CANDIDATES ONLY, and
-    * symmetrizes; recall counts which exact mutual edges survive. Both
-    * legs replay in one query by design — a recall report's cost IS the
-    * two pipelines. */
+    * [[similarityKnnGraph]]'s scale path (candidates from shared
+    * (table, bucket) membership, per-node top-k among candidates only,
+    * symmetrize).
+    *
+    * The engine side exploits a provable collapse: an exact mutual edge
+    * (a, b) survives in the LSH graph IFF the pair shares a bucket.
+    * (If it does, every candidate of a ranked above b — cosine higher,
+    * or equal with smaller id — has exact rank < rank_ab ≤ 5, so b's
+    * among-candidates rank is ≤ 5 automatically; symmetrically for a;
+    * and bucket sharing is symmetric.) So recall needs ZERO candidate
+    * scoring: the stored exact edges semi-join the candidate id-pair
+    * set — no 64-dim dot per candidate, the heavy leg drops from
+    * Σ|bucket|² dot products to an id join. The ORACLE deliberately
+    * replays the full two-leg pipeline (all-pairs cosines, candidate
+    * ranking, symmetrization), so the driver hash independently proves
+    * the collapse on every run. */
   def similarityKnnGraphLshRecall(s: SparkSession, dir: String): DataFrame = {
     val exact = Indexes.knnGraphEdges(s, dir).select(col("a_id"), col("b_id"))
     val b = bucketed(s, dir)
-    val x = b.select(col("vec_id").as("a_id"), col("q").as("aq"),
-      col("norm2").as("an"), col("tbl"), col("bucket"))
-    val y = b.select(col("vec_id").as("b_id"), col("q").as("bq"),
-      col("norm2").as("bn"), col("tbl"), col("bucket"))
-    val w = Window.partitionBy(col("a_id"))
-      .orderBy(col("cosine").desc, col("b_id").asc)
-    val ranked = x.join(y, Seq("tbl", "bucket"))
-      .filter(col("a_id") =!= col("b_id"))
+    val cand = b.select(col("vec_id").as("a_id"), col("tbl"), col("bucket"))
+      .join(b.select(col("vec_id").as("b_id"), col("tbl"), col("bucket")),
+        Seq("tbl", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
       .dropDuplicates("a_id", "b_id")
-      .select(col("a_id"), col("b_id"),
-        (dot("aq", "bq").cast("double") /
-          sqrt(col("an").cast("double") * col("bn").cast("double"))).as("cosine"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
-      .select(col("a_id"), col("b_id"), col("rn"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val lshEdges = ranked.as("p")
-      .join(ranked.as("q"),
-        col("p.a_id") === col("q.b_id") && col("p.b_id") === col("q.a_id"))
-      .filter(col("p.a_id") < col("p.b_id"))
-      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
     val nExact = exact.agg(count(lit(1)).as("n_exact"))
-    val nFound = lshEdges.join(exact, Seq("a_id", "b_id"))
+    val nFound = exact.join(cand, Seq("a_id", "b_id"), "left_semi")
       .agg(count(lit(1)).as("n_found"))
     nExact.crossJoin(nFound)
       .select(col("n_exact"), col("n_found"),
