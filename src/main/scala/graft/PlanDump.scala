@@ -66,7 +66,9 @@ object PlanDump {
       "text_gopher_rules" -> "Gopher rule bundle: one map-only projection + ONE fused (doc,width,gram) count shuffle serving both the top-2-gram and dup-5-gram rules",
       "join_volume_guard" -> "join pre-flight: two map-side-combinable per-key counts + full-outer merge per audited join — |keys| rows to predict the join it de-risks",
       "events_dau_wau" -> "DAU/WAU: window expansion — explode each (day,user) to its 7 window ends, distinct, equi-keyed count; no range join, no sliding count-distinct",
-      "pipeline_curation_funnel" -> "curation funnel: gate semi joins + one aggregate per stage; spans recomputed among survivors; 4 rows reach the driver")
+      "pipeline_curation_funnel" -> "curation funnel: gate semi joins + one aggregate per stage; spans recomputed among survivors; 4 rows reach the driver",
+      "events_asof_nearest" -> "nearest as-of: ONE user-keyed shuffle of the tagged union; backward max-struct + forward min-struct windows, winner per row — no time-range join",
+      "pipeline_worker_shards" -> "worker shards: exact integer-div assignment over the two-phase epoch order; one scalar broadcast, <=W-key aggregate")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries (sf0.001)\n\n")
     sb.append("Generated by `sbt \"runMain graft.PlanDump\"`; asserted in PlanSpec.\n")
