@@ -244,7 +244,54 @@ object SourceQueries {
       .orderBy(col("priority"))
   }
 
+  /** CSV malformed-row handling — the operational half of the O1 CSV
+    * scan the reference relies on: a reader fed real-world CSV must
+    * DROP corrupt lines deterministically, not crash or silently null
+    * them into the aggregate. Roundtrip: 100 known-good rows written by
+    * the engine, plus an injected part file of malformed lines (wrong
+    * arity short AND long, a type error) — the `header` option skips
+    * the first line of EVERY part file, so the bad file carries a fake
+    * header too. Read back with an EXPLICIT schema and
+    * `mode=DROPMALFORMED`: exactly the 100 good rows survive, which is
+    * what the oracle states (the bad lines never reach it). PERMISSIVE
+    * + `_corrupt_record` is the quarantine alternative; DROPMALFORMED
+    * is the declared contract because its result is engine-comparable.
+    * At scale this is a per-row map decision — no plan impact. */
+  def sourceCsvCorruptRoundtrip(s: SparkSession, dir: String): DataFrame =
+    s.read.schema(csvRtSchema)
+      .option("header", "true").option("mode", "DROPMALFORMED")
+      .csv(writeCsvWithBadRows(s, dir))
+      .orderBy(col("o_orderkey"))
+
+  private[graft] val csvRtSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("o_orderkey",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("cents",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("o_orderpriority",
+      org.apache.spark.sql.types.StringType)))
+
+  /** Writer half of [[sourceCsvCorruptRoundtrip]], exposed so
+    * SourcesSpec can re-read the same directory under PERMISSIVE and
+    * prove the bad lines physically reach the reader. */
+  private[graft] def writeCsvWithBadRows(s: SparkSession, dir: String): String = {
+    val path = tmpDir("graft_csv_rt") + "/orders_csv"
+    orders(s, dir).orderBy(col("o_orderkey")).limit(100)
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("cents"),
+        col("o_orderpriority"))
+      .repartition(1)
+      .write.mode("overwrite").option("header", "true").csv(path)
+    Files.writeString(
+      java.nio.file.Paths.get(path, "bad-rows.csv"),
+      "o_orderkey,cents,o_orderpriority\n" + // per-file header, skipped
+        "notanumber,123,1-URGENT\n" +        // type error in a long column
+        "1,2\n" +                            // too few columns
+        "7,8,1-URGENT,extra,cols\n")         // too many columns
+    path
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_csv_corrupt_roundtrip" -> sourceCsvCorruptRoundtrip _,
     "source_schema_evolution" -> sourceSchemaEvolution _,
     "source_orc_roundtrip" -> sourceOrcRoundtrip _,
     "source_bloom_roundtrip" -> sourceBloomRoundtrip _,
@@ -255,6 +302,13 @@ object SourceQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the malformed lines are dropped by contract, so the oracle is
+    // simply the 100 good rows the engine wrote
+    "source_csv_corrupt_roundtrip" ->
+      """SELECT o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |  o_orderpriority
+        |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin,
     // bloom skipping is false-positive-only, so the round-trip must
     // reproduce the plain filter exactly
     "source_bloom_roundtrip" ->

@@ -9,6 +9,30 @@ class SourcesSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val dir = "/root/testdata/sf0.001"
 
+  test("CSV corrupt roundtrip: the 3 injected bad lines reach the reader and are dropped") {
+    import graft.sources.SourceQueries
+    val path = SourceQueries.writeCsvWithBadRows(spark, dir)
+    // PERMISSIVE with a corrupt-record column proves the bad lines
+    // physically reach the reader (guards against the roundtrip passing
+    // because bad-rows.csv was never read). Columns must be
+    // materialized — a bare count() prunes them all and nothing is
+    // parsed (see the malformed-CSV modes test below).
+    val permissiveSchema = SourceQueries.csvRtSchema
+      .add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    val corrupt = spark.read.schema(permissiveSchema)
+      .option("header", "true").option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
+      .select("o_orderkey", "cents", "o_orderpriority", "_corrupt_record")
+      .collect()
+    assert(corrupt.length === 103)
+    assert(corrupt.count(!_.isNullAt(3)) === 3)
+    // the declared query keeps exactly the 100 good, fully-parsed rows
+    val good = SourceQueries.sourceCsvCorruptRoundtrip(spark, dir).collect()
+    assert(good.length === 100)
+    assert(good.forall(r => !r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2)))
+  }
+
   test("CSV and JSON round-trip preserve the relation (schema given)") {
     val tmp = Files.createTempDirectory("graft_src").toString
     val orig = Tables.nation(spark, dir)
