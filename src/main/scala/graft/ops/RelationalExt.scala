@@ -901,8 +901,37 @@ object RelationalExt {
       .orderBy(col("join_name"))
   }
 
+  /** WEIGHTED median — the aggregate plain `median`/percentile can't
+    * express: the smallest price v whose cumulative QUANTITY mass
+    * reaches half the group's total (what "median unit price" actually
+    * means when line items carry different volumes). Exact-integer
+    * formulation: value histogram keyed (flag, cents) with summed
+    * long weights, per-flag cumulative window over the histogram (its
+    * width = distinct prices per flag, far smaller than rows), then
+    * min v with 2·cum ≥ total. No ntile, no sort of the raw relation —
+    * the only data-sized work is the map-side-combinable histogram
+    * aggregate. */
+  def aggWeightedMedianLineitem(s: SparkSession, dir: String): DataFrame = {
+    val h = lineitem(s, dir)
+      .select(col("l_returnflag"), cents(col("l_extendedprice")).as("v"),
+        col("l_quantity").cast("long").as("wt"))
+      .groupBy(col("l_returnflag"), col("v"))
+      .agg(sum(col("wt")).as("w"))
+    val tot = h.groupBy(col("l_returnflag")).agg(sum(col("w")).as("total_weight"))
+    h.withColumn("cw", sum(col("w")).over(
+        Window.partitionBy(col("l_returnflag")).orderBy(col("v"))))
+      .join(broadcast(tot), Seq("l_returnflag"))
+      .filter(col("cw") * 2 >= col("total_weight"))
+      .groupBy(col("l_returnflag"), col("total_weight"))
+      .agg(min(col("v")).as("weighted_median_cents"))
+      .select(col("l_returnflag"), col("total_weight"),
+        col("weighted_median_cents"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_volume_guard" -> joinVolumeGuard _,
+    "agg_weighted_median" -> aggWeightedMedianLineitem _,
     "agg_corr_lineitem" -> aggCorrLineitem _,
     "events_anomaly_mad" -> eventsAnomalyMad _,
     "agg_bitmap_distinct" -> aggBitmapDistinct _,
@@ -946,6 +975,24 @@ object RelationalExt {
        |FROM orders""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // weighted median: value histogram + per-flag cumulative window,
+    // min value with 2*cum >= total. h referenced twice -> MATERIALIZED.
+    "agg_weighted_median" ->
+      """WITH h AS MATERIALIZED (
+        |  SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |tot AS (SELECT l_returnflag, CAST(sum(w) AS BIGINT) AS total_weight
+        |        FROM h GROUP BY 1),
+        |cum AS (
+        |  SELECT l_returnflag, v,
+        |    CAST(sum(w) OVER (PARTITION BY l_returnflag ORDER BY v) AS BIGINT) AS cw
+        |  FROM h)
+        |SELECT cum.l_returnflag, tot.total_weight,
+        |  min(cum.v) AS weighted_median_cents
+        |FROM cum JOIN tot USING (l_returnflag)
+        |WHERE cum.cw * 2 >= tot.total_weight
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     // exact join-size pre-flight: per-key count aggregates full-joined,
     // one summary row per audited join (sums cast back to BIGINT)
     "join_volume_guard" -> {

@@ -27,6 +27,24 @@ class RelationalSpec extends AnyFunSuite {
     assert(got("events_self_userid")._2 === false)
   }
 
+  test("weighted median equals a from-scratch expanded-multiset median") {
+    val got = graft.ops.RelationalExt.aggWeightedMedianLineitem(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rows = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        Tables.cents(col("l_extendedprice")).as("v"),
+        col("l_quantity").cast("long").as("wt"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.groupBy(_._1).foreach { case (flag, rs) =>
+      // the definition, literally: expand each value wt times, sort,
+      // take the lower-median element
+      val expanded = rs.flatMap(t => Seq.fill(t._3.toInt)(t._2)).sorted
+      val want = expanded((expanded.length - 1) / 2)
+      assert(got(flag)._1 === rs.map(_._3).sum, s"flag $flag total")
+      assert(got(flag)._2 === want, s"flag $flag median")
+    }
+  }
+
   test("approx_count_distinct (HLL++) lands within 5% of exact") {
     val row = Tables.lineitem(spark, dir)
       .agg(countDistinct(col("l_partkey")).as("exact"),
