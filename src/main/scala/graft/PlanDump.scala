@@ -68,7 +68,10 @@ object PlanDump {
       "events_dau_wau" -> "DAU/WAU: window expansion — explode each (day,user) to its 7 window ends, distinct, equi-keyed count; no range join, no sliding count-distinct",
       "pipeline_curation_funnel" -> "curation funnel: gate semi joins + one aggregate per stage; spans recomputed among survivors; 4 rows reach the driver",
       "events_asof_nearest" -> "nearest as-of: ONE user-keyed shuffle of the tagged union; backward max-struct + forward min-struct windows, winner per row — no time-range join",
-      "pipeline_worker_shards" -> "worker shards: exact integer-div assignment over the two-phase epoch order; one scalar broadcast, <=W-key aggregate")
+      "pipeline_worker_shards" -> "worker shards: exact integer-div assignment over the two-phase epoch order; one scalar broadcast, <=W-key aggregate",
+      "text_tfidf_pairs_routed" -> "guard-routed tf-idf pairs: a 1-row pre-flight over the posting index picks the route, so on a guard-pass corpus the plan IS the exact posting join (below); under drift it is the SRP-LSH plan instead",
+      "events_dau_wau_hll" -> "HLL DAU/WAU: per-day sketch partials expanded to their 7 window ends, hll_union_agg merges 7 fixed-size sketches per day — the activity relation feeds the sketch path once",
+      "multimodal_phash_dedup_128" -> "128-bit pHash over CDC chunk features: map-only chunking + signed votes (bytes never shuffle), 13x10-bit banded hamming join — 32x the 64-bit bucket space, edit-resilient features")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries (sf0.001)\n\n")
     sb.append("Generated by `sbt \"runMain graft.PlanDump\"`; asserted in PlanSpec.\n")

@@ -66,13 +66,24 @@ object StressScale {
     ("text_tfidf_cosine_lsh_16x12" ->
       ((s: org.apache.spark.sql.SparkSession, d: String) =>
         ops.TextAnalysis.textTfidfCosineLshAt(s, d, 16, 12))) :+
-    // the banded-hamming quadratic's production knob: same chunk
-    // features as multimodal_phash_dedup, 128-bit signature → 10-bit
-    // bands — the wall here should stay near-linear where the 64-bit
+    // the banded-hamming quadratic's production knob, now the DECLARED
+    // media near-dup (CDC chunk features, 128-bit signature → 10-bit
+    // bands) — the wall here should stay near-linear where the 64-bit
     // probe bends candidate-bound (BASELINE.md r10)
     ("multimodal_phash_dedup_128" ->
       ((s: org.apache.spark.sql.SparkSession, d: String) =>
-        ops.Multimodal.mediaPhashDedup128(s, d)))
+        ops.Multimodal.mediaPhashDedup128(s, d))) :+
+    // r12: the substring-dedup pair at PRODUCTION gram width (k=50, Lee
+    // et al.'s ExactSubstr BPE width; winnow window w=100, MOSS's code
+    // config) — docs shorter than k drop out and the winnow selection
+    // keeps ~2/(w+1) of gram postings, so these measure the
+    // posting-volume trade the k=10/w=4 declared configs document
+    ("dedup_substring_spans_k50" ->
+      ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        ops.Dedup.spansFromDocs(Tables.documents(s, d), k = 50))) :+
+    ("text_winnow_fps_k50_w100" ->
+      ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        ops.TextAnalysis.winnowFromDocs(Tables.documents(s, d), k = 50, w = 100)))
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -157,6 +168,15 @@ object StressScale {
         else "guard would have fired: route to LSH, skip exact pair join"
       println(s"""{"salience_guard":{"dir":"$d","n_docs":${row.getLong(1)},""" +
         s""""join_volume":${row.getLong(4)},"guard_ok":$ok,"note":"$note"}}""")
+    }
+    // route probe for the declared guard-routed pair query
+    // (text_tfidf_pairs_routed): the route its pre-flight takes on each
+    // null must agree with the monitor line above — exact on the
+    // stationary (df-aware) corpus, LSH on the full-namespace drift null
+    for (d <- Seq(base, out, s"${out}_dfaware")) {
+      val route =
+        if (ops.TextAnalysis.tfidfRouteIsExact(spark, d)) "exact" else "lsh"
+      println(s"""{"tfidf_route":{"dir":"$d","route":"$route"}}""")
     }
     def time(q: (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame, dir: String): Double = {

@@ -652,26 +652,49 @@ object Dedup {
     * pipeline (measured sub-linear in the 10× probe); stage 4 is a
     * per-doc window. The [[TextAnalysis.textSalienceMonitor]] analogue
     * here is the df ≥ 2 cut itself — boilerplate/template grams with
-    * huge df inflate stage 3's join volume, so production would also
-    * cap df (cutting spans only from the df ≤ cap tail is still
-    * conservative-correct for removal decisions). */
+    * huge df inflate stage 3's join volume AND skew stage 2's window
+    * partitioning; [[spansFromDocs]]' `dfCap` parameter is that knob
+    * (anti-join the over-cap grams out before the window — cutting
+    * spans only from the df ≤ cap tail is still conservative-correct
+    * for removal decisions). The declared query runs uncapped so the
+    * brute-force oracle stays exact. */
   def dedupSubstringSpans(s: SparkSession, dir: String): DataFrame =
     spansFromDocs(documents(s, dir))
 
   /** Span detection over an arbitrary (doc_id, text) relation — the seam
     * [[Pipeline.pipelineCurationFunnel]] uses to recompute spans on the
     * quality+dedup SURVIVOR set (duplicate grams are df ≥ 2 among
-    * survivors, not the raw corpus). */
-  private[graft] def spansFromDocs(docs: DataFrame): DataFrame = {
+    * survivors, not the raw corpus).
+    *
+    * `dfCap` (0 = off, the declared-query default) is the skew knob: the
+    * min≠max window keys on gh, so every occurrence of a boilerplate
+    * gram (license headers, templates) lands in ONE partition — at scale
+    * that single partition is the straggler. With a positive cap, one
+    * map-side-combinable occurrence-count aggregate finds the over-cap
+    * grams (a tiny boilerplate set — occurrence count is exactly the
+    * quantity that sizes the hot partition), and a broadcast anti-join
+    * drops them BEFORE the window. Cutting spans only from the df ≤ cap
+    * tail stays conservative-correct for removal decisions (the
+    * production trade Lee et al. §4 note: boilerplate handled by a
+    * dedicated filter, not the span cutter). The aggregate side re-scans
+    * the corpus but is column-pruned to gh and map-only — cheaper than
+    * persisting the corpus-sized exploded gram relation. */
+  private[graft] def spansFromDocs(docs: DataFrame, dfCap: Long = 0L,
+      k: Int = SpanK): DataFrame = {
     val toks = docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= SpanK)
-    val grams = toks.select(col("doc_id"),
-        explode(transform(sequence(lit(0), size(col("w")) - SpanK),
+      .filter(size(col("w")) >= k)
+    val gramsAll = toks.select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("w")) - k),
           i => struct(i.cast("long").as("pos"),
-            md5(array_join(slice(col("w"), i + 1, lit(SpanK)), " ")).as("gh"))))
+            md5(array_join(slice(col("w"), i + 1, lit(k)), " ")).as("gh"))))
           .as("g"))
       .select(col("doc_id"), col("g.pos").as("pos"), col("g.gh").as("gh"))
+    val grams = if (dfCap > 0L) {
+      val hot = gramsAll.groupBy(col("gh")).agg(count(lit(1)).as("c"))
+        .filter(col("c") > dfCap).select(col("gh"))
+      gramsAll.join(broadcast(hot), Seq("gh"), "left_anti")
+    } else gramsAll
     // "seen in >= 2 DISTINCT docs" as a single whole-partition window:
     // min(doc_id) != max(doc_id) over the gram's partition. One shuffle
     // on gh and ONE gram build, where a df-aggregate + join-back would
@@ -687,8 +710,8 @@ object Dedup {
       .withColumn("grp", col("pos") - row_number().over(w))
       .groupBy(col("doc_id"), col("grp"))
       .agg(min(col("pos")).as("span_start"),
-        (max(col("pos")) + SpanK - 1).as("span_end"),
-        (max(col("pos")) - min(col("pos")) + SpanK).as("n_tokens"),
+        (max(col("pos")) + k - 1).as("span_end"),
+        (max(col("pos")) - min(col("pos")) + k).as("n_tokens"),
         count(lit(1)).as("n_grams"))
       .select(col("doc_id"), col("span_start"), col("span_end"),
         col("n_tokens"), col("n_grams"))

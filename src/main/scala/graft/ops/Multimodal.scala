@@ -233,7 +233,12 @@ object Multimodal {
     *
     * Scale: the blob is hexed and chunk-hashed in one map pass (bytes
     * never shuffle); the vote aggregate is map-side combinable; the
-    * banded join is the same bounded-candidate shape as `dedup_simhash`. */
+    * banded join is the same bounded-candidate shape as `dedup_simhash`.
+    * The 64-bit signature is the fixture-scale teaching config — its
+    * 5-bit bands go candidate-bound at ~500 k blobs (BASELINE.md 10×
+    * probe: 8.66× wall); [[mediaPhashDedup128]] is the declared
+    * production sibling (128-bit signature over edit-resilient CDC
+    * chunk features). */
   def mediaPhashDedup(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashBandedPairs(Dedup.simhashFromFeatures(phashFeatures(s, dir))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -249,22 +254,36 @@ object Multimodal {
           |          i -> md5(substring(hx, i * 512 + 1, 512)))""".stripMargin))
         .as("m"))
 
-  /** 128-bit parameterization of [[mediaPhashDedup]] — the production
-    * config for the banded-hamming join's measured quadratic (BASELINE.md
-    * 10x probe: the 64-bit bands' Σ|bucket|² candidate volume bends the
-    * wall super-linear at ~500 k blobs; 10-bit bands defer that by 32x
-    * in bucket space). Same features, same pigeonhole discipline —
-    * hamming ≤ 12 over 128 bits is a tighter similarity scale — at
-    * fixture scale the chunk features of planted near-dups (word edits
-    * shift every downstream fixed-offset chunk) land beyond it, so this
-    * variant returns no pairs there and is exercised as the StressScale
-    * candidate-volume probe plus a hamming-0 recall spec rather than as
-    * a declared fixture query; `dedup_simhash128` (word-bigram
-    * features, which near-dups mostly share) is the oracle-checked
-    * declared 128-bit query. */
+  /** 128-bit perceptual near-dup over CONTENT-DEFINED chunk features —
+    * the production parameterization of media near-dup, declared with
+    * its own brute-force hamming oracle. Two things change vs the
+    * 64-bit [[mediaPhashDedup]], each fixing one measured failure:
+    *
+    *  - SIGNATURE WIDTH: 128 bits give the 13 pigeonhole bands 10 bits
+    *    each, deferring the 64-bit bands' quadratic Σ|bucket|² candidate
+    *    volume by 32× in bucket space (BASELINE.md 10× probes: 8.66×
+    *    wall for the 64-bit config vs ~2-3× for 128-bit knobs).
+    *  - FEATURES: fixed-offset 256-byte chunks shift wholesale after any
+    *    edit, so planted near-dups share almost no features and land FAR
+    *    outside any useful hamming radius; [[cdcChunksOf]]'s
+    *    content-defined chunks RE-SYNCHRONIZE after an edit (the
+    *    rsync/LBFS property MultimodalSpec proves), so near-dups share
+    *    most features. Measured on the fixture: true near-dup pairs
+    *    land at hamming 5–28 with the non-dup background starting at
+    *    ~40 — a clean valley; the banded radius 12 keeps the tight half
+    *    (exact-recall at ≤ 12 by pigeonhole, so the brute-force oracle
+    *    and the banded join agree bit-for-bit).
+    *
+    * Scale: chunking + fingerprinting stay one map-side projection
+    * (bytes never shuffle, only (doc_id, chunk_md5) enters the vote
+    * aggregate), then `Dedup`'s shared 128-bit vote/band/verify
+    * machinery — media near-dup rides the text stack's plumbing with
+    * only the feature extractor swapped. */
   def mediaPhashDedup128(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash128BandedPairs(
-      Dedup.simhash128FromFeatures(phashFeatures(s, dir))
+      Dedup.simhash128FromFeatures(
+        cdcChunksOf(mediaTable(s, dir))
+          .select(col("doc_id"), col("chunk_md5").as("m")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Contrastive media-text pair assembly (the CLIP-style training-set
@@ -312,6 +331,7 @@ object Multimodal {
     "multimodal_chunk_dedup" -> mediaChunkDedup _,
     "multimodal_cdc_chunks" -> mediaCdcChunks _,
     "multimodal_phash_dedup" -> mediaPhashDedup _,
+    "multimodal_phash_dedup_128" -> mediaPhashDedup128 _,
   )
 
   private val PhashFeatureCtes =
@@ -324,39 +344,52 @@ object Multimodal {
       |    AS m
       |  FROM m0)""".stripMargin
 
+  /** Shared CDC feature CTE chain ending in `f AS (doc_id, m)` — same
+    * window hash, boundary rule, and chunk fingerprints as
+    * [[cdcChunksOf]]; list comprehensions mirror the array expressions
+    * 1:1. Consumed by the cdc-chunk aggregate oracle AND (via
+    * [[Dedup.simhash128OracleFor]]) the 128-bit perceptual-hash oracle,
+    * so the two queries provably fingerprint the same chunks. CTE names
+    * are cdc-prefixed to avoid colliding with the simhash oracle's
+    * h/b/p chain. */
+  private val CdcFeatureCtes =
+    """cdcm AS (
+      |  SELECT doc_id, lower(hex(text)) AS hx,
+      |         CAST(len(lower(hex(text))) // 2 AS INT) AS nb
+      |  FROM documents),
+      |cdcb AS (
+      |  SELECT doc_id, hx, nb,
+      |    [i FOR i IN range(8, nb + 1)
+      |     IF substr(md5(substr(hx, (i - 8) * 2 + 1, 16)), 1, 1) = '0']
+      |      AS bounds
+      |  FROM cdcm WHERE nb >= 8),
+      |cdcsp AS (
+      |  SELECT doc_id, hx,
+      |    list_prepend(0, bounds) AS starts,
+      |    list_append(bounds, nb) AS ends
+      |  FROM cdcb),
+      |f AS (
+      |  SELECT doc_id,
+      |    unnest([md5(substr(hx, starts[k] * 2 + 1, (ends[k] - starts[k]) * 2))
+      |            FOR k IN range(1, len(starts) + 1) IF ends[k] > starts[k]])
+      |      AS m
+      |  FROM cdcsp)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     // brute-force per-bit-majority + all-pairs hamming over the chunk
     // features (Dedup's shared oracle with the feature CTE swapped)
     "multimodal_phash_dedup" -> Dedup.simhashOracleFor(PhashFeatureCtes),
-    // same window hash, boundary rule, and chunk fingerprints as the
-    // engine; list comprehensions mirror the array expressions 1:1
+    // 128-bit sibling over the CDC chunk features: brute-force all-pairs
+    // 128-bit hamming — the banded join is exact-recall at <= 12 by
+    // pigeonhole, so the brute force IS the oracle
+    "multimodal_phash_dedup_128" -> Dedup.simhash128OracleFor(CdcFeatureCtes),
     "multimodal_cdc_chunks" ->
-      """WITH m AS (
-        |  SELECT doc_id, lower(hex(text)) AS hx,
-        |         CAST(len(lower(hex(text))) // 2 AS INT) AS nb
-        |  FROM documents),
-        |b AS (
-        |  SELECT doc_id, hx, nb,
-        |    [i FOR i IN range(8, nb + 1)
-        |     IF substr(md5(substr(hx, (i - 8) * 2 + 1, 16)), 1, 1) = '0']
-        |      AS bounds
-        |  FROM m WHERE nb >= 8),
-        |sp AS (
-        |  SELECT doc_id, hx,
-        |    list_prepend(0, bounds) AS starts,
-        |    list_append(bounds, nb) AS ends
-        |  FROM b),
-        |c AS (
-        |  SELECT doc_id,
-        |    unnest([md5(substr(hx, starts[k] * 2 + 1, (ends[k] - starts[k]) * 2))
-        |            FOR k IN range(1, len(starts) + 1) IF ends[k] > starts[k]])
-        |      AS chunk_md5
-        |  FROM sp)
-        |SELECT chunk_md5, count(*) AS n_copies,
-        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-        |  min(doc_id) AS first_doc
-        |FROM c GROUP BY chunk_md5 HAVING count(*) > 1
-        |ORDER BY chunk_md5""".stripMargin,
+      s"""WITH $CdcFeatureCtes
+         |SELECT m AS chunk_md5, count(*) AS n_copies,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  min(doc_id) AS first_doc
+         |FROM f GROUP BY 1 HAVING count(*) > 1
+         |ORDER BY chunk_md5""".stripMargin,
     "multimodal_clip_pairs" ->
       """WITH caps AS (
         |  SELECT doc_id,

@@ -329,25 +329,30 @@ object Pipeline {
     * choice; keep-one would add a min-doc_id winner join per span
     * cluster).
     *
-    * Shape: spans explode to covered token positions (bounded by Σ doc
-    * length, sub-corpus-sized), collect per doc, one broadcast-free
+    * Shape: spans collect per doc as (start, end) INTERVALS (maximal
+    * spans are disjoint by construction, so the per-doc span list is
+    * tiny next to the token mass it covers), one broadcast-free
     * equi-join back to documents on doc_id, then a map-only indexed
-    * filter over the token array. No window, no global structure —
-    * the cut is embarrassingly per-document once the span relation
-    * exists. */
+    * filter over the token array testing interval membership —
+    * O(n_spans · doc_len) per document, vs the covered-position
+    * formulation's O(Σ span_len · doc_len), which goes quadratic on a
+    * long heavily-duplicated document (the covered list is as long as
+    * the document itself). No window, no global structure — the cut is
+    * embarrassingly per-document once the span relation exists. */
   def pipelineSpanCut(s: SparkSession, dir: String): DataFrame = {
     val cov = Dedup.dedupSubstringSpans(s, dir)
-      .select(col("doc_id"),
-        explode(sequence(col("span_start"), col("span_end"))).as("pos"))
       .groupBy(col("doc_id"))
-      .agg(collect_list(col("pos")).as("cov")) // spans never overlap: unique
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e"))).as("spans"))
     documents(s, dir)
       .join(cov, Seq("doc_id"), "left")
       .select(col("doc_id"), split(col("text"), " ").as("w"),
-        coalesce(col("cov"), array().cast("array<bigint>")).as("cov"))
+        coalesce(col("spans"),
+          array().cast("array<struct<s:bigint,e:bigint>>")).as("spans"))
       .select(col("doc_id"),
         size(col("w")).cast("long").as("n_tokens_before"),
-        expr("filter(w, (t, i) -> NOT array_contains(cov, CAST(i AS BIGINT)))")
+        expr("""filter(w, (t, i) -> NOT exists(spans,
+                 sp -> CAST(i AS BIGINT) >= sp.s AND CAST(i AS BIGINT) <= sp.e))""")
           .as("kept"))
       .select(col("doc_id"), col("n_tokens_before"),
         size(col("kept")).cast("long").as("n_tokens_after"),
@@ -480,12 +485,17 @@ object Pipeline {
          |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
          |  FROM documents
          |  UNION ALL
-         |  SELECT '1_quality', count(*), CAST(sum(n_toks) AS BIGINT) FROM quality
+         |  -- coalesce mirrors the engine's coalesce(sum(...), 0): on a corpus
+         |  -- where a gate rejects everything, SQL sum over the empty
+         |  -- survivor set is NULL but the engine emits 0L
+         |  SELECT '1_quality', count(*),
+         |    CAST(coalesce(sum(n_toks), 0) AS BIGINT) FROM quality
          |  UNION ALL
-         |  SELECT '2_dedup', count(*), CAST(sum(n_toks) AS BIGINT) FROM keepers
+         |  SELECT '2_dedup', count(*),
+         |    CAST(coalesce(sum(n_toks), 0) AS BIGINT) FROM keepers
          |  UNION ALL
          |  SELECT '3_span_cut', (SELECT count(*) FROM keepers),
-         |    (SELECT CAST(sum(n_toks) AS BIGINT) FROM keepers) -
+         |    (SELECT CAST(coalesce(sum(n_toks), 0) AS BIGINT) FROM keepers) -
          |      (SELECT cut FROM cutmass)
          |) ORDER BY stage""".stripMargin,
     // span cut: shared span CTEs -> covered positions per doc -> indexed

@@ -405,24 +405,85 @@ object TextAnalysis {
   }
 
   /** Recall report of the LSH path against the exact baseline — one row
-    * (n_exact, n_found, recall). found ⊆ exact by construction (same
-    * verify formula), so recall is the only quality number needed. At
+    * (n_exact, n_found, recall). found ⊆ exact by construction (the LSH
+    * leg verifies candidates with the SAME [[tfidfCosineOf]] formula),
+    * and an exact pair is found IFF it co-occupies an SRP (table,
+    * bucket) — a co-occupying exact pair becomes a candidate and passes
+    * verification by assumption; a non-co-occupying pair never becomes
+    * one. So the LSH leg needs ZERO candidate scoring: n_found = exact
+    * pairs semi-joined against bucket co-membership, the same proved
+    * collapse as [[Similarity.similarityKnnGraphLshRecall]] (this one is
+    * strictly simpler — no ranking argument needed, membership alone
+    * decides). The ORACLE deliberately replays the full two-leg pipeline
+    * (buckets → candidate join → exact verify), so the driver hash
+    * re-proves the collapse on every run. The pair expansion is
+    * |exact|·tables rows — never the Σ|bucket|² candidate relation. At
     * 100 TB the truth side runs on a sampled slice; here the fixture is
     * small enough to compare in full. */
   def textTfidfLshRecall(s: SparkSession, dir: String): DataFrame = {
-    // ONE persisted weighted index feeds both legs (the two public
-    // queries would each build and cache their own copy)
+    // ONE persisted weighted index feeds the exact leg and the buckets
     val weighted = tfidfWeighted(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val exact = tfidfCosineFrom(weighted)
-      .agg(count(lit(1)).as("n_exact"))
-    val found = tfidfCosineLshFrom(weighted, TfidfTables, TfidfPlanes)
+    // referenced twice (count + semi join) — persist the tiny pair set,
+    // not the posting-join subtree behind it
+    val exact = tfidfCosineFrom(weighted).select(col("a_id"), col("b_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val b = tfidfBuckets(weighted, TfidfTables, TfidfPlanes)
+    val found = exact
+      .join(b.select(col("doc_id").as("a_id"), col("tbl"), col("bucket")),
+        Seq("a_id"))
+      .join(b.select(col("doc_id").as("b_id"), col("tbl"), col("bucket")),
+        Seq("b_id", "tbl", "bucket"), "left_semi")
+      .select(col("a_id"), col("b_id")).distinct()
       .agg(count(lit(1)).as("n_found"))
-    exact.crossJoin(broadcast(found))
+    exact.agg(count(lit(1)).as("n_exact")).crossJoin(broadcast(found))
       .select(col("n_exact"), col("n_found"),
         (col("n_found").cast("double") / col("n_exact").cast("double"))
           .as("recall"))
   }
+
+  /** Guard-routed tf-idf pairs — the production composition
+    * [[textSalienceMonitor]] describes in prose, as ONE declared query:
+    * a pre-flight aggregate over the posting index the pair join
+    * consumes anyway computes the corpus-wide salient join volume
+    * Σ df²; if it passes the monitor's budget (≤ 100·n_docs — ≤ 100
+    * candidates per doc on average) the EXACT posting join runs,
+    * otherwise the snapshot routes to the SRP-LSH candidate path whose
+    * volume is governed by angle-space spread, not posting lists. The
+    * pre-flight is the repo's sanctioned collect shape (a 1-row
+    * aggregate fetch — the same decision a cost-based planner would
+    * make from table stats); both routes emit the identical
+    * (a_id, b_id, cosine) contract. On the fixture the guard passes and
+    * the oracle pins the exact route bit-for-bit; on the vocabulary-
+    * drift corpus the guard fires (StressScale's `_routed` probe prints
+    * the taken route) and the query degrades gracefully to the ~0.83-
+    * recall LSH subset instead of materializing a 71 756×-volume join
+    * (BASELINE.md r10 probe). */
+  def textTfidfPairsRouted(s: SparkSession, dir: String): DataFrame = {
+    val weighted = tfidfWeighted(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (tfidfGuardOk(s, dir, weighted)) tfidfCosineFrom(weighted)
+    else tfidfCosineLshFrom(weighted, TfidfTables, TfidfPlanes)
+  }
+
+  /** The pre-flight itself: salient Σ df² from the (persisted) weighted
+    * index vs the monitor's 100·n_docs budget — one 1-row aggregate
+    * fetch. Same arithmetic as [[textSalienceMonitor]]'s `__all__` row
+    * (weighted has exactly one row per cap-surviving posting, so its
+    * per-term row count IS the monitor's df). */
+  private def tfidfGuardOk(s: SparkSession, dir: String,
+      weighted: DataFrame): Boolean = {
+    val pre = weighted.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .agg(coalesce(sum(col("df") * col("df")), lit(0L)).as("jv"))
+      .crossJoin(documents(s, dir).agg(count(lit(1)).as("n")))
+      .head()
+    pre.getLong(0) <= 100L * pre.getLong(1)
+  }
+
+  /** True iff [[textTfidfPairsRouted]] takes the exact route — exposed
+    * for the StressScale route probe. */
+  private[graft] def tfidfRouteIsExact(s: SparkSession, dir: String): Boolean =
+    tfidfGuardOk(s, dir, tfidfWeighted(s, dir))
 
   /** Benchmark decontamination — the training-data hygiene op: flag every
     * document containing any probe n-gram from a (small, broadcast)
@@ -909,23 +970,33 @@ object TextAnalysis {
   def textWinnowFingerprints(s: SparkSession, dir: String): DataFrame =
     winnowFromDocs(documents(s, dir))
 
-  private[graft] def winnowFromDocs(docs: DataFrame): DataFrame = {
+  private[graft] def winnowFromDocs(docs: DataFrame,
+      k: Int = WinnowK, w: Int = WinnowW): DataFrame = {
     val grams = docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= WinnowK)
+      .filter(size(col("w")) >= k)
+      // loud guard on the (hash, pos) single-long packing: a document
+      // with >= 2^20 grams would wrap positions into the hash field and
+      // silently corrupt every downstream fingerprint — fail instead
+      // (production chunks oversized docs upstream). assert_true rides
+      // a filter so column pruning can't silently drop the check.
+      .filter(assert_true(size(col("w")) < lit(WinnowPosSpace + k),
+        concat(lit("winnow: doc "), col("doc_id"),
+          lit(s" exceeds $WinnowPosSpace grams; chunk it before" +
+            " fingerprinting"))).isNull)
       .select(col("doc_id"),
-        explode(transform(sequence(lit(0), size(col("w")) - WinnowK),
+        explode(transform(sequence(lit(0), size(col("w")) - k),
           i => struct(i.cast("long").as("pos"),
-            conv(substring(md5(array_join(slice(col("w"), i + 1, lit(WinnowK)), " ")),
+            conv(substring(md5(array_join(slice(col("w"), i + 1, lit(k)), " ")),
               1, 10), 16, 10).cast("long").as("h")))).as("g"))
       .select(col("doc_id"), col("g.pos").as("pos"),
         (col("g.h") * WinnowPosSpace + (lit(WinnowPosSpace - 1) - col("g.pos")))
           .as("key"))
     val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(-(WinnowW - 1), 0)
+      .rowsBetween(-(w - 1), 0)
     grams
       .withColumn("mk", min(col("key")).over(win))
-      .filter(col("pos") >= WinnowW - 1)
+      .filter(col("pos") >= w - 1)
       .select(col("doc_id"), col("mk")).distinct()
       .select(col("doc_id"),
         (lit(WinnowPosSpace - 1) - col("mk").bitwiseAND(lit(WinnowPosSpace - 1)))
@@ -1072,6 +1143,7 @@ object TextAnalysis {
     "text_vocab_growth" -> textVocabGrowth _,
     "text_tfidf_cosine_lsh" -> textTfidfCosineLsh _,
     "text_tfidf_cosine_minhash" -> textTfidfCosineMinhash _,
+    "text_tfidf_pairs_routed" -> textTfidfPairsRouted _,
     "text_bm25_topk" -> textBm25TopK _,
     "text_tfidf_lsh_recall" -> textTfidfLshRecall _,
     "text_freq_spectrum" -> textFreqSpectrum _,
@@ -1434,6 +1506,11 @@ object TextAnalysis {
     // integer tf-idf weights (same monotone idf transform as topterms)
     // make dots/norms exact Longs; cosine is one IEEE division
     "text_tfidf_cosine" -> TfidfCosineExactSql,
+    // the fixture passes the salience guard, so the routed query's
+    // contract THERE is the exact posting join bit-for-bit; the LSH
+    // fallback is exercised by StressScale's route probe on the
+    // vocabulary-drift corpus (where no sub-quadratic oracle exists)
+    "text_tfidf_pairs_routed" -> TfidfCosineExactSql,
     // quantized BM25: every arithmetic step is a Long floor-div (// in
     // DuckDB ≡ div in Spark) and the per-doc sum is exact-integer
     "text_bm25_topk" ->

@@ -218,6 +218,29 @@ class DedupSpec extends AnyFunSuite {
     got.foreach { case (_, s, e, n, _) => assert(n === e - s + 1 && n >= k) }
   }
 
+  test("substring-span df cap drops boilerplate grams, keeps genuine duplicate spans") {
+    import spark.implicits._
+    // 20 docs opening with the SAME 10-token boilerplate gram (occurrence
+    // count 20 — the skew hotspot the cap exists for) + unique tails;
+    // plus one planted pair sharing a 12-token span (gram occurrences 2)
+    val boiler = (0 until 10).map(i => s"x$i").mkString(" ")
+    val shared = (0 until 12).map(i => s"s$i").mkString(" ")
+    val docs = (0L until 20L).map(i =>
+      i -> s"$boiler u${i}_0 u${i}_1 u${i}_2 u${i}_3 u${i}_4") ++ Seq(
+      100L -> s"a0 a1 a2 $shared b0 b1 b2",
+      101L -> s"c0 c1 c2 $shared d0 d1 d2")
+    val df = docs.toDF("doc_id", "text")
+    val uncapped = Dedup.spansFromDocs(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val capped = Dedup.spansFromDocs(df, dfCap = 10L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // uncapped: the boilerplate span appears in all 20 docs + the pair
+    assert(uncapped.map(_._1).count(_ < 20L) === 20)
+    assert(uncapped.contains((100L, 3L, 14L)) && uncapped.contains((101L, 3L, 14L)))
+    // capped at 10: only the planted pair's spans survive
+    assert(capped === Set((100L, 3L, 14L), (101L, 3L, 14L)))
+  }
+
   test("rolling fingerprint is deterministic and text-sensitive") {
     import graft.ops.TextAnalysis
     val fp1 = TextAnalysis.rollingFingerprint(Tables.documents(spark, dir))

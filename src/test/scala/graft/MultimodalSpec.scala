@@ -55,6 +55,34 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("128-bit pHash over CDC features: bounds hold, exact dups at hamming 0, true near-dups captured") {
+    val pairs = Multimodal.mediaPhashDedup128(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    pairs.foreach { case (a, b, h) =>
+      assert(a < b, s"unordered pair ($a,$b)")
+      assert(h >= 0 && h <= 12, s"hamming $h out of the declared band")
+    }
+    assert(pairs.map(p => (p._1, p._2)).distinct.length === pairs.length)
+    // identical text ⇒ identical bytes ⇒ identical CDC chunks ⇒
+    // identical signature: exact-dup pairs must surface at hamming 0
+    val texts = Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byText = texts.toSeq.map { case (id, t) => (t, id) }
+      .groupBy(_._1).values.map(_.map(_._2).sorted).filter(_.length > 1)
+    val got = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    byText.foreach { ids =>
+      for (a <- ids; b <- ids if a < b)
+        assert(got.get((a, b)).contains(0L),
+          s"exact-duplicate media pair ($a,$b) missing or hamming != 0")
+    }
+    // the reason CDC features exist here: EDITED near-dups (different
+    // text, shared chunk mass) land inside the radius — the fixed-offset
+    // 128-bit variant found none (r11's weak item)
+    assert(pairs.exists { case (a, b, h) => h > 0 && texts(a) != texts(b) },
+      "no non-identical near-dup pair inside hamming 12")
+  }
+
   test("CDC chunking re-synchronizes after a front insertion; fixed-offset does not") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -264,4 +264,55 @@ class TextAnalysisSpec extends AnyFunSuite {
       .agg(max(col("df"))).collect()(0).getLong(0)
     assert(maxDf * 10 <= n) // the join's hot-key bound, by construction
   }
+
+  test("winnowing fails loudly on a doc whose positions would overflow the packed key") {
+    import spark.implicits._
+    // 2^20 + 3 single-char tokens → max gram pos = 2^20, one past the
+    // packing space: the guard must throw, not corrupt fingerprints
+    val big = Array.fill((1 << 20) + 3)("a").mkString(" ")
+    val df = Seq((1L, big)).toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      TextAnalysis.winnowFromDocs(df).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("winnow")), s"unexpected error: $ex")
+    // and a doc just UNDER the bound still fingerprints fine
+    val okDf = Seq((2L, Array.fill(64)("b").mkString(" "))).toDF("doc_id", "text")
+    assert(TextAnalysis.winnowFromDocs(okDf).count() > 0)
+  }
+
+  test("guard-routed tf-idf pairs: exact route when the guard passes, LSH under drift") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_route").toString
+    def write(sub: String, rows: Seq[(Long, String)]): String = {
+      rows.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("s0"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.mode("overwrite").parquet(s"$tmp/$sub/documents.parquet")
+      s"$tmp/$sub"
+    }
+    // passing null: disjoint per-doc vocabularies → every term df = 1,
+    // join volume = 3000 ≤ 100·n_docs = 10000
+    val okDir = write("ok", (0L until 100L).map(i =>
+      i -> (0 until 30).map(j => s"u${i}_$j").mkString(" ")))
+    // firing null: 10 blocks × 10 docs sharing a 30-term block
+    // vocabulary → df = 10 (salient: 10·10 ≤ 100), join volume =
+    // 300 terms · 10² = 30000 > 10000 — the drift shape where
+    // locally-common terms pass the corpus-relative cap
+    val fireDir = write("fire", (0L until 100L).map(i =>
+      i -> (0 until 30).map(j => s"b${i / 10}_$j").mkString(" ")))
+    assert(TextAnalysis.tfidfRouteIsExact(spark, okDir),
+      "guard must pass on the disjoint-vocabulary corpus")
+    assert(!TextAnalysis.tfidfRouteIsExact(spark, fireDir),
+      "guard must fire on the drift corpus")
+    assert(TextAnalysis.tfidfRouteIsExact(spark, dir),
+      "the fixture must take the exact route (its oracle pins that route)")
+    // on the fixture the routed query IS the exact posting join
+    val routed = TextAnalysis.textTfidfPairsRouted(spark, dir).collect().toSeq
+    val exact = TextAnalysis.textTfidfCosine(spark, dir).collect().toSeq
+    assert(routed === exact)
+    assert(routed.nonEmpty)
+  }
 }
