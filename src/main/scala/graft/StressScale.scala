@@ -73,17 +73,22 @@ object StressScale {
     ("multimodal_phash_dedup_128" ->
       ((s: org.apache.spark.sql.SparkSession, d: String) =>
         ops.Multimodal.mediaPhashDedup128(s, d))) :+
-    // r12: the substring-dedup pair at PRODUCTION gram width (k=50, Lee
-    // et al.'s ExactSubstr BPE width; winnow window w=100, MOSS's code
-    // config) — docs shorter than k drop out and the winnow selection
-    // keeps ~2/(w+1) of gram postings, so these measure the
-    // posting-volume trade the k=10/w=4 declared configs document
+    // r12: the substring-dedup pair at production-leaning parameters.
+    // Spans at k=50 (Lee et al.'s ExactSubstr BPE width — docs shorter
+    // than k drop out; ~69k of 226k k=10 postings survive on this
+    // corpus). Winnowing probes the ~2/(w+1) selection density at the
+    // largest window the ~54-token fixture docs can fill: (k=10, w=20)
+    // — the SAME gram width as the span config, so the fingerprint
+    // index is directly comparable to the full posting index; MOSS's
+    // (k=50, w=100) emits nothing here because no doc has 100 k=50
+    // grams (documents shorter than w+k−1 cannot meet the guarantee
+    // floor, so an empty selection is the contract, not a bug).
     ("dedup_substring_spans_k50" ->
       ((s: org.apache.spark.sql.SparkSession, d: String) =>
         ops.Dedup.spansFromDocs(Tables.documents(s, d), k = 50))) :+
-    ("text_winnow_fps_k50_w100" ->
+    ("text_winnow_fps_k10_w20" ->
       ((s: org.apache.spark.sql.SparkSession, d: String) =>
-        ops.TextAnalysis.winnowFromDocs(Tables.documents(s, d), k = 50, w = 100)))
+        ops.TextAnalysis.winnowFromDocs(Tables.documents(s, d), k = 10, w = 20)))
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
