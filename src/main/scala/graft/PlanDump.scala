@@ -59,7 +59,7 @@ object PlanDump {
       "pipeline_budget_mix" -> "budgeted mix: quality gate + md5 dedup share one shuffle, sqrt-weight budgets broadcast, source-partitioned first-fit window, tiny accounting aggregate",
       "dedup_simhash128" -> "128-bit banded hamming (the production knob): unsigned-shift band extraction, 10-bit buckets — 32x the 64-bit bucket space at identical join shape",
       "text_salience_monitor" -> "salience guard: ONE posting aggregate + broadcast df join; per-source Σdf/Σdf² + corpus row — the pre-flight before any exact tf-idf pair join",
-      "multimodal_cdc_chunks" -> "content-defined chunking: boundary detection + chunk fingerprints in one map-only array projection, only (chunk_md5, doc_id) shuffles",
+      "multimodal_cdc_chunks" -> "content-defined chunking: boundary detection + chunk fingerprints in ONE compiled rolling-hash pass per row (ContentChunks expression), only (chunk_md5, doc_id) shuffles",
       "dedup_substring_spans" -> "ExactSubstr spans: constant-width gram-hash shuffle, df>=2 cut, posting join, per-doc gaps-and-islands window — no suffix array, no all-pairs",
       "text_winnow_fingerprints" -> "winnowing: map-only per-doc pass — (hash,pos) packed into one long so a plain w-row window min is the rightmost-argmin",
       "similarity_knn_graph" -> "mutual kNN graph: broadcast all-pairs scoring at fixture (scale path = stored IVF/LSH candidates), per-node group-limit, reversed-key self-join on the persisted k*n edges",
@@ -71,7 +71,7 @@ object PlanDump {
       "pipeline_worker_shards" -> "worker shards: exact integer-div assignment over the two-phase epoch order; one scalar broadcast, <=W-key aggregate",
       "text_tfidf_pairs_routed" -> "guard-routed tf-idf pairs: a 1-row pre-flight over the posting index picks the route, so on a guard-pass corpus the plan IS the exact posting join (below); under drift it is the SRP-LSH plan instead",
       "events_dau_wau_hll" -> "HLL DAU/WAU: per-day sketch partials expanded to their 7 window ends, hll_union_agg merges 7 fixed-size sketches per day — the activity relation feeds the sketch path once",
-      "multimodal_phash_dedup_128" -> "128-bit pHash over CDC chunk features: map-only chunking + signed votes (bytes never shuffle), 13x10-bit banded hamming join — 32x the 64-bit bucket space, edit-resilient features")
+      "multimodal_phash_dedup_128" -> "128-bit pHash over CDC chunk features: compiled rolling-hash chunking + signed votes (bytes never shuffle), 13x10-bit banded hamming join — 32x the 64-bit bucket space, edit-resilient features")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries (sf0.001)\n\n")
     sb.append("Generated by `sbt \"runMain graft.PlanDump\"`; asserted in PlanSpec.\n")

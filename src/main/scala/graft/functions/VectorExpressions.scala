@@ -608,9 +608,112 @@ object VectorExpressions {
       copy(left = l, right = r)
   }
 
+  /** Content-defined chunk fingerprints of a binary blob — the
+    * PRODUCTION rolling-hash path of the CDC chunker (the swap the
+    * md5-per-offset stand-in documented; reference behavior:
+    * rsync/LBFS, Muthitacharoen et al. SOSP'01).
+    *
+    * Boundary rule, deliberately window-local so DuckDB replays it
+    * per-offset with plain integer arithmetic: a chunk boundary sits
+    * before byte index i (i ∈ [8, nb]) iff
+    *
+    *   ((Σ_{j=0..7} B[i−8+j] · 257^{7−j}) mod 1000003) % 16 == 0
+    *
+    * over UNSIGNED byte values — a degree-7 polynomial hash of the
+    * trailing 8-byte window, expected boundary rate 1/16 (the same rate
+    * the md5 first-hex-nibble rule had). The prime modulus is essential:
+    * 257 ≡ 1 (mod 16), so reducing mod 16 directly would degenerate to
+    * a shift-invariant byte-sum. The ENGINE computes the same values
+    * with the O(1)-per-byte Rabin-style rolling update
+    * h ← ((h − B[i−8]·257⁷) · 257 + B[i]) mod 1000003 in one compiled
+    * pass per row (this expression); the interpreted per-offset
+    * `transform`/`filter` formulation it replaces measured ~6× the
+    * per-chunk fixed-offset cost at sf0.1. Chunk fingerprint = md5 hex
+    * of the chunk's lowercase-hex encoding, matching the oracle's
+    * `md5(substr(hx, st*2+1, (en−st)*2))`. Blobs shorter than the
+    * 8-byte window yield an empty array (callers filter them, keeping
+    * the declared-query contract). */
+  case class ContentChunks(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"content_chunks requires a binary input, got ${other.catalogString}")
+    }
+
+    private val M = 1000003L   // prime modulus (non-16-aligned residue)
+    private val C0 = 709659L   // 257^7 mod M — the drop-out coefficient
+    private val Win = 8
+    private val HexChars = "0123456789abcdef".toCharArray
+
+    def compute(bin: Array[Byte]): ArrayData = {
+      val nb = bin.length
+      if (nb < Win) return new GenericArrayData(Array.empty[Any])
+      val hx = new Array[Char](nb * 2)
+      var t = 0
+      while (t < nb) {
+        val b = bin(t) & 0xFF
+        hx(2 * t) = HexChars(b >> 4); hx(2 * t + 1) = HexChars(b & 0xF)
+        t += 1
+      }
+      // h = hash of the window ending at byte i-1, initialized for i=8
+      var h = 0L
+      var j = 0
+      while (j < Win) { h = (h * 257L + (bin(j) & 0xFF)) % M; j += 1 }
+      val bounds = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var i = Win
+      while (i <= nb) {
+        if (h % 16L == 0L) bounds += i
+        if (i < nb) {
+          val drop = ((bin(i - Win) & 0xFF) * C0) % M
+          h = ((h - drop + M) * 257L + (bin(i) & 0xFF)) % M
+        }
+        i += 1
+      }
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var st = 0
+      var k = 0
+      while (k <= bounds.length) {
+        val en = if (k < bounds.length) bounds(k) else nb
+        if (en > st) {
+          md.reset()
+          val digest = md.digest(new String(hx, st * 2, (en - st) * 2)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val fp = new Array[Char](32)
+          var d = 0
+          while (d < 16) {
+            fp(2 * d) = HexChars((digest(d) >> 4) & 0xF)
+            fp(2 * d + 1) = HexChars(digest(d) & 0xF)
+            d += 1
+          }
+          out += org.apache.spark.unsafe.types.UTF8String.fromString(new String(fp))
+        }
+        st = en
+        k += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+
+    override def nullSafeEval(v: Any): Any =
+      compute(v.asInstanceOf[Array[Byte]])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("chunker", this, classOf[ContentChunks].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   def dotLongs(a: Column, b: Column): Column =
     ColumnBridge.column(LongArrayDot(ColumnBridge.expression(a),
       ColumnBridge.expression(b)))
+
+  def contentChunks(c: Column): Column =
+    ColumnBridge.column(ContentChunks(ColumnBridge.expression(c)))
 
   def universalMinhash(c: Column, k: Int, p: Long): Column =
     ColumnBridge.column(UniversalMinHash(ColumnBridge.expression(c), k, p))

@@ -173,32 +173,55 @@ object Multimodal {
 
   /** Content-defined chunking (CDC) dedup — the production upgrade the
     * [[mediaChunkDedup]] scaladoc promises: chunk boundaries are placed
-    * where a rolling content hash hits a pattern (here: md5 of the
-    * 8-byte window ending at offset i starts with hex '0' → boundary
-    * probability 1/16, mean chunk ≈ 16 bytes), so INSERTING or deleting
-    * bytes only perturbs chunks near the edit — every boundary
-    * downstream re-synchronizes and the shared tail deduplicates, where
-    * fixed-offset slicing shifts every subsequent chunk and shares
-    * nothing (MultimodalSpec proves exactly this contrast). This is the
-    * rsync/LBFS/backup-dedup shape (Muthitacharoen et al., SOSP'01).
+    * where a rolling content hash of the trailing 8-byte window hits a
+    * pattern (boundary probability 1/16, mean chunk ≈ 16 bytes), so
+    * INSERTING or deleting bytes only perturbs chunks near the edit —
+    * every boundary downstream re-synchronizes and the shared tail
+    * deduplicates, where fixed-offset slicing shifts every subsequent
+    * chunk and shares nothing (MultimodalSpec proves exactly this
+    * contrast). This is the rsync/LBFS/backup-dedup shape
+    * (Muthitacharoen et al., SOSP'01).
     *
-    * Scale: boundary detection and chunk fingerprinting are ONE per-row
-    * projection over array expressions — bytes never shuffle, only
-    * (chunk_md5, doc_id) pairs enter the aggregate. The md5-per-offset
-    * window hash is the engine-portable stand-in (it gives the oracle
-    * bit-identical boundaries); at 100 TB swap in a Rabin/Gear rolling
-    * hash (O(1) per byte, same plan shape) plus a min/max chunk-size
-    * clamp against pathological boundary densities. */
-  private[graft] def cdcChunksOf(media: DataFrame): DataFrame = {
+    * Scale: ONE compiled pass per row
+    * ([[graft.functions.VectorExpressions.ContentChunks]] — the
+    * Rabin-style O(1)-per-byte rolling polynomial hash; boundary rule
+    * and the window-local per-offset formulation DuckDB replays are in
+    * its scaladoc) — bytes never shuffle, only (chunk_md5, doc_id)
+    * pairs enter the aggregate. r12 swapped this in for the
+    * md5-per-offset stand-in, which measured ~6× the fixed-offset
+    * chunker's cost at sf0.1; [[cdcChunksDeclarative]] keeps the
+    * expression-tree formulation as the in-engine equivalence witness
+    * (it mirrors the oracle SQL 1:1). At 100 TB add a min/max
+    * chunk-size clamp against pathological boundary densities. */
+  private[graft] def cdcChunksOf(media: DataFrame): DataFrame =
+    media
+      .select(col("doc_id"), col("media"))
+      .filter(octet_length(col("media")) >= 8)
+      .select(col("doc_id"),
+        explode(graft.functions.VectorExpressions.contentChunks(col("media")))
+          .as("chunk_md5"))
+
+  /** The declarative per-offset twin of [[cdcChunksOf]]: the same
+    * polynomial window-hash boundary rule spelled as array expressions
+    * (a materialized byte array + an 8-term sum per offset — the shape
+    * the DuckDB oracle replays). MultimodalSpec pins bit-for-bit
+    * equality with the compiled rolling-hash expression; not used by
+    * any declared query. */
+  private[graft] def cdcChunksDeclarative(media: DataFrame): DataFrame = {
     val win = 8
+    // 257^(7-j) mod 1000003 for j = 0..7
+    val cs = Seq(709659L, 107820L, 529604L, 457315L, 974545L, 66049L, 257L, 1L)
+    val sumExpr = cs.zipWithIndex
+      .map { case (c, j) => s"element_at(B, i - ${7 - j}) * ${c}L" }
+      .mkString(" + ")
     media
       .select(col("doc_id"), lower(hex(col("media"))).as("hx"))
       .withColumn("nb", (length(col("hx")) / 2).cast("int"))
       .filter(col("nb") >= win)
+      .withColumn("B", expr(
+        "transform(sequence(0, nb - 1), t -> CAST(conv(substring(hx, t * 2 + 1, 2), 16, 10) AS BIGINT))"))
       .withColumn("bounds", expr(
-        s"""filter(sequence($win, nb),
-           |       i -> substring(md5(substring(hx, (i - $win) * 2 + 1, ${win * 2})),
-           |                      1, 1) = '0')""".stripMargin))
+        s"filter(sequence($win, nb), i -> (($sumExpr) % 1000003L) % 16 = 0)"))
       .withColumn("starts", expr("concat(array(0), bounds)"))
       .withColumn("ends", expr("concat(bounds, array(nb))"))
       .select(col("doc_id"), explode(expr(
@@ -269,13 +292,14 @@ object Multimodal {
     *    content-defined chunks RE-SYNCHRONIZE after an edit (the
     *    rsync/LBFS property MultimodalSpec proves), so near-dups share
     *    most features. Measured on the fixture: true near-dup pairs
-    *    land at hamming 5–28 with the non-dup background starting at
-    *    ~40 — a clean valley; the banded radius 12 keeps the tight half
-    *    (exact-recall at ≤ 12 by pigeonhole, so the brute-force oracle
-    *    and the banded join agree bit-for-bit).
+    *    land at hamming ≤ ~36 with the non-dup background starting at
+    *    ~40 — a clean valley; the banded radius 12 keeps the tight
+    *    majority (exact-recall at ≤ 12 by pigeonhole, so the
+    *    brute-force oracle and the banded join agree bit-for-bit).
     *
-    * Scale: chunking + fingerprinting stay one map-side projection
-    * (bytes never shuffle, only (doc_id, chunk_md5) enters the vote
+    * Scale: chunking + fingerprinting are ONE compiled rolling-hash
+    * pass per row ([[graft.functions.VectorExpressions.ContentChunks]];
+    * bytes never shuffle, only (doc_id, chunk_md5) enters the vote
     * aggregate), then `Dedup`'s shared 128-bit vote/band/verify
     * machinery — media near-dup rides the text stack's plumbing with
     * only the feature extractor swapped. */
@@ -345,9 +369,12 @@ object Multimodal {
       |  FROM m0)""".stripMargin
 
   /** Shared CDC feature CTE chain ending in `f AS (doc_id, m)` — same
-    * window hash, boundary rule, and chunk fingerprints as
-    * [[cdcChunksOf]]; list comprehensions mirror the array expressions
-    * 1:1. Consumed by the cdc-chunk aggregate oracle AND (via
+    * boundary rule and chunk fingerprints as [[cdcChunksOf]]'s compiled
+    * rolling hash, replayed per-offset: the byte list B (1-based in
+    * DuckDB), the degree-7 polynomial window sum with the 257^(7−j)
+    * mod 1000003 coefficients, % 16 = 0 ⇒ boundary (see
+    * `VectorExpressions.ContentChunks` for why the prime modulus is
+    * load-bearing). Consumed by the cdc-chunk aggregate oracle AND (via
     * [[Dedup.simhash128OracleFor]]) the 128-bit perceptual-hash oracle,
     * so the two queries provably fingerprint the same chunks. CTE names
     * are cdc-prefixed to avoid colliding with the simhash oracle's
@@ -357,12 +384,19 @@ object Multimodal {
       |  SELECT doc_id, lower(hex(text)) AS hx,
       |         CAST(len(lower(hex(text))) // 2 AS INT) AS nb
       |  FROM documents),
+      |cdcby AS (
+      |  SELECT doc_id, hx, nb,
+      |    [CAST(('0x' || substr(hx, t * 2 + 1, 2)) AS BIGINT)
+      |     FOR t IN range(nb)] AS B
+      |  FROM cdcm WHERE nb >= 8),
       |cdcb AS (
       |  SELECT doc_id, hx, nb,
       |    [i FOR i IN range(8, nb + 1)
-      |     IF substr(md5(substr(hx, (i - 8) * 2 + 1, 16)), 1, 1) = '0']
+      |     IF ((B[i - 7] * 709659 + B[i - 6] * 107820 + B[i - 5] * 529604 +
+      |          B[i - 4] * 457315 + B[i - 3] * 974545 + B[i - 2] * 66049 +
+      |          B[i - 1] * 257 + B[i]) % 1000003) % 16 = 0]
       |      AS bounds
-      |  FROM cdcm WHERE nb >= 8),
+      |  FROM cdcby),
       |cdcsp AS (
       |  SELECT doc_id, hx,
       |    list_prepend(0, bounds) AS starts,

@@ -906,21 +906,28 @@ object RelationalExt {
     * reaches half the group's total (what "median unit price" actually
     * means when line items carry different volumes). Exact-integer
     * formulation: value histogram keyed (flag, cents) with summed
-    * long weights, per-flag cumulative window over the histogram (its
-    * width = distinct prices per flag, far smaller than rows), then
+    * long weights, per-flag cumulative window over the histogram, then
     * min v with 2·cum ≥ total. No ntile, no sort of the raw relation —
     * the only data-sized work is the map-side-combinable histogram
-    * aggregate. */
+    * aggregate. The group total is an UNBOUNDED window over the SAME
+    * per-flag partitioning as the cumulative (one shuffle serves both),
+    * not a separate aggregate + broadcast join — the aggregate
+    * formulation re-executed the whole lineitem histogram subtree for
+    * the totals (a DataFrame referenced twice re-runs its subtree;
+    * measured 3.3 → 2.7 s in the full sf0.1 bench, 2.0 s isolated).
+    * Note the histogram-width claim is
+    * data-dependent: near-unique prices (this fixture) make the
+    * histogram row-sized, so the single-shuffle shape is what keeps the
+    * query one lineitem pass rather than two. */
   def aggWeightedMedianLineitem(s: SparkSession, dir: String): DataFrame = {
     val h = lineitem(s, dir)
       .select(col("l_returnflag"), cents(col("l_extendedprice")).as("v"),
         col("l_quantity").cast("long").as("wt"))
       .groupBy(col("l_returnflag"), col("v"))
       .agg(sum(col("wt")).as("w"))
-    val tot = h.groupBy(col("l_returnflag")).agg(sum(col("w")).as("total_weight"))
-    h.withColumn("cw", sum(col("w")).over(
-        Window.partitionBy(col("l_returnflag")).orderBy(col("v"))))
-      .join(broadcast(tot), Seq("l_returnflag"))
+    val byFlag = Window.partitionBy(col("l_returnflag"))
+    h.withColumn("cw", sum(col("w")).over(byFlag.orderBy(col("v"))))
+      .withColumn("total_weight", sum(col("w")).over(byFlag))
       .filter(col("cw") * 2 >= col("total_weight"))
       .groupBy(col("l_returnflag"), col("total_weight"))
       .agg(min(col("v")).as("weighted_median_cents"))

@@ -83,6 +83,25 @@ class MultimodalSpec extends AnyFunSuite {
       "no non-identical near-dup pair inside hamming 12")
   }
 
+  test("CDC compiled rolling hash ≡ declarative per-offset window sum (fixture + full byte range)") {
+    def chunks(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    // fixture media (ASCII-range bytes)
+    val media = Multimodal.mediaTable(spark, dir)
+    val got = chunks(Multimodal.cdcChunksOf(media))
+    val want = chunks(Multimodal.cdcChunksDeclarative(media))
+    assert(got === want)
+    assert(got.nonEmpty)
+    // adversarial binaries covering the full unsigned byte range
+    // (fixture text never exercises bytes > 0x7f; the rolling update's
+    // sign handling must)
+    val bin = spark.range(50).selectExpr("id AS doc_id",
+      "concat(unhex(md5(string(id))), unhex(md5(string(id + 1)))," +
+        " unhex(md5(string(id * 7)))) AS media")
+    assert(chunks(Multimodal.cdcChunksOf(bin)) ===
+      chunks(Multimodal.cdcChunksDeclarative(bin)))
+  }
+
   test("CDC chunking re-synchronizes after a front insertion; fixed-offset does not") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
