@@ -708,12 +708,117 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** Per-document SimHash signature in ONE compiled pass over a
+    * feature array — fuses the (optional) md5, the 32-bit word
+    * extraction, the ±1 bit votes, and the majority sign into a
+    * map-side expression. A SimHash signature is a pure per-row
+    * function of the document's feature multiset, so the explode →
+    * shuffle → 64/128-column vote aggregate it replaces was paying a
+    * corpus-wide shuffle for per-row work (measured: `dedup_simhash128`
+    * 3.2 → ~1 s at sf0.1; the banded pair join becomes the plan's ONLY
+    * shuffle). `wordOrder(j)` names which 32-bit md5 word supplies vote
+    * bits 32j..32j+31, preserving each width's historical layout
+    * (64-bit: Seq(1, 0) — low signature word votes from hex chars
+    * 9–16; 128-bit: Seq(0, 1, 2, 3)). Output: array<long> of 64-bit
+    * signature words, little-endian (element 1 = bits 0..63, element
+    * 2 = bits 64..127). `hashInput=true` md5-hashes each element first
+    * (compiled MessageDigest — the text bigram path); `false` parses
+    * elements AS md5 hex (the media path, whose chunk fingerprints are
+    * md5 strings already). Bit-for-bit equal to the aggregate
+    * formulations — DedupSpec pins both widths against them. */
+  case class SimhashVotes(child: Expression, wordOrder: Seq[Int],
+      hashInput: Boolean) extends UnaryExpression {
+    require(wordOrder.nonEmpty && wordOrder.forall(w => w >= 0 && w < 4))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"simhash_votes requires array<string> input, got ${other.catalogString}")
+    }
+
+    private def hexNibble(c: Char): Int =
+      if (c >= '0' && c <= '9') c - '0' else c - 'a' + 10
+
+    def compute(arr: ArrayData): ArrayData = {
+      val nWords32 = wordOrder.length
+      val nBits = 32 * nWords32
+      val counts = new Array[Int](nBits)
+      val md =
+        if (hashInput) java.security.MessageDigest.getInstance("MD5") else null
+      val n = arr.numElements()
+      var i = 0
+      while (i < n) {
+        val s = arr.getUTF8String(i)
+        // 16 digest bytes per element: md5 of the element's utf8 bytes
+        // (hashInput) or the element parsed as a 32-char md5 hex string
+        val bytes: Array[Byte] =
+          if (hashInput) { md.reset(); md.digest(s.getBytes) }
+          else {
+            val str = s.toString
+            val out = new Array[Byte](16)
+            var t = 0
+            while (t < 16) {
+              out(t) = ((hexNibble(str.charAt(2 * t)) << 4) |
+                hexNibble(str.charAt(2 * t + 1))).toByte
+              t += 1
+            }
+            out
+          }
+        var j = 0
+        while (j < nWords32) {
+          val w = wordOrder(j)
+          val h = ((bytes(4 * w) & 0xFFL) << 24) |
+            ((bytes(4 * w + 1) & 0xFFL) << 16) |
+            ((bytes(4 * w + 2) & 0xFFL) << 8) |
+            (bytes(4 * w + 3) & 0xFFL)
+          var b = 0
+          while (b < 32) {
+            counts(32 * j + b) += (if (((h >> b) & 1L) == 1L) 1 else -1)
+            b += 1
+          }
+          j += 1
+        }
+        i += 1
+      }
+      val nOut = (nBits + 63) / 64
+      val out = new Array[Any](nOut)
+      var wd = 0
+      while (wd < nOut) {
+        var sig = 0L
+        var b = 0
+        while (b < 64 && 64 * wd + b < nBits) {
+          if (counts(64 * wd + b) > 0) sig |= (1L << b)
+          b += 1
+        }
+        out(wd) = sig
+        wd += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override def nullSafeEval(v: Any): Any =
+      compute(v.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("voter", this, classOf[SimhashVotes].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   def dotLongs(a: Column, b: Column): Column =
     ColumnBridge.column(LongArrayDot(ColumnBridge.expression(a),
       ColumnBridge.expression(b)))
 
   def contentChunks(c: Column): Column =
     ColumnBridge.column(ContentChunks(ColumnBridge.expression(c)))
+
+  def simhashVotes(c: Column, wordOrder: Seq[Int], hashInput: Boolean): Column =
+    ColumnBridge.column(SimhashVotes(ColumnBridge.expression(c),
+      wordOrder, hashInput))
 
   def universalMinhash(c: Column, k: Int, p: Long): Column =
     ColumnBridge.column(UniversalMinHash(ColumnBridge.expression(c), k, p))

@@ -315,19 +315,31 @@ object Dedup {
     * built (sequence(0, -1) descends and slice() throws), mirroring the
     * oracle's len(words) >= 2 guard. */
   def simhashSignatures(df: DataFrame): DataFrame =
-    simhashFromFeatures(df
+    simhashFromFeatureArray(df
       .filter(size(split(col("text"), " ")) >= 2)
-      .select(col("doc_id"),
-        explode(graft.functions.VectorExpressions
-          .wordShingles(col("text"), 2, distinct = false)).as("bg"))
-      .select(col("doc_id"), md5(col("bg")).as("m")))
+      .select(col("doc_id"), graft.functions.VectorExpressions
+        .wordShingles(col("text"), 2, distinct = false).as("feats")),
+      hashInput = true)
+
+  /** 64-bit signatures from a per-doc FEATURE ARRAY — one compiled
+    * map-side pass ([[graft.functions.VectorExpressions.SimhashVotes]],
+    * word order Seq(1, 0) preserving this width's historical layout):
+    * a signature is a per-row function of the feature multiset, so no
+    * explode, no shuffle, no vote aggregate — the banded pair join is
+    * the plan's only shuffle. `hashInput=false` for features that are
+    * md5 fingerprints already. */
+  private[graft] def simhashFromFeatureArray(df: DataFrame,
+      hashInput: Boolean): DataFrame =
+    df.select(col("doc_id"),
+      element_at(graft.functions.VectorExpressions.simhashVotes(
+        col("feats"), Seq(1, 0), hashInput), 1).as("simhash"))
 
   /** Signed-vote 64-bit SimHash from ANY md5-hex feature relation
-    * (doc_id, m) — the feature extractor is the only thing that varies
-    * between the text variant (word bigrams, [[simhashSignatures]]) and
-    * the media variant (blob chunk fingerprints — the perceptual-hash
-    * shape, `Multimodal.mediaPhashDedup`). One aggregate collapses the
-    * feature stream to 64 vote sums per doc; map-side combinable. */
+    * (doc_id, m) — the original explode + vote-aggregate formulation,
+    * kept as the EQUIVALENCE TWIN of [[simhashFromFeatureArray]] (it
+    * mirrors the brute-force oracle 1:1; DedupSpec pins the fused
+    * expression bit-for-bit against it). The declared queries serve
+    * from the fused map-side path. */
   private[graft] def simhashFromFeatures(feats: DataFrame): DataFrame = {
     val tok = feats
       .select(col("doc_id"),
@@ -358,7 +370,10 @@ object Dedup {
     * on the fixture). Hamming ≤ 12 over 128 bits is a TIGHTER
     * similarity scale than over 64, so this is a separately DECLARED
     * parameterization ([[dedupSimhash128]], its own brute-force
-    * oracle), not a drop-in for the 64-bit one. */
+    * oracle), not a drop-in for the 64-bit one. Like its 64-bit
+    * sibling, this explode + vote-aggregate formulation is kept as the
+    * EQUIVALENCE TWIN of [[simhash128FromFeatureArray]] (the fused
+    * compiled path the declared queries serve from). */
   private[graft] def simhash128FromFeatures(feats: DataFrame): DataFrame = {
     val tok = feats.select(col("doc_id") +:
       (0 until 4).map(wd => conv(substring(col("m"), wd * 8 + 1, 8), 16, 10)
@@ -442,16 +457,26 @@ object Dedup {
     simhashBandedPairs(simhashSignatures(documents(s, dir))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
-  /** 128-bit signatures over the same word-bigram md5 features as
+  /** 128-bit signatures over the same word-bigram features as
     * [[simhashSignatures]] (same < 2-word exclusion); only the vote
     * width differs — all four 32-bit md5 words vote instead of two. */
   def simhash128Signatures(df: DataFrame): DataFrame =
-    simhash128FromFeatures(df
+    simhash128FromFeatureArray(df
       .filter(size(split(col("text"), " ")) >= 2)
+      .select(col("doc_id"), graft.functions.VectorExpressions
+        .wordShingles(col("text"), 2, distinct = false).as("feats")),
+      hashInput = true)
+
+  /** 128-bit sibling of [[simhashFromFeatureArray]]: all four md5 words
+    * vote, one compiled map-side pass, (sig_hi, sig_lo) out. */
+  private[graft] def simhash128FromFeatureArray(df: DataFrame,
+      hashInput: Boolean): DataFrame =
+    df.select(col("doc_id"),
+      graft.functions.VectorExpressions.simhashVotes(
+        col("feats"), Seq(0, 1, 2, 3), hashInput).as("sv"))
       .select(col("doc_id"),
-        explode(graft.functions.VectorExpressions
-          .wordShingles(col("text"), 2, distinct = false)).as("bg"))
-      .select(col("doc_id"), md5(col("bg")).as("m")))
+        element_at(col("sv"), 2).as("sig_hi"),
+        element_at(col("sv"), 1).as("sig_lo"))
 
   /** The production parameterization of the banded-hamming join — the
     * tree's one measured quadratic (BASELINE.md 10x probe): 128-bit

@@ -263,19 +263,23 @@ object Multimodal {
     * production sibling (128-bit signature over edit-resilient CDC
     * chunk features). */
   def mediaPhashDedup(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashBandedPairs(Dedup.simhashFromFeatures(phashFeatures(s, dir))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    Dedup.simhashBandedPairs(
+      Dedup.simhashFromFeatureArray(phashFeatureArrays(s, dir),
+        hashInput = true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
-  /** Chunk-fingerprint feature stream shared by the 64- and 128-bit
-    * perceptual-hash variants (same slicing as [[mediaChunkDedup]]). */
-  private def phashFeatures(s: SparkSession, dir: String): DataFrame =
+  /** Per-doc chunk-feature ARRAYS for the 64-bit perceptual hash (same
+    * fixed 256-byte slicing as [[mediaChunkDedup]]): raw hex slices per
+    * row, md5'd inside the fused vote expression — no explode, no
+    * shuffle before the banded join. */
+  private def phashFeatureArrays(s: SparkSession, dir: String): DataFrame =
     mediaTable(s, dir)
       .select(col("doc_id"), lower(hex(col("media"))).as("hx"))
       .filter(length(col("hx")) > 0)
-      .select(col("doc_id"), explode(expr(
+      .select(col("doc_id"), expr(
         """transform(sequence(0, CAST((length(hx) + 511) div 512 - 1 AS INT)),
-          |          i -> md5(substring(hx, i * 512 + 1, 512)))""".stripMargin))
-        .as("m"))
+          |          i -> substring(hx, i * 512 + 1, 512))""".stripMargin)
+        .as("feats"))
 
   /** 128-bit perceptual near-dup over CONTENT-DEFINED chunk features —
     * the production parameterization of media near-dup, declared with
@@ -305,9 +309,13 @@ object Multimodal {
     * only the feature extractor swapped. */
   def mediaPhashDedup128(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash128BandedPairs(
-      Dedup.simhash128FromFeatures(
-        cdcChunksOf(mediaTable(s, dir))
-          .select(col("doc_id"), col("chunk_md5").as("m")))
+      Dedup.simhash128FromFeatureArray(
+        mediaTable(s, dir)
+          .select(col("doc_id"), col("media"))
+          .filter(octet_length(col("media")) >= 8)
+          .select(col("doc_id"), graft.functions.VectorExpressions
+            .contentChunks(col("media")).as("feats")),
+        hashInput = false) // CDC chunk fingerprints ARE md5 hex already
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Contrastive media-text pair assembly (the CLIP-style training-set

@@ -64,6 +64,41 @@ class DedupSpec extends AnyFunSuite {
     assert(sigs.map(_.getLong(0)).toSet === Set(2L, 3L))
   }
 
+  test("fused SimhashVotes expression ≡ the explode+vote-aggregate twins (64/128-bit, both input modes)") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, dir)
+    val feats = docs.filter(size(split(col("text"), " ")) >= 2)
+      .select(col("doc_id"), explode(graft.functions.VectorExpressions
+        .wordShingles(col("text"), 2, distinct = false)).as("bg"))
+      .select(col("doc_id"), md5(col("bg")).as("m"))
+    // hashInput = true (text bigrams, md5 computed inside the expression)
+    val agg64 = Dedup.simhashFromFeatures(feats).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fused64 = Dedup.simhashSignatures(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fused64 === agg64)
+    assert(fused64.nonEmpty)
+    val agg128 = Dedup.simhash128FromFeatures(feats).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val fused128 = Dedup.simhash128Signatures(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(fused128 === agg128)
+    // hashInput = false (media path: CDC chunk fingerprints ARE md5 hex)
+    val media = ops.Multimodal.mediaTable(spark, dir)
+    val aggMedia = Dedup.simhash128FromFeatures(
+      ops.Multimodal.cdcChunksOf(media)
+        .select(col("doc_id"), col("chunk_md5").as("m"))).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val fusedMedia = Dedup.simhash128FromFeatureArray(
+      media.select(col("doc_id"), col("media"))
+        .filter(octet_length(col("media")) >= 8)
+        .select(col("doc_id"), graft.functions.VectorExpressions
+          .contentChunks(col("media")).as("feats")),
+      hashInput = false).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(fusedMedia === aggMedia)
+  }
+
   test("128-bit simhash knob: recall floor holds and bucket occupancy collapses vs 64-bit") {
     import org.apache.spark.sql.functions._
     // same bigram md5 features both ways
