@@ -532,6 +532,25 @@ class PlanSpec extends AnyFunSuite {
       countNodes(p, "CartesianProduct") === 0, s"plan:\n$p")
   }
 
+  test("fused simhash signatures and CDC chunks are literally map-only (zero exchanges/aggregates)") {
+    // the r12 fusion claim, pinned: a signature / a chunk list is a
+    // per-row function, so the relations feeding the banded joins must
+    // show NO Exchange and NO aggregate — one scan, projections only
+    val sigs = plan(ops.Dedup.simhash128Signatures(Tables.documents(spark, dir)))
+    assert(countNodes(sigs, "Exchange") === 0, s"plan:\n$sigs")
+    assert(countNodes(sigs, "HashAggregate") +
+      countNodes(sigs, "SortAggregate") +
+      countNodes(sigs, "ObjectHashAggregate") === 0, s"plan:\n$sigs")
+    assert(countNodes(sigs, "Scan parquet") === 1, s"plan:\n$sigs")
+    val chunks = plan(ops.Multimodal.cdcChunksOf(
+      ops.Multimodal.mediaTable(spark, dir)))
+    assert(countNodes(chunks, "Exchange") === 0, s"plan:\n$chunks")
+    assert(countNodes(chunks, "HashAggregate") +
+      countNodes(chunks, "SortAggregate") +
+      countNodes(chunks, "ObjectHashAggregate") === 0, s"plan:\n$chunks")
+    assert(countNodes(chunks, "Scan parquet") === 1, s"plan:\n$chunks")
+  }
+
   test("Gopher rules: both gram widths share ONE fused gram aggregate (cached)") {
     val p = plan(ops.TextAnalysis.textGopherRules(spark, dir))
     // top2 and dup5 must read the persisted (doc,width,gram) counts, not
