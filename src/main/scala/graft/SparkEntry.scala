@@ -33,6 +33,7 @@ object SparkEntry {
       ops.Tpch.queries ++
       ops.Layout.queries ++
       ops.Mining.queries ++
+      ops.Calibrate.queries ++
       sources.SourceQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -55,5 +56,6 @@ object SparkEntry {
       ops.Tpch.oracleSql ++
       ops.Layout.oracleSql ++
       ops.Mining.oracleSql ++
+      ops.Calibrate.oracleSql ++
       sources.SourceQueries.oracleSql
 }

@@ -88,7 +88,38 @@ object StressScale {
         ops.Dedup.spansFromDocs(Tables.documents(s, d), k = 50))) :+
     ("text_winnow_fps_k10_w20" ->
       ((s: org.apache.spark.sql.SparkSession, d: String) =>
-        ops.TextAnalysis.winnowFromDocs(Tables.documents(s, d), k = 10, w = 20)))
+        ops.TextAnalysis.winnowFromDocs(Tables.documents(s, d), k = 10, w = 20))) :+
+    // r13: the AUTO-calibrated SRP-LSH pair query — parameters derived
+    // from the corpus stats pass (Calibrate), so the 10x leg runs at
+    // the wider auto config the 16x12 probe previously hand-pinned.
+    // The probe time INCLUDES the stats pass, like production would.
+    ("text_tfidf_cosine_lsh_auto" ->
+      ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        ops.Calibrate.textTfidfCosineLshAuto(s, d))) :+
+    // r13 second-decade targets (the r12 verdict's probe list): the
+    // production 128-bit text signature and the guard-routed pair query
+    ("dedup_simhash128" -> SparkEntry.queries("dedup_simhash128")) :+
+    ("text_tfidf_pairs_routed" -> SparkEntry.queries("text_tfidf_pairs_routed")) :+
+    // r13: the events family's first scaling probes — user_id is
+    // namespaced per copy so distinct users grow Sx at the same day
+    // span (the null where exact WAU's 7x-user-set shuffle grows and
+    // the HLL partials stay 7 x 4 KB per day: the predicted crossover)
+    ("events_sessionize" -> SparkEntry.queries("events_sessionize")) :+
+    ("events_dau_wau" -> SparkEntry.queries("events_dau_wau")) :+
+    ("events_dau_wau_hll_sketch" ->
+      ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        ops.Events.dauWauHllSketchOnly(s, d))) :+
+    // r13: the span cutter at the CALIBRATED df cap (one stats pass
+    // picks the cap, like production; probe time includes it). Pair it
+    // with SPARK_GRAFT_SCALE_BOILERPLATE=1, which plants a shared
+    // license-header gram across 10% of docs — the hot-partition
+    // workload the dfCap knob exists for; the fixture corpus has no
+    // boilerplate grams (max 10-gram df 3-4), so without the plant the
+    // capped and uncapped walls are indistinguishable by construction.
+    ("dedup_substring_spans_auto_cap" ->
+      ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        ops.Dedup.spansFromDocs(Tables.documents(s, d),
+          dfCap = ops.Calibrate.params(s, d).spanGramCap)))
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -116,15 +147,40 @@ object StressScale {
       (0 until scale).map(k => if (k == 0) df else rekey(df, k))
         .reduce(_ unionByName _)
 
+    // Only build the scaled tables the selected probes read — at 100x
+    // (the second-decade run) the unconditional embeddings/orders/
+    // df-aware rewrites would dominate the wall for a documents-only
+    // probe subset.
+    val names = probes.map(_._1).toSet
+    val needEmb = names.exists(n => n.startsWith("similarity_"))
+    val needOrders = names.contains("profile_columns")
+    val needDfaware = names.exists(_.startsWith("text_tfidf"))
+    val needEvents = names.exists(_.startsWith("events_"))
+
+    // SPARK_GRAFT_SCALE_BOILERPLATE=1: prepend a FIXED 16-token header
+    // to every 10th doc in every copy, NOT namespaced — its internal
+    // 10-grams then have df = n_docs/10 (growing with the corpus), the
+    // exact hot-partition shape the span cutter's dfCap knob targets.
+    val plantBoiler =
+      sys.env.get("SPARK_GRAFT_SCALE_BOILERPLATE").contains("1")
+    val header = (1 to 16).map(i => s"bplic$i").mkString(" ")
+    def withBoilerplate(d: DataFrame): DataFrame =
+      if (!plantBoiler) d
+      else d.withColumn("text",
+          when(pmod(col("doc_id"), lit(10L)) === 0,
+            concat(lit(header), lit(" "), col("text")))
+            .otherwise(col("text")))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+
     val docs = spark.read.parquet(s"$base/documents.parquet")
-    copies(docs) { (d, k) =>
+    withBoilerplate(copies(docs) { (d, k) =>
       d.select(
         (col("doc_id") + lit(k * stride)).as("doc_id"),
         array_join(transform(split(col("text"), " "),
           t => concat(t, lit(s"_$k"))), " ").as("text"),
         col("lang"), col("source"))
         .withColumn("n_chars", length(col("text")).cast("long"))
-    }.write.mode("overwrite").parquet(s"$out/documents.parquet")
+    }).write.mode("overwrite").parquet(s"$out/documents.parquet")
 
     // df-aware variant (scaladoc above): namespace only the base-salient
     // tokens. The salient vocabulary is df ≤ N/10 BY CONSTRUCTION of the
@@ -132,40 +188,62 @@ object StressScale {
     // real scale this rewrite is a broadcast join on exploded tokens);
     // lookup is a sorted-array binary search via array_position on a
     // literal — fine at probe vocabulary sizes.
-    val nDocs = docs.count()
-    val salient = docs
-      .select(explode(array_distinct(split(col("text"), " "))).as("term"))
-      .groupBy("term").count()
-      .filter(col("count") * 10 <= nDocs)
-      .select("term").collect().map(_.getString(0)).sorted
-    val salientCol = lit(salient)
-    copies(docs) { (d, k) =>
-      d.select(
-        (col("doc_id") + lit(k * stride)).as("doc_id"),
-        array_join(transform(split(col("text"), " "),
-          t => when(array_contains(salientCol, t), concat(t, lit(s"_$k")))
-            .otherwise(t)), " ").as("text"),
-        col("lang"), col("source"))
-        .withColumn("n_chars", length(col("text")).cast("long"))
-    }.write.mode("overwrite").parquet(s"${out}_dfaware/documents.parquet")
+    if (needDfaware) {
+      val nDocs = docs.count()
+      val salient = docs
+        .select(explode(array_distinct(split(col("text"), " "))).as("term"))
+        .groupBy("term").count()
+        .filter(col("count") * 10 <= nDocs)
+        .select("term").collect().map(_.getString(0)).sorted
+      val salientCol = lit(salient)
+      copies(docs) { (d, k) =>
+        d.select(
+          (col("doc_id") + lit(k * stride)).as("doc_id"),
+          array_join(transform(split(col("text"), " "),
+            t => when(array_contains(salientCol, t), concat(t, lit(s"_$k")))
+              .otherwise(t)), " ").as("text"),
+          col("lang"), col("source"))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+      }.write.mode("overwrite").parquet(s"${out}_dfaware/documents.parquet")
+    }
 
-    val emb = spark.read.parquet(s"$base/embeddings.parquet")
-    copies(emb) { (d, k) =>
-      d.select((col("vec_id") + lit(k * stride)).as("vec_id"),
-        col("embedding"), col("label"))
-    }.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    if (needEmb) {
+      val emb = spark.read.parquet(s"$base/embeddings.parquet")
+      copies(emb) { (d, k) =>
+        d.select((col("vec_id") + lit(k * stride)).as("vec_id"),
+          col("embedding"), col("label"))
+      }.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    }
 
-    val orders = spark.read.parquet(s"$base/orders.parquet")
-    copies(orders) { (d, k) =>
-      d.withColumn("o_orderkey", col("o_orderkey") + lit(k * stride))
-    }.write.mode("overwrite").parquet(s"$out/orders.parquet")
+    if (needOrders) {
+      val orders = spark.read.parquet(s"$base/orders.parquet")
+      copies(orders) { (d, k) =>
+        d.withColumn("o_orderkey", col("o_orderkey") + lit(k * stride))
+      }.write.mode("overwrite").parquet(s"$out/orders.parquet")
+    }
+
+    if (needEvents) {
+      // user_id namespaced per copy: Sx distinct users over the same
+      // day span (see the events probes' comment in Probes). The ts
+      // column is copied verbatim, so whatever physical type the base
+      // dir carries (TIMESTAMP(NANOS)-as-long under this session's
+      // nanosAsLong, or native micros) round-trips unchanged and
+      // Tables.normalizeTs handles the scaled dir identically.
+      val ev = spark.read.parquet(s"$base/events.parquet")
+      copies(ev) { (d, k) =>
+        d.withColumn("event_id", col("event_id") + lit(k * stride))
+          .withColumn("user_id", col("user_id") + lit(k * stride))
+      }.write.mode("overwrite").parquet(s"$out/events.parquet")
+    }
 
     def fmt(v: Double): String = (math.round(v * 1000) / 1000.0).toString
     // pre-flight the salient-posting-volume guard on each scaled corpus
     // (the production gate before any exact tf-idf pair query): on the
     // full-namespace null the relative df-cap admits the whole
     // vocabulary and the guard FIRES; on the df-aware null it passes
-    for (d <- Seq(out, s"${out}_dfaware")) {
+    val scaledDirs = Seq(out) ++
+      (if (needDfaware) Seq(s"${out}_dfaware") else Nil)
+    for (d <- scaledDirs) {
       val row = ops.TextAnalysis.textSalienceMonitor(spark, d)
         .filter(col("source") === "__all__").head()
       val ok = row.getBoolean(row.fieldIndex("guard_ok"))
@@ -178,10 +256,18 @@ object StressScale {
     // (text_tfidf_pairs_routed): the route its pre-flight takes on each
     // null must agree with the monitor line above — exact on the
     // stationary (df-aware) corpus, LSH on the full-namespace drift null
-    for (d <- Seq(base, out, s"${out}_dfaware")) {
+    for (d <- base +: scaledDirs) {
       val route =
         if (ops.TextAnalysis.tfidfRouteIsExact(spark, d)) "exact" else "lsh"
       println(s"""{"tfidf_route":{"dir":"$d","route":"$route"}}""")
+    }
+    // cost-based calibration at 1x vs Sx (the insights `route=` motion
+    // for the similarity stack): the chosen SRP planes/tables and
+    // simhash width must track the log-n bucket rule across the decade,
+    // while the df caps stay put on the constant-density namespaced null
+    // (per-copy df distribution and the 100*n budget both scale Sx).
+    for (d <- base +: scaledDirs) {
+      println(ops.Calibrate.params(spark, d).logLine(d))
     }
     def time(q: (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame, dir: String): Double = {

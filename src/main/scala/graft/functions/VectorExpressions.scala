@@ -725,7 +725,17 @@ object VectorExpressions {
     * (compiled MessageDigest — the text bigram path); `false` parses
     * elements AS md5 hex (the media path, whose chunk fingerprints are
     * md5 strings already). Bit-for-bit equal to the aggregate
-    * formulations — DedupSpec pins both widths against them. */
+    * formulations — DedupSpec pins both widths against them.
+    *
+    * Hardening (both internal feeders — `WordShingles`, `ContentChunks`
+    * — emit `containsNull = false`, non-hex-free arrays, but the
+    * expression is SQL-registered so arbitrary callers can reach it):
+    * null elements are SKIPPED (a missing feature casts no vote, the
+    * same convention the sibling array expressions use), and with
+    * `hashInput = false` every element must be a 32-char lowercase md5
+    * hex string — anything else fails loudly with the offending value
+    * named, instead of silently mis-voting or throwing a bare
+    * StringIndexOutOfBoundsException. */
   case class SimhashVotes(child: Expression, wordOrder: Seq[Int],
       hashInput: Boolean) extends UnaryExpression {
     require(wordOrder.nonEmpty && wordOrder.forall(w => w >= 0 && w < 4))
@@ -738,8 +748,12 @@ object VectorExpressions {
         s"simhash_votes requires array<string> input, got ${other.catalogString}")
     }
 
-    private def hexNibble(c: Char): Int =
-      if (c >= '0' && c <= '9') c - '0' else c - 'a' + 10
+    private def hexNibble(c: Char, str: String): Int =
+      if (c >= '0' && c <= '9') c - '0'
+      else if (c >= 'a' && c <= 'f') c - 'a' + 10
+      else throw new IllegalArgumentException(
+        s"simhash_votes(hashInput=false): element is not a lowercase md5 " +
+          s"hex string (bad character '$c' in \"$str\")")
 
     def compute(arr: ArrayData): ArrayData = {
       val nWords32 = wordOrder.length
@@ -750,6 +764,8 @@ object VectorExpressions {
       val n = arr.numElements()
       var i = 0
       while (i < n) {
+        if (arr.isNullAt(i)) { i += 1 }
+        else {
         val s = arr.getUTF8String(i)
         // 16 digest bytes per element: md5 of the element's utf8 bytes
         // (hashInput) or the element parsed as a 32-char md5 hex string
@@ -757,11 +773,14 @@ object VectorExpressions {
           if (hashInput) { md.reset(); md.digest(s.getBytes) }
           else {
             val str = s.toString
+            if (str.length != 32) throw new IllegalArgumentException(
+              s"simhash_votes(hashInput=false): element is not a 32-char " +
+                s"md5 hex string (length ${str.length}: \"$str\")")
             val out = new Array[Byte](16)
             var t = 0
             while (t < 16) {
-              out(t) = ((hexNibble(str.charAt(2 * t)) << 4) |
-                hexNibble(str.charAt(2 * t + 1))).toByte
+              out(t) = ((hexNibble(str.charAt(2 * t), str) << 4) |
+                hexNibble(str.charAt(2 * t + 1), str)).toByte
               t += 1
             }
             out
@@ -781,6 +800,7 @@ object VectorExpressions {
           j += 1
         }
         i += 1
+        }
       }
       val nOut = (nBits + 63) / 64
       val out = new Array[Any](nOut)

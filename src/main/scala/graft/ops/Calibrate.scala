@@ -1,0 +1,290 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Cost-based calibration of the similarity-stack knobs — the
+  * `InsightsEngine.costBasedHighCard` motion applied to the LSH/banding
+  * family: ONE corpus stats pass derives every parameter the scaladocs'
+  * corpus-size rules previously left as fixture-pinned constants
+  * (reference behavior: the parameter-sizing guidance in the MinHash/LSH
+  * literature, e.g. Leskovec–Rajaraman–Ullman ch. 3; the repo's own
+  * measured rules in `Dedup.simhashBandedPairs` and
+  * `TextAnalysis.textTfidfCosineLshAt` scaladocs).
+  *
+  * The derivations (all INTEGER arithmetic, so the DuckDB oracle replays
+  * them bit-for-bit — see [[ceilLog2Col]]):
+  *
+  *  - '''SRP planes per table''' (tf-idf LSH): bucket occupancy stays
+  *    flat iff bits grow with the corpus — `planes =
+  *    clamp(4, 24, ceil(log2(ceil(n_docs / 16))))` for a ~16-doc target
+  *    bucket, exactly the `bits ≈ log2(n_docs) − log2(bucket)` rule the
+  *    `textTfidfCosineLshAt` scaladoc documents (the r10 probe's manual
+  *    16×12 re-pin at 500 k docs is what this automates).
+  *  - '''SRP tables''': hold per-pair recall ≥ 0.9 for NEAR-DUP-grade
+  *    pairs (cosine ≥ 0.8, collision prob s = 1 − arccos(0.8)/π per
+  *    plane): `tables = clamp(4, 64, ceil(ln(0.1) / ln(1 − s^planes)))`.
+  *    The float math runs ONCE in Scala ([[srpTablesFor]]) and both the
+  *    Spark plan and the oracle consume the resulting integer lookup as
+  *    CASE literals — no cross-engine float parity risk.
+  *  - '''SimHash signature width''': pigeonhole for hamming ≤ 12 fixes
+  *    13 bands; the knob is bits-per-band (`simhashBandedPairs`
+  *    scaladoc). Needing more than the 64-bit layout's 4 bits/band
+  *    (i.e. `planes > 4`, the same log₂ quantity) routes to the 128-bit
+  *    signature (9 bits/band); needing more than 9 sets
+  *    `simhash_saturated` — md5 is exhausted and the rule says widen the
+  *    feature hash (SHA-based), a flag not a silent clamp.
+  *  - '''df caps''' (hot-shingle cap for the Jaccard posting family,
+  *    occurrence cap for the substring-span window): a posting with
+  *    df = d contributes d² to the candidate join / hot-partition
+  *    volume, so the cap is chosen from a log₂-bucketed df histogram —
+  *    the largest power-of-2 boundary whose CUMULATIVE Σ df² stays
+  *    within `100 · n_docs` (the same ≤ 100-candidates-per-doc budget
+  *    `textSalienceMonitor` enforces), floored at 16 so tiny corpora
+  *    never cap everything. Per-bucket Σ df² is EXACT (summed inside the
+  *    bucket), so the choice is deterministic and oracle-replayable.
+  *
+  * Scale shape: two scans of `documents` (3-shingle distinct sets for
+  * the Jaccard-family df; positional 10-grams for the span family),
+  * each a map-side-combinable `groupBy(key).count` followed by a
+  * ≤ 63-row log₂ histogram; the only window runs on that provably
+  * bounded histogram. The final row is a cross join of broadcast 1-row
+  * aggregates. Exact verification downstream makes the PARAMETERS
+  * output-invariant for the verified pair queries — calibration changes
+  * cost, never declared results.
+  */
+object Calibrate {
+
+  /** Everything one stats pass decides, as a plain value for probe
+    * harnesses and calibrated query variants ([[params]]). */
+  case class SimilarityParams(
+      nDocs: Long, nShingles: Long, nPostings: Long, sumDf2: Long,
+      shingleHotDf: Long, nGrams: Long, sumC2: Long, spanGramCap: Long,
+      srpPlanes: Int, srpTables: Int,
+      simhashBits: Int, simhashBandBits: Int, simhashSaturated: Boolean) {
+    def logLine(dir: String): String =
+      s"""{"calibrate":{"dir":"$dir","n_docs":$nDocs,""" +
+        s""""srp_planes":$srpPlanes,"srp_tables":$srpTables,""" +
+        s""""simhash_bits":$simhashBits,"simhash_band_bits":$simhashBandBits,""" +
+        s""""simhash_saturated":$simhashSaturated,""" +
+        s""""shingle_hot_df":$shingleHotDf,"span_gram_cap":$spanGramCap,""" +
+        s""""sum_df2":$sumDf2,"sum_c2":$sumC2}}"""
+  }
+
+  /** Per-doc candidate budget — the same 100·n_docs bound
+    * `TextAnalysis.textSalienceMonitor` enforces for the exact posting
+    * join; reusing the constant keeps "what the guard tolerates" and
+    * "what the cap admits" the same quantity. */
+  private val CandidatesPerDoc = 100L
+  private val TargetBucketDocs = 16L // MUST stay 2^4 (planesCol shifts by 4)
+  private val MinPlanes = 4
+  private val MaxPlanes = 24
+  private val CapFloor = 16L
+
+  /** SRP table count for a given planes-per-table — recall ≥ 0.9 at
+    * cosine 0.8 (see object scaladoc). Pure, computed once; consumers
+    * embed the resulting integers, never the float math. */
+  private[graft] def srpTablesFor(planes: Int): Int = {
+    val s = 1.0 - math.acos(0.8) / math.Pi
+    val perTable = math.pow(s, planes)
+    val t = math.ceil(math.log(1.0 - 0.9) / math.log(1.0 - perTable)).toInt
+    math.max(4, math.min(64, t))
+  }
+
+  /** Scala mirror of the planes rule, for specs and [[params]]. */
+  private[graft] def srpPlanesFor(nDocs: Long): Int = {
+    val buckets = (nDocs + TargetBucketDocs - 1) / TargetBucketDocs
+    val ceilLog2 =
+      if (buckets <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1)
+    math.min(MaxPlanes, math.max(MinPlanes, ceilLog2))
+  }
+
+  /** ceil(log2(x)) for x ≥ 1 as pure INTEGER column arithmetic that
+    * Spark and DuckDB compute identically: `length(bin(x − 1))` — the
+    * binary-string length is floor(log2) + 1, and evaluating it at
+    * x − 1 turns floor into ceil (x = 1 → bin(0) = "0" → 1, absorbed by
+    * the MinPlanes clamp). No float log2 at power-of-2 boundaries. */
+  private def ceilLog2Col(x: Column): Column = length(bin(x - 1))
+
+  // ceil(n / 16) as shiftright(n + 15, 4): Column./ on longs is DOUBLE
+  // division, and the oracle's `// 16` must be matched exactly-integer.
+  private def planesCol(nDocs: Column): Column =
+    least(lit(MaxPlanes), greatest(lit(MinPlanes),
+      ceilLog2Col(shiftright(nDocs + lit(TargetBucketDocs - 1), 4))))
+
+  /** The planes → tables lookup as CASE literals (shared shape with the
+    * oracle text — both sides consume [[srpTablesFor]]'s integers). */
+  private def tablesCaseCol(planes: Column): Column =
+    (MinPlanes until MaxPlanes).foldLeft(when(lit(false), lit(0))) {
+      case (acc, p) => acc.when(planes === p, lit(srpTablesFor(p)))
+    }.otherwise(lit(srpTablesFor(MaxPlanes)))
+
+  private def tablesCaseSql(planesExpr: String): String =
+    s"CASE $planesExpr " +
+      (MinPlanes until MaxPlanes)
+        .map(p => s"WHEN $p THEN ${srpTablesFor(p)}").mkString(" ") +
+      s" ELSE ${srpTablesFor(MaxPlanes)} END"
+
+  /** Largest power-of-2-boundary cap whose cumulative Σ count² stays in
+    * budget, from a log₂-bucketed histogram of `cntCol` (≥ 2 only —
+    * df = 1 postings generate no pairs). The window is unpartitioned but
+    * the histogram is ≤ 63 rows by construction (log₂ buckets of a
+    * 64-bit count). Empty histogram / nothing-in-budget → the floor. */
+  private def capFrom(counts: DataFrame, cntCol: String,
+      nDocsDf: DataFrame, outName: String): DataFrame = {
+    val hist = counts.filter(col(cntCol) >= 2)
+      .groupBy((length(bin(col(cntCol))) - 1).as("g"))
+      .agg(sum(col(cntCol) * col(cntCol)).as("v"))
+    val w = Window.orderBy(col("g"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.withColumn("cum", sum(col("v")).over(w))
+      .crossJoin(broadcast(nDocsDf))
+      .filter(col("cum") <= lit(CandidatesPerDoc) * col("n_docs"))
+      .agg(max(col("g")).as("gsel"))
+      .select(greatest(lit(CapFloor),
+        coalesce(expr("shiftleft(1L, CAST(gsel + 1 AS INT)) - 1"), lit(0L)))
+        .cast("long").as(outName))
+  }
+
+  /** The declared stats+parameters query — one row, every column the
+    * oracle recomputes with the same integer rules. */
+  def calibrateSimilarity(s: SparkSession, dir: String): DataFrame =
+    calibrateFromDocs(Tables.documents(s, dir))
+
+  private[graft] def calibrateFromDocs(docs: DataFrame): DataFrame = {
+    val nDocsDf = docs.agg(count(lit(1)).cast("long").as("n_docs"))
+
+    // Jaccard-family relation: per-doc DISTINCT 3-shingle sets (the
+    // exact sets dedup_ngram_jaccard banks on), df = containing docs.
+    val df3 = docs
+      .select(graft.functions.VectorExpressions
+        .wordShingles(col("text"), 3, distinct = true).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .select(explode(col("shingles")).as("shingle"))
+      .groupBy(col("shingle")).agg(count(lit(1)).cast("long").as("df"))
+    val st3 = df3.agg(count(lit(1)).cast("long").as("n_shingles"),
+      sum(col("df")).cast("long").as("n_postings"),
+      sum(col("df") * col("df")).cast("long").as("sum_df2"))
+    val cap3 = capFrom(df3, "df", nDocsDf, "shingle_hot_df")
+
+    // Span-family relation: positional 10-gram OCCURRENCE counts (the
+    // quantity that sizes spansFromDocs' per-gram window partition).
+    val k = 10
+    val g10 = docs
+      .select(split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= k)
+      .select(explode(transform(sequence(lit(0), size(col("w")) - k),
+        i => md5(array_join(slice(col("w"), i + 1, lit(k)), " ")))).as("gh"))
+      .groupBy(col("gh")).agg(count(lit(1)).cast("long").as("c"))
+    val st10 = g10.agg(count(lit(1)).cast("long").as("n_grams"),
+      coalesce(sum(col("c") * col("c")), lit(0L)).cast("long").as("sum_c2"))
+    val cap10 = capFrom(g10, "c", nDocsDf, "span_gram_cap")
+
+    val planes = planesCol(col("n_docs"))
+    nDocsDf
+      .crossJoin(broadcast(st3)).crossJoin(broadcast(cap3))
+      .crossJoin(broadcast(st10)).crossJoin(broadcast(cap10))
+      .select(col("n_docs"), col("n_shingles"), col("n_postings"),
+        col("sum_df2"), col("shingle_hot_df"),
+        col("n_grams"), col("sum_c2"), col("span_gram_cap"),
+        planes.cast("long").as("srp_planes"),
+        tablesCaseCol(planes).cast("long").as("srp_tables"),
+        when(planes <= 4, 64L).otherwise(128L).as("simhash_bits"),
+        when(planes <= 4, 4L).otherwise(9L).as("simhash_band_bits"),
+        (planes > 9).as("simhash_saturated"))
+  }
+
+  /** The seam consumers call: one sanctioned 1-row fetch of the stats
+    * row (the same shape as the insights engine's cardinality pass and
+    * the tf-idf guard pre-flight). */
+  def params(s: SparkSession, dir: String): SimilarityParams =
+    paramsFromDocs(calibrateFromDocs(Tables.documents(s, dir)))
+
+  private[graft] def paramsFromDocs(calibrated: DataFrame): SimilarityParams = {
+    val r = calibrated.head()
+    def l(n: String): Long = r.getLong(r.fieldIndex(n))
+    SimilarityParams(l("n_docs"), l("n_shingles"), l("n_postings"),
+      l("sum_df2"), l("shingle_hot_df"), l("n_grams"), l("sum_c2"),
+      l("span_gram_cap"),
+      l("srp_planes").toInt, l("srp_tables").toInt,
+      l("simhash_bits").toInt, l("simhash_band_bits").toInt,
+      r.getBoolean(r.fieldIndex("simhash_saturated")))
+  }
+
+  /** Calibrated consumers — probe-surface variants that run the
+    * existing parameterized seams at the auto-chosen values (declared
+    * queries keep their pinned constants so oracles replay their exact
+    * configs; verification makes the pair RESULTS parameter-invariant
+    * anyway, these exist so StressScale can measure the auto-config). */
+  def textTfidfCosineLshAuto(s: SparkSession, dir: String): DataFrame = {
+    val p = params(s, dir)
+    TextAnalysis.textTfidfCosineLshAt(s, dir, p.srpTables, p.srpPlanes)
+  }
+
+  def dedupSimhashAuto(s: SparkSession, dir: String): DataFrame = {
+    val p = params(s, dir)
+    if (p.simhashBits <= 64) Dedup.dedupSimhash(s, dir)
+    else Dedup.dedupSimhash128(s, dir)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "calibrate_similarity" -> calibrateSimilarity _)
+
+  /** DuckDB replay of the full derivation — integer-only (bin-length
+    * log₂, cumulative histogram window, CASE lookup from the same
+    * [[srpTablesFor]] integers), so the driver hash pins every rule. */
+  val oracleSql: Map[String, String] = Map(
+    "calibrate_similarity" ->
+      s"""WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |sh AS (
+         |  SELECT list_distinct([array_to_string(words[i:i+2], ' ')
+         |                        FOR i IN range(1, len(words) - 1)]) AS shingles
+         |  FROM (SELECT string_split(text, ' ') AS words FROM documents)
+         |  WHERE len(words) >= 3),
+         |df3 AS MATERIALIZED (
+         |  SELECT shingle, CAST(count(*) AS BIGINT) AS df
+         |  FROM (SELECT unnest(shingles) AS shingle FROM sh) GROUP BY shingle),
+         |st3 AS (SELECT CAST(count(*) AS BIGINT) AS n_shingles,
+         |               CAST(sum(df) AS BIGINT) AS n_postings,
+         |               CAST(sum(df * df) AS BIGINT) AS sum_df2 FROM df3),
+         |h3 AS (SELECT length(bin(df)) - 1 AS g, sum(df * df) AS v
+         |       FROM df3 WHERE df >= 2 GROUP BY 1),
+         |c3 AS (SELECT g, sum(v) OVER (ORDER BY g) AS cum FROM h3),
+         |g3 AS (SELECT max(g) AS gsel FROM c3, n
+         |       WHERE cum <= $CandidatesPerDoc * n_docs),
+         |cap3 AS (SELECT CAST(greatest($CapFloor,
+         |    coalesce((CAST(1 AS BIGINT) << (gsel + 1)) - 1, 0)) AS BIGINT)
+         |  AS shingle_hot_df FROM g3),
+         |w10 AS (SELECT string_split(text, ' ') AS words FROM documents
+         |        WHERE len(string_split(text, ' ')) >= 10),
+         |g10 AS MATERIALIZED (
+         |  SELECT gh, CAST(count(*) AS BIGINT) AS c FROM (
+         |    SELECT md5(array_to_string(words[i:i+9], ' ')) AS gh
+         |    FROM (SELECT words, unnest(range(1, len(words) - 8)) AS i FROM w10))
+         |  GROUP BY gh),
+         |st10 AS (SELECT CAST(count(*) AS BIGINT) AS n_grams,
+         |               CAST(coalesce(sum(c * c), 0) AS BIGINT) AS sum_c2 FROM g10),
+         |h10 AS (SELECT length(bin(c)) - 1 AS g, sum(c * c) AS v
+         |        FROM g10 WHERE c >= 2 GROUP BY 1),
+         |c10 AS (SELECT g, sum(v) OVER (ORDER BY g) AS cum FROM h10),
+         |gsel10 AS (SELECT max(g) AS gsel FROM c10, n
+         |           WHERE cum <= $CandidatesPerDoc * n_docs),
+         |cap10 AS (SELECT CAST(greatest($CapFloor,
+         |    coalesce((CAST(1 AS BIGINT) << (gsel + 1)) - 1, 0)) AS BIGINT)
+         |  AS span_gram_cap FROM gsel10),
+         |drv AS (SELECT least($MaxPlanes, greatest($MinPlanes,
+         |    length(bin(CAST((n_docs + ${TargetBucketDocs - 1}) // $TargetBucketDocs
+         |      - 1 AS BIGINT))))) AS planes FROM n)
+         |SELECT n_docs, n_shingles, n_postings, sum_df2, shingle_hot_df,
+         |  n_grams, sum_c2, span_gram_cap,
+         |  CAST(planes AS BIGINT) AS srp_planes,
+         |  CAST(${tablesCaseSql("planes")} AS BIGINT) AS srp_tables,
+         |  CAST(CASE WHEN planes <= 4 THEN 64 ELSE 128 END AS BIGINT)
+         |    AS simhash_bits,
+         |  CAST(CASE WHEN planes <= 4 THEN 4 ELSE 9 END AS BIGINT)
+         |    AS simhash_band_bits,
+         |  planes > 9 AS simhash_saturated
+         |FROM n, st3, cap3, st10, cap10, drv""".stripMargin)
+}

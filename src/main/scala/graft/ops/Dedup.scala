@@ -697,13 +697,22 @@ object Dedup {
     * that single partition is the straggler. With a positive cap, one
     * map-side-combinable occurrence-count aggregate finds the over-cap
     * grams (a tiny boilerplate set — occurrence count is exactly the
-    * quantity that sizes the hot partition), and a broadcast anti-join
-    * drops them BEFORE the window. Cutting spans only from the df ≤ cap
-    * tail stays conservative-correct for removal decisions (the
-    * production trade Lee et al. §4 note: boilerplate handled by a
-    * dedicated filter, not the span cutter). The aggregate side re-scans
-    * the corpus but is column-pruned to gh and map-only — cheaper than
-    * persisting the corpus-sized exploded gram relation. */
+    * quantity that sizes the hot partition), and an anti-join drops
+    * them BEFORE the window. The join strategy is LEFT TO THE PLANNER
+    * deliberately: the "hot set is tiny" assumption holds only when the
+    * cap is set well above the corpus's typical gram df (the intended
+    * regime — boilerplate is by definition rare among distinct grams),
+    * but a small cap on a heavy-tailed corpus can make the over-cap set
+    * arbitrarily large, and an unconditional broadcast hint there would
+    * exhaust the driver. AQE broadcasts it when its measured size
+    * clears `autoBroadcastJoinThreshold` and falls back to a shuffled
+    * join otherwise — exactly the size check the hint couldn't make.
+    * Cutting spans only from the df ≤ cap tail stays
+    * conservative-correct for removal decisions (the production trade
+    * Lee et al. §4 note: boilerplate handled by a dedicated filter, not
+    * the span cutter). The aggregate side re-scans the corpus but is
+    * column-pruned to gh and map-only — cheaper than persisting the
+    * corpus-sized exploded gram relation. */
   private[graft] def spansFromDocs(docs: DataFrame, dfCap: Long = 0L,
       k: Int = SpanK): DataFrame = {
     val toks = docs
@@ -718,7 +727,7 @@ object Dedup {
     val grams = if (dfCap > 0L) {
       val hot = gramsAll.groupBy(col("gh")).agg(count(lit(1)).as("c"))
         .filter(col("c") > dfCap).select(col("gh"))
-      gramsAll.join(broadcast(hot), Seq("gh"), "left_anti")
+      gramsAll.join(hot, Seq("gh"), "left_anti")
     } else gramsAll
     // "seen in >= 2 DISTINCT docs" as a single whole-partition window:
     // min(doc_id) != max(doc_id) over the gram's partition. One shuffle

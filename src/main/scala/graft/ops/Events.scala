@@ -495,6 +495,35 @@ object Events {
       .orderBy(col("day"))
   }
 
+  /** Probe-only sketch leg of [[dauWauHll]] — day, dau, wau_est with NO
+    * exact-WAU verdict companion: what production runs once the ±5 %
+    * tolerance is accepted. The declared query deliberately carries the
+    * exact leg as its embedded oracle, which also means its wall time
+    * can never show the sketch path's advantage; StressScale measures
+    * THIS against [[dauWauStickiness]] to locate the crossover the
+    * [[dauWauHll]] scaladoc predicts (7 × 4 KB sketches shuffled per
+    * day vs 7 × the day's distinct-user set). */
+  private[graft] def dauWauHllSketchOnly(s: SparkSession, dir: String): DataFrame = {
+    val du = events(s, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val daily = du.groupBy(col("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+        count(lit(1)).as("dau"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val days = du.select(col("day")).distinct()
+    val wauSketch = daily
+      .select(explode(expr("sequence(0, 6)")).as("i"), col("day"), col("sk"))
+      .select(expr("date_add(day, i)").as("day"), col("sk"))
+      .join(days, Seq("day"), "left_semi")
+      .groupBy(col("day"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("wau_est"))
+    daily.select(col("day"), col("dau"))
+      .join(wauSketch, Seq("day"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_dau_wau" -> dauWauStickiness _,
     "events_dau_wau_hll" -> dauWauHll _,

@@ -154,16 +154,35 @@ object Multimodal {
     * across the corpus (dedup unit for media storage and transfer). The
     * blob is hexed once and md5'd per 512-hex-char slice — per-row
     * projection + explode; only (chunk_md5, doc_id) pairs shuffle, never
-    * media bytes. At 100 TB, swap fixed-offset slicing for
-    * content-defined chunk boundaries (rolling hash) in the same plan. */
+    * media bytes.
+    *
+    * FIXED-OFFSET slicing is the teaching/fixture config of the CAS
+    * family: a single INSERTED byte shifts every downstream chunk, so an
+    * edited file shares nothing with its original (MultimodalSpec
+    * measures exactly that miss). The DECLARED production sibling is
+    * [[mediaCdcChunks]] — the same [[casDedup]] aggregate over
+    * content-defined boundaries, where edits only perturb chunks at the
+    * edit site — the same retirement motion the 64-bit pHash took
+    * (`mediaPhashDedup` vs [[mediaPhashDedup128]]). */
   def mediaChunkDedup(s: SparkSession, dir: String): DataFrame =
-    mediaTable(s, dir)
+    casDedup(fixedChunksOf(mediaTable(s, dir)))
+
+  /** Fixed 256-byte chunk fingerprints (the teaching config's chunker) —
+    * kept as a seam so the spec can contrast both chunkers through the
+    * SAME dedup aggregate. */
+  private[graft] def fixedChunksOf(media: DataFrame): DataFrame =
+    media
       .select(col("doc_id"), lower(hex(col("media"))).as("hx"))
       .filter(length(col("hx")) > 0) // sequence(0,-1) would descend
       .select(col("doc_id"), explode(expr(
         """transform(sequence(0, CAST((length(hx) + 511) div 512 - 1 AS INT)),
           |          i -> md5(substring(hx, i * 512 + 1, 512)))""".stripMargin))
         .as("chunk_md5"))
+
+  /** The CAS aggregate both chunkers share: chunks seen more than once,
+    * with copy/doc counts — only (chunk_md5, doc_id) pairs shuffle. */
+  private[graft] def casDedup(chunks: DataFrame): DataFrame =
+    chunks
       .groupBy(col("chunk_md5"))
       .agg(count(lit(1)).as("n_copies"),
         countDistinct(col("doc_id")).as("n_docs"),
@@ -232,14 +251,12 @@ object Multimodal {
           |       x -> x IS NOT NULL)""".stripMargin)).as("chunk_md5"))
   }
 
+  /** The PRODUCTION CAS dedup: [[casDedup]] over content-defined chunks
+    * — the declared query an edited-media corpus needs (see
+    * [[mediaChunkDedup]]'s retirement note and MultimodalSpec's
+    * edit-resilience contrast through this exact aggregate). */
   def mediaCdcChunks(s: SparkSession, dir: String): DataFrame =
-    cdcChunksOf(mediaTable(s, dir))
-      .groupBy(col("chunk_md5"))
-      .agg(count(lit(1)).as("n_copies"),
-        countDistinct(col("doc_id")).as("n_docs"),
-        min(col("doc_id")).as("first_doc"))
-      .filter(col("n_copies") > 1)
-      .orderBy(col("chunk_md5"))
+    casDedup(cdcChunksOf(mediaTable(s, dir)))
 
   /** Perceptual-hash near-duplicate detection for media blobs — the
     * image-dedup stage of a multimodal curation pipeline (pHash shape:

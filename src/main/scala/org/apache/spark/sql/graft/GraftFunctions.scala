@@ -3,7 +3,7 @@ package org.apache.spark.sql.graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.VectorExpressions.{HashOrderKeys, LongArrayDot, LongArrayIntersectCount, SignRandomProjection, UniversalMinHash, WordShingles, XxHashModArray}
+import graft.functions.VectorExpressions.{ContentChunks, HashOrderKeys, LongArrayDot, LongArrayIntersectCount, SignRandomProjection, SimhashVotes, UniversalMinHash, WordShingles, XxHashModArray}
 
 /** SQL-surface registration for the graft custom expressions, so
   * `spark.sql("SELECT dot_longs(a, b) ...")` works alongside the Column
@@ -85,7 +85,27 @@ object GraftFunctions {
     ("long_array_intersect_count", { exprs: Seq[Expression] =>
       require(exprs.length == 2, "long_array_intersect_count(arrayA, arrayB)")
       LongArrayIntersectCount(exprs(0), exprs(1))
-    }, "multiset intersection count of two array<bigint>"))
+    }, "multiset intersection count of two array<bigint>"),
+    ("content_chunks", { exprs: Seq[Expression] =>
+      require(exprs.length == 1, "content_chunks(binary)")
+      ContentChunks(exprs(0))
+    }, "CDC chunk md5 fingerprints of a binary blob (rolling-hash boundaries)"),
+    // SQL surface names the signature WIDTH; the width → 32-bit-word
+    // layout mapping (64 → Seq(1, 0), 128 → Seq(0, 1, 2, 3)) is pinned
+    // here so SQL callers get bit-for-bit the Column-API signatures.
+    ("simhash_votes", { exprs: Seq[Expression] =>
+      require(exprs.length == 3, "simhash_votes(features, bits, hashInput)")
+      val order = intLit(exprs(1), "bits") match {
+        case 64 => Seq(1, 0)
+        case 128 => Seq(0, 1, 2, 3)
+        case other => sys.error(s"bits must be 64 or 128, got $other")
+      }
+      val hashInput = exprs(2) match {
+        case Literal(v: Boolean, _) => v
+        case other => sys.error(s"hashInput must be a boolean literal, got $other")
+      }
+      SimhashVotes(exprs(0), order, hashInput)
+    }, "SimHash signature words (array<bigint>) of a feature array"))
 
   /** Register into an existing session's function registry. */
   def registerAll(spark: SparkSession): Unit = {

@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Calibrate
+
+/** The calibration rules must (a) reproduce their documented integer
+  * formulas, (b) track corpus growth the way the scaladoc log-n rules
+  * say (the r12 verdict's "documented rule vs code" gap), and (c) stay
+  * INVARIANT where the theory says they should — a namespaced S× corpus
+  * has the same per-shingle df distribution scaled S×, and the budget
+  * scales S× with it, so the df caps must not move. */
+class CalibrateSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("pure rules: planes formula, tables lookup monotone and clamped") {
+    // planes = clamp(4, 24, ceil(log2(ceil(n/16))))
+    assert(Calibrate.srpPlanesFor(1) === 4)
+    assert(Calibrate.srpPlanesFor(256) === 4) // ceil(256/16)=16 -> 4
+    assert(Calibrate.srpPlanesFor(257) === 5) // ceil -> 17 -> 5
+    assert(Calibrate.srpPlanesFor(500) === 5)
+    assert(Calibrate.srpPlanesFor(5000) === 9)
+    assert(Calibrate.srpPlanesFor(Long.MaxValue / 2) === 24) // clamp
+    // tables: monotone nondecreasing in planes, clamped to [4, 64]
+    val tables = (4 to 24).map(Calibrate.srpTablesFor)
+    assert(tables === tables.sorted)
+    assert(tables.head >= 4 && tables.last <= 64)
+    // more planes -> fewer per-table collisions -> needs MORE tables
+    assert(Calibrate.srpTablesFor(12) > Calibrate.srpTablesFor(4))
+  }
+
+  test("fixture row: one row, rules reproduced, caps floored") {
+    val r = Calibrate.params(spark, dir)
+    assert(r.nDocs === 500)
+    assert(r.srpPlanes === Calibrate.srpPlanesFor(r.nDocs))
+    assert(r.srpTables === Calibrate.srpTablesFor(r.srpPlanes))
+    // 500 docs need 5 bits per band > the 64-bit layout's 4 -> 128
+    assert(r.simhashBits === 128 && r.simhashBandBits === 9)
+    assert(!r.simhashSaturated)
+    assert(r.shingleHotDf >= 16 && r.spanGramCap >= 16)
+    assert(r.nShingles > 0 && r.sumDf2 >= r.nPostings)
+  }
+
+  test("10x namespaced corpus: planes grow with log n, df caps invariant") {
+    val docs = Tables.documents(spark, dir)
+    val scaled = (0 until 10).map { k =>
+      if (k == 0) docs
+      else docs.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+        array_join(transform(split(col("text"), " "),
+          t => concat(t, lit(s"_$k"))), " ").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+    val p1 = Calibrate.paramsFromDocs(Calibrate.calibrateFromDocs(docs))
+    val p10 = Calibrate.paramsFromDocs(Calibrate.calibrateFromDocs(scaled))
+    assert(p10.nDocs === 10 * p1.nDocs)
+    // log2(10) ~ 3.32: the bits-per-bucket rule adds 3 or 4 planes
+    assert(p10.srpPlanes - p1.srpPlanes === 3 || p10.srpPlanes - p1.srpPlanes === 4)
+    assert(p10.srpTables >= p1.srpTables)
+    // namespacing keeps each copy's df distribution: Sigma df^2 scales
+    // exactly 10x, and so does the 100*n budget -> the chosen caps and
+    // the per-shingle histogram shape must NOT move
+    assert(p10.sumDf2 === 10 * p1.sumDf2)
+    assert(p10.sumC2 === 10 * p1.sumC2)
+    assert(p10.shingleHotDf === p1.shingleHotDf)
+    assert(p10.spanGramCap === p1.spanGramCap)
+    // wider corpus keeps the 128-bit choice (never narrows back to 64)
+    assert(p10.simhashBits >= p1.simhashBits)
+  }
+
+  test("calibrated consumers: width routing and LSH output subset of exact") {
+    val p = Calibrate.params(spark, dir)
+    assert(p.simhashBits === 128)
+    // auto-routing serves the 128-bit query's exact result
+    val auto = Calibrate.dedupSimhashAuto(spark, dir).collect().toSeq
+    val direct = ops.Dedup.dedupSimhash128(spark, dir).collect().toSeq
+    assert(auto === direct)
+    // the auto-parameterized SRP-LSH leg verifies candidates exactly, so
+    // its pairs are a subset of the exact posting-join pairs
+    val lsh = Calibrate.textTfidfCosineLshAuto(spark, dir)
+      .select(col("a_id"), col("b_id"))
+    val exact = ops.TextAnalysis.textTfidfCosine(spark, dir)
+      .select(col("a_id"), col("b_id"))
+    assert(lsh.exceptAll(exact).count() === 0)
+  }
+}

@@ -131,4 +131,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(fixedShared === 0L,
       s"fixed-offset unexpectedly aligned: $fixedShared shared chunks")
   }
+
+  test("declared CAS aggregate: edited blob's unchanged content dedups via CDC, not fixed") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the same edit scenario driven through the DECLARED dedup
+    // aggregate (casDedup) both CAS queries serve from — the r12
+    // verdict's migration proof: an edited file's unchanged content
+    // still deduplicates on the production (CDC) path, while the
+    // fixed-offset teaching config reports NOTHING shared
+    val base = (1 to 400).map(i => s"w${i % 37}").mkString(" ")
+    val media = Seq((1L, base), (2L, "INSERTED!! " + base))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+    val cdcShared = Multimodal.casDedup(Multimodal.cdcChunksOf(media))
+      .filter(col("n_docs") === 2)
+    assert(cdcShared.count() > 0, "CDC CAS must report cross-doc chunks")
+    // every shared chunk keeps doc 1 as its canonical first copy
+    assert(cdcShared.filter(col("first_doc") =!= 1L).count() === 0)
+    val fixedSharedRows = Multimodal.casDedup(Multimodal.fixedChunksOf(media))
+      .filter(col("n_docs") === 2).count()
+    assert(fixedSharedRows === 0L)
+  }
 }

@@ -54,8 +54,11 @@ def main():
     added = sorted(set(cur) - set(prior))
     removed = sorted(set(prior) - set(cur))
 
-    ratios = {q: (cur[q] / prior[q] if prior[q] > 0 else float("inf"))
-              for q in carried}
+    # A zero-time prior query has no defined ratio: keep it out of the
+    # ratio stats (a bare Infinity is invalid JSON downstream) and flag
+    # it separately so the comparison stays visibly complete.
+    zero_prior = sorted(q for q in carried if prior[q] <= 0)
+    ratios = {q: cur[q] / prior[q] for q in carried if prior[q] > 0}
     rvals = sorted(ratios.values())
     med = statistics.median(rvals) if rvals else None
     q1 = rvals[len(rvals) // 4] if rvals else None
@@ -70,9 +73,12 @@ def main():
         "prior_total": prior_total, "current_total": cur_total,
         "n_prior": len(prior), "n_current": len(cur),
         "n_carried": len(carried),
-        "carried_ratio_median": round(med, 3) if med else None,
-        "carried_ratio_q1": round(q1, 3) if q1 else None,
-        "carried_ratio_q3": round(q3, 3) if q3 else None,
+        "carried_ratio_median": round(med, 3) if med is not None else None,
+        "carried_ratio_q1": round(q1, 3) if q1 is not None else None,
+        "carried_ratio_q3": round(q3, 3) if q3 is not None else None,
+        "zero_prior": [{"query": q, "current": cur[q],
+                        "note": "prior time 0 — ratio undefined"}
+                       for q in zero_prior],
         "carried_sec_prior": round(sum(prior[q] for q in carried), 1),
         "carried_sec_current": round(sum(cur[q] for q in carried), 1),
         "threshold": args.threshold,
