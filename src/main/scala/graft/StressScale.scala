@@ -119,7 +119,19 @@ object StressScale {
     ("dedup_substring_spans_auto_cap" ->
       ((s: org.apache.spark.sql.SparkSession, d: String) =>
         ops.Dedup.spansFromDocs(Tables.documents(s, d),
-          dfCap = ops.Calibrate.params(s, d).spanGramCap)))
+          dfCap = ops.Calibrate.params(s, d).spanGramCap))) :+
+    // r13: the sha256 rung of the signature-width ladder — the config
+    // the calibrator picks once the md5 ladder saturates (measured at
+    // the 10x probe); its 20-bit bands should hold the slope where
+    // 128-bit's 10-bit bands start to bend candidate-bound
+    ("dedup_simhash256" -> SparkEntry.queries("dedup_simhash256")) :+
+    // the Jaccard posting family at the CALIBRATED hot-shingle cap
+    // (completes the consumption story: all three derived knob families
+    // have a probe consumer; includes the stats pass like production)
+    ("dedup_ngram_jaccard_auto_cap" ->
+      ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        ops.Dedup.dedupNgramJaccardCapped(s, d,
+          hotDf = ops.Calibrate.params(s, d).shingleHotDf, saltBuckets = 8)))
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

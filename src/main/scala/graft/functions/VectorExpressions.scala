@@ -721,11 +721,18 @@ object VectorExpressions {
     * (64-bit: Seq(1, 0) — low signature word votes from hex chars
     * 9–16; 128-bit: Seq(0, 1, 2, 3)). Output: array<long> of 64-bit
     * signature words, little-endian (element 1 = bits 0..63, element
-    * 2 = bits 64..127). `hashInput=true` md5-hashes each element first
-    * (compiled MessageDigest — the text bigram path); `false` parses
-    * elements AS md5 hex (the media path, whose chunk fingerprints are
-    * md5 strings already). Bit-for-bit equal to the aggregate
-    * formulations — DedupSpec pins both widths against them.
+    * 2 = bits 64..127). `hashInput=true` hashes each element first with
+    * `algo` (compiled MessageDigest — the text bigram path); `false`
+    * parses elements AS `algo` hex (the media path, whose chunk
+    * fingerprints are md5 strings already). Bit-for-bit equal to the
+    * aggregate formulations — DedupSpec pins all widths against them.
+    *
+    * `algo` ("md5" | "sha256") sizes the per-element digest: md5's 4
+    * 32-bit words carry signatures up to 128 bits; sha256's 8 words
+    * carry 256 — the widening the banded-join scaladocs call for when
+    * bits-per-band must grow past md5's ceiling (the calibrator's
+    * `simhash_saturated` flag fires exactly there, measured at the 10×
+    * probe: 50 k docs already need 12 bits/band > 128/13).
     *
     * Hardening (both internal feeders — `WordShingles`, `ContentChunks`
     * — emit `containsNull = false`, non-hex-free arrays, but the
@@ -737,8 +744,15 @@ object VectorExpressions {
     * named, instead of silently mis-voting or throwing a bare
     * StringIndexOutOfBoundsException. */
   case class SimhashVotes(child: Expression, wordOrder: Seq[Int],
-      hashInput: Boolean) extends UnaryExpression {
-    require(wordOrder.nonEmpty && wordOrder.forall(w => w >= 0 && w < 4))
+      hashInput: Boolean, algo: String = "md5") extends UnaryExpression {
+    private val (algoName, digestBytes) = algo match {
+      case "md5" => ("MD5", 16)
+      case "sha256" => ("SHA-256", 32)
+      case other => throw new IllegalArgumentException(
+        s"simhash_votes: unsupported algo '$other' (md5 | sha256)")
+    }
+    require(wordOrder.nonEmpty &&
+      wordOrder.forall(w => w >= 0 && w < digestBytes / 4))
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullable: Boolean = child.nullable
 
@@ -752,7 +766,7 @@ object VectorExpressions {
       if (c >= '0' && c <= '9') c - '0'
       else if (c >= 'a' && c <= 'f') c - 'a' + 10
       else throw new IllegalArgumentException(
-        s"simhash_votes(hashInput=false): element is not a lowercase md5 " +
+        s"simhash_votes(hashInput=false): element is not a lowercase $algo " +
           s"hex string (bad character '$c' in \"$str\")")
 
     def compute(arr: ArrayData): ArrayData = {
@@ -760,25 +774,26 @@ object VectorExpressions {
       val nBits = 32 * nWords32
       val counts = new Array[Int](nBits)
       val md =
-        if (hashInput) java.security.MessageDigest.getInstance("MD5") else null
+        if (hashInput) java.security.MessageDigest.getInstance(algoName)
+        else null
       val n = arr.numElements()
       var i = 0
       while (i < n) {
         if (arr.isNullAt(i)) { i += 1 }
         else {
         val s = arr.getUTF8String(i)
-        // 16 digest bytes per element: md5 of the element's utf8 bytes
-        // (hashInput) or the element parsed as a 32-char md5 hex string
+        // digestBytes bytes per element: `algo` of the element's utf8
+        // bytes (hashInput) or the element parsed as an `algo` hex string
         val bytes: Array[Byte] =
           if (hashInput) { md.reset(); md.digest(s.getBytes) }
           else {
             val str = s.toString
-            if (str.length != 32) throw new IllegalArgumentException(
-              s"simhash_votes(hashInput=false): element is not a 32-char " +
-                s"md5 hex string (length ${str.length}: \"$str\")")
-            val out = new Array[Byte](16)
+            if (str.length != 2 * digestBytes) throw new IllegalArgumentException(
+              s"simhash_votes(hashInput=false): element is not a ${2 * digestBytes}-char " +
+                s"$algo hex string (length ${str.length}: \"$str\")")
+            val out = new Array[Byte](digestBytes)
             var t = 0
-            while (t < 16) {
+            while (t < digestBytes) {
               out(t) = ((hexNibble(str.charAt(2 * t), str) << 4) |
                 hexNibble(str.charAt(2 * t + 1), str)).toByte
               t += 1
@@ -836,9 +851,10 @@ object VectorExpressions {
   def contentChunks(c: Column): Column =
     ColumnBridge.column(ContentChunks(ColumnBridge.expression(c)))
 
-  def simhashVotes(c: Column, wordOrder: Seq[Int], hashInput: Boolean): Column =
+  def simhashVotes(c: Column, wordOrder: Seq[Int], hashInput: Boolean,
+      algo: String = "md5"): Column =
     ColumnBridge.column(SimhashVotes(ColumnBridge.expression(c),
-      wordOrder, hashInput))
+      wordOrder, hashInput, algo))
 
   def universalMinhash(c: Column, k: Int, p: Long): Column =
     ColumnBridge.column(UniversalMinHash(ColumnBridge.expression(c), k, p))

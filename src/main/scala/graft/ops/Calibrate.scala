@@ -33,9 +33,12 @@ import graft.Tables
   *    13 bands; the knob is bits-per-band (`simhashBandedPairs`
   *    scaladoc). Needing more than the 64-bit layout's 4 bits/band
   *    (i.e. `planes > 4`, the same log₂ quantity) routes to the 128-bit
-  *    signature (9 bits/band); needing more than 9 sets
-  *    `simhash_saturated` — md5 is exhausted and the rule says widen the
-  *    feature hash (SHA-based), a flag not a silent clamp.
+  *    md5 signature (9 bits/band); more than 9 routes to the 256-bit
+  *    sha256 signature (`Dedup.dedupSimhash256`, 19 bits/band — holds
+  *    ~16-doc buckets to ≈ 16.8 M docs); more than 19 sets
+  *    `simhash_saturated` — the declared ladder is exhausted and the
+  *    rule says widen the feature hash again (SHA-512), a flag not a
+  *    silent clamp.
   *  - '''df caps''' (hot-shingle cap for the Jaccard posting family,
   *    occurrence cap for the substring-span window): a posting with
   *    df = d contributes d² to the candidate join / hot-partition
@@ -191,9 +194,11 @@ object Calibrate {
         col("n_grams"), col("sum_c2"), col("span_gram_cap"),
         planes.cast("long").as("srp_planes"),
         tablesCaseCol(planes).cast("long").as("srp_tables"),
-        when(planes <= 4, 64L).otherwise(128L).as("simhash_bits"),
-        when(planes <= 4, 4L).otherwise(9L).as("simhash_band_bits"),
-        (planes > 9).as("simhash_saturated"))
+        when(planes <= 4, 64L).when(planes <= 9, 128L).otherwise(256L)
+          .as("simhash_bits"),
+        when(planes <= 4, 4L).when(planes <= 9, 9L).otherwise(19L)
+          .as("simhash_band_bits"),
+        (planes > 19).as("simhash_saturated"))
   }
 
   /** The seam consumers call: one sanctioned 1-row fetch of the stats
@@ -223,10 +228,15 @@ object Calibrate {
     TextAnalysis.textTfidfCosineLshAt(s, dir, p.srpTables, p.srpPlanes)
   }
 
+  /** Pure mirror of the width ladder for specs and routing. */
+  private[graft] def simhashWidthFor(planes: Int): Int =
+    if (planes <= 4) 64 else if (planes <= 9) 128 else 256
+
   def dedupSimhashAuto(s: SparkSession, dir: String): DataFrame = {
     val p = params(s, dir)
     if (p.simhashBits <= 64) Dedup.dedupSimhash(s, dir)
-    else Dedup.dedupSimhash128(s, dir)
+    else if (p.simhashBits <= 128) Dedup.dedupSimhash128(s, dir)
+    else Dedup.dedupSimhash256(s, dir)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -281,10 +291,10 @@ object Calibrate {
          |  n_grams, sum_c2, span_gram_cap,
          |  CAST(planes AS BIGINT) AS srp_planes,
          |  CAST(${tablesCaseSql("planes")} AS BIGINT) AS srp_tables,
-         |  CAST(CASE WHEN planes <= 4 THEN 64 ELSE 128 END AS BIGINT)
-         |    AS simhash_bits,
-         |  CAST(CASE WHEN planes <= 4 THEN 4 ELSE 9 END AS BIGINT)
-         |    AS simhash_band_bits,
-         |  planes > 9 AS simhash_saturated
+         |  CAST(CASE WHEN planes <= 4 THEN 64 WHEN planes <= 9 THEN 128
+         |       ELSE 256 END AS BIGINT) AS simhash_bits,
+         |  CAST(CASE WHEN planes <= 4 THEN 4 WHEN planes <= 9 THEN 9
+         |       ELSE 19 END AS BIGINT) AS simhash_band_bits,
+         |  planes > 19 AS simhash_saturated
          |FROM n, st3, cap3, st10, cap10, drv""".stripMargin)
 }

@@ -530,6 +530,116 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** THE next decade of the signature-width ladder: 256-bit SimHash from
+    * SHA-256 features (all eight 32-bit words vote), giving the 13
+    * pigeonhole bands 20 bits each (last band 16) — per-band bucket
+    * space 2^20, which holds ~16-doc bucket occupancy to ≈ 16·2^20 ≈
+    * 16.8 M docs. This is the widening the [[simhashBandedPairs]]
+    * scaladoc and the calibrator's rule call for the moment bits-per-
+    * band must exceed md5's 128/13 = 9 ceiling — which the r13 10×
+    * probe MEASURED: 50 k docs already calibrate to 12 bits/band and
+    * fire `simhash_saturated` on the md5 ladder (BASELINE.md). Hamming
+    * ≤ 12 over 256 bits is a tighter similarity scale than over 128, so
+    * this is a separately DECLARED parameterization with its own
+    * brute-force oracle, exactly the motion that declared
+    * [[dedupSimhash128]] beside [[dedupSimhash]]. The signature stays
+    * an array<long> straight out of the fused `SimhashVotes` pass
+    * (algo = sha256) — one compiled map-side expression, banded join as
+    * the plan's only shuffle, same as the narrower widths. */
+  def dedupSimhash256(s: SparkSession, dir: String): DataFrame =
+    simhash256BandedPairs(simhash256Signatures(documents(s, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** 256-bit signatures over the same word-bigram features as the
+    * narrower widths (same < 2-word exclusion); sha256 supplies the
+    * eight 32-bit vote words. */
+  def simhash256Signatures(df: DataFrame): DataFrame =
+    simhash256FromFeatureArray(df
+      .filter(size(split(col("text"), " ")) >= 2)
+      .select(col("doc_id"), graft.functions.VectorExpressions
+        .wordShingles(col("text"), 2, distinct = false).as("feats")),
+      hashInput = true)
+
+  /** Fused 256-bit vote pass: sig = array<long> (4 words, little-endian
+    * — element 1 carries bits 0..63), kept as the array the banded
+    * extraction indexes directly (no hi/lo unpacking at this width). */
+  private[graft] def simhash256FromFeatureArray(df: DataFrame,
+      hashInput: Boolean): DataFrame =
+    df.select(col("doc_id"),
+      graft.functions.VectorExpressions.simhashVotes(
+        col("feats"), 0 until 8, hashInput, algo = "sha256").as("sig"))
+
+  /** Equivalence twin of [[simhash256FromFeatureArray]] — the explode +
+    * eight-conv-word + 256-column vote aggregate formulation, mirroring
+    * the DuckDB oracle 1:1 (DedupSpec pins the fused path bit-for-bit
+    * against it; not used by any declared query). Input: (doc_id, m)
+    * with m = sha256 hex of each feature occurrence. */
+  private[graft] def simhash256FromFeatures(feats: DataFrame): DataFrame = {
+    val tok = feats.select(col("doc_id") +:
+      (0 until 8).map(wd => conv(substring(col("m"), wd * 8 + 1, 8), 16, 10)
+        .cast("long").as(s"h$wd")): _*)
+    val bitSums = (0 until 256).map { k =>
+      sum(when(shiftright(col(s"h${k / 32}"), k % 32).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"s_$k")
+    }
+    val sigWords = (0 until 4).map { wd =>
+      (0 until 64).map { b =>
+        when(col(s"s_${64 * wd + b}") > 0, shiftleft(lit(1L), b)).otherwise(0L)
+      }.reduce(_.bitwiseOR(_))
+    }
+    tok.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), array(sigWords: _*).as("sig"))
+  }
+
+  /** Band extraction over the array<long> signature — same unsigned-
+    * shift discipline as [[simhash128Banded]]; bands 3, 6, 9 straddle
+    * 64-bit word boundaries at this width. */
+  private[graft] def simhash256Banded(sigs: DataFrame): DataFrame = {
+    val width = 256 / SimhashBands + 1 // 20 bits (last band takes 16)
+    val bandCols = (0 until SimhashBands).map { b =>
+      val lo = b * width
+      val w = math.min(width, 256 - lo)
+      val mask = (1L << w) - 1
+      val wd = lo / 64
+      val off = lo % 64
+      val word = element_at(col("sig"), wd + 1)
+      val bits =
+        if (off + w <= 64)
+          shiftrightunsigned(word, off).bitwiseAND(mask)
+        else {
+          val hiBits = off + w - 64
+          shiftrightunsigned(word, off)
+            .bitwiseOR(shiftleft(element_at(col("sig"), wd + 2)
+              .bitwiseAND((1L << hiBits) - 1), 64 - off))
+            .bitwiseAND(mask)
+        }
+      struct(lit(b).as("band"), bits.as("bits"))
+    }
+    sigs
+      .select(col("doc_id"), col("sig"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("sig"),
+        col("bb.band").as("band"), col("bb.bits").as("bits"))
+  }
+
+  /** Banded pairs over the 256-bit signatures: hamming ≤ 12 still
+    * pigeonholes into at least one untouched band. */
+  private[graft] def simhash256BandedPairs(sigs: DataFrame): DataFrame = {
+    val banded = simhash256Banded(sigs)
+    val hamming = (0 until 4).map(w =>
+      bit_count(element_at(col("a.sig"), w + 1)
+        .bitwiseXOR(element_at(col("b.sig"), w + 1)))).reduce(_ + _)
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        hamming.cast("long").as("hamming"))
+      .filter(col("hamming") <= SimhashMaxHamming)
+      .dropDuplicates("a_id", "b_id")
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** Containment near-dup pairs: C(A,B) = |A∩B| / min(|A|,|B|) over the
     * same distinct 3-shingle sets as the Jaccard family. Containment is
     * the quote/subset detector — a short document embedded verbatim in a
@@ -764,6 +874,7 @@ object Dedup {
     "dedup_incremental" -> dedupIncremental _,
     "dedup_simhash" -> dedupSimhash _,
     "dedup_simhash128" -> dedupSimhash128 _,
+    "dedup_simhash256" -> dedupSimhash256 _,
   )
 
   /** DuckDB oracle for the simhash pipeline: brute-force all-pairs over
@@ -824,12 +935,49 @@ object Dedup {
        |WHERE hamming <= 12 ORDER BY a_id, b_id""".stripMargin
   }
 
+  /** 256-bit sibling of [[simhash128OracleFor]]: eight sha256 words vote
+    * (bit k from word k/32, i.e. hex chars 1+8·(k/32)..8), same
+    * all-pairs majority + hamming shape, hamming chunked 16 terms per
+    * paren (the DuckDB binder-recursion guard the 128-bit oracle
+    * documents, twice as many terms here). */
+  private[graft] def simhash256OracleFor(featureCtes: String): String = {
+    val bitCols = (0 until 256).map { k =>
+      val div = 1L << (k % 32)
+      s"CASE WHEN sum(CASE WHEN (h${k / 32} // $div) % 2 = 1 THEN 1 ELSE -1 END) > 0" +
+        s" THEN 1 ELSE 0 END AS b$k"
+    }.mkString(", ")
+    val hamming = (0 until 256).map(k => s"abs(a.b$k - b2.b$k)")
+      .grouped(16).map(_.mkString("(", " + ", ")")).mkString(" + ")
+    val words = (0 until 8).map(wd =>
+      s"('0x' || substr(m, ${1 + 8 * wd}, 8))::BIGINT AS h$wd").mkString(", ")
+    s"""WITH $featureCtes,
+       |h AS (SELECT doc_id, $words FROM f),
+       |b AS (SELECT doc_id, $bitCols FROM h GROUP BY doc_id),
+       |p AS (
+       |  SELECT a.doc_id AS a_id, b2.doc_id AS b_id,
+       |         CAST($hamming AS BIGINT) AS hamming
+       |  FROM b a JOIN b b2 ON a.doc_id < b2.doc_id)
+       |SELECT a_id, b_id, hamming FROM p
+       |WHERE hamming <= 12 ORDER BY a_id, b_id""".stripMargin
+  }
+
   private val simhashFeatureCtes =
     """w AS (
       |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
       |  WHERE len(string_split(text, ' ')) >= 2),
       |f AS (
       |  SELECT doc_id, md5(bg) AS m FROM (
+      |    SELECT doc_id,
+      |      unnest([array_to_string(words[i:i+1], ' ')
+      |              FOR i IN range(1, len(words))]) AS bg
+      |    FROM w))""".stripMargin
+
+  private val simhash256FeatureCtes =
+    """w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |f AS (
+      |  SELECT doc_id, sha256(bg) AS m FROM (
       |    SELECT doc_id,
       |      unnest([array_to_string(words[i:i+1], ' ')
       |              FOR i IN range(1, len(words))]) AS bg
@@ -893,6 +1041,7 @@ object Dedup {
         |ORDER BY new_id, dup_of""".stripMargin,
     "dedup_simhash" -> simhashOracleSql,
     "dedup_simhash128" -> simhash128OracleFor(simhashFeatureCtes),
+    "dedup_simhash256" -> simhash256OracleFor(simhash256FeatureCtes),
     // maximal duplicate spans: positional 10-gram md5s, df >= 2 over
     // distinct docs, gaps-and-islands merge (pos - row_number()).
     "dedup_substring_spans" ->

@@ -90,21 +90,23 @@ object GraftFunctions {
       require(exprs.length == 1, "content_chunks(binary)")
       ContentChunks(exprs(0))
     }, "CDC chunk md5 fingerprints of a binary blob (rolling-hash boundaries)"),
-    // SQL surface names the signature WIDTH; the width → 32-bit-word
-    // layout mapping (64 → Seq(1, 0), 128 → Seq(0, 1, 2, 3)) is pinned
-    // here so SQL callers get bit-for-bit the Column-API signatures.
+    // SQL surface names the signature WIDTH; the width → (digest,
+    // 32-bit-word layout) mapping (64 → md5 Seq(1, 0), 128 → md5
+    // Seq(0, 1, 2, 3), 256 → sha256 Seq(0..7)) is pinned here so SQL
+    // callers get bit-for-bit the Column-API signatures.
     ("simhash_votes", { exprs: Seq[Expression] =>
       require(exprs.length == 3, "simhash_votes(features, bits, hashInput)")
-      val order = intLit(exprs(1), "bits") match {
-        case 64 => Seq(1, 0)
-        case 128 => Seq(0, 1, 2, 3)
-        case other => sys.error(s"bits must be 64 or 128, got $other")
+      val (order, algo) = intLit(exprs(1), "bits") match {
+        case 64 => (Seq(1, 0), "md5")
+        case 128 => (Seq(0, 1, 2, 3), "md5")
+        case 256 => ((0 until 8).toSeq, "sha256")
+        case other => sys.error(s"bits must be 64, 128 or 256, got $other")
       }
       val hashInput = exprs(2) match {
         case Literal(v: Boolean, _) => v
         case other => sys.error(s"hashInput must be a boolean literal, got $other")
       }
-      SimhashVotes(exprs(0), order, hashInput)
+      SimhashVotes(exprs(0), order, hashInput, algo)
     }, "SimHash signature words (array<bigint>) of a feature array"))
 
   /** Register into an existing session's function registry. */

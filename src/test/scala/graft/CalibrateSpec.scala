@@ -28,6 +28,13 @@ class CalibrateSpec extends AnyFunSuite {
     assert(tables.head >= 4 && tables.last <= 64)
     // more planes -> fewer per-table collisions -> needs MORE tables
     assert(Calibrate.srpTablesFor(12) > Calibrate.srpTablesFor(4))
+    // simhash width ladder: md5 64 -> md5 128 -> sha256 256
+    assert(Calibrate.simhashWidthFor(4) === 64)
+    assert(Calibrate.simhashWidthFor(5) === 128)
+    assert(Calibrate.simhashWidthFor(9) === 128)
+    // the r13 10x-probe measurement: 50k docs calibrate to 12 bits/band,
+    // past md5's 128/13 = 9 ceiling -> the sha256 ladder rung
+    assert(Calibrate.simhashWidthFor(Calibrate.srpPlanesFor(50000)) === 256)
   }
 
   test("fixture row: one row, rules reproduced, caps floored") {

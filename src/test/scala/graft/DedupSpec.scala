@@ -190,6 +190,81 @@ class DedupSpec extends AnyFunSuite {
       s"negative-sig_lo docs collapsed in band 6: $band6")
   }
 
+  test("256-bit simhash: fused sha256 votes ≡ aggregate twin, recall floor, occupancy collapse vs 128") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, dir)
+    val feats = docs.filter(size(split(col("text"), " ")) >= 2)
+      .select(col("doc_id"), explode(graft.functions.VectorExpressions
+        .wordShingles(col("text"), 2, distinct = false)).as("bg"))
+      .select(col("doc_id"), sha2(col("bg"), 256).as("m"))
+    val agg256 = Dedup.simhash256FromFeatures(feats).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val fused256 = Dedup.simhash256Signatures(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fused256.nonEmpty && fused256 === agg256)
+    // recall floor: byte-identical texts pair at hamming 0 — the
+    // sf0.001 fixture has no exact text duplicates (the 128-bit test's
+    // group loop is vacuous there), so PLANT one: a verbatim copy of
+    // the first doc under a fresh id must band-join to its original
+    val first = docs.orderBy(col("doc_id")).select("doc_id", "text")
+      .head()
+    val cloneId = first.getLong(0) + 10000000L
+    val planted = docs.select(col("doc_id"), col("text"))
+      .unionByName(spark.createDataFrame(Seq(
+        (cloneId, first.getString(1)))).toDF("doc_id", "text"))
+    val p256 = Dedup.simhash256BandedPairs(
+      Dedup.simhash256Signatures(planted)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(p256.get((first.getLong(0), cloneId)).contains(0L),
+      "planted identical pair missed at hamming 0")
+    // the widening's claim: 20-bit bands spread buckets at least as
+    // well as 10-bit bands (equality possible at fixture size where
+    // occupancy is already ~1; the collapse shows at corpus scale)
+    def bucketVolume(banded: org.apache.spark.sql.DataFrame): Long = banded
+      .groupBy(col("band"), col("bits")).agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") * col("n"))).head().getLong(0)
+    val mdFeats = docs.filter(size(split(col("text"), " ")) >= 2)
+      .select(col("doc_id"), explode(graft.functions.VectorExpressions
+        .wordShingles(col("text"), 2, distinct = false)).as("bg"))
+      .select(col("doc_id"), md5(col("bg")).as("m"))
+    val v128 = bucketVolume(Dedup.simhash128Banded(
+      Dedup.simhash128FromFeatures(mdFeats)))
+    val v256 = bucketVolume(Dedup.simhash256Banded(
+      Dedup.simhash256FromFeatures(feats)))
+    assert(v256 <= v128,
+      s"20-bit bands must not concentrate buckets: 128-bit=$v128 256-bit=$v256")
+  }
+
+  test("256-bit band bits match an independent BigInt formulation (straddles + negative words)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // bands 3 (60..79), 6 (120..139), 9 (180..199) straddle word
+    // boundaries; negative longs in every position catch sign extension
+    val fixtures: Seq[(Long, Seq[Long])] = Seq(
+      1L -> Seq(0x8000000000000000L, 0L, 0L, 0L),
+      2L -> Seq(0xF000000000000001L, 0x8000000000000000L, 1L, 0x8000000000000000L),
+      3L -> Seq(-1L, -1L, -1L, -1L),
+      4L -> Seq(0x123456789ABCDEF0L, 0x8FEDCBA987654321L,
+        0x7EDCBA9876543210L, 0xFEDCBA9876543210L),
+      5L -> Seq(0x8000000000000000L, 0x0000000000000001L,
+        0x8000000000000000L, 0x0000000000000001L))
+    val sigs = fixtures.toDF("doc_id", "sig")
+    val got = ops.Dedup.simhash256Banded(sigs)
+      .select(col("doc_id"), col("band"), col("bits")).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    fixtures.foreach { case (id, words) =>
+      val full = words.zipWithIndex.map { case (w, i) =>
+        BigInt(java.lang.Long.toUnsignedString(w)) << (64 * i)
+      }.reduce(_ | _)
+      (0 until 13).foreach { b =>
+        val w = math.min(20, 256 - b * 20)
+        val want = ((full >> (b * 20)) & ((BigInt(1) << w) - 1)).toLong
+        assert(got((id, b)) === want,
+          s"doc $id band $b: got ${got((id, b))}, want $want")
+      }
+    }
+  }
+
   test("exact dedup groups every doc exactly once") {
     val total = Dedup.dedupExact(spark, dir)
       .agg(org.apache.spark.sql.functions.sum("n_copies")).collect()(0).getLong(0)
