@@ -71,7 +71,9 @@ object PlanDump {
       "pipeline_worker_shards" -> "worker shards: exact integer-div assignment over the two-phase epoch order; one scalar broadcast, <=W-key aggregate",
       "text_tfidf_pairs_routed" -> "guard-routed tf-idf pairs: a 1-row pre-flight over the posting index picks the route, so on a guard-pass corpus the plan IS the exact posting join (below); under drift it is the SRP-LSH plan instead",
       "events_dau_wau_hll" -> "HLL DAU/WAU: per-day sketch partials expanded to their 7 window ends, hll_union_agg merges 7 fixed-size sketches per day — the activity relation feeds the sketch path once",
-      "multimodal_phash_dedup_128" -> "128-bit pHash over CDC chunk features: compiled rolling-hash chunking + signed votes (bytes never shuffle), 13x10-bit banded hamming join — 32x the 64-bit bucket space, edit-resilient features")
+      "multimodal_phash_dedup_128" -> "128-bit pHash over CDC chunk features: compiled rolling-hash chunking + signed votes (bytes never shuffle), 13x10-bit banded hamming join — 32x the 64-bit bucket space, edit-resilient features",
+      "dedup_simhash256" -> "256-bit banded hamming (the sha256 ladder rung the calibrator's saturation measurement motivated): fused 8-word vote pass keeps the signature an array<long>, 13x20-bit bands — 1024x the 128-bit bucket space at identical join shape",
+      "calibrate_similarity" -> "cost-based knob derivation: two map-side-combinable gram aggregates -> <=63-row log2 histograms -> bounded-window cumulative caps; the 1-row output crosses broadcast joins only")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries (sf0.001)\n\n")
     sb.append("Generated by `sbt \"runMain graft.PlanDump\"`; asserted in PlanSpec.\n")

@@ -549,6 +549,14 @@ class PlanSpec extends AnyFunSuite {
       countNodes(chunks, "SortAggregate") +
       countNodes(chunks, "ObjectHashAggregate") === 0, s"plan:\n$chunks")
     assert(countNodes(chunks, "Scan parquet") === 1, s"plan:\n$chunks")
+    // the r13 sha256 rung rides the same fused pass — same pin
+    val sigs256 = plan(ops.Dedup.simhash256Signatures(
+      Tables.documents(spark, dir)))
+    assert(countNodes(sigs256, "Exchange") === 0, s"plan:\n$sigs256")
+    assert(countNodes(sigs256, "HashAggregate") +
+      countNodes(sigs256, "SortAggregate") +
+      countNodes(sigs256, "ObjectHashAggregate") === 0, s"plan:\n$sigs256")
+    assert(countNodes(sigs256, "Scan parquet") === 1, s"plan:\n$sigs256")
   }
 
   test("Gopher rules: both gram widths share ONE fused gram aggregate (cached)") {
