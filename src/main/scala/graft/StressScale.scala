@@ -131,7 +131,15 @@ object StressScale {
     ("dedup_ngram_jaccard_auto_cap" ->
       ((s: org.apache.spark.sql.SparkSession, d: String) =>
         ops.Dedup.dedupNgramJaccardCapped(s, d,
-          hotDf = ops.Calibrate.params(s, d).shingleHotDf, saltBuckets = 8)))
+          hotDf = ops.Calibrate.params(s, d).shingleHotDf, saltBuckets = 8))) :+
+    // the capped span query at a PRE-SUPPLIED cap (31 = what calibration
+    // picks on the boilerplate-planted corpus): separates the capped
+    // JOIN's cost from the per-query stats pass the _auto_cap probe
+    // deliberately includes — production computes params once per corpus
+    // snapshot and reuses them across every consumer
+    ("dedup_substring_spans_cap31" ->
+      ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        ops.Dedup.spansFromDocs(Tables.documents(s, d), dfCap = 31L)))
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -167,9 +167,11 @@ object Calibrate {
       .filter(size(col("shingles")) > 0)
       .select(explode(col("shingles")).as("shingle"))
       .groupBy(col("shingle")).agg(count(lit(1)).cast("long").as("df"))
+    // coalesce: sum over an empty relation is NULL (an empty/degenerate
+    // corpus must yield a well-typed row, not an NPE in params())
     val st3 = df3.agg(count(lit(1)).cast("long").as("n_shingles"),
-      sum(col("df")).cast("long").as("n_postings"),
-      sum(col("df") * col("df")).cast("long").as("sum_df2"))
+      coalesce(sum(col("df")), lit(0L)).cast("long").as("n_postings"),
+      coalesce(sum(col("df") * col("df")), lit(0L)).cast("long").as("sum_df2"))
     val cap3 = capFrom(df3, "df", nDocsDf, "shingle_hot_df")
 
     // Span-family relation: positional 10-gram OCCURRENCE counts (the
@@ -257,8 +259,9 @@ object Calibrate {
          |  SELECT shingle, CAST(count(*) AS BIGINT) AS df
          |  FROM (SELECT unnest(shingles) AS shingle FROM sh) GROUP BY shingle),
          |st3 AS (SELECT CAST(count(*) AS BIGINT) AS n_shingles,
-         |               CAST(sum(df) AS BIGINT) AS n_postings,
-         |               CAST(sum(df * df) AS BIGINT) AS sum_df2 FROM df3),
+         |               CAST(coalesce(sum(df), 0) AS BIGINT) AS n_postings,
+         |               CAST(coalesce(sum(df * df), 0) AS BIGINT) AS sum_df2
+         |        FROM df3),
          |h3 AS (SELECT length(bin(df)) - 1 AS g, sum(df * df) AS v
          |       FROM df3 WHERE df >= 2 GROUP BY 1),
          |c3 AS (SELECT g, sum(v) OVER (ORDER BY g) AS cum FROM h3),

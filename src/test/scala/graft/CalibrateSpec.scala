@@ -75,6 +75,20 @@ class CalibrateSpec extends AnyFunSuite {
     assert(p10.simhashBits >= p1.simhashBits)
   }
 
+  test("degenerate corpora yield well-typed rows, not NPEs") {
+    import spark.implicits._
+    // empty corpus: counts 0, sums coalesce to 0, caps at the floor
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val p0 = Calibrate.paramsFromDocs(Calibrate.calibrateFromDocs(empty))
+    assert(p0.nDocs === 0 && p0.nShingles === 0 && p0.sumDf2 === 0)
+    assert(p0.shingleHotDf === 16 && p0.spanGramCap === 16)
+    // all-short docs: no shingles/grams survive the length gates
+    val shorts = Seq((1L, "one"), (2L, "two wd")).toDF("doc_id", "text")
+    val p1 = Calibrate.paramsFromDocs(Calibrate.calibrateFromDocs(shorts))
+    assert(p1.nDocs === 2 && p1.nShingles === 0 && p1.nGrams === 0)
+    assert(p1.srpPlanes === 4 && p1.simhashBits === 64)
+  }
+
   test("calibrated consumers: width routing and LSH output subset of exact") {
     val p = Calibrate.params(spark, dir)
     assert(p.simhashBits === 128)
