@@ -19,8 +19,10 @@ import org.apache.spark.sql.functions._
   *    wants for the SHINGLE-set dedup family. (Verbatim copies would
   *    grow the identical-pair count quadratically — a different,
   *    degenerate workload.) n_chars is recomputed from the namespaced
-  *    text so length-blocking keeps its semantics; doc_ids are re-keyed
-  *    by a 10M stride.
+  *    text so length-blocking keeps its semantics; keys are re-keyed by
+  *    a power-of-10 stride above the table's max key (min 10M), so a
+  *    probe's output dir can be fed back as the BASE of a further run
+  *    — the third-decade chain (10× of the 100× output = 1000×).
   *  - documents (df-aware variant, `${out}_dfaware`): namespaces ONLY
   *    the SALIENT tokens (df·10 ≤ N on the base corpus). This is the
   *    stationary-df null the TF-IDF family needs: common-word dfs scale
@@ -162,9 +164,20 @@ object StressScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val stride = 10000000L
-    def copies(df: DataFrame)(rekey: (DataFrame, Int) => DataFrame): DataFrame =
-      (0 until scale).map(k => if (k == 0) df else rekey(df, k))
+    // Re-key stride: the smallest power of 10 (>= 10M, the historical
+    // constant) ABOVE the table's max key, so probe outputs can be fed
+    // back as the base of a further scaling run (the third-decade
+    // chain: 100x output ids reach ~1e9, where a fixed 10M stride
+    // would collide copy k of id x with copy k' of id x').
+    def strideFor(df: DataFrame, key: String): Long = {
+      val maxId = df.agg(max(col(key))).head().getLong(0)
+      var s = 10000000L
+      while (s <= maxId) s *= 10
+      s
+    }
+    def copiesWith(df: DataFrame, stride: Long)(
+        rekey: (DataFrame, Int, Long) => DataFrame): DataFrame =
+      (0 until scale).map(k => if (k == 0) df else rekey(df, k, stride))
         .reduce(_ unionByName _)
 
     // Only build the scaled tables the selected probes read — at 100x
@@ -193,7 +206,8 @@ object StressScale {
         .withColumn("n_chars", length(col("text")).cast("long"))
 
     val docs = spark.read.parquet(s"$base/documents.parquet")
-    withBoilerplate(copies(docs) { (d, k) =>
+    val docStride = strideFor(docs, "doc_id")
+    withBoilerplate(copiesWith(docs, docStride) { (d, k, stride) =>
       d.select(
         (col("doc_id") + lit(k * stride)).as("doc_id"),
         array_join(transform(split(col("text"), " "),
@@ -216,7 +230,7 @@ object StressScale {
         .filter(col("count") * 10 <= nDocs)
         .select("term").collect().map(_.getString(0)).sorted
       val salientCol = lit(salient)
-      copies(docs) { (d, k) =>
+      copiesWith(docs, docStride) { (d, k, stride) =>
         d.select(
           (col("doc_id") + lit(k * stride)).as("doc_id"),
           array_join(transform(split(col("text"), " "),
@@ -229,7 +243,7 @@ object StressScale {
 
     if (needEmb) {
       val emb = spark.read.parquet(s"$base/embeddings.parquet")
-      copies(emb) { (d, k) =>
+      copiesWith(emb, strideFor(emb, "vec_id")) { (d, k, stride) =>
         d.select((col("vec_id") + lit(k * stride)).as("vec_id"),
           col("embedding"), col("label"))
       }.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
@@ -237,7 +251,7 @@ object StressScale {
 
     if (needOrders) {
       val orders = spark.read.parquet(s"$base/orders.parquet")
-      copies(orders) { (d, k) =>
+      copiesWith(orders, strideFor(orders, "o_orderkey")) { (d, k, stride) =>
         d.withColumn("o_orderkey", col("o_orderkey") + lit(k * stride))
       }.write.mode("overwrite").parquet(s"$out/orders.parquet")
     }
@@ -250,7 +264,9 @@ object StressScale {
       // nanosAsLong, or native micros) round-trips unchanged and
       // Tables.normalizeTs handles the scaled dir identically.
       val ev = spark.read.parquet(s"$base/events.parquet")
-      copies(ev) { (d, k) =>
+      val evStride = math.max(strideFor(ev, "event_id"),
+        strideFor(ev, "user_id"))
+      copiesWith(ev, evStride) { (d, k, stride) =>
         d.withColumn("event_id", col("event_id") + lit(k * stride))
           .withColumn("user_id", col("user_id") + lit(k * stride))
       }.write.mode("overwrite").parquet(s"$out/events.parquet")
