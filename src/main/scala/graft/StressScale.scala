@@ -170,7 +170,10 @@ object StressScale {
     // chain: 100x output ids reach ~1e9, where a fixed 10M stride
     // would collide copy k of id x with copy k' of id x').
     def strideFor(df: DataFrame, key: String): Long = {
-      val maxId = df.agg(max(col(key))).head().getLong(0)
+      // max over an empty table is null -> keep the historical stride
+      // (an empty base still produces a valid, empty scaled output)
+      val row = df.agg(max(col(key)).cast("long")).head()
+      val maxId = if (row.isNullAt(0)) 0L else row.getLong(0)
       var s = 10000000L
       while (s <= maxId) s *= 10
       s
@@ -189,6 +192,16 @@ object StressScale {
     val needOrders = names.contains("profile_columns")
     val needDfaware = names.exists(_.startsWith("text_tfidf"))
     val needEvents = names.exists(_.startsWith("events_"))
+    // documents feed every probe family EXCEPT the three above (events,
+    // orders-profiling, embedding-only similarity) — and so do the
+    // text/similarity pre-flight passes (salience monitor, tfidf route,
+    // calibrate lines), which scan the scaled documents and would
+    // otherwise cost several full passes on a corpus no selected probe
+    // reads (e.g. an events-only 100x run)
+    val docsFree = Set("profile_columns", "similarity_pq_adc",
+      "similarity_pca_gram")
+    val needDocs = names.exists(n =>
+      !n.startsWith("events_") && !docsFree.contains(n))
 
     // SPARK_GRAFT_SCALE_BOILERPLATE=1: prepend a FIXED 16-token header
     // to every 10th doc in every copy, NOT namespaced — its internal
@@ -205,16 +218,18 @@ object StressScale {
             .otherwise(col("text")))
         .withColumn("n_chars", length(col("text")).cast("long"))
 
-    val docs = spark.read.parquet(s"$base/documents.parquet")
-    val docStride = strideFor(docs, "doc_id")
-    withBoilerplate(copiesWith(docs, docStride) { (d, k, stride) =>
-      d.select(
-        (col("doc_id") + lit(k * stride)).as("doc_id"),
-        array_join(transform(split(col("text"), " "),
-          t => concat(t, lit(s"_$k"))), " ").as("text"),
-        col("lang"), col("source"))
-        .withColumn("n_chars", length(col("text")).cast("long"))
-    }).write.mode("overwrite").parquet(s"$out/documents.parquet")
+    lazy val docs = spark.read.parquet(s"$base/documents.parquet")
+    lazy val docStride = strideFor(docs, "doc_id")
+    if (needDocs) {
+      withBoilerplate(copiesWith(docs, docStride) { (d, k, stride) =>
+        d.select(
+          (col("doc_id") + lit(k * stride)).as("doc_id"),
+          array_join(transform(split(col("text"), " "),
+            t => concat(t, lit(s"_$k"))), " ").as("text"),
+          col("lang"), col("source"))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+      }).write.mode("overwrite").parquet(s"$out/documents.parquet")
+    }
 
     // df-aware variant (scaladoc above): namespace only the base-salient
     // tokens. The salient vocabulary is df ≤ N/10 BY CONSTRUCTION of the
@@ -277,8 +292,11 @@ object StressScale {
     // (the production gate before any exact tf-idf pair query): on the
     // full-namespace null the relative df-cap admits the whole
     // vocabulary and the guard FIRES; on the df-aware null it passes
-    val scaledDirs = Seq(out) ++
-      (if (needDfaware) Seq(s"${out}_dfaware") else Nil)
+    // text/similarity pre-flights scan the (scaled) documents — skipped
+    // entirely when no selected probe reads them (see needDocs above)
+    val scaledDirs =
+      (if (needDocs) Seq(out) else Nil) ++
+        (if (needDfaware) Seq(s"${out}_dfaware") else Nil)
     for (d <- scaledDirs) {
       val row = ops.TextAnalysis.textSalienceMonitor(spark, d)
         .filter(col("source") === "__all__").head()
@@ -292,7 +310,7 @@ object StressScale {
     // (text_tfidf_pairs_routed): the route its pre-flight takes on each
     // null must agree with the monitor line above — exact on the
     // stationary (df-aware) corpus, LSH on the full-namespace drift null
-    for (d <- base +: scaledDirs) {
+    for (d <- (if (needDocs) Seq(base) else Nil) ++ scaledDirs) {
       val route =
         if (ops.TextAnalysis.tfidfRouteIsExact(spark, d)) "exact" else "lsh"
       println(s"""{"tfidf_route":{"dir":"$d","route":"$route"}}""")
@@ -302,7 +320,7 @@ object StressScale {
     // simhash width must track the log-n bucket rule across the decade,
     // while the df caps stay put on the constant-density namespaced null
     // (per-copy df distribution and the 100*n budget both scale Sx).
-    for (d <- base +: scaledDirs) {
+    for (d <- (if (needDocs) Seq(base) else Nil) ++ scaledDirs) {
       println(ops.Calibrate.params(spark, d).logLine(d))
     }
     def time(q: (org.apache.spark.sql.SparkSession, String) =>

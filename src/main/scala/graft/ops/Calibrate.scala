@@ -33,12 +33,14 @@ import graft.Tables
   *    13 bands; the knob is bits-per-band (`simhashBandedPairs`
   *    scaladoc). Needing more than the 64-bit layout's 4 bits/band
   *    (i.e. `planes > 4`, the same log₂ quantity) routes to the 128-bit
-  *    md5 signature (9 bits/band); more than 9 routes to the 256-bit
-  *    sha256 signature (`Dedup.dedupSimhash256`, 19 bits/band — holds
-  *    ~16-doc buckets to ≈ 16.8 M docs); more than 19 sets
-  *    `simhash_saturated` — the declared ladder is exhausted and the
-  *    rule says widen the feature hash again (SHA-512), a flag not a
-  *    silent clamp.
+  *    md5 signature (weakest balanced band 9 bits); more than 9 routes
+  *    to the 256-bit sha256 signature (`Dedup.dedupSimhash256`, weakest
+  *    band 19 bits — holds ~16-doc buckets to ≈ 16·2^19 ≈ 8.4 M docs);
+  *    more than 19 sets `simhash_saturated` — the declared ladder is
+  *    exhausted and the rule says widen the feature hash again
+  *    (SHA-512), a flag not a silent clamp. `Dedup.balancedBands` keeps
+  *    every band within one bit of these reported widths, so the
+  *    capacity model is true of the layout that actually joins.
   *  - '''df caps''' (hot-shingle cap for the Jaccard posting family,
   *    occurrence cap for the substring-span window): a posting with
   *    df = d contributes d² to the candidate join / hot-partition
@@ -98,6 +100,7 @@ object Calibrate {
 
   /** Scala mirror of the planes rule, for specs and [[params]]. */
   private[graft] def srpPlanesFor(nDocs: Long): Int = {
+    if (nDocs <= 0) return MinPlanes
     val buckets = (nDocs + TargetBucketDocs - 1) / TargetBucketDocs
     val ceilLog2 =
       if (buckets <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1)
@@ -113,9 +116,14 @@ object Calibrate {
 
   // ceil(n / 16) as shiftright(n + 15, 4): Column./ on longs is DOUBLE
   // division, and the oracle's `// 16` must be matched exactly-integer.
+  // n_docs = 0 is guarded explicitly: the formula would evaluate
+  // bin(-1) (64 ones) and clamp to MaxPlanes, spuriously routing an
+  // empty corpus to the widest signature with the saturation flag set;
+  // the floor MinPlanes matches the Scala mirror srpPlanesFor(0).
   private def planesCol(nDocs: Column): Column =
-    least(lit(MaxPlanes), greatest(lit(MinPlanes),
-      ceilLog2Col(shiftright(nDocs + lit(TargetBucketDocs - 1), 4))))
+    when(nDocs <= 0, lit(MinPlanes)).otherwise(
+      least(lit(MaxPlanes), greatest(lit(MinPlanes),
+        ceilLog2Col(shiftright(nDocs + lit(TargetBucketDocs - 1), 4)))))
 
   /** The planes → tables lookup as CASE literals (shared shape with the
     * oracle text — both sides consume [[srpTablesFor]]'s integers). */
@@ -287,9 +295,10 @@ object Calibrate {
          |cap10 AS (SELECT CAST(greatest($CapFloor,
          |    coalesce((CAST(1 AS BIGINT) << (gsel + 1)) - 1, 0)) AS BIGINT)
          |  AS span_gram_cap FROM gsel10),
-         |drv AS (SELECT least($MaxPlanes, greatest($MinPlanes,
-         |    length(bin(CAST((n_docs + ${TargetBucketDocs - 1}) // $TargetBucketDocs
-         |      - 1 AS BIGINT))))) AS planes FROM n)
+         |drv AS (SELECT CASE WHEN n_docs <= 0 THEN $MinPlanes
+         |    ELSE least($MaxPlanes, greatest($MinPlanes,
+         |      length(bin(CAST((n_docs + ${TargetBucketDocs - 1}) // $TargetBucketDocs
+         |        - 1 AS BIGINT))))) END AS planes FROM n)
          |SELECT n_docs, n_shingles, n_postings, sum_df2, shingle_hot_df,
          |  n_grams, sum_c2, span_gram_cap,
          |  CAST(planes AS BIGINT) AS srp_planes,

@@ -363,8 +363,8 @@ object Dedup {
 
   /** THE scale knob the 64-bit scaladocs document, in code: a 128-bit
     * signature from the SAME md5 features (all four 32-bit words vote),
-    * so the 13 pigeonhole bands carry 10 bits (last band 8) instead of
-    * 5 — per-band bucket space grows 32×, and the banded join's
+    * so the 13 pigeonhole bands carry 10 or 9 bits ([[balancedBands]])
+    * instead of 5 or 4 — per-band bucket space grows 32×, and the banded join's
     * Σ|bucket|² candidate volume drops accordingly at equal corpus
     * size (DedupSpec measures the drop and the hamming-0 recall floor
     * on the fixture). Hamming ≤ 12 over 128 bits is a TIGHTER
@@ -392,17 +392,36 @@ object Dedup {
   }
 
   /** The 13-band decomposition of a (doc_id, sig_hi, sig_lo) relation:
-    * one row per (doc_id, band, bits), 12 bands × 10 bits + one 8-bit
-    * band partitioning all 128 bits. Exposed separately from the pair
+    * one row per (doc_id, band, bits), 11 bands × 10 bits + 2 × 9
+    * ([[balancedBands]]) partitioning all 128 bits. Exposed separately from the pair
     * join so DedupSpec can pin the extracted band bits against an
     * independent plain-Scala formulation (the r10 sign-extension bug
     * lived exactly here and was invisible to any test that reused this
     * expression as its own ground truth). */
+  /** Balanced 13-band layout: the first (nBits mod 13) bands carry
+    * ceil(nBits/13) bits, the rest floor(nBits/13) — widths differ by
+    * at most one, so the WEAKEST band (the dominant Σ|bucket|² term,
+    * since candidate volume concentrates where bucket space is
+    * smallest) carries floor(nBits/13) bits: 9 at 128, 19 at 256. The
+    * r13 review caught the prior greedy layout (12 full-width bands +
+    * one runt of nBits mod width — 8 bits at 128, 16 at 256) giving
+    * that runt band 2–16× the modeled occupancy and silently
+    * dominating the candidate volume a decade before the calibrator's
+    * capacity rule said so; balancing makes the rule's
+    * floor(bits/13) model TRUE of the actual layout. Pigeonhole recall
+    * and the exact hamming verify are width-agnostic, so declared pair
+    * outputs are unchanged — only candidate volume drops. (The 64-bit
+    * layout was already balanced: 12×5 + 4.) Returns (bitOffset,
+    * width) per band. */
+  private[graft] def balancedBands(nBits: Int): Seq[(Int, Int)] = {
+    val base = nBits / SimhashBands
+    val extra = nBits % SimhashBands
+    val widths = (0 until SimhashBands).map(b => if (b < extra) base + 1 else base)
+    widths.scanLeft(0)(_ + _).zip(widths)
+  }
+
   private[graft] def simhash128Banded(sigs: DataFrame): DataFrame = {
-    val width = 10
-    val bandCols = (0 until SimhashBands).map { b =>
-      val lo = b * width
-      val w = math.min(width, 128 - lo)
+    val bandCols = balancedBands(128).zipWithIndex.map { case ((lo, w), b) =>
       val mask = (1L << w) - 1
       // unsigned shifts throughout: an arithmetic shiftright on a
       // signature with its sign bit set would OR sign-extension 1s over
@@ -480,7 +499,7 @@ object Dedup {
 
   /** The production parameterization of the banded-hamming join — the
     * tree's one measured quadratic (BASELINE.md 10x probe): 128-bit
-    * signatures give the 13 pigeonhole bands 10 bits each, so bucket
+    * signatures give the 13 pigeonhole bands 10 or 9 bits, so bucket
     * space per band grows 32x over the 64-bit variant and the equi-join
     * candidate volume collapses accordingly. Declared with its own
     * brute-force all-pairs oracle (hamming <= 12 over 128 bits is a
@@ -532,9 +551,9 @@ object Dedup {
 
   /** THE next decade of the signature-width ladder: 256-bit SimHash from
     * SHA-256 features (all eight 32-bit words vote), giving the 13
-    * pigeonhole bands 20 bits each (last band 16) — per-band bucket
-    * space 2^20, which holds ~16-doc bucket occupancy to ≈ 16·2^20 ≈
-    * 16.8 M docs. This is the widening the [[simhashBandedPairs]]
+    * pigeonhole bands 20 or 19 bits ([[balancedBands]]) — the WEAKEST
+    * band's bucket space 2^19 holds ~16-doc occupancy to ≈ 16·2^19 ≈
+    * 8.4 M docs. This is the widening the [[simhashBandedPairs]]
     * scaladoc and the calibrator's rule call for the moment bits-per-
     * band must exceed md5's 128/13 = 9 ceiling — which the r13 10×
     * probe MEASURED: 50 k docs already calibrate to 12 bits/band and
@@ -596,10 +615,7 @@ object Dedup {
     * shift discipline as [[simhash128Banded]]; bands 3, 6, 9 straddle
     * 64-bit word boundaries at this width. */
   private[graft] def simhash256Banded(sigs: DataFrame): DataFrame = {
-    val width = 256 / SimhashBands + 1 // 20 bits (last band takes 16)
-    val bandCols = (0 until SimhashBands).map { b =>
-      val lo = b * width
-      val w = math.min(width, 256 - lo)
+    val bandCols = balancedBands(256).zipWithIndex.map { case ((lo, w), b) =>
       val mask = (1L << w) - 1
       val wd = lo / 64
       val off = lo % 64

@@ -82,6 +82,10 @@ class CalibrateSpec extends AnyFunSuite {
     val p0 = Calibrate.paramsFromDocs(Calibrate.calibrateFromDocs(empty))
     assert(p0.nDocs === 0 && p0.nShingles === 0 && p0.sumDf2 === 0)
     assert(p0.shingleHotDf === 16 && p0.spanGramCap === 16)
+    // the n_docs = 0 guard: the un-guarded formula would evaluate
+    // bin(-1) and clamp to MaxPlanes, spuriously saturating the ladder
+    assert(p0.srpPlanes === 4 && p0.simhashBits === 64 && !p0.simhashSaturated)
+    assert(p0.srpPlanes === Calibrate.srpPlanesFor(0))
     // all-short docs: no shingles/grams survive the length gates
     val shorts = Seq((1L, "one"), (2L, "two wd")).toDF("doc_id", "text")
     val p1 = Calibrate.paramsFromDocs(Calibrate.calibrateFromDocs(shorts))

@@ -172,12 +172,16 @@ class DedupSpec extends AnyFunSuite {
       6L -> (0x123456789ABCDEF0L, 0x8FEDCBA987654321L),
       7L -> (0x8000000000000000L, 0x0000000000000001L),
       8L -> (0x7FFFFFFFFFFFFFFFL, 0x7FFFFFFFFFFFFFFFL))
+    // independent reimplementation of the BALANCED layout rule: the
+    // first 128 % 13 = 11 bands carry 10 bits, the last two 9
+    val widths128 = (0 until 13).map(b => if (b < 128 % 13) 10 else 9)
+    val offsets128 = widths128.scanLeft(0)(_ + _)
     fixtures.foreach { case (id, (hi, lo)) =>
       val full = (BigInt(java.lang.Long.toUnsignedString(hi)) << 64) |
         BigInt(java.lang.Long.toUnsignedString(lo))
       (0 until 13).foreach { b =>
-        val w = math.min(10, 128 - b * 10)
-        val want = ((full >> (b * 10)) & ((BigInt(1) << w) - 1)).toLong
+        val w = widths128(b)
+        val want = ((full >> offsets128(b)) & ((BigInt(1) << w) - 1)).toLong
         assert(got((id, b)) === want,
           s"doc $id band $b: got ${got((id, b))}, want $want")
       }
@@ -238,7 +242,7 @@ class DedupSpec extends AnyFunSuite {
   test("256-bit band bits match an independent BigInt formulation (straddles + negative words)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
-    // bands 3 (60..79), 6 (120..139), 9 (180..199) straddle word
+    // bands 3 (60..79), 6 (120..139), 9 (180..198) straddle word
     // boundaries; negative longs in every position catch sign extension
     val fixtures: Seq[(Long, Seq[Long])] = Seq(
       1L -> Seq(0x8000000000000000L, 0L, 0L, 0L),
@@ -252,13 +256,17 @@ class DedupSpec extends AnyFunSuite {
     val got = ops.Dedup.simhash256Banded(sigs)
       .select(col("doc_id"), col("band"), col("bits")).collect()
       .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // independent reimplementation of the BALANCED layout rule: the
+    // first 256 % 13 = 9 bands carry 20 bits, the last four 19
+    val widths256 = (0 until 13).map(b => if (b < 256 % 13) 20 else 19)
+    val offsets256 = widths256.scanLeft(0)(_ + _)
     fixtures.foreach { case (id, words) =>
       val full = words.zipWithIndex.map { case (w, i) =>
         BigInt(java.lang.Long.toUnsignedString(w)) << (64 * i)
       }.reduce(_ | _)
       (0 until 13).foreach { b =>
-        val w = math.min(20, 256 - b * 20)
-        val want = ((full >> (b * 20)) & ((BigInt(1) << w) - 1)).toLong
+        val w = widths256(b)
+        val want = ((full >> offsets256(b)) & ((BigInt(1) << w) - 1)).toLong
         assert(got((id, b)) === want,
           s"doc $id band $b: got ${got((id, b))}, want $want")
       }
