@@ -141,7 +141,37 @@ object StressScale {
     // snapshot and reuses them across every consumer
     ("dedup_substring_spans_cap31" ->
       ((s: org.apache.spark.sql.SparkSession, d: String) =>
-        ops.Dedup.spansFromDocs(Tables.documents(s, d), dfCap = 31L)))
+        ops.Dedup.spansFromDocs(Tables.documents(s, d), dfCap = 31L))) :+
+    // r14 (r13 verdict #6): the auto-LSH 100x number decomposed — the
+    // SAME SRP config the calibrator picks at 500 k docs (planes 15 /
+    // tables 64), PRE-SUPPLIED, so the row separates amortizable
+    // calibration from query cost (the spans cap31 motion). Note the
+    // _auto probe itself now amortizes too: Calibrate.storedParams
+    // persists the calibration on first call, so its p1 includes the
+    // stats pass and its p2 is the reuse cost — production's shape.
+    ("text_tfidf_cosine_lsh_presup_64x15" ->
+      ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        ops.TextAnalysis.textTfidfCosineLshAt(s, d, 64, 15))) :+
+    // r14: the doubled-sha256 rung and the declared routed queries at
+    // scale (the routed simhash picks 256 at 100x = 500 k docs — the
+    // probe measures the ROUTED production path, stored calibration
+    // fetch included)
+    ("dedup_simhash512" -> SparkEntry.queries("dedup_simhash512")) :+
+    ("dedup_simhash_routed" -> SparkEntry.queries("dedup_simhash_routed")) :+
+    ("dedup_substring_spans_routed" ->
+      SparkEntry.queries("dedup_substring_spans_routed")) :+
+    // r14 (r13 verdict #7): the Jaccard cap's WIN case — run with
+    // SPARK_GRAFT_SCALE_BOILERPLATE=1 so the planted header's 14
+    // 3-shingles carry df = n/10 (the namespaced null has no hot
+    // shingles, so earlier probes measured pure premium); the capped
+    // variant must exclude them from the posting join where the
+    // uncapped one pays the quadratic. Cap pre-supplied at 255 (what
+    // the calibrator picks on the planted corpus) to separate the
+    // stats pass, mirroring cap31.
+    ("dedup_ngram_jaccard_cap255" ->
+      ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        ops.Dedup.dedupNgramJaccardCapped(s, d,
+          hotDf = 255L, saltBuckets = 8)))
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

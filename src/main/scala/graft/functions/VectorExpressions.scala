@@ -745,11 +745,18 @@ object VectorExpressions {
     * StringIndexOutOfBoundsException. */
   case class SimhashVotes(child: Expression, wordOrder: Seq[Int],
       hashInput: Boolean, algo: String = "md5") extends UnaryExpression {
-    private val (algoName, digestBytes) = algo match {
-      case "md5" => ("MD5", 16)
-      case "sha256" => ("SHA-256", 32)
+    // "sha256x2" extends the per-element digest to 512 bits as the
+    // domain-separated concatenation sha256(x) || sha256('#' || x) —
+    // the standard output-extension construction, chosen over SHA-512
+    // because the DuckDB oracle has sha256 but no sha512, so both
+    // engines replay the identical bytes. The two halves see distinct
+    // inputs (the 1-byte '#' prefix), so no vote word repeats.
+    private val (algoName, digestBytes, doubled) = algo match {
+      case "md5" => ("MD5", 16, false)
+      case "sha256" => ("SHA-256", 32, false)
+      case "sha256x2" => ("SHA-256", 64, true)
       case other => throw new IllegalArgumentException(
-        s"simhash_votes: unsupported algo '$other' (md5 | sha256)")
+        s"simhash_votes: unsupported algo '$other' (md5 | sha256 | sha256x2)")
     }
     require(wordOrder.nonEmpty &&
       wordOrder.forall(w => w >= 0 && w < digestBytes / 4))
@@ -785,7 +792,18 @@ object VectorExpressions {
         // digestBytes bytes per element: `algo` of the element's utf8
         // bytes (hashInput) or the element parsed as an `algo` hex string
         val bytes: Array[Byte] =
-          if (hashInput) { md.reset(); md.digest(s.getBytes) }
+          if (hashInput && doubled) {
+            md.reset()
+            val d1 = md.digest(s.getBytes)
+            md.reset()
+            md.update('#'.toByte)
+            val d2 = md.digest(s.getBytes)
+            val out = new Array[Byte](64)
+            System.arraycopy(d1, 0, out, 0, 32)
+            System.arraycopy(d2, 0, out, 32, 32)
+            out
+          }
+          else if (hashInput) { md.reset(); md.digest(s.getBytes) }
           else {
             val str = s.toString
             if (str.length != 2 * digestBytes) throw new IllegalArgumentException(

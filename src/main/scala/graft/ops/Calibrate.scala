@@ -36,11 +36,15 @@ import graft.Tables
   *    md5 signature (weakest balanced band 9 bits); more than 9 routes
   *    to the 256-bit sha256 signature (`Dedup.dedupSimhash256`, weakest
   *    band 19 bits — holds ~16-doc buckets to ≈ 16·2^19 ≈ 8.4 M docs);
-  *    more than 19 sets `simhash_saturated` — the declared ladder is
-  *    exhausted and the rule says widen the feature hash again
-  *    (SHA-512), a flag not a silent clamp. `Dedup.balancedBands` keeps
-  *    every band within one bit of these reported widths, so the
-  *    capacity model is true of the layout that actually joins.
+  *    more than 19 routes to the 512-bit doubled-sha256 signature
+  *    (`Dedup.dedupSimhash512`, r14 — weakest band 39 bits, capacity
+  *    ≈ 16·2^39 ≈ 8.8 T docs). `simhash_saturated` now fires only above
+  *    39 bits/band — unreachable while the SRP rule clamps at 24
+  *    planes, i.e. the declared ladder COVERS the rule's entire range
+  *    (the flag is kept so the rule stays honest if MaxPlanes ever
+  *    grows). `Dedup.balancedBands` keeps every band within one bit of
+  *    these reported widths, so the capacity model is true of the
+  *    layout that actually joins.
   *  - '''df caps''' (hot-shingle cap for the Jaccard posting family,
   *    occurrence cap for the substring-span window): a posting with
   *    df = d contributes d² to the candidate join / hot-partition
@@ -204,11 +208,11 @@ object Calibrate {
         col("n_grams"), col("sum_c2"), col("span_gram_cap"),
         planes.cast("long").as("srp_planes"),
         tablesCaseCol(planes).cast("long").as("srp_tables"),
-        when(planes <= 4, 64L).when(planes <= 9, 128L).otherwise(256L)
-          .as("simhash_bits"),
-        when(planes <= 4, 4L).when(planes <= 9, 9L).otherwise(19L)
-          .as("simhash_band_bits"),
-        (planes > 19).as("simhash_saturated"))
+        when(planes <= 4, 64L).when(planes <= 9, 128L)
+          .when(planes <= 19, 256L).otherwise(512L).as("simhash_bits"),
+        when(planes <= 4, 4L).when(planes <= 9, 9L)
+          .when(planes <= 19, 19L).otherwise(39L).as("simhash_band_bits"),
+        (planes > 39).as("simhash_saturated"))
   }
 
   /** The seam consumers call: one sanctioned 1-row fetch of the stats
@@ -216,6 +220,31 @@ object Calibrate {
     * the tf-idf guard pre-flight). */
   def params(s: SparkSession, dir: String): SimilarityParams =
     paramsFromDocs(calibrateFromDocs(Tables.documents(s, dir)))
+
+  /** The calibration row as a STORED artifact — persisted once per
+    * (session, corpus snapshot) through the materialized-index seam,
+    * exactly like the signature/cell/codebook indexes it parameterizes.
+    * First call runs the two-scan stats pass and writes the 1-row
+    * parquet; every later consumer (the `_auto` variants, the routed
+    * declared queries) pays a 1-row parquet fetch instead of two corpus
+    * scans — the production shape: calibrate per snapshot, consume per
+    * query. This is also what makes index-staleness checkable:
+    * [[currentIndexParams]] is the "current answer" side of
+    * `Indexes.isStale`, compared against the parameters stamped into
+    * each index at build time. */
+  def storedCalibration(s: SparkSession, dir: String): DataFrame =
+    Indexes.materializedIndex(s, dir, "calibration")(
+      calibrateFromDocs(Tables.documents(s, dir)))
+
+  /** [[params]] served from the stored snapshot artifact. */
+  def storedParams(s: SparkSession, dir: String): SimilarityParams =
+    paramsFromDocs(storedCalibration(s, dir))
+
+  /** The calibrator's current signature-rung answer in stamp form — the
+    * `current` argument of `Indexes.isStale` / the checked append. */
+  private[graft] def currentSimhashParams(p: SimilarityParams): Map[String, Long] =
+    Map("simhash_bits" -> p.simhashBits.toLong,
+      "simhash_band_bits" -> p.simhashBandBits.toLong)
 
   private[graft] def paramsFromDocs(calibrated: DataFrame): SimilarityParams = {
     val r = calibrated.head()
@@ -232,30 +261,121 @@ object Calibrate {
     * existing parameterized seams at the auto-chosen values (declared
     * queries keep their pinned constants so oracles replay their exact
     * configs; verification makes the pair RESULTS parameter-invariant
-    * anyway, these exist so StressScale can measure the auto-config). */
+    * anyway, these exist so StressScale can measure the auto-config).
+    * As of r14 both consume [[storedParams]] — the stats pass runs once
+    * per corpus snapshot, not once per invocation. */
   def textTfidfCosineLshAuto(s: SparkSession, dir: String): DataFrame = {
-    val p = params(s, dir)
+    val p = storedParams(s, dir)
     TextAnalysis.textTfidfCosineLshAt(s, dir, p.srpTables, p.srpPlanes)
   }
 
   /** Pure mirror of the width ladder for specs and routing. */
   private[graft] def simhashWidthFor(planes: Int): Int =
-    if (planes <= 4) 64 else if (planes <= 9) 128 else 256
+    if (planes <= 4) 64 else if (planes <= 9) 128
+    else if (planes <= 19) 256 else 512
 
   def dedupSimhashAuto(s: SparkSession, dir: String): DataFrame = {
-    val p = params(s, dir)
+    val p = storedParams(s, dir)
     if (p.simhashBits <= 64) Dedup.dedupSimhash(s, dir)
     else if (p.simhashBits <= 128) Dedup.dedupSimhash128(s, dir)
-    else Dedup.dedupSimhash256(s, dir)
+    else if (p.simhashBits <= 256) Dedup.dedupSimhash256(s, dir)
+    else Dedup.dedupSimhash512(s, dir)
+  }
+
+  /** DECLARED width-ladder routing — the `text_tfidf_pairs_routed`
+    * motion applied to the signature family: the stored calibration's
+    * rung choice (a pure integer function of n_docs, so the DuckDB
+    * oracle replays the SELECTION itself, then runs the chosen rung's
+    * brute force inside a 4-way guarded union — see
+    * `Dedup.simhashFeatureCtesGuarded`) picks which banded-hamming
+    * parameterization serves the query, and the chosen width is PINNED
+    * into the output (`simhash_bits`) so the driver hash covers the
+    * routing decision, not just the pair set. On the fixtures the rule
+    * lands on the 128-bit rung at both verify scales (500 → planes 5,
+    * 5 000 → planes 9); CalibrateSpec proves every other route
+    * selectable on synthetic corpora. */
+  def dedupSimhashRouted(s: SparkSession, dir: String): DataFrame = {
+    val p = storedParams(s, dir)
+    val pairs = p.simhashBits match {
+      case 64 => Dedup.dedupSimhash(s, dir)
+      case 128 => Dedup.dedupSimhash128(s, dir)
+      case 256 => Dedup.dedupSimhash256(s, dir)
+      case _ => Dedup.dedupSimhash512(s, dir)
+    }
+    pairs.withColumn("simhash_bits", lit(p.simhashBits.toLong))
+  }
+
+  /** Span-family route rule: the gram-occurrence join volume Σc² within
+    * the 100·n_docs budget → the exact uncapped window; over it → the
+    * calibrated `span_gram_cap` drops boilerplate grams before the
+    * per-gram window (conservative-correct for removal decisions —
+    * `Dedup.spansFromDocs` scaladoc). Exposed for specs and probes. */
+  private[graft] def spanRouteUncapped(p: SimilarityParams): Boolean =
+    p.sumC2 <= CandidatesPerDoc * p.nDocs
+
+  /** Guard-routed substring spans — the spans family's equivalent of
+    * [[dedupSimhashRouted]], closing the r13 verdict's "calibrated cap
+    * but no routed declared query" gap: one stored-calibration fetch
+    * routes the declared query to the exact uncapped window when the
+    * corpus's gram-occurrence volume fits the budget (the fixture does,
+    * at both verify scales: Σc² = 24 879 ≤ 50 000 at sf0.01, 247 768 ≤
+    * 500 000 at sf0.1 — so the oracle pins the exact route bit-for-bit,
+    * the `text_tfidf_pairs_routed` precedent) and to the df-capped
+    * window on boilerplate corpora (CalibrateSpec plants one and proves
+    * the flip; StressScale's planted-boilerplate corpus measures the
+    * capped slope). Both routes emit the identical span contract. */
+  def dedupSubstringSpansRouted(s: SparkSession, dir: String): DataFrame = {
+    val p = storedParams(s, dir)
+    if (spanRouteUncapped(p)) Dedup.dedupSubstringSpans(s, dir)
+    else Dedup.spansFromDocs(Tables.documents(s, dir), dfCap = p.spanGramCap)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "calibrate_similarity" -> calibrateSimilarity _)
+    "calibrate_similarity" -> calibrateSimilarity _,
+    "dedup_simhash_routed" -> dedupSimhashRouted _,
+    "dedup_substring_spans_routed" -> dedupSubstringSpansRouted _)
+
+  /** The n_docs → planes → rung derivation as outer CTEs the routed
+    * oracle's guarded legs reference — the SAME integer text as the
+    * calibrate_similarity oracle, so the two queries replay one rule. */
+  private def rungCtes: String =
+    s"""n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+       |drv AS (SELECT CASE WHEN n_docs <= 0 THEN $MinPlanes
+       |    ELSE least($MaxPlanes, greatest($MinPlanes,
+       |      length(bin(CAST((n_docs + ${TargetBucketDocs - 1}) // $TargetBucketDocs
+       |        - 1 AS BIGINT))))) END AS planes FROM n),
+       |rung AS (SELECT CASE WHEN planes <= 4 THEN 64 WHEN planes <= 9 THEN 128
+       |    WHEN planes <= 19 THEN 256 ELSE 512 END AS bits FROM drv)""".stripMargin
+
+  /** Full oracle replay of the ROUTING, not just the routed result: the
+    * rung CTEs recompute the selection with the same integer arithmetic,
+    * each rung's brute-force leg is corpus-scan-guarded on that choice
+    * (empty for the three non-selected rungs), and the chosen width is
+    * emitted so the driver hash pins the decision itself. */
+  private def dedupSimhashRoutedOracle: String = {
+    val legs = Seq(64, 128, 256, 512)
+      .map(b => s"SELECT a_id, b_id, hamming FROM (\n${Dedup.simhashRungOracle(b)}\n)")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $rungCtes
+       |SELECT a_id, b_id, hamming,
+       |  CAST((SELECT bits FROM rung) AS BIGINT) AS simhash_bits
+       |FROM ($legs)
+       |ORDER BY a_id, b_id""".stripMargin
+  }
 
   /** DuckDB replay of the full derivation — integer-only (bin-length
     * log₂, cumulative histogram window, CASE lookup from the same
     * [[srpTablesFor]] integers), so the driver hash pins every rule. */
   val oracleSql: Map[String, String] = Map(
+    "dedup_simhash_routed" -> dedupSimhashRoutedOracle,
+    // the fixture's gram volume fits the budget at both verify scales,
+    // so the routed spans query takes the exact uncapped route and the
+    // oracle pins it bit-for-bit (the text_tfidf_pairs_routed motion);
+    // the capped route is proven selectable in CalibrateSpec
+    "dedup_substring_spans_routed" ->
+      s"""WITH ${Dedup.substringSpanCtes}
+         |SELECT doc_id, span_start, span_end, n_tokens, n_grams
+         |FROM spans ORDER BY doc_id, span_start""".stripMargin,
     "calibrate_similarity" ->
       s"""WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
          |sh AS (
@@ -304,9 +424,9 @@ object Calibrate {
          |  CAST(planes AS BIGINT) AS srp_planes,
          |  CAST(${tablesCaseSql("planes")} AS BIGINT) AS srp_tables,
          |  CAST(CASE WHEN planes <= 4 THEN 64 WHEN planes <= 9 THEN 128
-         |       ELSE 256 END AS BIGINT) AS simhash_bits,
+         |       WHEN planes <= 19 THEN 256 ELSE 512 END AS BIGINT) AS simhash_bits,
          |  CAST(CASE WHEN planes <= 4 THEN 4 WHEN planes <= 9 THEN 9
-         |       ELSE 19 END AS BIGINT) AS simhash_band_bits,
-         |  planes > 19 AS simhash_saturated
+         |       WHEN planes <= 19 THEN 19 ELSE 39 END AS BIGINT) AS simhash_band_bits,
+         |  planes > 39 AS simhash_saturated
          |FROM n, st3, cap3, st10, cap10, drv""".stripMargin)
 }

@@ -611,11 +611,14 @@ object Dedup {
       .select(col("doc_id"), array(sigWords: _*).as("sig"))
   }
 
-  /** Band extraction over the array<long> signature — same unsigned-
-    * shift discipline as [[simhash128Banded]]; bands 3, 6, 9 straddle
-    * 64-bit word boundaries at this width. */
-  private[graft] def simhash256Banded(sigs: DataFrame): DataFrame = {
-    val bandCols = balancedBands(256).zipWithIndex.map { case ((lo, w), b) =>
+  /** Band extraction over the array<long> signature, width-generic —
+    * same unsigned-shift discipline as [[simhash128Banded]]; which bands
+    * straddle 64-bit word boundaries depends on the width (3/6/9 at
+    * 256 bits; 1/3/4/6/8/9/11/12 at 512). A [[balancedBands]] band is at
+    * most ⌈512/13⌉ = 40 < 64 bits wide, so a band spans at most two
+    * adjacent words at every declared width. */
+  private[graft] def simhashArrayBanded(sigs: DataFrame, nBits: Int): DataFrame = {
+    val bandCols = balancedBands(nBits).zipWithIndex.map { case ((lo, w), b) =>
       val mask = (1L << w) - 1
       val wd = lo / 64
       val off = lo % 64
@@ -638,11 +641,14 @@ object Dedup {
         col("bb.band").as("band"), col("bb.bits").as("bits"))
   }
 
-  /** Banded pairs over the 256-bit signatures: hamming ≤ 12 still
-    * pigeonholes into at least one untouched band. */
-  private[graft] def simhash256BandedPairs(sigs: DataFrame): DataFrame = {
-    val banded = simhash256Banded(sigs)
-    val hamming = (0 until 4).map(w =>
+  private[graft] def simhash256Banded(sigs: DataFrame): DataFrame =
+    simhashArrayBanded(sigs, 256)
+
+  /** Banded pairs over array<long> signatures of any declared width:
+    * hamming ≤ 12 still pigeonholes into at least one untouched band. */
+  private[graft] def simhashArrayBandedPairs(sigs: DataFrame, nBits: Int): DataFrame = {
+    val banded = simhashArrayBanded(sigs, nBits)
+    val hamming = (0 until nBits / 64).map(w =>
       bit_count(element_at(col("a.sig"), w + 1)
         .bitwiseXOR(element_at(col("b.sig"), w + 1)))).reduce(_ + _)
     banded.as("a")
@@ -654,6 +660,72 @@ object Dedup {
       .filter(col("hamming") <= SimhashMaxHamming)
       .dropDuplicates("a_id", "b_id")
       .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private[graft] def simhash256BandedPairs(sigs: DataFrame): DataFrame =
+    simhashArrayBandedPairs(sigs, 256)
+
+  /** The rung ABOVE sha256: 512-bit SimHash, closing the width ladder's
+    * last declared gap — the r13 1000× probe measured the calibrator at
+    * planes 19 (the 256-bit layout's weakest-band ceiling) at 5 M docs,
+    * so one more decade fired `simhash_saturated` with nothing declared
+    * to route to; this is that rung. 13 balanced pigeonhole bands of
+    * 40/39 bits ([[balancedBands]]): the weakest band's 2^39 bucket
+    * space holds ~16-doc occupancy to ≈ 16·2^39 ≈ 8.8 T docs — past any
+    * training corpus, so the ladder is now closed rather than extended
+    * (the calibrator's saturation flag moves above 39 bits/band, beyond
+    * the SRP rule's own 24-plane clamp).
+    *
+    * The 512-bit per-element digest is sha256(x) || sha256('#' || x) —
+    * domain-separated double sha256 rather than SHA-512, because the
+    * DuckDB oracle replays sha256 bit-for-bit but has no sha512; the
+    * construction is the standard output-extension trick and keeps the
+    * two vote-word halves on distinct inputs. Same fused `SimhashVotes`
+    * map-side pass (algo = sha256x2), banded join as the plan's only
+    * shuffle; hamming ≤ 12 over 512 bits is again a TIGHTER similarity
+    * scale, so a separate declaration with its own brute-force oracle
+    * (the [[dedupSimhash256]] motion repeated one rung up). */
+  def dedupSimhash512(s: SparkSession, dir: String): DataFrame =
+    simhashArrayBandedPairs(simhash512Signatures(documents(s, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), 512)
+
+  /** 512-bit signatures over the same word-bigram features as the
+    * narrower widths (same < 2-word exclusion); the doubled sha256
+    * digest supplies the sixteen 32-bit vote words. */
+  def simhash512Signatures(df: DataFrame): DataFrame =
+    simhash512FromFeatureArray(df
+      .filter(size(split(col("text"), " ")) >= 2)
+      .select(col("doc_id"), graft.functions.VectorExpressions
+        .wordShingles(col("text"), 2, distinct = false).as("feats")),
+      hashInput = true)
+
+  private[graft] def simhash512FromFeatureArray(df: DataFrame,
+      hashInput: Boolean): DataFrame =
+    df.select(col("doc_id"),
+      graft.functions.VectorExpressions.simhashVotes(
+        col("feats"), 0 until 16, hashInput, algo = "sha256x2").as("sig"))
+
+  /** Equivalence twin of [[simhash512FromFeatureArray]] — explode +
+    * sixteen-conv-word + 512-column vote aggregate, mirroring the DuckDB
+    * oracle 1:1 (DedupSpec pins the fused path bit-for-bit against it).
+    * Input: (doc_id, m) with m = the 128-char doubled-sha256 hex of each
+    * feature occurrence. */
+  private[graft] def simhash512FromFeatures(feats: DataFrame): DataFrame = {
+    val tok = feats.select(col("doc_id") +:
+      (0 until 16).map(wd => conv(substring(col("m"), wd * 8 + 1, 8), 16, 10)
+        .cast("long").as(s"h$wd")): _*)
+    val bitSums = (0 until 512).map { k =>
+      sum(when(shiftright(col(s"h${k / 32}"), k % 32).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"s_$k")
+    }
+    val sigWords = (0 until 8).map { wd =>
+      (0 until 64).map { b =>
+        when(col(s"s_${64 * wd + b}") > 0, shiftleft(lit(1L), b)).otherwise(0L)
+      }.reduce(_.bitwiseOR(_))
+    }
+    tok.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), array(sigWords: _*).as("sig"))
   }
 
   /** Containment near-dup pairs: C(A,B) = |A∩B| / min(|A|,|B|) over the
@@ -891,6 +963,7 @@ object Dedup {
     "dedup_simhash" -> dedupSimhash _,
     "dedup_simhash128" -> dedupSimhash128 _,
     "dedup_simhash256" -> dedupSimhash256 _,
+    "dedup_simhash512" -> dedupSimhash512 _,
   )
 
   /** DuckDB oracle for the simhash pipeline: brute-force all-pairs over
@@ -951,20 +1024,20 @@ object Dedup {
        |WHERE hamming <= 12 ORDER BY a_id, b_id""".stripMargin
   }
 
-  /** 256-bit sibling of [[simhash128OracleFor]]: eight sha256 words vote
-    * (bit k from word k/32, i.e. hex chars 1+8·(k/32)..8), same
-    * all-pairs majority + hamming shape, hamming chunked 16 terms per
-    * paren (the DuckDB binder-recursion guard the 128-bit oracle
-    * documents, twice as many terms here). */
-  private[graft] def simhash256OracleFor(featureCtes: String): String = {
-    val bitCols = (0 until 256).map { k =>
+  /** Wide sibling of [[simhash128OracleFor]], width-generic: nBits/32
+    * digest words vote (bit k from word k/32, i.e. hex chars
+    * 1+8·(k/32)..8), same all-pairs majority + hamming shape, hamming
+    * chunked 16 terms per paren (the DuckDB binder-recursion guard the
+    * 128-bit oracle documents — 256 and 512 bits only deepen it). */
+  private def simhashWideOracleFor(featureCtes: String, nBits: Int): String = {
+    val bitCols = (0 until nBits).map { k =>
       val div = 1L << (k % 32)
       s"CASE WHEN sum(CASE WHEN (h${k / 32} // $div) % 2 = 1 THEN 1 ELSE -1 END) > 0" +
         s" THEN 1 ELSE 0 END AS b$k"
     }.mkString(", ")
-    val hamming = (0 until 256).map(k => s"abs(a.b$k - b2.b$k)")
+    val hamming = (0 until nBits).map(k => s"abs(a.b$k - b2.b$k)")
       .grouped(16).map(_.mkString("(", " + ", ")")).mkString(" + ")
-    val words = (0 until 8).map(wd =>
+    val words = (0 until nBits / 32).map(wd =>
       s"('0x' || substr(m, ${1 + 8 * wd}, 8))::BIGINT AS h$wd").mkString(", ")
     s"""WITH $featureCtes,
        |h AS (SELECT doc_id, $words FROM f),
@@ -976,6 +1049,12 @@ object Dedup {
        |SELECT a_id, b_id, hamming FROM p
        |WHERE hamming <= 12 ORDER BY a_id, b_id""".stripMargin
   }
+
+  private[graft] def simhash256OracleFor(featureCtes: String): String =
+    simhashWideOracleFor(featureCtes, 256)
+
+  private[graft] def simhash512OracleFor(featureCtes: String): String =
+    simhashWideOracleFor(featureCtes, 512)
 
   private val simhashFeatureCtes =
     """w AS (
@@ -999,7 +1078,53 @@ object Dedup {
       |              FOR i IN range(1, len(words))]) AS bg
       |    FROM w))""".stripMargin
 
+  // the doubled-sha256 512-bit digest (see dedupSimhash512's scaladoc)
+  private val simhash512FeatureCtes =
+    """w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |f AS (
+      |  SELECT doc_id, sha256(bg) || sha256('#' || bg) AS m FROM (
+      |    SELECT doc_id,
+      |      unnest([array_to_string(words[i:i+1], ' ')
+      |              FOR i IN range(1, len(words))]) AS bg
+      |    FROM w))""".stripMargin
+
   private def simhashOracleSql: String = simhashOracleFor(simhashFeatureCtes)
+
+  /** Feature CTEs with the rung guard pushed into the DOCUMENT SCAN —
+    * the routed oracle's pruning trick: `dedup_simhash_routed`'s oracle
+    * is a 4-way UNION of the rungs' brute-force legs, each leg's corpus
+    * scan guarded by `bits = (SELECT bits FROM rung)` (an outer CTE the
+    * union's query defines), so the three non-selected legs run their
+    * all-pairs joins over EMPTY relations and the union costs one rung.
+    * Names shadow per-subquery scope, so all four legs reuse w/f/h/b/p. */
+  private[graft] def simhashFeatureCtesGuarded(bits: Int): String = {
+    val digest = bits match {
+      case 64 | 128 => "md5(bg)"
+      case 256 => "sha256(bg)"
+      case _ => "sha256(bg) || sha256('#' || bg)"
+    }
+    s"""w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 2
+       |    AND $bits = (SELECT bits FROM rung)),
+       |f AS (
+       |  SELECT doc_id, $digest AS m FROM (
+       |    SELECT doc_id,
+       |      unnest([array_to_string(words[i:i+1], ' ')
+       |              FOR i IN range(1, len(words))]) AS bg
+       |    FROM w))""".stripMargin
+  }
+
+  /** The four rungs' brute-force oracle bodies over [[simhashFeatureCtesGuarded]]
+    * relations — the building blocks of the routed oracle's union. */
+  private[graft] def simhashRungOracle(bits: Int): String = bits match {
+    case 64 => simhashOracleFor(simhashFeatureCtesGuarded(64))
+    case 128 => simhash128OracleFor(simhashFeatureCtesGuarded(128))
+    case 256 => simhash256OracleFor(simhashFeatureCtesGuarded(256))
+    case _ => simhash512OracleFor(simhashFeatureCtesGuarded(512))
+  }
 
   private val jaccardPairsSql =
     """WITH sh AS (
@@ -1058,6 +1183,7 @@ object Dedup {
     "dedup_simhash" -> simhashOracleSql,
     "dedup_simhash128" -> simhash128OracleFor(simhashFeatureCtes),
     "dedup_simhash256" -> simhash256OracleFor(simhash256FeatureCtes),
+    "dedup_simhash512" -> simhash512OracleFor(simhash512FeatureCtes),
     // maximal duplicate spans: positional 10-gram md5s, df >= 2 over
     // distinct docs, gaps-and-islands merge (pos - row_number()).
     "dedup_substring_spans" ->

@@ -40,6 +40,46 @@ object Indexes {
   private val paths =
     new ConcurrentHashMap[(SparkSession, String, String), String]()
 
+  /** The parameter stamp persisted BESIDE an index build — `_`-prefixed
+    * so parquet readers skip it (the `_SUCCESS` convention), living in
+    * the index dir itself so the stamp travels with the artifact and
+    * survives cache drops. Plain sorted `key=value` lines: no parser
+    * dependency, diff-able, and order-independent to compare. */
+  private def stampFile(path: String): java.io.File =
+    new java.io.File(path, "_GRAFT_PARAMS")
+
+  private def writeStamp(path: String, stamp: Map[String, Long]): Unit = {
+    val body = stamp.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k=$v" }.mkString("", "\n", "\n")
+    java.nio.file.Files.write(stampFile(path).toPath,
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** The parameters a stored index was built with, or None if the index
+    * was never built (or predates stamping). */
+  private[graft] def indexStamp(
+      s: SparkSession, dir: String, tag: String): Option[Map[String, Long]] = {
+    Option(paths.get((s, dir, tag))).map(stampFile).filter(_.exists()).map { f =>
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      try src.getLines().filter(_.contains("=")).map { line =>
+        val Array(k, v) = line.split("=", 2)
+        k -> v.toLong
+      }.toMap
+      finally src.close()
+    }
+  }
+
+  /** True iff the stored index carries a stamp that no longer matches
+    * the calibrator's CURRENT answer for the corpus — the decade-
+    * crossing detector: a growing corpus moves the calibrated rung
+    * (planes, signature width, band layout) while the stored
+    * signatures stay at build-time parameters, silently degrading
+    * recall/occupancy. An unstamped or never-built index reports NOT
+    * stale (there is no build-time claim to contradict). */
+  private[graft] def isStale(s: SparkSession, dir: String, tag: String,
+      current: Map[String, Long]): Boolean =
+    indexStamp(s, dir, tag).exists(_ != current)
+
   /** Build → write parquet → return the scan (the materialized index).
     *
     * The build runs OUTSIDE any ConcurrentHashMap mapping function:
@@ -91,11 +131,43 @@ object Indexes {
     cache.remove(key)
   }
 
+  /** Staleness-checked append: the "frozen index parameters" soundness
+    * condition [[appendToIndex]] documents, ENFORCED — the caller passes
+    * the calibrator's current answer and the append refuses when the
+    * stored stamp disagrees (the batch's signatures would be built at a
+    * different rung than the base's, poisoning the merged scan). The
+    * refusal names both parameter sets: the operator's next move is a
+    * rebuild at the new rung, not a retry. */
+  private[graft] def appendToIndex(s: SparkSession, dir: String, tag: String,
+      batch: DataFrame, current: Map[String, Long]): Unit = {
+    val stamp = indexStamp(s, dir, tag)
+    require(!isStale(s, dir, tag, current),
+      s"index '$tag' for $dir is STALE: built at ${stamp.getOrElse(Map.empty)} " +
+        s"but the corpus now calibrates to $current — rebuild, don't append")
+    appendToIndex(s, dir, tag, batch)
+  }
+
   /** Generic materialized-index entry (same cache + stored-path
     * discipline as the named indexes) — the hook the refresh spec and
     * future index families build through. */
   private[graft] def materializedIndex(s: SparkSession, dir: String, tag: String)(
       build: => DataFrame): DataFrame = materialize(s, dir, tag)(build)
+
+  /** Materialized index WITH its build parameters stamped into the
+    * artifact ([[stampFile]]): the operational half of the calibration
+    * story — `calibrate_similarity` derives the rung from corpus stats,
+    * and the stamp records which rung a stored index was actually built
+    * at, so [[isStale]]/the checked [[appendToIndex]] can detect the
+    * decade crossing that silently invalidates stored signatures. The
+    * stamp is written once, beside the first build; a racing duplicate
+    * write is benign (same content). */
+  private[graft] def materializedIndexStamped(s: SparkSession, dir: String,
+      tag: String, stamp: Map[String, Long])(build: => DataFrame): DataFrame = {
+    val df = materialize(s, dir, tag)(build)
+    val path = paths.get((s, dir, tag))
+    if (path != null && !stampFile(path).exists()) writeStamp(path, stamp)
+    df
+  }
 
   /** Verified near-dup pairs (a_id, b_id, jaccard) — the MinHash-LSH
     * index output, provably equal to the exact Jaccard pair set
@@ -124,20 +196,23 @@ object Indexes {
     * consumers posexplode to (tbl, bucket) rows map-side. Builder:
     * `Similarity.buildLshSignatures` (codegen'd SignRandomProjection). */
   def lshSignatures(s: SparkSession, dir: String): DataFrame =
-    materialize(s, dir, "lshsig")(Similarity.buildLshSignatures(s, dir))
+    materializedIndexStamped(s, dir, "lshsig", Similarity.lshIndexParams)(
+      Similarity.buildLshSignatures(s, dir))
 
   /** IVF cell assignments, one row per vector: (vec_id, q, norm2,
     * cell — nearest centroid, cell2 — second-nearest, the 2-probe set).
     * Builder: `Similarity.buildIvfAssignments` (map-side argmax over the
     * broadcast cell array). */
   def ivfAssignments(s: SparkSession, dir: String): DataFrame =
-    materialize(s, dir, "ivfcell")(Similarity.buildIvfAssignments(s, dir))
+    materializedIndexStamped(s, dir, "ivfcell", Similarity.ivfIndexParams)(
+      Similarity.buildIvfAssignments(s, dir))
 
   /** Trained PQ codebook, M×K rows: (m, cell, cv: array<long>, cn).
     * Builder: `Similarity.buildPqCodebook` (deterministic seeds + one
     * Lloyd round). Broadcast-sized at any corpus scale. */
   def pqCodebook(s: SparkSession, dir: String): DataFrame =
-    materialize(s, dir, "pqcodebook")(Similarity.buildPqCodebook(s, dir))
+    materializedIndexStamped(s, dir, "pqcodebook", Similarity.pqIndexParams)(
+      Similarity.buildPqCodebook(s, dir))
 
   /** PQ codes co-located with their IVF cell, one row per vector:
     * (vec_id, cell, codes: array<long>) — the Faiss-IVFPQ inverted-list
@@ -147,5 +222,6 @@ object Indexes {
     * the cache's mapping function). Consumers: `similarity_pq_adc`
     * (exhaustive scan), `similarity_ivfpq_ann` (cell-restricted scan). */
   def pqCodes(s: SparkSession, dir: String): DataFrame =
-    materialize(s, dir, "pqcodes")(Similarity.buildPqCodes(s, dir))
+    materializedIndexStamped(s, dir, "pqcodes", Similarity.pqIndexParams)(
+      Similarity.buildPqCodes(s, dir))
 }

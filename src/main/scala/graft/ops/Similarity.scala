@@ -62,6 +62,16 @@ object Similarity {
   private val Tables = 8 // hash tables
   private val Planes = 4 // sign bits per table
 
+  /** Build-time parameter stamps for the stored indexes
+    * (`Indexes.materializedIndexStamped`): the frozen hyperparameters
+    * each index's per-vector rows were computed under — exactly what
+    * `Indexes.isStale` compares against the calibrator's current answer
+    * to detect a decade crossing. */
+  private[graft] def lshIndexParams: Map[String, Long] =
+    Map("srp_tables" -> Tables.toLong, "srp_planes" -> Planes.toLong)
+  private[graft] def ivfIndexParams: Map[String, Long] =
+    Map("ivf_probes" -> 2L)
+
   /** Multi-table LSH signature design: bucket for table t = 4 sign bits
     * from deterministic ±1 hyperplanes (LCG-parity weights — pure integer
     * arithmetic both engines reproduce exactly). A candidate matches if
@@ -408,6 +418,11 @@ object Similarity {
   // agree bit-for-bit; ties break by (d², cell) / (adc_d2, cand_id).
 
   private val PqM = 4; private val PqSub = 16; private val PqK = 8
+
+  /** Stamp for the PQ artifacts (codebook + codes) — see
+    * [[lshIndexParams]]. */
+  private[graft] def pqIndexParams: Map[String, Long] =
+    Map("pq_m" -> PqM.toLong, "pq_sub" -> PqSub.toLong, "pq_k" -> PqK.toLong)
 
   /** Subvector view of a quantized corpus: one row per (vector,
     * subspace) — (vec_id, m, x: array<long>, xn = x·x). Map-side

@@ -100,7 +100,8 @@ object GraftFunctions {
         case 64 => (Seq(1, 0), "md5")
         case 128 => (Seq(0, 1, 2, 3), "md5")
         case 256 => ((0 until 8).toSeq, "sha256")
-        case other => sys.error(s"bits must be 64, 128 or 256, got $other")
+        case 512 => ((0 until 16).toSeq, "sha256x2")
+        case other => sys.error(s"bits must be 64, 128, 256 or 512, got $other")
       }
       val hashInput = exprs(2) match {
         case Literal(v: Boolean, _) => v

@@ -35,6 +35,14 @@ class CalibrateSpec extends AnyFunSuite {
     // the r13 10x-probe measurement: 50k docs calibrate to 12 bits/band,
     // past md5's 128/13 = 9 ceiling -> the sha256 ladder rung
     assert(Calibrate.simhashWidthFor(Calibrate.srpPlanesFor(50000)) === 256)
+    // the r13 1000x probe sat exactly at planes 19 = the 256-bit
+    // layout's weakest-band ceiling; the next decade now routes to the
+    // 512 rung (r14) instead of firing the saturation flag
+    assert(Calibrate.simhashWidthFor(19) === 256)
+    assert(Calibrate.simhashWidthFor(20) === 512)
+    assert(Calibrate.simhashWidthFor(Calibrate.srpPlanesFor(50000000L)) === 512)
+    // and the ladder now covers the SRP rule's whole clamped range
+    assert(Calibrate.simhashWidthFor(24) === 512)
   }
 
   test("fixture row: one row, rules reproduced, caps floored") {
@@ -107,5 +115,52 @@ class CalibrateSpec extends AnyFunSuite {
     val exact = ops.TextAnalysis.textTfidfCosine(spark, dir)
       .select(col("a_id"), col("b_id"))
     assert(lsh.exceptAll(exact).count() === 0)
+  }
+
+  test("declared rung routing: fixture serves 128 with the width pinned; every route selectable") {
+    // end-to-end: the routed query == the 128-bit rung + pinned width
+    val routed = Calibrate.dedupSimhashRouted(spark, dir)
+    assert(routed.columns.toSeq ===
+      Seq("a_id", "b_id", "hamming", "simhash_bits"))
+    val got = routed.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.forall(_._4 === 128L))
+    val direct = ops.Dedup.dedupSimhash128(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(t => (t._1, t._2, t._3)).toSeq === direct.toSeq)
+    // selection rule: each rung reachable at its corpus decade (the
+    // integer mirror the routed query and its oracle both consume)
+    assert(Calibrate.simhashWidthFor(Calibrate.srpPlanesFor(100)) === 64)
+    assert(Calibrate.simhashWidthFor(Calibrate.srpPlanesFor(500)) === 128)
+    assert(Calibrate.simhashWidthFor(Calibrate.srpPlanesFor(50000)) === 256)
+    assert(Calibrate.simhashWidthFor(Calibrate.srpPlanesFor(50000000L)) === 512)
+  }
+
+  test("spans routing: fixture takes the uncapped route; planted boilerplate flips it") {
+    import spark.implicits._
+    // fixture: gram volume within budget -> uncapped, output == the
+    // declared exact spans query
+    val pFix = Calibrate.params(spark, dir)
+    assert(Calibrate.spanRouteUncapped(pFix))
+    val routed = Calibrate.dedupSubstringSpansRouted(spark, dir).collect().toSeq
+    val exact = ops.Dedup.dedupSubstringSpans(spark, dir).collect().toSeq
+    assert(routed === exact && routed.nonEmpty)
+    // planted boilerplate: 60 docs sharing one verbatim 12-token
+    // header + a unique tail. The header's 3 positional 10-grams each
+    // occur 60 times -> sum_c2 >= 3*60^2 = 10800 > 100*60 = 6000
+    val header = (1 to 12).map(i => s"hdr$i").mkString(" ")
+    val planted = (1L to 60L).map(id =>
+      (id, s"$header u${id}a u${id}b u${id}c u${id}d")).toDF("doc_id", "text")
+    val pHot = Calibrate.paramsFromDocs(Calibrate.calibrateFromDocs(planted))
+    assert(!Calibrate.spanRouteUncapped(pHot),
+      s"planted boilerplate must blow the budget: sum_c2=${pHot.sumC2}")
+    // the capped route drops the boilerplate grams BEFORE the window:
+    // every occurrence count is either 60 (header grams, over any cap
+    // in [16, 59]) or 1, so the capped span set is EMPTY while the
+    // uncapped one covers the header in every doc
+    assert(pHot.spanGramCap >= 16 && pHot.spanGramCap < 60)
+    val uncapped = ops.Dedup.spansFromDocs(planted)
+    val capped = ops.Dedup.spansFromDocs(planted, dfCap = pHot.spanGramCap)
+    assert(uncapped.count() === 60 && capped.count() === 0)
   }
 }

@@ -273,6 +273,81 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("512-bit simhash: fused sha256x2 votes ≡ aggregate twin, recall floor, occupancy vs 256") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, dir)
+    // the doubled digest the oracle replays: sha256(x) || sha256('#'||x)
+    val feats = docs.filter(size(split(col("text"), " ")) >= 2)
+      .select(col("doc_id"), explode(graft.functions.VectorExpressions
+        .wordShingles(col("text"), 2, distinct = false)).as("bg"))
+      .select(col("doc_id"), concat(sha2(col("bg"), 256),
+        sha2(concat(lit("#"), col("bg")), 256)).as("m"))
+    val agg512 = Dedup.simhash512FromFeatures(feats).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val fused512 = Dedup.simhash512Signatures(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fused512.nonEmpty && fused512 === agg512)
+    // recall floor: a planted verbatim copy pairs at hamming 0
+    val first = docs.orderBy(col("doc_id")).select("doc_id", "text").head()
+    val cloneId = first.getLong(0) + 10000000L
+    val planted = docs.select(col("doc_id"), col("text"))
+      .unionByName(spark.createDataFrame(Seq(
+        (cloneId, first.getString(1)))).toDF("doc_id", "text"))
+    val p512 = Dedup.simhashArrayBandedPairs(
+      Dedup.simhash512Signatures(planted), 512).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(p512.get((first.getLong(0), cloneId)).contains(0L),
+      "planted identical pair missed at hamming 0")
+    // 40/39-bit bands spread buckets at least as well as 20/19-bit ones
+    def bucketVolume(banded: org.apache.spark.sql.DataFrame): Long = banded
+      .groupBy(col("band"), col("bits")).agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") * col("n"))).head().getLong(0)
+    val shaFeats = docs.filter(size(split(col("text"), " ")) >= 2)
+      .select(col("doc_id"), explode(graft.functions.VectorExpressions
+        .wordShingles(col("text"), 2, distinct = false)).as("bg"))
+      .select(col("doc_id"), sha2(col("bg"), 256).as("m"))
+    val v256 = bucketVolume(Dedup.simhash256Banded(
+      Dedup.simhash256FromFeatures(shaFeats)))
+    val v512 = bucketVolume(Dedup.simhashArrayBanded(
+      Dedup.simhash512FromFeatures(feats), 512))
+    assert(v512 <= v256,
+      s"40-bit bands must not concentrate buckets: 256-bit=$v256 512-bit=$v512")
+  }
+
+  test("512-bit band bits match an independent BigInt formulation (straddles + negative words)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 512 = 13 bands of 40/39 bits (first 512 % 13 = 5 carry 40):
+    // straddling bands at this width are 1,3,4,6,8,9,11,12; negative
+    // longs in every word position catch sign extension
+    val fixtures: Seq[(Long, Seq[Long])] = Seq(
+      1L -> (Seq(0x8000000000000000L) ++ Seq.fill(7)(0L)),
+      2L -> Seq(0xF000000000000001L, 0x8000000000000000L, 1L,
+        0x8000000000000000L, -1L, 0x7FFFFFFFFFFFFFFFL, 2L, 0x8000000000000001L),
+      3L -> Seq.fill(8)(-1L),
+      4L -> Seq(0x123456789ABCDEF0L, 0x8FEDCBA987654321L,
+        0x7EDCBA9876543210L, 0xFEDCBA9876543210L,
+        0x0F1E2D3C4B5A6978L, 0x8796A5B4C3D2E1F0L,
+        0x1122334455667788L, 0x99AABBCCDDEEFF00L))
+    val sigs = fixtures.toDF("doc_id", "sig")
+    val got = ops.Dedup.simhashArrayBanded(sigs, 512)
+      .select(col("doc_id"), col("band"), col("bits")).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val widths512 = (0 until 13).map(b => if (b < 512 % 13) 40 else 39)
+    val offsets512 = widths512.scanLeft(0)(_ + _)
+    fixtures.foreach { case (id, words) =>
+      val full = words.zipWithIndex.map { case (w, i) =>
+        BigInt(java.lang.Long.toUnsignedString(w)) << (64 * i)
+      }.reduce(_ | _)
+      (0 until 13).foreach { b =>
+        val w = widths512(b)
+        val want = ((full >> offsets512(b)) & ((BigInt(1) << w) - 1)).toLong
+        assert(got((id, b)) === want,
+          s"doc $id band $b: got ${got((id, b))}, want $want")
+      }
+    }
+  }
+
   test("exact dedup groups every doc exactly once") {
     val total = Dedup.dedupExact(spark, dir)
       .agg(org.apache.spark.sql.functions.sum("n_copies")).collect()(0).getLong(0)

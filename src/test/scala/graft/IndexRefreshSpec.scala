@@ -57,4 +57,69 @@ class IndexRefreshSpec extends AnyFunSuite {
         Similarity.buildLshSignatures(spark, dir).limit(1))
     }
   }
+
+  test("stored index stamped with build params; LSH index carries its stamp") {
+    Indexes.lshSignatures(spark, dir).count() // force the build
+    assert(Indexes.indexStamp(spark, dir, "lshsig")
+      === Some(Similarity.lshIndexParams))
+    assert(!Indexes.isStale(spark, dir, "lshsig", Similarity.lshIndexParams))
+  }
+
+  test("a grown corpus flips the calibrated rung and the stale index is detected") {
+    import graft.ops.{Calibrate, Dedup}
+    val docs = Tables.documents(spark, dir)
+
+    // today's snapshot: 500 docs calibrate to the 128-bit rung
+    val p0 = Calibrate.paramsFromDocs(Calibrate.calibrateFromDocs(docs))
+    assert(p0.simhashBits === 128)
+    val stamp0 = Calibrate.currentSimhashParams(p0)
+
+    // build + stamp a stored signature index at that rung
+    val tag = "simhash_rung_demo"
+    Indexes.materializedIndexStamped(spark, dir, tag, stamp0)(
+      Dedup.simhash128Signatures(docs)).count()
+    assert(Indexes.indexStamp(spark, dir, tag) === Some(stamp0))
+    assert(!Indexes.isStale(spark, dir, tag, stamp0))
+
+    // the checked append goes through while the rung still matches
+    Indexes.appendToIndex(spark, dir, tag,
+      Dedup.simhash128Signatures(docs).limit(0), stamp0)
+
+    // the corpus grows 17x (re-keyed replicas, the StressScale motion):
+    // 8500 docs need planes 10 > 9, so the calibrator moves to 256 bits
+    val grown = docs.crossJoin(spark.range(17).select(col("id").as("rep")))
+      .select((col("doc_id") * 17 + col("rep")).as("doc_id"), col("text"))
+    val p1 = Calibrate.paramsFromDocs(Calibrate.calibrateFromDocs(grown))
+    assert(p1.simhashBits === 256)
+    val stamp1 = Calibrate.currentSimhashParams(p1)
+
+    // the stored index is now STALE against the calibrator's answer,
+    // and the checked append refuses, naming both parameter sets
+    assert(Indexes.isStale(spark, dir, tag, stamp1))
+    val err = intercept[IllegalArgumentException] {
+      Indexes.appendToIndex(spark, dir, tag,
+        Dedup.simhash128Signatures(docs).limit(0), stamp1)
+    }
+    assert(err.getMessage.contains("STALE"))
+    assert(err.getMessage.contains("simhash_bits=128")
+      || err.getMessage.contains("128"))
+    assert(err.getMessage.contains("256"))
+
+    // the stamp is ON DISK beside the index: it survives the cache drop
+    // the earlier (successful) append performed
+    assert(Indexes.indexStamp(spark, dir, tag) === Some(stamp0))
+  }
+
+  test("storedParams == per-call params, served from the snapshot artifact") {
+    import graft.ops.Calibrate
+    val direct = Calibrate.params(spark, dir)
+    val stored = Calibrate.storedParams(spark, dir)
+    assert(stored === direct)
+    // second fetch is served from the stored artifact (no rebuild): the
+    // build thunk throwing proves the materialized row is reused
+    val again = Calibrate.paramsFromDocs(
+      Indexes.materializedIndex(spark, dir, "calibration")(
+        sys.error("stored calibration must be reused, not rebuilt")))
+    assert(again === direct)
+  }
 }

@@ -299,7 +299,8 @@ class VectorExpressionsSpec extends AnyFunSuite {
       .filter(size(col("f")) > 0)
     feats.createOrReplaceTempView("vx_feats")
     for ((bits, order, algo) <- Seq((64, Seq(1, 0), "md5"),
-        (128, Seq(0, 1, 2, 3), "md5"), (256, (0 until 8).toSeq, "sha256"))) {
+        (128, Seq(0, 1, 2, 3), "md5"), (256, (0 until 8).toSeq, "sha256"),
+        (512, (0 until 16).toSeq, "sha256x2"))) {
       val sql = spark.sql(
         s"SELECT doc_id, simhash_votes(f, $bits, true) AS s FROM vx_feats")
       val api = feats.select(col("doc_id"),
