@@ -160,18 +160,23 @@ object StressScale {
     ("dedup_simhash_routed" -> SparkEntry.queries("dedup_simhash_routed")) :+
     ("dedup_substring_spans_routed" ->
       SparkEntry.queries("dedup_substring_spans_routed")) :+
+    ("dedup_ngram_jaccard_routed" ->
+      SparkEntry.queries("dedup_ngram_jaccard_routed")) :+
     // r14 (r13 verdict #7): the Jaccard cap's WIN case — run with
     // SPARK_GRAFT_SCALE_BOILERPLATE=1 so the planted header's 14
     // 3-shingles carry df = n/10 (the namespaced null has no hot
     // shingles, so earlier probes measured pure premium); the capped
     // variant must exclude them from the posting join where the
-    // uncapped one pays the quadratic. Cap pre-supplied at 255 (what
-    // the calibrator picks on the planted corpus) to separate the
-    // stats pass, mirroring cap31.
-    ("dedup_ngram_jaccard_cap255" ->
+    // uncapped one pays the quadratic (hot volume 14·(n/10)² grows
+    // 100× per decade vs the tail's 10×). Cap pre-supplied at 16 —
+    // what the calibrator actually picks on the planted corpus (the
+    // header's Σdf² alone blows the 100·n budget at every histogram
+    // boundary, so the cap lands on the floor) — to separate the
+    // stats pass from the capped join, mirroring cap31.
+    ("dedup_ngram_jaccard_cap16" ->
       ((s: org.apache.spark.sql.SparkSession, d: String) =>
         ops.Dedup.dedupNgramJaccardCapped(s, d,
-          hotDf = 255L, saltBuckets = 8)))
+          hotDf = 16L, saltBuckets = 8)))
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -305,6 +305,36 @@ object Calibrate {
     pairs.withColumn("simhash_bits", lit(p.simhashBits.toLong))
   }
 
+  /** Jaccard-family route rule: Σdf² over the 3-shingle posting lists
+    * within the 100·n_docs budget → the plain posting join; over it →
+    * the PPJoin prefix join, whose candidate volume is governed by
+    * prefix length, not posting-list size (frequent shingles sort LAST
+    * in the rarest-first order and never enter a prefix). The r14
+    * planted-boilerplate probe measured WHY this is the route and not
+    * the salted df-cap: the salted block-split is result-preserving, so
+    * it spreads the C(f,2) hot-shingle pair volume across reducers
+    * without shrinking it — a SKEW fix; on a 100×-planted corpus
+    * (14 shingles at df 50 k → ~17.5 G candidate intersects) both the
+    * plain and salted joins are >20-minute queries while the prefix
+    * join's volume stays near-linear. Both routes are lossless, so the
+    * declared query keeps ONE oracle. */
+  private[graft] def jaccardRoutePlain(p: SimilarityParams): Boolean =
+    p.sumDf2 <= CandidatesPerDoc * p.nDocs
+
+  /** Guard-routed Jaccard pairs — completes the calibrator-consumer
+    * story: every derived knob family (SRP config, signature rung, span
+    * cap, hot-shingle volume) now has a DECLARED routed consumer. The
+    * fixture's shingle volume exceeds the budget at both verify scales
+    * (Σdf² = 54 106 > 50 000 at sf0.01; 2.79 M > 500 k at sf0.1), so
+    * the declared query serves the prefix route there — bit-identical
+    * to the plain join by the prefix theorem, which is why one oracle
+    * pins both routes. */
+  def dedupNgramJaccardRouted(s: SparkSession, dir: String): DataFrame = {
+    val p = storedParams(s, dir)
+    if (jaccardRoutePlain(p)) Dedup.dedupNgramJaccard(s, dir)
+    else Dedup.dedupNgramJaccardPrefix(s, dir)
+  }
+
   /** Span-family route rule: the gram-occurrence join volume Σc² within
     * the 100·n_docs budget → the exact uncapped window; over it → the
     * calibrated `span_gram_cap` drops boilerplate grams before the
@@ -333,7 +363,8 @@ object Calibrate {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "calibrate_similarity" -> calibrateSimilarity _,
     "dedup_simhash_routed" -> dedupSimhashRouted _,
-    "dedup_substring_spans_routed" -> dedupSubstringSpansRouted _)
+    "dedup_substring_spans_routed" -> dedupSubstringSpansRouted _,
+    "dedup_ngram_jaccard_routed" -> dedupNgramJaccardRouted _)
 
   /** The n_docs → planes → rung derivation as outer CTEs the routed
     * oracle's guarded legs reference — the SAME integer text as the
@@ -368,6 +399,9 @@ object Calibrate {
     * [[srpTablesFor]] integers), so the driver hash pins every rule. */
   val oracleSql: Map[String, String] = Map(
     "dedup_simhash_routed" -> dedupSimhashRoutedOracle,
+    // both routes are lossless (prefix theorem), so one brute-force
+    // oracle pins whichever the budget rule selects
+    "dedup_ngram_jaccard_routed" -> Dedup.jaccardPairsSql,
     // the fixture's gram volume fits the budget at both verify scales,
     // so the routed spans query takes the exact uncapped route and the
     // oracle pins it bit-for-bit (the text_tfidf_pairs_routed motion);

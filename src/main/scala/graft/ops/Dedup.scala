@@ -1126,7 +1126,7 @@ object Dedup {
     case _ => simhash512OracleFor(simhashFeatureCtesGuarded(512))
   }
 
-  private val jaccardPairsSql =
+  private[graft] val jaccardPairsSql =
     """WITH sh AS (
       |  SELECT doc_id, n_chars,
       |    list_distinct([array_to_string(words[i:i+2], ' ')

@@ -136,6 +136,24 @@ class CalibrateSpec extends AnyFunSuite {
     assert(Calibrate.simhashWidthFor(Calibrate.srpPlanesFor(50000000L)) === 512)
   }
 
+  test("jaccard routing: fixture exceeds the budget and serves the prefix join") {
+    val p = Calibrate.params(spark, dir)
+    assert(!Calibrate.jaccardRoutePlain(p),
+      s"fixture shingle volume must exceed the budget: sum_df2=${p.sumDf2}")
+    val routed = Calibrate.dedupNgramJaccardRouted(spark, dir).collect().toSeq
+    val prefix = ops.Dedup.dedupNgramJaccardPrefix(spark, dir).collect().toSeq
+    assert(routed === prefix)
+    // both routes are lossless, so the routed contract is route-invariant
+    val plain = ops.Dedup.dedupNgramJaccard(spark, dir).collect().toSeq
+    assert(routed === plain)
+    // a tiny distinct-shingle corpus fits the budget -> the plain route
+    import spark.implicits._
+    val tiny = (1L to 50L).map(id =>
+      (id, (1 to 12).map(i => s"t${id}_$i").mkString(" "))).toDF("doc_id", "text")
+    val pTiny = Calibrate.paramsFromDocs(Calibrate.calibrateFromDocs(tiny))
+    assert(Calibrate.jaccardRoutePlain(pTiny))
+  }
+
   test("spans routing: fixture takes the uncapped route; planted boilerplate flips it") {
     import spark.implicits._
     // fixture: gram volume within budget -> uncapped, output == the
