@@ -73,7 +73,11 @@ object PlanDump {
       "events_dau_wau_hll" -> "HLL DAU/WAU: per-day sketch partials expanded to their 7 window ends, hll_union_agg merges 7 fixed-size sketches per day — the activity relation feeds the sketch path once",
       "multimodal_phash_dedup_128" -> "128-bit pHash over CDC chunk features: compiled rolling-hash chunking + signed votes (bytes never shuffle), 13x10-bit banded hamming join — 32x the 64-bit bucket space, edit-resilient features",
       "dedup_simhash256" -> "256-bit banded hamming (the sha256 ladder rung the calibrator's saturation measurement motivated): fused 8-word vote pass keeps the signature an array<long>, 13x20-bit bands — 1024x the 128-bit bucket space at identical join shape",
-      "calibrate_similarity" -> "cost-based knob derivation: two map-side-combinable gram aggregates -> <=63-row log2 histograms -> bounded-window cumulative caps; the 1-row output crosses broadcast joins only")
+      "calibrate_similarity" -> "cost-based knob derivation: two map-side-combinable gram aggregates -> <=63-row log2 histograms -> bounded-window cumulative caps; the 1-row output crosses broadcast joins only",
+      "dedup_simhash512" -> "512-bit banded hamming (the doubled-sha256 rung that closes the width ladder): fused 16-word vote pass, 13x40/39-bit balanced bands — weakest-band bucket space 2^39, capacity past any training corpus",
+      "dedup_simhash_routed" -> "declared rung routing: the stored calibration picks the width (128 on this corpus), so the plan IS that rung's banded join plus the pinned simhash_bits literal — the selection itself is oracle-replayed",
+      "dedup_substring_spans_routed" -> "guard-routed spans: the stored calibration's Σc² budget check picks uncapped (this corpus) vs span_gram_cap anti-join; the uncapped plan is the ExactSubstr shape below",
+      "dedup_ngram_jaccard_routed" -> "guard-routed Jaccard: Σdf² over budget on this corpus, so the plan IS the PPJoin prefix join — hot shingles never enter a prefix; the salted cap remains the cluster-skew sibling")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries (sf0.001)\n\n")
     sb.append("Generated by `sbt \"runMain graft.PlanDump\"`; asserted in PlanSpec.\n")

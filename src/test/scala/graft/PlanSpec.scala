@@ -557,6 +557,15 @@ class PlanSpec extends AnyFunSuite {
       countNodes(sigs256, "SortAggregate") +
       countNodes(sigs256, "ObjectHashAggregate") === 0, s"plan:\n$sigs256")
     assert(countNodes(sigs256, "Scan parquet") === 1, s"plan:\n$sigs256")
+    // and the r14 doubled-sha256 rung — the widest layout keeps the
+    // same one-scan map-only signature relation
+    val sigs512 = plan(ops.Dedup.simhash512Signatures(
+      Tables.documents(spark, dir)))
+    assert(countNodes(sigs512, "Exchange") === 0, s"plan:\n$sigs512")
+    assert(countNodes(sigs512, "HashAggregate") +
+      countNodes(sigs512, "SortAggregate") +
+      countNodes(sigs512, "ObjectHashAggregate") === 0, s"plan:\n$sigs512")
+    assert(countNodes(sigs512, "Scan parquet") === 1, s"plan:\n$sigs512")
   }
 
   test("Gopher rules: both gram widths share ONE fused gram aggregate (cached)") {
