@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Calibrate, Dedup, Indexes}
+
+/** One-off probe for the index-staleness RECOVERY path (r14 verdict #5):
+  * the stored-calibration amortization is measured (BASELINE.md r14 —
+  * p1 build vs p2 serve); this gives the REBUILD the same treatment.
+  * Scenario timed, in order (the production snapshot-pipeline life
+  * cycle):
+  *
+  *   1. day-0 BUILD: stamped signature index at the calibrator's rung
+  *      for the base corpus (sf0.1 → 5 000 docs → the 128-bit rung);
+  *   2. daily APPEND: a same-rung batch through the checked append —
+  *      the steady-state cost the stamp check protects;
+  *   3. decade CROSSING: the corpus grows 10× (namespaced re-keyed
+  *      copies, the StressScale null — constant near-dup density), the
+  *      calibrator moves to the 256-bit rung, and the SAME append call
+  *      (`Indexes.appendToIndexOrRebuild`) takes the rebuild branch:
+  *      full 256-bit signature build over the grown corpus + re-stamp;
+  *   4. SERVE: a consumer fetch of the rebuilt index (plain stored
+  *      scan), the per-query cost every later consumer pays.
+  *
+  * The readout is rebuild-vs-serve: rebuild is a once-per-decade event
+  * priced like an index build (linear in the corpus), serve stays a
+  * scan — the argument that transparent recovery does not change the
+  * amortization story, now with a measured wall. One JSON line per
+  * step + a summary line; two passes are pointless here (build/rebuild
+  * are one-shot by definition), so each step is timed once and the
+  * serve leg twice (min kept, the Bench convention).
+  */
+object StressRebuild {
+  def main(args: Array[String]): Unit = {
+    val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val scale = if (args.length > 1) args(1).toInt else 10
+    val out = if (args.length > 2) args(2) else "/tmp/graft_rebuild"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def fmt(v: Double): String = (math.round(v * 1000) / 1000.0).toString
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    spark.range(1000000).selectExpr("sum(id)").collect() // JVM warm-up
+
+    // grown corpus: namespaced re-keyed copies (StressScale's null),
+    // written to parquet so the rebuild reads a real snapshot dir
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    val stride = {
+      val row = docs.agg(max(col("doc_id")).cast("long")).head()
+      val maxId = if (row.isNullAt(0)) 0L else row.getLong(0)
+      var s = 10000000L
+      while (s <= maxId) s *= 10
+      s
+    }
+    (0 until scale).map { k =>
+      if (k == 0) docs
+      else docs.select(
+        (col("doc_id") + lit(k * stride)).as("doc_id"),
+        array_join(transform(split(col("text"), " "),
+          t => concat(t, lit(s"_$k"))), " ").as("text"),
+        col("lang"), col("source"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val grown = spark.read.parquet(s"$out/documents.parquet")
+
+    val tag = "simhash_rebuild_probe"
+    val p0 = Calibrate.params(spark, base)
+    val stamp0 = Calibrate.currentSimhashParams(p0)
+    def sigsAt(bits: Int, d: DataFrame): DataFrame = bits match {
+      case 64 => Dedup.simhashSignatures(d)
+      case 128 => Dedup.simhash128Signatures(d)
+      case 256 => Dedup.simhash256Signatures(d)
+      case _ => Dedup.simhash512Signatures(d)
+    }
+
+    // 1. day-0 stamped build at the base rung
+    val (_, buildS) = timed {
+      Indexes.materializedIndexStamped(spark, base, tag, stamp0)(
+        sigsAt(p0.simhashBits, docs)).count()
+    }
+    println(s"""{"rebuild_probe":{"step":"build","n_docs":${p0.nDocs},""" +
+      s""""bits":${p0.simhashBits},"sec":${fmt(buildS)}}}""")
+
+    // 2. steady-state: a same-rung daily batch through the checked path
+    // (re-keyed above the stride so base and batch don't overlap)
+    val batch = docs.limit(500)
+      .withColumn("doc_id", col("doc_id") + lit(scale.toLong * stride))
+    val (tookRebuild0, appendS) = timed {
+      Indexes.appendToIndexOrRebuild(spark, base, tag,
+        sigsAt(p0.simhashBits, batch), stamp0)(
+        sys.error("fresh stamp must append, not rebuild"))
+    }
+    require(!tookRebuild0, "same-rung append must not rebuild")
+    println(s"""{"rebuild_probe":{"step":"append","rows":500,""" +
+      s""""sec":${fmt(appendS)}}}""")
+
+    // 3. the decade crossing: calibrate the grown corpus (the detection
+    // cost), then the SAME call takes the rebuild branch
+    val (p1, calibS) = timed {
+      Calibrate.paramsFromDocs(Calibrate.calibrateFromDocs(grown))
+    }
+    val stamp1 = Calibrate.currentSimhashParams(p1)
+    require(stamp1 != stamp0,
+      s"the $scale x corpus must move the rung (got ${p1.simhashBits} " +
+        s"vs base ${p0.simhashBits}) — grow further")
+    println(s"""{"rebuild_probe":{"step":"calibrate_grown",""" +
+      s""""n_docs":${p1.nDocs},"bits":${p1.simhashBits},"sec":${fmt(calibS)}}}""")
+    val (tookRebuild1, rebuildS) = timed {
+      Indexes.appendToIndexOrRebuild(spark, base, tag,
+        sigsAt(p0.simhashBits, batch), stamp1)(sigsAt(p1.simhashBits, grown))
+    }
+    require(tookRebuild1, "a flipped rung must take the rebuild branch")
+    println(s"""{"rebuild_probe":{"step":"rebuild","n_docs":${p1.nDocs},""" +
+      s""""bits":${p1.simhashBits},"sec":${fmt(rebuildS)}}}""")
+
+    // 4. serve: the stored-scan fetch every later consumer pays
+    def serveOnce(): Double = {
+      spark.catalog.clearCache()
+      val (_, s) = timed {
+        Indexes.materializedIndex(spark, base, tag)(
+          sys.error("rebuilt index must serve from the store"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      s
+    }
+    val serveS = math.min(serveOnce(), serveOnce())
+    println(s"""{"rebuild_probe":{"step":"serve","sec":${fmt(serveS)}}}""")
+    println(s"""{"metric":"rebuild_probe","base":"$base","scale":$scale,""" +
+      s""""build_s":${fmt(buildS)},"append_s":${fmt(appendS)},""" +
+      s""""calibrate_s":${fmt(calibS)},"rebuild_s":${fmt(rebuildS)},""" +
+      s""""serve_s":${fmt(serveS)},"bits":"${p0.simhashBits}->${p1.simhashBits}"}}""")
+    spark.stop()
+  }
+}

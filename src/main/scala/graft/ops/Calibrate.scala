@@ -229,12 +229,30 @@ object Calibrate {
     * declared queries) pays a 1-row parquet fetch instead of two corpus
     * scans — the production shape: calibrate per snapshot, consume per
     * query. This is also what makes index-staleness checkable:
-    * [[currentIndexParams]] is the "current answer" side of
+    * [[currentSimhashParams]] is the "current answer" side of
     * `Indexes.isStale`, compared against the parameters stamped into
-    * each index at build time. */
+    * each index at build time.
+    *
+    * SNAPSHOT CONTRACT (r14 advice): `dir` must be an IMMUTABLE corpus
+    * snapshot — the fixture dirs are, and a production pipeline
+    * calibrates per snapshot path, never a mutating table. The stored
+    * row itself carries no staleness stamp because under that contract
+    * it cannot go stale within a session; [[storedCalibrationIsStale]]
+    * is the cheap audit (one count-only scan vs the stored n_docs) a
+    * spec or an operator runs when the contract is in doubt — it
+    * catches the growth/shrink case, which is exactly the event that
+    * moves rungs and caps. */
   def storedCalibration(s: SparkSession, dir: String): DataFrame =
     Indexes.materializedIndex(s, dir, "calibration")(
       calibrateFromDocs(Tables.documents(s, dir)))
+
+  /** True iff the corpus at `dir` no longer has the row count the stored
+    * calibration was derived from — the immutable-snapshot contract
+    * audit (see [[storedCalibration]]). Count-only: one column-pruned
+    * scan (parquet answers it from footers), orders cheaper than
+    * re-calibrating to compare. */
+  private[graft] def storedCalibrationIsStale(s: SparkSession, dir: String): Boolean =
+    storedParams(s, dir).nDocs != Tables.documents(s, dir).count()
 
   /** [[params]] served from the stored snapshot artifact. */
   def storedParams(s: SparkSession, dir: String): SimilarityParams =
@@ -349,22 +367,52 @@ object Calibrate {
     * routes the declared query to the exact uncapped window when the
     * corpus's gram-occurrence volume fits the budget (the fixture does,
     * at both verify scales: Σc² = 24 879 ≤ 50 000 at sf0.01, 247 768 ≤
-    * 500 000 at sf0.1 — so the oracle pins the exact route bit-for-bit,
-    * the `text_tfidf_pairs_routed` precedent) and to the df-capped
-    * window on boilerplate corpora (CalibrateSpec plants one and proves
-    * the flip; StressScale's planted-boilerplate corpus measures the
-    * capped slope). Both routes emit the identical span contract. */
+    * 500 000 at sf0.1) and to the df-capped window on boilerplate
+    * corpora (CalibrateSpec plants one and proves the flip; StressScale's
+    * planted-boilerplate corpus measures the capped slope).
+    *
+    * As of r15 the two routes are NOT covered by one exact-route oracle
+    * (the r14 advice: the capped window drops grams, so the routes
+    * differ and an exact-only oracle would fail — not cover — a
+    * boilerplate corpus): the routing decision is oracle-REPLAYED like
+    * [[dedupSimhashRouted]]'s — the Σc² budget rule recomputes in a
+    * guard CTE, BOTH legs run corpus-scan-guarded (the non-selected leg
+    * scans empty), and the chosen route is pinned into the output
+    * (`route`) so the driver hash covers the decision itself. */
   def dedupSubstringSpansRouted(s: SparkSession, dir: String): DataFrame = {
     val p = storedParams(s, dir)
-    if (spanRouteUncapped(p)) Dedup.dedupSubstringSpans(s, dir)
-    else Dedup.spansFromDocs(Tables.documents(s, dir), dfCap = p.spanGramCap)
+    val (spans, route) =
+      if (spanRouteUncapped(p)) (Dedup.dedupSubstringSpans(s, dir), "exact")
+      else (Dedup.spansFromDocs(Tables.documents(s, dir),
+        dfCap = p.spanGramCap), "capped")
+    spans.withColumn("route", lit(route))
+  }
+
+  /** Calibrated-constant containment pairs — the LAST fixed similarity
+    * knob consumed from the stored calibration (r14 verdict #6):
+    * `dedup_containment`'s hot-shingle threshold (df > 256, the
+    * is-hot-sorts-last prefix order) becomes the calibrator's
+    * `shingle_hot_df` — the SAME Σdf²-budget cap the Jaccard family
+    * consumes, which is the right quantity here too (a shingle is "hot"
+    * for the containment prefix order exactly when its posting list
+    * would blow up the candidate join). The prune is LOSSLESS for any
+    * threshold (the prefix theorem holds for every fixed global order),
+    * so the brute-force oracle is unchanged; the consumed value is
+    * pinned into the output (`hot_df`) and the oracle replays its
+    * derivation (the cap3 histogram chain), so the driver hash covers
+    * the calibration, not just the pair set. */
+  def dedupContainmentRouted(s: SparkSession, dir: String): DataFrame = {
+    val p = storedParams(s, dir)
+    Dedup.containmentPairs(s, dir, hotDf = p.shingleHotDf)
+      .withColumn("hot_df", lit(p.shingleHotDf))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "calibrate_similarity" -> calibrateSimilarity _,
     "dedup_simhash_routed" -> dedupSimhashRouted _,
     "dedup_substring_spans_routed" -> dedupSubstringSpansRouted _,
-    "dedup_ngram_jaccard_routed" -> dedupNgramJaccardRouted _)
+    "dedup_ngram_jaccard_routed" -> dedupNgramJaccardRouted _,
+    "dedup_containment_routed" -> dedupContainmentRouted _)
 
   /** The n_docs → planes → rung derivation as outer CTEs the routed
     * oracle's guarded legs reference — the SAME integer text as the
@@ -394,6 +442,64 @@ object Calibrate {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  /** Full oracle replay of the spans ROUTING (r14 advice, medium): the
+    * two routes return DIFFERENT results (the capped window drops
+    * boilerplate grams before span detection), so unlike the lossless
+    * Jaccard routing one exact oracle cannot cover both. Mirror of
+    * [[dedupSimhashRoutedOracle]]: the Σc² budget rule recomputes in a
+    * guard CTE from the same gram-occurrence relation, the calibrated
+    * cap derivation replays the histogram chain, both legs run guarded
+    * (each leg's gram feed is WHERE'd on the route flag, so the
+    * non-selected leg is empty), and the chosen route is emitted. */
+  private def dedupSubstringSpansRoutedOracle: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 10),
+       |g AS MATERIALIZED (
+       |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+       |         md5(array_to_string(words[i:i+9], ' ')) AS gh
+       |  FROM (SELECT doc_id, words,
+       |               unnest(range(1, len(words) - 8)) AS i FROM w)),
+       |cnt AS MATERIALIZED (
+       |  SELECT gh, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY gh),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+       |st AS (SELECT CAST(coalesce(sum(c * c), 0) AS BIGINT) AS sum_c2 FROM cnt),
+       |route AS (SELECT sum_c2 <= $CandidatesPerDoc * n_docs AS uncapped FROM st, n),
+       |h10 AS (SELECT length(bin(c)) - 1 AS g, sum(c * c) AS v
+       |        FROM cnt WHERE c >= 2 GROUP BY 1),
+       |c10 AS (SELECT g, sum(v) OVER (ORDER BY g) AS cum FROM h10),
+       |gsel AS (SELECT max(g) AS gsel FROM c10, n
+       |         WHERE cum <= $CandidatesPerDoc * n_docs),
+       |cap AS (SELECT CAST(greatest($CapFloor,
+       |    coalesce((CAST(1 AS BIGINT) << (gsel + 1)) - 1, 0)) AS BIGINT)
+       |  AS span_gram_cap FROM gsel),
+       |hu AS (
+       |  SELECT g.doc_id, g.pos FROM g
+       |  JOIN (SELECT gh FROM g GROUP BY gh
+       |        HAVING count(DISTINCT doc_id) >= 2) du USING (gh)
+       |  WHERE (SELECT uncapped FROM route)),
+       |gc AS MATERIALIZED (
+       |  SELECT g.doc_id, g.pos, g.gh FROM g JOIN cnt USING (gh)
+       |  WHERE c <= (SELECT span_gram_cap FROM cap)
+       |    AND NOT (SELECT uncapped FROM route)),
+       |hc AS (
+       |  SELECT gc.doc_id, gc.pos FROM gc
+       |  JOIN (SELECT gh FROM gc GROUP BY gh
+       |        HAVING count(DISTINCT doc_id) >= 2) dc USING (gh)),
+       |h AS (SELECT * FROM hu UNION ALL SELECT * FROM hc),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM h),
+       |spans AS (
+       |  SELECT doc_id, min(pos) AS span_start, max(pos) + 9 AS span_end,
+       |    max(pos) - min(pos) + 10 AS n_tokens, count(*) AS n_grams
+       |  FROM isl GROUP BY doc_id, grp)
+       |SELECT doc_id, span_start, span_end, n_tokens, n_grams,
+       |  CASE WHEN (SELECT uncapped FROM route)
+       |       THEN 'exact' ELSE 'capped' END AS route
+       |FROM spans ORDER BY doc_id, span_start""".stripMargin
+
   /** DuckDB replay of the full derivation — integer-only (bin-length
     * log₂, cumulative histogram window, CASE lookup from the same
     * [[srpTablesFor]] integers), so the driver hash pins every rule. */
@@ -402,14 +508,37 @@ object Calibrate {
     // both routes are lossless (prefix theorem), so one brute-force
     // oracle pins whichever the budget rule selects
     "dedup_ngram_jaccard_routed" -> Dedup.jaccardPairsSql,
-    // the fixture's gram volume fits the budget at both verify scales,
-    // so the routed spans query takes the exact uncapped route and the
-    // oracle pins it bit-for-bit (the text_tfidf_pairs_routed motion);
-    // the capped route is proven selectable in CalibrateSpec
-    "dedup_substring_spans_routed" ->
-      s"""WITH ${Dedup.substringSpanCtes}
-         |SELECT doc_id, span_start, span_end, n_tokens, n_grams
-         |FROM spans ORDER BY doc_id, span_start""".stripMargin,
+    "dedup_substring_spans_routed" -> dedupSubstringSpansRoutedOracle,
+    // lossless prune at ANY threshold → the containment brute force is
+    // unchanged; the consumed calibrated value rides along, derived by
+    // the same histogram chain the calibrate oracle pins
+    "dedup_containment_routed" ->
+      s"""WITH sh AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    list_distinct([array_to_string(words[i:i+2], ' ')
+         |                   FOR i IN range(1, len(words) - 1)]) AS shingles
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+         |  WHERE len(words) >= 3),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |df3 AS (
+         |  SELECT shingle, CAST(count(*) AS BIGINT) AS df
+         |  FROM (SELECT unnest(shingles) AS shingle FROM sh) GROUP BY shingle),
+         |h3 AS (SELECT length(bin(df)) - 1 AS g, sum(df * df) AS v
+         |       FROM df3 WHERE df >= 2 GROUP BY 1),
+         |c3 AS (SELECT g, sum(v) OVER (ORDER BY g) AS cum FROM h3),
+         |g3 AS (SELECT max(g) AS gsel FROM c3, n
+         |       WHERE cum <= $CandidatesPerDoc * n_docs),
+         |cap3 AS (SELECT CAST(greatest($CapFloor,
+         |    coalesce((CAST(1 AS BIGINT) << (gsel + 1)) - 1, 0)) AS BIGINT)
+         |  AS hot_df FROM g3)
+         |SELECT a_id, b_id, containment,
+         |  (SELECT hot_df FROM cap3) AS hot_df
+         |FROM (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+         |    CAST(least(len(a.shingles), len(b.shingles)) AS DOUBLE) AS containment
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |WHERE containment >= 0.8 ORDER BY a_id, b_id""".stripMargin,
     "calibrate_similarity" ->
       s"""WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
          |sh AS (

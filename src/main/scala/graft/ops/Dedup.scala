@@ -177,6 +177,15 @@ object Dedup {
 
   private val MinhashPerms = 32
   private val Bands = 8 // 4 rows per band
+
+  /** The MinHash band index's frozen build parameters in stamp form —
+    * what `Indexes.materializedIndexStamped` persists beside the stored
+    * `mhbands` index and the checked append verifies. These are fixed
+    * constants (the banding is not calibrated), so the stamp's job here
+    * is recording the build config with the artifact, the
+    * `_GRAFT_PARAMS` discipline every stored index now follows. */
+  private[graft] def minhashIndexParams: Map[String, Long] =
+    Map("minhash_perms" -> MinhashPerms.toLong, "bands" -> Bands.toLong)
   private val P = 2147483647L // 2^31 − 1; keeps a*h+b < 2^63 (ANSI-safe)
 
   /** MinHash + LSH near-dup pairs — the scale path. Signature: 32
@@ -759,8 +768,20 @@ object Dedup {
     * shingle array, keys computed once per element). At 100 TB the
     * shape is: one narrow df aggregate, a map-only prefix pass, and a
     * candidate join whose volume stays near-linear because every
-    * superlinear posting list is excluded from the probe side. */
-  def dedupContainment(s: SparkSession, dir: String): DataFrame = {
+    * superlinear posting list is excluded from the probe side.
+    *
+    * The declared query pins the hot threshold at the measured 256;
+    * `Calibrate.dedupContainmentRouted` consumes the calibrator's
+    * `shingle_hot_df` through [[containmentPairs]] instead — the prune
+    * is lossless at ANY threshold (the theorem needs only a fixed
+    * global order), so both share the brute-force oracle. */
+  def dedupContainment(s: SparkSession, dir: String): DataFrame =
+    containmentPairs(s, dir, hotDf = 256L)
+
+  /** [[dedupContainment]] with the hot-shingle threshold as the seam
+    * the calibrated consumer routes through. */
+  private[graft] def containmentPairs(s: SparkSession, dir: String,
+      hotDf: Long): DataFrame = {
     val t = 0.8
     val sh = shingled(documents(s, dir))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -777,7 +798,7 @@ object Dedup {
     // ordering runs inside the array per document — the exploded
     // index is never shuffled before the candidate join.
     val hotShingles = ex0.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > 256L)
+      .filter(col("df") > hotDf)
       .agg(collect_list(col("shingle")).as("hot"))
     // ONE codegen'd pass emits each document's full (is_hot, xxhash64,
     // value)-ordered key array (xxhash64 LONGS, not strings: the

@@ -524,7 +524,70 @@ object Events {
       .orderBy(col("day"))
   }
 
+  /** GUARD-ROUTED events self-join (r14 verdict #7 — the join-volume
+    * pre-flight consumed IN-PLAN, not just reported): which event types
+    * co-occur within 5 minutes for the same user — the behavioral
+    * correlation matrix behind "users who do X also do Y", and the
+    * canonical pair-blowup shape `RelationalExt.joinVolumeGuard` audits
+    * (`events_self_userid`): a user with n events contributes n² join
+    * rows, so output volume is Σn² — quadratic in the per-user fan-out,
+    * not the event count.
+    *
+    * The routing consumes the guard's own rule: the per-user count
+    * aggregate (map-side combinable, |users| rows — orders cheaper than
+    * the join it de-risks) computes Σn² and the guard bound
+    * (out ≤ 16 × rows, `joinVolumeGuard`'s amplification test) as ONE
+    * 1-row fetch; within the bound the plain user_id equi-join runs,
+    * over it the salted join (`Skew.saltedJoin` — probe salted by row
+    * content, build replicated per salt) spreads every hot user's n²
+    * pair rows across 16 reducers instead of serializing the fan-out
+    * into one. Both routes are result-identical (SkewSpec pins the
+    * salted join lossless), so ONE relational oracle covers both legs —
+    * and the chosen route is pinned into the output (`route`), with the
+    * oracle replaying the guard rule in SQL, so the driver hash covers
+    * the decision (the `dedup_simhash_routed` discipline). The fixture
+    * exceeds the bound at both verify scales (Σn² = 677 248 > 160 000
+    * at sf0.01; 6.77 M > 1.6 M at sf0.1), so the declared query serves
+    * the salted route; EventsSpec proves the plain route selectable and
+    * the two routes equal.
+    *
+    * At 100 TB: the time-band predicate (|Δt| ≤ 5 min) cannot prune the
+    * JOIN volume (it applies post-match within a user's partition), so
+    * the guard quantity Σn² is the real cost either way — exactly why
+    * the route decision keys on it and not on event count. */
+  def eventsCooccurrenceRouted(s: SparkSession, dir: String): DataFrame =
+    cooccurrenceRoutedFrom(events(s, dir).select(col("user_id"),
+      col("event_id"), col("event_type"), unix_micros(col("ts")).as("us")))
+
+  /** The routed body over a (user_id, event_id, event_type, us)
+    * relation — the seam EventsSpec uses to prove the plain route
+    * selectable on a bounded-fan-out corpus. */
+  private[graft] def cooccurrenceRoutedFrom(e: DataFrame): DataFrame = {
+    // the guard aggregate: one sanctioned 1-row fetch (the storedParams
+    // / insights-stats motion), NOT a per-row collect
+    val g = e.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(col("n")), lit(0L)).as("rows"),
+        coalesce(sum(col("n") * col("n")), lit(0L)).as("out_rows"))
+      .head()
+    val plainOk = g.getLong(1) <= 16L * g.getLong(0)
+    val b = e.select(col("user_id"), col("event_id").as("b_event_id"),
+      col("event_type").as("b_event_type"), col("us").as("b_us"))
+    val joined =
+      if (plainOk) e.join(b, Seq("user_id"))
+      else Skew.saltedJoin(e, b, Seq("user_id"))
+    joined
+      .filter(col("event_id") < col("b_event_id") &&
+        abs(col("us") - col("b_us")) <= 300000000L)
+      .groupBy(
+        least(col("event_type"), col("b_event_type")).as("type_1"),
+        greatest(col("event_type"), col("b_event_type")).as("type_2"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("route", lit(if (plainOk) "plain" else "salted"))
+      .orderBy(col("type_1"), col("type_2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_cooccurrence_routed" -> eventsCooccurrenceRouted _,
     "events_dau_wau" -> dauWauStickiness _,
     "events_dau_wau_hll" -> dauWauHll _,
     "events_ohlc_bars" -> ohlcBars _,
@@ -545,6 +608,25 @@ object Events {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // one relational body covers both routes (the salted join is
+    // result-identical); the guard rule replays in SQL so the hash pins
+    // the routing decision itself
+    "events_cooccurrence_routed" ->
+      """WITH c AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |guard AS (
+        |  SELECT coalesce(sum(n * n), 0) <= 16 * coalesce(sum(n), 0) AS plain
+        |  FROM c)
+        |SELECT least(a.event_type, b.event_type) AS type_1,
+        |  greatest(a.event_type, b.event_type) AS type_2,
+        |  count(*) AS n_pairs,
+        |  CASE WHEN (SELECT plain FROM guard)
+        |       THEN 'plain' ELSE 'salted' END AS route
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        |  AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300000000
+        |GROUP BY 1, 2 ORDER BY type_1, type_2""".stripMargin,
     // DAU/WAU via the same window-expansion: each (day,user) activity
     // contributes to 7 window-end days; semi join keeps observed days
     "events_dau_wau" ->

@@ -121,8 +121,13 @@ object Indexes {
     * and batch (production: partition by snapshot date). Single-writer
     * motion; concurrent-reader isolation is the table format's job at
     * scale (this engine's parquet-dir index keeps it one writer).
-    * IndexRefreshSpec pins merged-probes ≡ full-rebuild-probes. */
-  private[graft] def appendToIndex(
+    * IndexRefreshSpec pins merged-probes ≡ full-rebuild-probes.
+    *
+    * PRIVATE (r14 advice): an unchecked append can silently mix rungs in
+    * one parquet dir when the calibrator has moved; every external
+    * append goes through the checked overload or
+    * [[appendToIndexOrRebuild]], both of which read the stamp first. */
+  private def appendToIndex(
       s: SparkSession, dir: String, tag: String, batch: DataFrame): Unit = {
     val key = (s, dir, tag)
     val path = paths.get(key)
@@ -137,7 +142,14 @@ object Indexes {
     * stored stamp disagrees (the batch's signatures would be built at a
     * different rung than the base's, poisoning the merged scan). The
     * refusal names both parameter sets: the operator's next move is a
-    * rebuild at the new rung, not a retry. */
+    * rebuild at the new rung — [[appendToIndexOrRebuild]] is that move
+    * wired in; this strict overload is for callers that want the crash
+    * (a pipeline that treats a rung flip as an operator page).
+    * Single-writer assumption: the stamp read and the append are not
+    * atomic — per-corpus index maintenance is one writer by contract
+    * (production: the snapshot pipeline's index job), so the check
+    * guards against a stale-parameter BATCH, not against concurrent
+    * writers. */
   private[graft] def appendToIndex(s: SparkSession, dir: String, tag: String,
       batch: DataFrame, current: Map[String, Long]): Unit = {
     val stamp = indexStamp(s, dir, tag)
@@ -145,6 +157,48 @@ object Indexes {
       s"index '$tag' for $dir is STALE: built at ${stamp.getOrElse(Map.empty)} " +
         s"but the corpus now calibrates to $current — rebuild, don't append")
     appendToIndex(s, dir, tag, batch)
+  }
+
+  /** Explicit index REBUILD at the calibrator's current parameters: a
+    * fresh parquet dir (never an in-place overwrite of a dir readers may
+    * be scanning), stamped with `stamp`, atomically swapped into the
+    * path map, cached scan dropped. The old dir is left for the temp-dir
+    * reaper — production would retire it after in-flight readers drain
+    * (the table-format snapshot motion). Returns the new index scan. */
+  private[graft] def rebuildIndex(s: SparkSession, dir: String, tag: String,
+      stamp: Map[String, Long])(build: => DataFrame): DataFrame = {
+    val key = (s, dir, tag)
+    val p = java.nio.file.Files
+      .createTempDirectory(s"graft_index_$tag").toString
+    build.write.mode("overwrite").parquet(p)
+    writeStamp(p, stamp)
+    paths.put(key, p)
+    cache.remove(key)
+    val scan = s.read.parquet(p)
+    cache.put(key, scan)
+    scan
+  }
+
+  /** The PRODUCTION append path (r14 verdict #2 — detect → rebuild →
+    * proceed, not a crashed job): when the stored stamp still matches
+    * the calibrator's current answer, append the batch (the cheap daily
+    * motion); when the corpus has crossed a decade and the stored rung
+    * is stale, transparently REBUILD the whole index at the current
+    * rung via `rebuild` (which must cover base + batch — the batch's
+    * rows are re-derived at the new parameters, so the caller's
+    * old-rung `batch` is deliberately discarded on this path) and
+    * re-stamp. Returns true iff the rebuild path was taken, so callers
+    * can surface the (expensive, rare) event in their run logs. */
+  private[graft] def appendToIndexOrRebuild(s: SparkSession, dir: String,
+      tag: String, batch: DataFrame, current: Map[String, Long])(
+      rebuild: => DataFrame): Boolean = {
+    if (isStale(s, dir, tag, current)) {
+      rebuildIndex(s, dir, tag, current)(rebuild)
+      true
+    } else {
+      appendToIndex(s, dir, tag, batch)
+      false
+    }
   }
 
   /** Generic materialized-index entry (same cache + stored-path

@@ -44,17 +44,23 @@ object StreamingDedup {
 
   /** The stored band index of the corpus-so-far (tag `mhbands`): same
     * row format as `Dedup.bandedSigs` — (doc_id, band, bucket). First
-    * call builds + materializes; `appendBatch` adds snapshots. */
+    * call builds + materializes, stamped with the frozen banding
+    * parameters; `appendBatch` adds snapshots through the checked
+    * append. */
   def corpusBandIndex(s: SparkSession, dir: String): DataFrame =
-    Indexes.materializedIndex(s, dir, "mhbands")(
+    Indexes.materializedIndexStamped(s, dir, "mhbands",
+      Dedup.minhashIndexParams)(
       Dedup.bandedSigs(Dedup.shingled(
         Tables.documents(s, dir).filter(!residuePred(0, 5)))))
 
   /** Append one admitted batch's band rows to the stored index — the
-    * post-admission half of the daily motion. */
+    * post-admission half of the daily motion, through the
+    * staleness-CHECKED append (the banding params are frozen constants,
+    * so the check is a stamp-equality no-op here; the point is that no
+    * append path bypasses the stamp read). */
   def appendBatch(s: SparkSession, dir: String, batch: DataFrame): Unit =
     Indexes.appendToIndex(s, dir, "mhbands",
-      Dedup.bandedSigs(Dedup.shingled(batch)))
+      Dedup.bandedSigs(Dedup.shingled(batch)), Dedup.minhashIndexParams)
 
   /** Parquet-backed document stream over a staged arrival DIRECTORY
     * (one "day's" feed; the file source needs a directory it can watch,

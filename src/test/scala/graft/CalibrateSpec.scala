@@ -160,7 +160,13 @@ class CalibrateSpec extends AnyFunSuite {
     // declared exact spans query
     val pFix = Calibrate.params(spark, dir)
     assert(Calibrate.spanRouteUncapped(pFix))
-    val routed = Calibrate.dedupSubstringSpansRouted(spark, dir).collect().toSeq
+    val routedDf = Calibrate.dedupSubstringSpansRouted(spark, dir)
+    // r15: the chosen route rides in the output so the oracle can replay
+    // the decision (the r14 advice's exact-only-oracle gap)
+    assert(routedDf.columns.last === "route")
+    val routedRows = routedDf.collect()
+    assert(routedRows.forall(_.getString(5) === "exact"))
+    val routed = routedDf.drop("route").collect().toSeq
     val exact = ops.Dedup.dedupSubstringSpans(spark, dir).collect().toSeq
     assert(routed === exact && routed.nonEmpty)
     // planted boilerplate: 60 docs sharing one verbatim 12-token
@@ -180,5 +186,43 @@ class CalibrateSpec extends AnyFunSuite {
     val uncapped = ops.Dedup.spansFromDocs(planted)
     val capped = ops.Dedup.spansFromDocs(planted, dfCap = pHot.spanGramCap)
     assert(uncapped.count() === 60 && capped.count() === 0)
+  }
+
+  test("containment routing: calibrated hot_df pinned, prune lossless at any threshold") {
+    // the calibrated consumer == the declared fixed-256 query minus the
+    // pinned column (the prefix theorem holds for EVERY fixed global
+    // order, so the hot threshold moves cost, never results)
+    val p = Calibrate.storedParams(spark, dir)
+    val routedDf = Calibrate.dedupContainmentRouted(spark, dir)
+    val routedRows = routedDf.collect()
+    assert(routedRows.nonEmpty)
+    assert(routedRows.forall(_.getLong(3) === p.shingleHotDf),
+      "the consumed calibrated threshold must be pinned into every row")
+    val routed = routedDf.drop("hot_df").collect().toSeq
+    val declared = ops.Dedup.dedupContainment(spark, dir).collect().toSeq
+    assert(routed === declared)
+    // and at a pathological threshold (everything hot) the pair set
+    // still doesn't move — only the prefix order does
+    val allHot = ops.Dedup.containmentPairs(spark, dir, hotDf = 1L)
+      .collect().toSeq
+    assert(allHot === declared)
+  }
+
+  test("stored calibration: fresh on the immutable fixture, stale after snapshot growth") {
+    import spark.implicits._
+    assert(!Calibrate.storedCalibrationIsStale(spark, dir))
+    // simulate a VIOLATED snapshot contract: a corpus dir whose
+    // documents.parquet is overwritten in place after calibration
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_snapshot_demo").toString
+    def writeDocs(n: Long): Unit = (1L to n)
+      .map(id => (id, (1 to 12).map(i => s"d${id}_$i").mkString(" ")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    writeDocs(40)
+    assert(Calibrate.storedParams(spark, tmp).nDocs === 40)
+    assert(!Calibrate.storedCalibrationIsStale(spark, tmp))
+    writeDocs(80) // in-place mutation — the contract the audit catches
+    assert(Calibrate.storedCalibrationIsStale(spark, tmp))
   }
 }

@@ -38,6 +38,40 @@ class EventsSpec extends AnyFunSuite {
     assert(custom === native)
   }
 
+  test("cooccurrence routing: fixture serves salted == plain recompute; bounded fan-out selects plain") {
+    import spark.implicits._
+    // fixture: per-user fan-out blows the 16x guard -> salted route
+    val routedDf = Events.eventsCooccurrenceRouted(spark, dir)
+    val routedRows = routedDf.collect()
+    assert(routedRows.nonEmpty)
+    assert(routedRows.forall(_.getString(3) === "salted"),
+      "the fixture's events self-join must exceed the guard bound")
+    // the salted route is result-identical to a direct plain-join
+    // recomputation of the same contract
+    val e = Tables.events(spark, dir).select(col("user_id"), col("event_id"),
+      col("event_type"), unix_micros(col("ts")).as("us"))
+    val b = e.select(col("user_id"), col("event_id").as("b_event_id"),
+      col("event_type").as("b_event_type"), col("us").as("b_us"))
+    val plain = e.join(b, Seq("user_id"))
+      .filter(col("event_id") < col("b_event_id") &&
+        abs(col("us") - col("b_us")) <= 300000000L)
+      .groupBy(least(col("event_type"), col("b_event_type")).as("type_1"),
+        greatest(col("event_type"), col("b_event_type")).as("type_2"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("type_1"), col("type_2"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(routedRows.map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2))).toSeq === plain)
+    // bounded fan-out (10 users x 4 events: sum n^2 = 160 <= 16*40):
+    // the guard admits the plain route, same contract
+    val tiny = (for (u <- 1L to 10L; i <- 0L to 3L)
+      yield (u, u * 10 + i, s"t${i % 2}", i * 1000000L))
+      .toDF("user_id", "event_id", "event_type", "us")
+    val tinyRouted = Events.cooccurrenceRoutedFrom(tiny).collect()
+    assert(tinyRouted.nonEmpty)
+    assert(tinyRouted.forall(_.getString(3) === "plain"))
+  }
+
   test("tumbling windows partition all events exactly once") {
     val total = Events.tumblingWindows(spark, dir)
       .agg(sum("n_events")).collect()(0).getLong(0)

@@ -23,9 +23,13 @@ class IndexRefreshSpec extends AnyFunSuite {
     assert(nBase > 0)
 
     // the daily batch arrives: signatures for the NEW vectors only,
-    // appended to the stored index dir as a second commit
+    // appended to the stored index dir as a second commit (through the
+    // checked overload — the only public append; this demo index is
+    // unstamped, so there is no build-time claim to contradict and the
+    // staleness check passes vacuously)
     Indexes.appendToIndex(spark, dir, tag,
-      Similarity.buildLshSignatures(spark, dir).where(!isBase))
+      Similarity.buildLshSignatures(spark, dir).where(!isBase),
+      Similarity.lshIndexParams)
 
     // the next consumer re-reads the dir — merged scan, NOT a rebuild
     // (the build thunk throwing proves no rebuild happens)
@@ -54,7 +58,8 @@ class IndexRefreshSpec extends AnyFunSuite {
   test("appendToIndex refuses a tag that was never built") {
     intercept[IllegalArgumentException] {
       Indexes.appendToIndex(spark, dir, "never_built_tag",
-        Similarity.buildLshSignatures(spark, dir).limit(1))
+        Similarity.buildLshSignatures(spark, dir).limit(1),
+        Similarity.lshIndexParams)
     }
   }
 
@@ -108,6 +113,54 @@ class IndexRefreshSpec extends AnyFunSuite {
     // the stamp is ON DISK beside the index: it survives the cache drop
     // the earlier (successful) append performed
     assert(Indexes.indexStamp(spark, dir, tag) === Some(stamp0))
+  }
+
+  test("a stale index TRANSPARENTLY rebuilds through appendToIndexOrRebuild") {
+    import graft.ops.{Calibrate, Dedup}
+    val docs = Tables.documents(spark, dir)
+    val p0 = Calibrate.paramsFromDocs(Calibrate.calibrateFromDocs(docs))
+    val stamp0 = Calibrate.currentSimhashParams(p0)
+    assert(p0.simhashBits === 128)
+
+    // day 0: build + stamp at the 128-bit rung
+    val tag = "simhash_rung_recovery_demo"
+    Indexes.materializedIndexStamped(spark, dir, tag, stamp0)(
+      Dedup.simhash128Signatures(docs)).count()
+
+    // fresh-rung day: the recovery path takes the cheap APPEND branch
+    // (returns false), and the rebuild thunk must not run
+    val appended = Indexes.appendToIndexOrRebuild(spark, dir, tag,
+      Dedup.simhash128Signatures(docs).limit(0), stamp0)(
+      sys.error("fresh stamp must append, not rebuild"))
+    assert(!appended)
+    assert(Indexes.indexStamp(spark, dir, tag) === Some(stamp0))
+
+    // the corpus grows 17x and the calibrator moves to the 256-bit rung
+    val grown = docs.crossJoin(spark.range(17).select(col("id").as("rep")))
+      .select((col("doc_id") * 17 + col("rep")).as("doc_id"), col("text"))
+    val p1 = Calibrate.paramsFromDocs(Calibrate.calibrateFromDocs(grown))
+    assert(p1.simhashBits === 256)
+    val stamp1 = Calibrate.currentSimhashParams(p1)
+    assert(Indexes.isStale(spark, dir, tag, stamp1))
+
+    // the SAME call now takes the REBUILD branch: the old-rung batch is
+    // discarded, the index is rebuilt at the new rung over the grown
+    // corpus, and the stamp on disk is replaced — no crash, job proceeds
+    val rebuilt = Indexes.appendToIndexOrRebuild(spark, dir, tag,
+      Dedup.simhash128Signatures(docs).limit(0), stamp1)(
+      Dedup.simhash256Signatures(grown))
+    assert(rebuilt)
+    assert(Indexes.indexStamp(spark, dir, tag) === Some(stamp1))
+    assert(!Indexes.isStale(spark, dir, tag, stamp1))
+
+    // consumers are green against the new artifact: the stored scan is
+    // the 256-bit rebuild over the grown corpus, row-for-row
+    val served = Indexes.materializedIndex(spark, dir, tag)(
+      sys.error("rebuilt index must be served, not rebuilt again"))
+    val expect = Dedup.simhash256Signatures(grown)
+    assert(served.count() === expect.count())
+    assert(served.count() === grown.count())
+    assert(served.exceptAll(expect).isEmpty && expect.exceptAll(served).isEmpty)
   }
 
   test("storedParams == per-call params, served from the snapshot artifact") {
