@@ -79,7 +79,7 @@ object PlanDump {
       "dedup_substring_spans_routed" -> "guard-routed spans: the stored calibration's Σc² budget check picks uncapped (this corpus) vs span_gram_cap anti-join; the uncapped plan is the ExactSubstr shape below",
       "dedup_ngram_jaccard_routed" -> "guard-routed Jaccard: Σdf² over budget on this corpus, so the plan IS the PPJoin prefix join — hot shingles never enter a prefix; the salted cap remains the cluster-skew sibling",
       "dedup_containment_routed" -> "calibrated containment: the stored calibration's shingle_hot_df replaces the fixed 256 in the is-hot-sorts-last prefix order — same lossless prefix join, threshold now data-derived and pinned in the output",
-      "events_cooccurrence_routed" -> "guard-routed events self-join: the per-user count aggregate replays joinVolumeGuard's 16x rule; over budget (this corpus) the plan is the SALTED join — probe salted by row content, build exploded per salt — so a hot user's n^2 pairs spread across 16 reducers",
+      "events_cooccurrence_routed" -> "guard-routed events self-join: the per-user count aggregate replays joinVolumeGuard's 16x rule; over budget (this corpus) the plan is the TIME-BANDED join — probe exploded to its 3 adjacent 5-min buckets, build keyed by bucket — so candidates scale with per-bucket density, not n^2 (the volume fix; salting is the skew sibling)",
       "profile_tables_approx" -> "warehouse profiler: one Expand-free approx aggregate per table (orders/documents/events/embeddings), each scan column-pruned to its profiled columns, unioned by name — no joins, no corpus shuffle")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries (sf0.001)\n\n")

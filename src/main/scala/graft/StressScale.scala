@@ -176,7 +176,23 @@ object StressScale {
     ("dedup_ngram_jaccard_cap16" ->
       ((s: org.apache.spark.sql.SparkSession, d: String) =>
         ops.Dedup.dedupNgramJaccardCapped(s, d,
-          hotDf = 16L, saltBuckets = 8)))
+          hotDf = 16L, saltBuckets = 8))) :+
+    // r15: the temporal self-join's volume question — run with
+    // SPARK_GRAFT_SCALE_EVENTS_TIMEGROW=1, which scales events by
+    // SHIFTING each copy's timestamps past the previous copy's span
+    // (same users, Sx history per user — how a real user corpus grows)
+    // instead of namespacing users. On that null the plain user_id
+    // self-join's volume sum n^2 grows Sx^2 per decade while the
+    // banded join's per-(user, 5-min bucket) density stays constant —
+    // so banded volume grows Sx. The pair probes measure exactly that
+    // separation; both are lossless (EventsSpec), so the slopes are
+    // the whole story.
+    ("events_cooccurrence_plain" ->
+      ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        ops.Events.cooccurrenceFixedRoute(s, d, banded = false))) :+
+    ("events_cooccurrence_banded" ->
+      ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        ops.Events.cooccurrenceFixedRoute(s, d, banded = true)))
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -307,16 +323,36 @@ object StressScale {
     }
 
     if (needEvents) {
-      // user_id namespaced per copy: Sx distinct users over the same
-      // day span (see the events probes' comment in Probes). The ts
-      // column is copied verbatim, so whatever physical type the base
-      // dir carries (TIMESTAMP(NANOS)-as-long under this session's
-      // nanosAsLong, or native micros) round-trips unchanged and
-      // Tables.normalizeTs handles the scaled dir identically.
-      val ev = spark.read.parquet(s"$base/events.parquet")
-      val evStride = math.max(strideFor(ev, "event_id"),
-        strideFor(ev, "user_id"))
-      copiesWith(ev, evStride) { (d, k, stride) =>
+      // Default null — user_id namespaced per copy: Sx distinct users
+      // over the same day span (see the events probes' comment in
+      // Probes). The ts column is copied verbatim, so whatever physical
+      // type the base dir carries (TIMESTAMP(NANOS)-as-long under this
+      // session's nanosAsLong, or native micros) round-trips unchanged
+      // and Tables.normalizeTs handles the scaled dir identically.
+      //
+      // SPARK_GRAFT_SCALE_EVENTS_TIMEGROW=1 — the temporal-growth null:
+      // SAME users, each copy's timestamps shifted one whole span + 1 h
+      // past the previous copy's, so per-user history grows Sx over an
+      // Sx time range at constant per-bucket density (the self-join
+      // probes' comment in Probes). Shifting needs ts arithmetic, so
+      // this leg normalizes ts to TimestampType first (the scaled file
+      // then carries native micros — normalizeTs passes it through).
+      val timeGrow =
+        sys.env.get("SPARK_GRAFT_SCALE_EVENTS_TIMEGROW").contains("1")
+      val ev0 = spark.read.parquet(s"$base/events.parquet")
+      val evStride = math.max(strideFor(ev0, "event_id"),
+        strideFor(ev0, "user_id"))
+      if (timeGrow) {
+        val ev = Tables.normalizeTs(ev0)
+        val span = ev.agg(
+          (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))) +
+            3600000000L).as("span")).head().getLong(0)
+        copiesWith(ev, evStride) { (d, k, stride) =>
+          d.withColumn("event_id", col("event_id") + lit(k * stride))
+            .withColumn("ts",
+              timestamp_micros(unix_micros(col("ts")) + lit(k * span)))
+        }.write.mode("overwrite").parquet(s"$out/events.parquet")
+      } else copiesWith(ev0, evStride) { (d, k, stride) =>
         d.withColumn("event_id", col("event_id") + lit(k * stride))
           .withColumn("user_id", col("user_id") + lit(k * stride))
       }.write.mode("overwrite").parquet(s"$out/events.parquet")

@@ -537,24 +537,27 @@ object Events {
     * aggregate (map-side combinable, |users| rows — orders cheaper than
     * the join it de-risks) computes Σn² and the guard bound
     * (out ≤ 16 × rows, `joinVolumeGuard`'s amplification test) as ONE
-    * 1-row fetch; within the bound the plain user_id equi-join runs,
-    * over it the salted join (`Skew.saltedJoin` — probe salted by row
-    * content, build replicated per salt) spreads every hot user's n²
-    * pair rows across 16 reducers instead of serializing the fan-out
-    * into one. Both routes are result-identical (SkewSpec pins the
-    * salted join lossless), so ONE relational oracle covers both legs —
-    * and the chosen route is pinned into the output (`route`), with the
-    * oracle replaying the guard rule in SQL, so the driver hash covers
-    * the decision (the `dedup_simhash_routed` discipline). The fixture
-    * exceeds the bound at both verify scales (Σn² = 677 248 > 160 000
-    * at sf0.01; 6.77 M > 1.6 M at sf0.1), so the declared query serves
-    * the salted route; EventsSpec proves the plain route selectable and
-    * the two routes equal.
-    *
-    * At 100 TB: the time-band predicate (|Δt| ≤ 5 min) cannot prune the
-    * JOIN volume (it applies post-match within a user's partition), so
-    * the guard quantity Σn² is the real cost either way — exactly why
-    * the route decision keys on it and not on event count. */
+    * 1-row fetch; within the bound the plain user_id equi-join runs —
+    * over it the TIME-BANDED join ([[cooccurrenceBandedFrom]]) replaces
+    * it. The banded join is this family's VOLUME fix, the r14 Jaccard
+    * lesson (BASELINE r14: plain AND salted DNF where prefix filtering
+    * finishes — a skew fix spreads C(n,2) rows without shrinking them)
+    * applied to temporal self-joins: since only pairs within Δ = 5 min
+    * count, joining on (user_id, Δ-wide time bucket) with the probe
+    * side replicated to its 3 adjacent buckets bounds candidates by
+    * per-bucket DENSITY — a user's history growing over time adds
+    * buckets, not per-bucket rows, so candidate volume grows linearly
+    * where the plain join's n² grows quadratically. `Skew.saltedJoin`
+    * remains the sibling for when no such predicate exists (pure skew).
+    * Banding is lossless (Δt ≤ Δ ⟹ bucket distance ≤ 1, and each pair
+    * matches exactly one of the 3 probe keys), so ONE relational oracle
+    * covers both legs — and the chosen route is pinned into the output
+    * (`route`), with the oracle replaying the guard rule in SQL, so the
+    * driver hash covers the decision (the `dedup_simhash_routed`
+    * discipline). The fixture exceeds the bound at both verify scales
+    * (Σn² = 677 248 > 160 000 at sf0.01; 6.77 M > 1.6 M at sf0.1), so
+    * the declared query serves the banded route; EventsSpec proves the
+    * plain route selectable and the two routes equal. */
   def eventsCooccurrenceRouted(s: SparkSession, dir: String): DataFrame =
     cooccurrenceRoutedFrom(events(s, dir).select(col("user_id"),
       col("event_id"), col("event_type"), unix_micros(col("ts")).as("us")))
@@ -570,21 +573,59 @@ object Events {
         coalesce(sum(col("n") * col("n")), lit(0L)).as("out_rows"))
       .head()
     val plainOk = g.getLong(1) <= 16L * g.getLong(0)
-    val b = e.select(col("user_id"), col("event_id").as("b_event_id"),
+    if (plainOk) cooccurrencePairAgg(cooccurrencePlainJoin(e), "plain")
+    else cooccurrencePairAgg(cooccurrenceBandedJoin(e), "banded")
+  }
+
+  /** StressScale's probe seam: the co-occurrence contract at a FIXED
+    * route, so the plain-vs-banded volume separation is measurable on
+    * the time-grown null without the guard choosing for you. */
+  private[graft] def cooccurrenceFixedRoute(s: SparkSession, dir: String,
+      banded: Boolean): DataFrame = {
+    val e = events(s, dir).select(col("user_id"), col("event_id"),
+      col("event_type"), unix_micros(col("ts")).as("us"))
+    if (banded) cooccurrencePairAgg(cooccurrenceBandedJoin(e), "banded")
+    else cooccurrencePairAgg(cooccurrencePlainJoin(e), "plain")
+  }
+
+  /** 5 minutes in µs — the co-occurrence window AND the band width (the
+    * losslessness argument needs width ≥ window; equal is tightest). */
+  private val CoocWindowUs = 300000000L
+
+  private def cooccurrenceBSide(e: DataFrame): DataFrame =
+    e.select(col("user_id"), col("event_id").as("b_event_id"),
       col("event_type").as("b_event_type"), col("us").as("b_us"))
-    val joined =
-      if (plainOk) e.join(b, Seq("user_id"))
-      else Skew.saltedJoin(e, b, Seq("user_id"))
+
+  private[graft] def cooccurrencePlainJoin(e: DataFrame): DataFrame =
+    e.join(cooccurrenceBSide(e), Seq("user_id"))
+
+  /** The banded candidate join: each probe row replicated to its 3
+    * adjacent Δ-wide buckets (map-side generate, 3× one side — vs the
+    * salted join's 16× replication that leaves volume quadratic), build
+    * side keyed by its own bucket. Any pair with |Δt| ≤ Δ has bucket
+    * distance ≤ 1 and matches EXACTLY one probe key (the 3 keys are
+    * distinct), so the join is lossless and duplicate-free before the
+    * exact |Δt| filter. */
+  private[graft] def cooccurrenceBandedJoin(e: DataFrame): DataFrame = {
+    val bucket = expr(s"us div $CoocWindowUs")
+    val probe = e
+      .withColumn("b_bucket",
+        explode(array(bucket - 1, bucket, bucket + 1)))
+    val build = cooccurrenceBSide(e)
+      .withColumn("b_bucket", expr(s"b_us div $CoocWindowUs"))
+    probe.join(build, Seq("user_id", "b_bucket")).drop("b_bucket")
+  }
+
+  private def cooccurrencePairAgg(joined: DataFrame, route: String): DataFrame =
     joined
       .filter(col("event_id") < col("b_event_id") &&
-        abs(col("us") - col("b_us")) <= 300000000L)
+        abs(col("us") - col("b_us")) <= CoocWindowUs)
       .groupBy(
         least(col("event_type"), col("b_event_type")).as("type_1"),
         greatest(col("event_type"), col("b_event_type")).as("type_2"))
       .agg(count(lit(1)).as("n_pairs"))
-      .withColumn("route", lit(if (plainOk) "plain" else "salted"))
+      .withColumn("route", lit(route))
       .orderBy(col("type_1"), col("type_2"))
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_cooccurrence_routed" -> eventsCooccurrenceRouted _,
@@ -608,9 +649,9 @@ object Events {
   )
 
   val oracleSql: Map[String, String] = Map(
-    // one relational body covers both routes (the salted join is
-    // result-identical); the guard rule replays in SQL so the hash pins
-    // the routing decision itself
+    // one relational body covers both routes (the banded join is
+    // result-identical — EventsSpec pins row-level equality); the guard
+    // rule replays in SQL so the hash pins the routing decision itself
     "events_cooccurrence_routed" ->
       """WITH c AS (
         |  SELECT user_id, CAST(count(*) AS BIGINT) AS n
@@ -622,7 +663,7 @@ object Events {
         |  greatest(a.event_type, b.event_type) AS type_2,
         |  count(*) AS n_pairs,
         |  CASE WHEN (SELECT plain FROM guard)
-        |       THEN 'plain' ELSE 'salted' END AS route
+        |       THEN 'plain' ELSE 'banded' END AS route
         |FROM events a JOIN events b
         |  ON a.user_id = b.user_id AND a.event_id < b.event_id
         |  AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300000000

@@ -38,15 +38,15 @@ class EventsSpec extends AnyFunSuite {
     assert(custom === native)
   }
 
-  test("cooccurrence routing: fixture serves salted == plain recompute; bounded fan-out selects plain") {
+  test("cooccurrence routing: fixture serves banded == plain recompute; bounded fan-out selects plain") {
     import spark.implicits._
-    // fixture: per-user fan-out blows the 16x guard -> salted route
+    // fixture: per-user fan-out blows the 16x guard -> banded route
     val routedDf = Events.eventsCooccurrenceRouted(spark, dir)
     val routedRows = routedDf.collect()
     assert(routedRows.nonEmpty)
-    assert(routedRows.forall(_.getString(3) === "salted"),
+    assert(routedRows.forall(_.getString(3) === "banded"),
       "the fixture's events self-join must exceed the guard bound")
-    // the salted route is result-identical to a direct plain-join
+    // the banded route is result-identical to a direct plain-join
     // recomputation of the same contract
     val e = Tables.events(spark, dir).select(col("user_id"), col("event_id"),
       col("event_type"), unix_micros(col("ts")).as("us"))
@@ -62,6 +62,22 @@ class EventsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
     assert(routedRows.map(r =>
       (r.getString(0), r.getString(1), r.getLong(2))).toSeq === plain)
+    // losslessness at the ROW level, not just post-aggregate: the banded
+    // candidate join and the plain join admit the identical within-window
+    // pair set (each pair via exactly one of the 3 probe keys)
+    def pairs(j: org.apache.spark.sql.DataFrame) = j
+      .filter(col("event_id") < col("b_event_id") &&
+        abs(col("us") - col("b_us")) <= 300000000L)
+      .select(col("event_id"), col("b_event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val bandedPairs = pairs(Events.cooccurrenceBandedJoin(e))
+    assert(bandedPairs.toSet === pairs(Events.cooccurrencePlainJoin(e)).toSet)
+    assert(bandedPairs.length === bandedPairs.toSet.size, "no duplicate pairs")
+    // and exact-boundary pairs (delta == window) survive banding: two
+    // events exactly 300s apart land in adjacent buckets
+    val edge = Seq((1L, 1L, "a", 0L), (1L, 2L, "b", 300000000L))
+      .toDF("user_id", "event_id", "event_type", "us")
+    assert(pairs(Events.cooccurrenceBandedJoin(edge)).toSeq === Seq((1L, 2L)))
     // bounded fan-out (10 users x 4 events: sum n^2 = 160 <= 16*40):
     // the guard admits the plain route, same contract
     val tiny = (for (u <- 1L to 10L; i <- 0L to 3L)
