@@ -446,6 +446,28 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("cooccurrence routed: over-budget fixture plans the BANDED join — generate-fed equi-join, no cartesian") {
+    // the fixture exceeds the 16x guard at every scale, so the plan must
+    // be the banded route: a Generate (the 3-adjacent-bucket explode)
+    // feeding an equi-join keyed on (user_id, b_bucket) — never a
+    // cartesian/BNLJ, and never a per-user n^2 join with no bucket key
+    val p = plan(ops.Events.eventsCooccurrenceRouted(spark, dir))
+    assert(countNodes(p, "CartesianProduct") === 0, s"cartesian in:\n$p")
+    assert(countNodes(p, "BroadcastNestedLoopJoin") === 0, s"BNLJ in:\n$p")
+    assert(countNodes(p, "Generate") >= 1, s"no bucket explode in:\n$p")
+    assert(p.contains("b_bucket"), s"join not bucket-keyed:\n$p")
+  }
+
+  test("warehouse profiler: approx legs Expand-free — exactly one Expand per table (the exact validation leg)") {
+    // each table's exact-NDV validation aggregate is the ONLY Expand;
+    // the approx legs (the production shape) must stay plain hash
+    // aggregates — a fifth Expand would mean an approx leg regressed
+    // into the multi-countDistinct plan this query exists to avoid
+    val p = plan(ops.Curation.profileTablesApprox(spark, dir))
+    assert(countNodes(p, "Expand") === 4,
+      s"expected exactly 4 Expands (one exact leg per table), plan:\n$p")
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipelines") {
     val df = ops.Relational.q6RevenueFilter(spark, dir)
     df.collect() // AQE finalizes the executed plan only after execution
