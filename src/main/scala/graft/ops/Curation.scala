@@ -865,6 +865,69 @@ object Curation {
       .orderBy(col("table_name"), col("col_name"))
   }
 
+  /** Snapshot-to-snapshot PROFILE drift — the monitoring consumer the
+    * profiler scaladocs promise ("the stats source for … drift
+    * monitoring"), now a declared query: profile the current documents
+    * snapshot and its successor (the SAME deterministic v2 simulation
+    * `curation_snapshot_diff` replays — drop ≡0 mod 97, rewrite ≡0 mod
+    * 89, add one synthetic doc per removed, derived columns recomputed
+    * from the rewritten text), then join the two per-column panels and
+    * flag columns whose null count / exact NDV / min / max / row count
+    * moved. This is the check a pipeline runs BEFORE promoting a
+    * snapshot: schema-stable but distribution-shifted columns (the
+    * silent killer for trained-on-it models) surface as `drifted` rows
+    * with both panels side by side.
+    *
+    * Shape: one exact profile aggregate per snapshot (the
+    * `profile_columns` Expand — exact so the oracle replays values
+    * bit-for-bit; at 100 TB both panels ride the Expand-free approx
+    * aggregate, the `profile_tables_approx` shape, and the drift rule
+    * compares estimates with the `ndv_ok`-style tolerance), then a
+    * broadcast join of two 4-row panels — the corpus never joins. */
+  def profileDrift(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("doc_id", "lang", "source", "n_chars")
+    val v1 = documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    val d1 = documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    val changed = d1.filter(pmod(col("doc_id"), lit(97L)) =!= 0)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(89L)) === 0, upper(col("text")))
+          .otherwise(col("text")))
+    val added = d1.filter(pmod(col("doc_id"), lit(97L)) === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("lang"),
+        col("source"), concat(lit("new "), col("text")).as("text"))
+    val v2 = changed.unionAll(added)
+      .select(col("doc_id"), col("lang"), col("source"),
+        length(col("text")).cast("long").as("n_chars"))
+    def panel(df: DataFrame, v: String): DataFrame = {
+      val aggs = cols.flatMap { c =>
+        Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+          countDistinct(col(c)).as(s"${c}_ndv"),
+          min(col(c)).cast("string").as(s"${c}_min"),
+          max(col(c)).cast("string").as(s"${c}_max"))
+      } :+ count(lit(1)).as("n_rows")
+      val wide = df.agg(aggs.head, aggs.tail: _*)
+      val stacked = cols.map(c =>
+        s"'$c', ${c}_nulls, ${c}_ndv, ${c}_min, ${c}_max").mkString(", ")
+      wide.select(col("n_rows").as(s"n_rows_$v"), expr(
+        s"stack(${cols.length}, $stacked) AS " +
+          s"(col_name, n_nulls_$v, n_distinct_$v, min_$v, max_$v)"))
+    }
+    panel(v1, "v1").join(broadcast(panel(v2, "v2")), Seq("col_name"))
+      .select(col("col_name"),
+        col("n_rows_v1"), col("n_rows_v2"),
+        col("n_nulls_v1"), col("n_nulls_v2"),
+        col("n_distinct_v1"), col("n_distinct_v2"),
+        col("min_v1"), col("min_v2"), col("max_v1"), col("max_v2"),
+        (col("n_rows_v1") =!= col("n_rows_v2") ||
+          col("n_nulls_v1") =!= col("n_nulls_v2") ||
+          col("n_distinct_v1") =!= col("n_distinct_v2") ||
+          col("min_v1") =!= col("min_v2") ||
+          col("max_v1") =!= col("max_v2")).as("drifted"))
+      .orderBy(col("col_name"))
+  }
+
   /** Data-contract checks — the dbt-test/Deequ-style constraint suite
     * as ONE declared query: each check is a violation COUNT (0 = pass)
     * so the report is exact, engine-portable, and actionable (the
@@ -916,6 +979,7 @@ object Curation {
     "profile_columns" -> profileColumns _,
     "profile_columns_approx" -> profileColumnsApprox _,
     "profile_tables_approx" -> profileTablesApprox _,
+    "profile_drift" -> profileDrift _,
     "curation_snapshot_diff" -> curationSnapshotDiff _,
     "dedup_source_overlap" -> dedupSourceOverlap _,
     "profile_sources" -> profileSources _,
@@ -1357,6 +1421,37 @@ object Curation {
              |FROM $rel""".stripMargin
         }
       }.mkString("", "\nUNION ALL\n", "\nORDER BY table_name, col_name")
+    },
+    // both panels exact, the same v2 simulation as curation_snapshot_diff
+    // with derived columns recomputed from the rewritten text
+    "profile_drift" -> {
+      val cols = Seq("doc_id", "lang", "source", "n_chars")
+      def panel(rel: String, v: String) = cols.map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows_$v,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_nulls_$v,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct_$v,
+           |  CAST(min($c) AS VARCHAR) AS min_$v,
+           |  CAST(max($c) AS VARCHAR) AS max_$v
+           |FROM $rel""".stripMargin
+      }.mkString("(", "\nUNION ALL\n", ")")
+      s"""WITH v2 AS MATERIALIZED (
+         |  SELECT doc_id, lang, source,
+         |    CAST(length(CASE WHEN doc_id % 89 = 0 THEN upper(text)
+         |                     ELSE text END) AS BIGINT) AS n_chars
+         |  FROM documents WHERE doc_id % 97 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 10000000, lang, source,
+         |    CAST(length('new ' || text) AS BIGINT)
+         |  FROM documents WHERE doc_id % 97 = 0),
+         |p1 AS ${panel("documents", "v1")},
+         |p2 AS ${panel("v2", "v2")}
+         |SELECT col_name, n_rows_v1, n_rows_v2, n_nulls_v1, n_nulls_v2,
+         |  n_distinct_v1, n_distinct_v2, min_v1, min_v2, max_v1, max_v2,
+         |  (n_rows_v1 <> n_rows_v2 OR n_nulls_v1 <> n_nulls_v2
+         |    OR n_distinct_v1 <> n_distinct_v2
+         |    OR min_v1 <> min_v2 OR max_v1 <> max_v2) AS drifted
+         |FROM p1 JOIN p2 USING (col_name) ORDER BY col_name""".stripMargin
     },
     "curation_snapshot_diff" ->
       """WITH v1 AS (SELECT doc_id, lang, text FROM documents),
