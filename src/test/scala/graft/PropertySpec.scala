@@ -80,4 +80,23 @@ class PropertySpec extends AnyFunSuite {
       a.size + b.size - (a & b).size == (a | b).size
     })
   }
+
+  test("band key rule (cooccurrence): every in-window pair hits exactly one of the 3 probe keys") {
+    // Events.cooccurrenceBandedJoin's losslessness/exactly-once argument
+    // as a TOTAL integer property — including negative timestamps, where
+    // Spark's `div` truncates toward zero (verified: -1 div 300 = 0), so
+    // the 0-bucket is 2W-1 wide; every bucket has width >= W, buckets
+    // are contiguous and monotone, hence |delta| <= W implies bucket
+    // distance <= 1. Scala Long `/` has the identical truncation
+    // semantics and is the model here.
+    val W = 300000000L
+    check(Prop.forAll(
+      Gen.chooseNum(-10000000000000L, 10000000000000L),
+      Gen.chooseNum(-W, W)) { (us1: Long, d: Long) =>
+      val us2 = us1 + d
+      def b(x: Long) = x / W
+      val probeKeys = Set(b(us1) - 1, b(us1), b(us1) + 1)
+      probeKeys.size == 3 && probeKeys.contains(b(us2))
+    })
+  }
 }
