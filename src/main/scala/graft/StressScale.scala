@@ -192,7 +192,14 @@ object StressScale {
         ops.Events.cooccurrenceFixedRoute(s, d, banded = false))) :+
     ("events_cooccurrence_banded" ->
       ((s: org.apache.spark.sql.SparkSession, d: String) =>
-        ops.Events.cooccurrenceFixedRoute(s, d, banded = true)))
+        ops.Events.cooccurrenceFixedRoute(s, d, banded = true))) :+
+    // r15: the calibrated containment threshold priced against the
+    // declared fixed-256 line (same lossless pair set; the knob moves
+    // which shingles sort last in the prefix order, i.e. candidate
+    // volume). Includes the stored-calibration fetch, like production.
+    ("dedup_containment_routed" ->
+      ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        ops.Calibrate.dedupContainmentRouted(s, d)))
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
