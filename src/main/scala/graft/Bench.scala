@@ -36,6 +36,18 @@ import org.apache.spark.sql.SparkSession
   * file is rewritten after every query, so even a ceiling-stop or
   * external kill leaves a valid min-composite over the completed work.
   *
+  * Budget-contract caveat (r15 advice): since the min-runs floor,
+  * setting ONLY SPARK_GRAFT_BENCH_TIME_BUDGET_SEC no longer bounds the
+  * run at its value — the floor passes ignore it, so the worst case is
+  * the 3×-budget hard cap PLUS one final steal-inflated pass (the cap
+  * gates STARTING a pass, never kills one mid-flight; killing mid-pass
+  * would corrupt the min-composite with a partial pass). Honoring an
+  * explicitly-set TIME_BUDGET as the hard-cap default was considered
+  * and REJECTED: the driver's per-round bench sets the budget env, and
+  * budget-as-cap would let a steal burst truncate the run back to two
+  * passes — exactly the r14 artifact the floor exists to prevent.
+  * Callers needing a strict wall set SPARK_GRAFT_BENCH_HARD_CAP_SEC.
+  *
   * Self-describing failures (r5 folded 27 error-exit times into a
   * "partial":false total): a query that never succeeds appears in
   * EXACTLY ONE of the top-level `"errors":{name:message}` map (if any

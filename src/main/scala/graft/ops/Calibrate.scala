@@ -243,7 +243,11 @@ object Calibrate {
     * catches the growth/shrink case, which is exactly the event that
     * moves rungs and caps. */
   def storedCalibration(s: SparkSession, dir: String): DataFrame =
-    Indexes.materializedIndex(s, dir, "calibration")(
+    // stamped like every stored build (r15 advice); the calibration row
+    // is parameterless (it IS the parameters), so the stamp records the
+    // derivation-rule version the row was computed under
+    Indexes.materializedIndexStamped(s, dir, "calibration",
+      Map("calibration_rules_version" -> 1L))(
       calibrateFromDocs(Tables.documents(s, dir)))
 
   /** True iff the corpus at `dir` no longer has the row count the stored

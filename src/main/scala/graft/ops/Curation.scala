@@ -704,6 +704,32 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** Synthetic-v2 re-key offset for the snapshot simulations
+    * ([[curationSnapshotDiff]], [[profileDrift]] and its approx
+    * sibling): the smallest power of 10 that is ≥ the historical 10M
+    * constant AND strictly above max(doc_id) — StressScale's
+    * `strideFor` rule, in-plan (r15 advice: on a corpus whose ids reach
+    * 10M the fixed offset collided added ids with surviving real ones,
+    * silently corrupting the simulated drift — both engines would
+    * shift identically, so verification stayed green while the
+    * simulation lied). Enters the plan as a broadcast 1-row cross
+    * join, never a collect; `pow(10, k)` is exact in double for
+    * k ≤ 15 and doc_id is bounded far below (the ANSI-safety note in
+    * `textSampleHash`); the `coalesce` keeps an EMPTY corpus at the
+    * 10M floor instead of a NULL stride. At the fixtures
+    * (max doc_id ≤ 5 000) the rule reproduces the historical 10M. */
+  private def addedIdStride(docs: DataFrame): DataFrame =
+    docs.agg(greatest(lit(10000000L), expr(
+      "cast(pow(10, coalesce(length(cast(max(doc_id) as string)), 0)) as bigint)"))
+      .as("id_stride"))
+
+  /** The same rule as DuckDB CTE text (interpolated into the
+    * snapshot-simulation oracles so both engines replay ONE rule). */
+  private val addedIdStrideSql: String =
+    """stride AS (SELECT greatest(10000000, CAST(pow(10,
+      |  coalesce(length(CAST(max(doc_id) AS VARCHAR)), 0)) AS BIGINT))
+      |  AS id_stride FROM documents)""".stripMargin
+
   /** Snapshot diff — the dataset-versioning primitive a production
     * pipeline runs between two corpus builds: which documents were
     * added, removed, changed, or untouched, WITHOUT comparing text
@@ -726,7 +752,8 @@ object Curation {
         when(pmod(col("doc_id"), lit(89L)) === 0, upper(col("text")))
           .otherwise(col("text")))
     val added = v1.filter(pmod(col("doc_id"), lit(97L)) === 0)
-      .select((col("doc_id") + 10000000L).as("doc_id"), col("lang"),
+      .crossJoin(broadcast(addedIdStride(v1)))
+      .select((col("doc_id") + col("id_stride")).as("doc_id"), col("lang"),
         concat(lit("new "), col("text")).as("text"))
     val v2 = changed.unionAll(added)
     val h1 = v1.select(col("doc_id"), col("lang").as("lang1"),
@@ -895,7 +922,8 @@ object Curation {
         when(pmod(col("doc_id"), lit(89L)) === 0, upper(col("text")))
           .otherwise(col("text")))
     val added = d1.filter(pmod(col("doc_id"), lit(97L)) === 0)
-      .select((col("doc_id") + 10000000L).as("doc_id"), col("lang"),
+      .crossJoin(broadcast(addedIdStride(d1)))
+      .select((col("doc_id") + col("id_stride")).as("doc_id"), col("lang"),
         col("source"), concat(lit("new "), col("text")).as("text"))
     val v2 = changed.unionAll(added)
       .select(col("doc_id"), col("lang"), col("source"),
@@ -1435,13 +1463,14 @@ object Curation {
            |  CAST(max($c) AS VARCHAR) AS max_$v
            |FROM $rel""".stripMargin
       }.mkString("(", "\nUNION ALL\n", ")")
-      s"""WITH v2 AS MATERIALIZED (
+      s"""WITH $addedIdStrideSql,
+         |v2 AS MATERIALIZED (
          |  SELECT doc_id, lang, source,
          |    CAST(length(CASE WHEN doc_id % 89 = 0 THEN upper(text)
          |                     ELSE text END) AS BIGINT) AS n_chars
          |  FROM documents WHERE doc_id % 97 <> 0
          |  UNION ALL
-         |  SELECT doc_id + 10000000, lang, source,
+         |  SELECT doc_id + (SELECT id_stride FROM stride), lang, source,
          |    CAST(length('new ' || text) AS BIGINT)
          |  FROM documents WHERE doc_id % 97 = 0),
          |p1 AS ${panel("documents", "v1")},
@@ -1454,13 +1483,14 @@ object Curation {
          |FROM p1 JOIN p2 USING (col_name) ORDER BY col_name""".stripMargin
     },
     "curation_snapshot_diff" ->
-      """WITH v1 AS (SELECT doc_id, lang, text FROM documents),
+      s"""WITH $addedIdStrideSql,
+        |v1 AS (SELECT doc_id, lang, text FROM documents),
         |v2 AS (
         |  SELECT doc_id, lang,
         |    CASE WHEN doc_id % 89 = 0 THEN upper(text) ELSE text END AS text
         |  FROM v1 WHERE doc_id % 97 <> 0
         |  UNION ALL
-        |  SELECT doc_id + 10000000, lang, 'new ' || text
+        |  SELECT doc_id + (SELECT id_stride FROM stride), lang, 'new ' || text
         |  FROM v1 WHERE doc_id % 97 = 0),
         |h1 AS (SELECT doc_id, lang AS lang1, md5(text) AS h1 FROM v1),
         |h2 AS (SELECT doc_id, lang AS lang2, md5(text) AS h2 FROM v2),

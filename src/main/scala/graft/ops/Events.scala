@@ -572,7 +572,9 @@ object Events {
       .agg(coalesce(sum(col("n")), lit(0L)).as("rows"),
         coalesce(sum(col("n") * col("n")), lit(0L)).as("out_rows"))
       .head()
-    val plainOk = g.getLong(1) <= 16L * g.getLong(0)
+    // the SAME bound joinVolumeGuard reports (r15 advice: one shared
+    // constant, consumed by guard, route, and both oracles)
+    val plainOk = g.getLong(1) <= RelationalExt.JoinAmplificationBound * g.getLong(0)
     if (plainOk) cooccurrencePairAgg(cooccurrencePlainJoin(e), "plain")
     else cooccurrencePairAgg(cooccurrenceBandedJoin(e), "banded")
   }
@@ -653,11 +655,12 @@ object Events {
     // result-identical — EventsSpec pins row-level equality); the guard
     // rule replays in SQL so the hash pins the routing decision itself
     "events_cooccurrence_routed" ->
-      """WITH c AS (
+      s"""WITH c AS (
         |  SELECT user_id, CAST(count(*) AS BIGINT) AS n
         |  FROM events GROUP BY 1),
         |guard AS (
-        |  SELECT coalesce(sum(n * n), 0) <= 16 * coalesce(sum(n), 0) AS plain
+        |  SELECT coalesce(sum(n * n), 0) <=
+        |    ${RelationalExt.JoinAmplificationBound} * coalesce(sum(n), 0) AS plain
         |  FROM c)
         |SELECT least(a.event_type, b.event_type) AS type_1,
         |  greatest(a.event_type, b.event_type) AS type_2,

@@ -69,16 +69,25 @@ object Indexes {
     }
   }
 
-  /** True iff the stored index carries a stamp that no longer matches
-    * the calibrator's CURRENT answer for the corpus — the decade-
-    * crossing detector: a growing corpus moves the calibrated rung
-    * (planes, signature width, band layout) while the stored
-    * signatures stay at build-time parameters, silently degrading
-    * recall/occupancy. An unstamped or never-built index reports NOT
-    * stale (there is no build-time claim to contradict). */
+  /** True iff the stored index cannot be PROVEN to match the
+    * calibrator's CURRENT answer for the corpus — the decade-crossing
+    * detector: a growing corpus moves the calibrated rung (planes,
+    * signature width, band layout) while the stored signatures stay at
+    * build-time parameters, silently degrading recall/occupancy.
+    *
+    * A BUILT index without a stamp is STALE (r15 advice: the old
+    * "no claim to contradict" reading made the checked append pass
+    * vacuously on any plain `materializedIndex` build, re-opening the
+    * exact silent-rung-mix hole the stamp exists to close — freshness
+    * must be provable, not merely uncontradicted; every builder here
+    * now stamps, so an unstamped dir is an out-of-contract artifact).
+    * A never-built index reports NOT stale: the cold-start case is the
+    * build branch of [[appendToIndexOrRebuild]], not a staleness. */
   private[graft] def isStale(s: SparkSession, dir: String, tag: String,
       current: Map[String, Long]): Boolean =
-    indexStamp(s, dir, tag).exists(_ != current)
+    Option(paths.get((s, dir, tag))).exists { _ =>
+      !indexStamp(s, dir, tag).contains(current)
+    }
 
   /** Build → write parquet → return the scan (the materialized index).
     *
@@ -153,6 +162,11 @@ object Indexes {
   private[graft] def appendToIndex(s: SparkSession, dir: String, tag: String,
       batch: DataFrame, current: Map[String, Long]): Unit = {
     val stamp = indexStamp(s, dir, tag)
+    // an unstamped build cannot PROVE its parameters match the batch's
+    // (r15 advice) — the check must fail closed, not pass vacuously
+    require(stamp.isDefined,
+      s"index '$tag' for $dir carries no parameter stamp — build it via " +
+        "materializedIndexStamped (or rebuildIndex) before appending")
     require(!isStale(s, dir, tag, current),
       s"index '$tag' for $dir is STALE: built at ${stamp.getOrElse(Map.empty)} " +
         s"but the corpus now calibrates to $current — rebuild, don't append")
@@ -183,16 +197,20 @@ object Indexes {
     * proceed, not a crashed job): when the stored stamp still matches
     * the calibrator's current answer, append the batch (the cheap daily
     * motion); when the corpus has crossed a decade and the stored rung
-    * is stale, transparently REBUILD the whole index at the current
-    * rung via `rebuild` (which must cover base + batch — the batch's
-    * rows are re-derived at the new parameters, so the caller's
-    * old-rung `batch` is deliberately discarded on this path) and
-    * re-stamp. Returns true iff the rebuild path was taken, so callers
-    * can surface the (expensive, rare) event in their run logs. */
+    * is stale — or the index was never built or never stamped (r15
+    * advice: cold start is a BUILD, not a crash; an unstamped dir is
+    * unprovable, so it rebuilds too) — transparently (RE)BUILD the
+    * whole index at the current rung via `rebuild` (which must cover
+    * base + batch — the batch's rows are re-derived at the new
+    * parameters, so the caller's old-rung `batch` is deliberately
+    * discarded on this path) and stamp. Returns true iff the rebuild
+    * path was taken, so callers can surface the (expensive, rare)
+    * event in their run logs. */
   private[graft] def appendToIndexOrRebuild(s: SparkSession, dir: String,
       tag: String, batch: DataFrame, current: Map[String, Long])(
       rebuild: => DataFrame): Boolean = {
-    if (isStale(s, dir, tag, current)) {
+    val neverBuilt = paths.get((s, dir, tag)) == null
+    if (neverBuilt || isStale(s, dir, tag, current)) {
       rebuildIndex(s, dir, tag, current)(rebuild)
       true
     } else {
@@ -225,15 +243,21 @@ object Indexes {
 
   /** Verified near-dup pairs (a_id, b_id, jaccard) — the MinHash-LSH
     * index output, provably equal to the exact Jaccard pair set
-    * (DedupSpec). */
+    * (DedupSpec). Stamped with the frozen teaching banding it rides
+    * (r15 advice: EVERY build stamps, so a future calibrator rung move
+    * can never silently mix parameters in this dir either). */
   def nearDupPairs(s: SparkSession, dir: String): DataFrame =
-    materialize(s, dir, "pairs")(Dedup.dedupMinhashLsh(s, dir))
+    materializedIndexStamped(s, dir, "pairs", Dedup.minhashIndexParams)(
+      Dedup.dedupMinhashLsh(s, dir))
 
   /** Connected-component labels (node, label) over the near-dup pair
     * graph — `Curation.clusterLabels`' propagation output, reused by
-    * clustering, cluster dedup, and leakage-safe splitting. */
+    * clustering, cluster dedup, and leakage-safe splitting. Stamped
+    * with the pair index's banding — labels are derived rows of that
+    * artifact, so they share its build-time claim. */
   def componentLabels(s: SparkSession, dir: String): DataFrame =
-    materialize(s, dir, "labels")(Curation.clusterLabels(s, dir))
+    materializedIndexStamped(s, dir, "labels", Dedup.minhashIndexParams)(
+      Curation.clusterLabels(s, dir))
 
   /** Exact mutual 5-NN edges (a_id, b_id, rank_ab, rank_ba, cosine) —
     * a kNN graph is a stored pipeline artifact (SemDeDup, graph
@@ -241,7 +265,8 @@ object Indexes {
     * scoring per consumer is the anti-pattern. Builder:
     * `Similarity.buildKnnGraph`. */
   def knnGraphEdges(s: SparkSession, dir: String): DataFrame =
-    materialize(s, dir, "knngraph")(Similarity.buildKnnGraph(s, dir))
+    materializedIndexStamped(s, dir, "knngraph", Map("knn_k" -> 5L))(
+      Similarity.buildKnnGraph(s, dir))
 
   /** Sign-random-projection LSH signatures, one row per vector:
     * (vec_id, q: array<long> quantized embedding, norm2, buckets:

@@ -873,6 +873,15 @@ object RelationalExt {
     * Three audited joins: the orders⋈lineitem FK join (benign, ~4×),
     * the events-on-user_id SELF-join (the pair-blowup shape the guard
     * exists for), and lineitem⋈part (benign FK). */
+  /** The guard's amplification bound: a join whose output exceeds this
+    * multiple of its larger input is routed away from the plain plan.
+    * ONE shared constant (r15 advice) consumed by [[joinVolumeGuard]],
+    * `Events.cooccurrenceRoutedFrom`'s in-plan guard, and BOTH oracles'
+    * interpolated SQL — so a future bound change flips every engine's
+    * route together instead of producing a hash mismatch that looks
+    * like a query bug. */
+  private[graft] val JoinAmplificationBound = 16L
+
   def joinVolumeGuard(s: SparkSession, dir: String): DataFrame = {
     def audit(name: String, l: DataFrame, r: DataFrame): DataFrame = {
       val lc = l.groupBy(col("k")).agg(count(lit(1)).as("n_l"))
@@ -888,7 +897,8 @@ object RelationalExt {
             col("max_key_out").cast("double") / col("out_rows").cast("double"))
             .otherwise(lit(0.0)).as("skew_share"),
           (col("out_rows") <=
-            greatest(col("left_rows"), col("right_rows")) * 16).as("guard_ok"))
+            greatest(col("left_rows"), col("right_rows")) *
+              JoinAmplificationBound).as("guard_ok"))
     }
     val ev = events(s, dir).select(col("user_id").as("k"))
     audit("orders_lineitem_orderkey",
@@ -1013,7 +1023,8 @@ object RelationalExt {
            |    THEN CAST(coalesce(max(n_l * n_r), 0) AS DOUBLE) /
            |         CAST(sum(n_l * n_r) AS DOUBLE) ELSE 0.0 END AS skew_share,
            |  coalesce(sum(n_l * n_r), 0) <=
-           |    greatest(sum(coalesce(n_l, 0)), sum(coalesce(n_r, 0))) * 16 AS guard_ok
+           |    greatest(sum(coalesce(n_l, 0)), sum(coalesce(n_r, 0))) *
+           |      $JoinAmplificationBound AS guard_ok
            |FROM ($lsql) lc FULL JOIN ($rsql) rc USING (k)""".stripMargin
       Seq(
         one("orders_lineitem_orderkey",

@@ -17,16 +17,18 @@ class IndexRefreshSpec extends AnyFunSuite {
   test("appended LSH index == full rebuild, for both contents and probes") {
     val tag = "lshsig_refresh_demo"
     val isBase = col("vec_id") % 10 =!= 0 // base snapshot: 90% of vectors
-    val base = Indexes.materializedIndex(spark, dir, tag)(
+    // built STAMPED (r15 advice: every build stamps — an unstamped dir
+    // would refuse the checked append below rather than pass vacuously)
+    val base = Indexes.materializedIndexStamped(spark, dir, tag,
+      Similarity.lshIndexParams)(
       Similarity.buildLshSignatures(spark, dir).where(isBase))
     val nBase = base.count()
     assert(nBase > 0)
 
     // the daily batch arrives: signatures for the NEW vectors only,
     // appended to the stored index dir as a second commit (through the
-    // checked overload — the only public append; this demo index is
-    // unstamped, so there is no build-time claim to contradict and the
-    // staleness check passes vacuously)
+    // checked overload — the only public append; the stamp matches the
+    // frozen hyperplane params, so the staleness check passes)
     Indexes.appendToIndex(spark, dir, tag,
       Similarity.buildLshSignatures(spark, dir).where(!isBase),
       Similarity.lshIndexParams)
@@ -61,6 +63,47 @@ class IndexRefreshSpec extends AnyFunSuite {
         Similarity.buildLshSignatures(spark, dir).limit(1),
         Similarity.lshIndexParams)
     }
+  }
+
+  test("an UNSTAMPED build is stale and refuses the checked append (fail closed)") {
+    // a plain materializedIndex build carries no parameter stamp: its
+    // freshness is unprovable, so the checked append must refuse rather
+    // than pass vacuously (r15 advice — the silent-rung-mix hole)
+    val tag = "unstamped_demo"
+    Indexes.materializedIndex(spark, dir, tag)(
+      Similarity.buildLshSignatures(spark, dir).limit(10)).count()
+    assert(Indexes.indexStamp(spark, dir, tag).isEmpty)
+    assert(Indexes.isStale(spark, dir, tag, Similarity.lshIndexParams))
+    val err = intercept[IllegalArgumentException] {
+      Indexes.appendToIndex(spark, dir, tag,
+        Similarity.buildLshSignatures(spark, dir).limit(0),
+        Similarity.lshIndexParams)
+    }
+    assert(err.getMessage.contains("no parameter stamp"))
+    // the recovery path treats it like any staleness: transparent rebuild
+    val rebuilt = Indexes.appendToIndexOrRebuild(spark, dir, tag,
+      Similarity.buildLshSignatures(spark, dir).limit(0),
+      Similarity.lshIndexParams)(Similarity.buildLshSignatures(spark, dir))
+    assert(rebuilt)
+    assert(Indexes.indexStamp(spark, dir, tag) === Some(Similarity.lshIndexParams))
+  }
+
+  test("cold start: appendToIndexOrRebuild on a never-built index takes the build branch") {
+    // r15 advice: the production 'detect -> rebuild -> proceed' path must
+    // not crash on day zero — a missing build IS the rebuild case
+    val tag = "cold_start_demo"
+    val built = Indexes.appendToIndexOrRebuild(spark, dir, tag,
+      Similarity.buildLshSignatures(spark, dir).limit(0),
+      Similarity.lshIndexParams)(Similarity.buildLshSignatures(spark, dir))
+    assert(built)
+    assert(Indexes.indexStamp(spark, dir, tag) === Some(Similarity.lshIndexParams))
+    assert(!Indexes.isStale(spark, dir, tag, Similarity.lshIndexParams))
+    // and the now-built index takes the cheap append branch
+    val again = Indexes.appendToIndexOrRebuild(spark, dir, tag,
+      Similarity.buildLshSignatures(spark, dir).limit(0),
+      Similarity.lshIndexParams)(
+      sys.error("a fresh stamped index must append, not rebuild"))
+    assert(!again)
   }
 
   test("stored index stamped with build params; LSH index carries its stamp") {
