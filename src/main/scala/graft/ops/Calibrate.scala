@@ -411,12 +411,81 @@ object Calibrate {
       .withColumn("hot_df", lit(p.shingleHotDf))
   }
 
+  /** CALIBRATED MinHash banding — the last fixed similarity-family
+    * config, retired (r15 verdict #2). The (bands, rows) pair comes from
+    * the S-curve + corpus size, both in pure integers:
+    *
+    *  - '''S-curve alignment''': the banding's collision S-curve has its
+    *    fixed point at t* = (1/b)^(1/r); the family's declared Jaccard
+    *    threshold is 0.5, and t* = 0.5 solves EXACTLY as `b = 2^r` — so
+    *    every rung holds collision probability at the threshold constant
+    *    (1 − (1 − t^r)^b = 1 − (1 − 1/b)^b → 1 − 1/e) while each step up
+    *    in r multiplies a sub-threshold pair's per-band collision odds
+    *    j^r by j < 1/2, i.e. the rung ladder buys background-candidate
+    *    suppression without moving the threshold.
+    *  - '''Corpus size picks the rung''': candidate volume from
+    *    background pairs grows with the PAIR count n², so r steps up one
+    *    row per 16× corpus growth — `rows = clamp(4, 8,
+    *    ceil(ceilLog2(n_docs) / 4))` — which holds per-doc candidate
+    *    volume flat for background similarity j ≤ 1/32 (one +1 step
+    *    suppresses by 2j ≤ 1/16 = the per-16× growth in pairs-per-doc)
+    *    and degrades gracefully above. The clamp floor is the proven
+    *    teaching config's r = 4; the ceiling r = 8 (b = 256, 2 048
+    *    permutations) caps per-doc signature cost at ~4G docs — past it
+    *    a production corpus shards before it re-rungs, the same
+    *    saturation posture as `simhash_saturated`.
+    *
+    * Both rules are integer-replayable (`length(bin(x − 1))` ceil-log2,
+    * `(bits + 3) div 4` ceil-division, `1 << r`), so the DuckDB oracle
+    * recomputes the SELECTION itself. Recall is monotone in bands at
+    * fixed rows (shared permutation constants — see
+    * `Dedup.minhashLshPairsFrom`), so the fixture rung (r = 4, b = 16)
+    * is a strict candidate superset of the proven 8-band teaching
+    * config, and exact verification makes the pair set banding-
+    * invariant: ONE brute-force oracle covers every rung. */
+  private[graft] def minhashRowsFor(nDocs: Long): Int = {
+    if (nDocs <= 0) return 4
+    val bits =
+      if (nDocs == 1) 1 else 64 - java.lang.Long.numberOfLeadingZeros(nDocs - 1)
+    math.min(8, math.max(4, (bits + 3) / 4))
+  }
+
+  /** b = 2^r — the t* = 0.5 S-curve identity (see [[minhashRowsFor]]). */
+  private[graft] def minhashBandsFor(rows: Int): Int = 1 << rows
+
+  /** The calibrated banding in stamp form — what the streaming gate's
+    * stored `mhbands` index persists and the checked append compares
+    * (the `currentSimhashParams` motion for the MinHash family). */
+  private[graft] def currentMinhashBanding(p: SimilarityParams): Map[String, Long] = {
+    val r = minhashRowsFor(p.nDocs)
+    Map("minhash_rows" -> r.toLong, "minhash_bands" -> minhashBandsFor(r).toLong)
+  }
+
+  /** DECLARED calibrated-banding MinHash pairs — the
+    * [[dedupSimhashRouted]] motion for the Jaccard-LSH family: the
+    * stored calibration's n_docs picks (rows, bands), the banded join
+    * runs at that config, exact verification pins the pair set to the
+    * brute-force oracle at ANY config, and the chosen banding is PINNED
+    * into the output (`mh_rows`, `mh_bands`) with its derivation
+    * replayed in the oracle — the driver hash covers the decision.
+    * Fixture rungs: 500 docs and 5 000 docs both land on (4, 16). */
+  def dedupMinhashRouted(s: SparkSession, dir: String): DataFrame = {
+    val p = storedParams(s, dir)
+    val r = minhashRowsFor(p.nDocs)
+    val b = minhashBandsFor(r)
+    Dedup.minhashLshPairsFrom(
+        Dedup.shingled(Tables.documents(s, dir)), rows = r, bands = b)
+      .withColumn("mh_rows", lit(r.toLong))
+      .withColumn("mh_bands", lit(b.toLong))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "calibrate_similarity" -> calibrateSimilarity _,
     "dedup_simhash_routed" -> dedupSimhashRouted _,
     "dedup_substring_spans_routed" -> dedupSubstringSpansRouted _,
     "dedup_ngram_jaccard_routed" -> dedupNgramJaccardRouted _,
-    "dedup_containment_routed" -> dedupContainmentRouted _)
+    "dedup_containment_routed" -> dedupContainmentRouted _,
+    "dedup_minhash_routed" -> dedupMinhashRouted _)
 
   /** The n_docs → planes → rung derivation as outer CTEs the routed
     * oracle's guarded legs reference — the SAME integer text as the
@@ -507,8 +576,38 @@ object Calibrate {
   /** DuckDB replay of the full derivation — integer-only (bin-length
     * log₂, cumulative histogram window, CASE lookup from the same
     * [[srpTablesFor]] integers), so the driver hash pins every rule. */
+  /** The calibrated-banding oracle: the (rows, bands) derivation replays
+    * in integer CTEs (the same ceil-log2 / ceil-div-4 / 1<<r text the
+    * engine's Scala mirror computes), the pair set is the ONE brute-force
+    * Jaccard oracle (exact verification makes it banding-invariant at
+    * every rung), and the chosen banding rides the output so the driver
+    * hash pins the selection. */
+  private def dedupMinhashRoutedOracle: String =
+    """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      |mh AS (SELECT CASE WHEN n_docs <= 0 THEN 4
+      |    ELSE least(8, greatest(4,
+      |      (length(bin(CAST(n_docs - 1 AS BIGINT))) + 3) // 4)) END AS mh_rows
+      |  FROM n),
+      |sh AS MATERIALIZED (
+      |  SELECT doc_id, n_chars,
+      |    list_distinct([array_to_string(words[i:i+2], ' ')
+      |                   FOR i IN range(1, len(words) - 1)]) AS shingles
+      |  FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS words FROM documents)
+      |  WHERE len(words) >= 3)
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |  CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+      |  CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) AS jaccard,
+      |  CAST((SELECT mh_rows FROM mh) AS BIGINT) AS mh_rows,
+      |  CAST(CAST(1 AS BIGINT) << (SELECT mh_rows FROM mh) AS BIGINT) AS mh_bands
+      |FROM sh a JOIN sh b
+      |  ON a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+      |      CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.5
+      |ORDER BY a_id, b_id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "dedup_simhash_routed" -> dedupSimhashRoutedOracle,
+    "dedup_minhash_routed" -> dedupMinhashRoutedOracle,
     // both routes are lossless (prefix theorem), so one brute-force
     // oracle pins whichever the budget rule selects
     "dedup_ngram_jaccard_routed" -> Dedup.jaccardPairsSql,

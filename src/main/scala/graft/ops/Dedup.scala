@@ -178,12 +178,15 @@ object Dedup {
   private val MinhashPerms = 32
   private val Bands = 8 // 4 rows per band
 
-  /** The MinHash band index's frozen build parameters in stamp form —
-    * what `Indexes.materializedIndexStamped` persists beside the stored
-    * `mhbands` index and the checked append verifies. These are fixed
-    * constants (the banding is not calibrated), so the stamp's job here
-    * is recording the build config with the artifact, the
-    * `_GRAFT_PARAMS` discipline every stored index now follows. */
+  /** The MinHash band index's frozen TEACHING parameters in stamp form —
+    * what the `pairs`/`labels` stored indexes persist beside their
+    * artifacts. The declared `dedup_minhash_lsh` keeps this fixed 8×4
+    * config (its oracle pins the exact pair set, which is banding-
+    * invariant by verification — the config is pedagogy, not policy);
+    * the CALIBRATED banding lives in `Calibrate.minhashRowsFor` /
+    * `minhashBandsFor` and serves `dedup_minhash_routed` and the
+    * streaming gate's stored `mhbands` index (r15 verdict #2 — the last
+    * fixed similarity-family config, retired). */
   private[graft] def minhashIndexParams: Map[String, Long] =
     Map("minhash_perms" -> MinhashPerms.toLong, "bands" -> Bands.toLong)
   private val P = 2147483647L // 2^31 − 1; keeps a*h+b < 2^63 (ANSI-safe)
@@ -194,34 +197,46 @@ object Dedup {
     * candidates that pass EXACT Jaccard verification (≥ 0.5), so the
     * result provably matches `dedupNgramJaccard` (false-negative odds
     * ~1e-9 at the planted similarity levels). */
-  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    // The shingle set and signature tables are each referenced by two or
-    // more join sides below; without materialization Spark re-evaluates
-    // the (interpreted-HOF) shingling+hashing subtree once per reference
-    // (~3x the runtime measured at sf0.1). In production these ARE the
-    // persisted index; locally MEMORY_AND_DISK mirrors that.
-    val sh = shingled(documents(s, dir))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    minhashLshPairsFrom(shingled(documents(s, dir)), rows = 4, bands = Bands)
+
+  /** The LSH pair body at ANY (rows, bands) — the seam the calibrated
+    * routed query serves from ([[graft.ops.Calibrate.dedupMinhashRouted]]).
+    * Identical plan shape to the frozen declared query: the shingle and
+    * signature relations are each referenced by two or more join sides,
+    * so both persist (in production they ARE the stored index; locally
+    * MEMORY_AND_DISK mirrors that — the scaladoc note on
+    * [[dedupMinhashLsh]]'s historical inline body). Because
+    * `UniversalMinHash`'s per-permutation constants depend only on the
+    * permutation INDEX, a (rows, 2·bands) layout's first `bands` band
+    * buckets are bit-identical to the (rows, bands) layout's — growing
+    * the band count only ADDS candidate-generating bands, so recall is
+    * monotone in `bands` at fixed `rows` (CalibrateSpec leans on this:
+    * the calibrated 16-band fixture rung is a strict superset of the
+    * proven 8-band teaching config). */
+  private[graft] def minhashLshPairsFrom(sh0: DataFrame,
+      rows: Int, bands: Int): DataFrame = {
+    val sh = sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // hash each shingle ONCE (codegen'd per-element xxhash64+pmod), then
-    // compute all 32 universal-hash minima in a single codegen'd pass
-    // over the long array (the HOF forms — transform per element, 32 ×
-    // transform+array_min — evaluated interpreted lambdas and dominated
-    // the runtime; equivalences are pinned in the specs)
+    // compute all rows×bands universal-hash minima in a single codegen'd
+    // pass over the long array (the HOF forms — transform per element,
+    // k × transform+array_min — evaluated interpreted lambdas and
+    // dominated the runtime; equivalences are pinned in the specs)
     val hashed = sh.withColumn("hs",
       graft.functions.VectorExpressions.xxhashModArray(col("shingles"), P))
     val sigs = hashed.select(col("doc_id"),
         graft.functions.VectorExpressions
-          .universalMinhash(col("hs"), MinhashPerms, P).as("mh"))
+          .universalMinhash(col("hs"), rows * bands, P).as("mh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // band buckets: murmur hash of the band's 4 signature values; the
-    // banded relation carries ONLY (doc_id, band, bucket) — shingle
+    // band buckets: murmur hash of the band's `rows` signature values;
+    // the banded relation carries ONLY (doc_id, band, bucket) — shingle
     // arrays never enter the LSH shuffle
-    val bands = (0 until Bands).map { bnd =>
-      val cols = (0 until 4).map(r => col("mh").getItem(bnd * 4 + r))
+    val bandCols = (0 until bands).map { bnd =>
+      val cols = (0 until rows).map(r => col("mh").getItem(bnd * rows + r))
       struct(lit(bnd).as("band"), hash(cols: _*).as("bucket")).as(s"b_$bnd")
     }
     val banded = sigs
-      .select(col("doc_id"), explode(array(bands: _*)).as("bb"))
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val candidates = banded.as("a")
       .join(banded.as("b"),
@@ -249,18 +264,19 @@ object Dedup {
     * admission probe, where the new document's shingles must travel with
     * its band rows — a stream cannot re-join to itself for verification).
     */
-  private[graft] def bandedSigs(sh: DataFrame, keep: Seq[String] = Nil): DataFrame = {
+  private[graft] def bandedSigs(sh: DataFrame, keep: Seq[String] = Nil,
+      rows: Int = 4, bands: Int = Bands): DataFrame = {
     val sigs = sh
       .withColumn("hs",
         graft.functions.VectorExpressions.xxhashModArray(col("shingles"), P))
       .select(col("doc_id") +: keep.map(col) :+
         graft.functions.VectorExpressions
-          .universalMinhash(col("hs"), MinhashPerms, P).as("mh"): _*)
-    val bands = (0 until Bands).map { bnd =>
-      val cols = (0 until 4).map(r => col("mh").getItem(bnd * 4 + r))
+          .universalMinhash(col("hs"), rows * bands, P).as("mh"): _*)
+    val bandCols = (0 until bands).map { bnd =>
+      val cols = (0 until rows).map(r => col("mh").getItem(bnd * rows + r))
       struct(lit(bnd).as("band"), hash(cols: _*).as("bucket")).as(s"b_$bnd")
     }
-    sigs.select(col("doc_id") +: keep.map(col) :+ explode(array(bands: _*)).as("bb"): _*)
+    sigs.select(col("doc_id") +: keep.map(col) :+ explode(array(bandCols: _*)).as("bb"): _*)
       .select(col("doc_id") +: keep.map(col) :+
         col("bb.band").as("band") :+ col("bb.bucket").as("bucket"): _*)
   }

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{Dedup, Indexes}
+import graft.ops.{Calibrate, Dedup, Indexes}
 
 /** STREAMING near-dup admission filter — the production gate in front of
   * a training corpus: every incoming document is probed against the
@@ -16,7 +16,9 @@ import graft.ops.{Dedup, Indexes}
   * corpus snapshot — `Indexes`), the stream probes it with a stateless
   * stream-static equi-join on (band, bucket), and each admitted batch's
   * own band rows are APPENDED to the stored index
-  * (`Indexes.appendToIndex`, the daily-snapshot motion) so later batches
+  * (`Indexes.appendToIndexOrRebuild` — the daily-snapshot motion, with
+  * transparent rebuild when the calibrated banding rung has moved) so
+  * later batches
   * dedup against earlier ones — reference scope: the reference engine has
   * no streaming or dedup at all; this is the §2.2 extension surface
   * composed with Structured Streaming.
@@ -42,25 +44,63 @@ object StreamingDedup {
   private[graft] def residuePred(residues: Int*): Column =
     pmod(col("doc_id"), lit(10)).isin(residues.map(_.asInstanceOf[Any]): _*)
 
+  /** The CALIBRATED banding the gate runs at — as of r16 the MinHash
+    * banding is calibrator-derived (`Calibrate.minhashRowsFor`, the last
+    * fixed similarity-family config retired), so the gate pays one
+    * stored-calibration fetch per corpus snapshot and every piece of
+    * the pipeline (index build, stream-side banding, batch truth,
+    * append stamp) consumes the SAME (rows, bands). */
+  private[graft] def bandingParams(s: SparkSession, dir: String): Map[String, Long] =
+    Calibrate.currentMinhashBanding(Calibrate.storedParams(s, dir))
+
+  private def rowsBands(params: Map[String, Long]): (Int, Int) =
+    (params("minhash_rows").toInt, params("minhash_bands").toInt)
+
   /** The stored band index of the corpus-so-far (tag `mhbands`): same
     * row format as `Dedup.bandedSigs` — (doc_id, band, bucket). First
-    * call builds + materializes, stamped with the frozen banding
-    * parameters; `appendBatch` adds snapshots through the checked
-    * append. */
-  def corpusBandIndex(s: SparkSession, dir: String): DataFrame =
-    Indexes.materializedIndexStamped(s, dir, "mhbands",
-      Dedup.minhashIndexParams)(
+    * call builds + materializes, STAMPED with the calibrated banding;
+    * `appendBatch` adds snapshots through the staleness-checked
+    * recovery path. */
+  def corpusBandIndex(s: SparkSession, dir: String): DataFrame = {
+    val params = bandingParams(s, dir)
+    val (r, b) = rowsBands(params)
+    Indexes.materializedIndexStamped(s, dir, "mhbands", params)(
       Dedup.bandedSigs(Dedup.shingled(
-        Tables.documents(s, dir).filter(!residuePred(0, 5)))))
+        Tables.documents(s, dir).filter(!residuePred(0, 5))),
+        rows = r, bands = b))
+  }
 
   /** Append one admitted batch's band rows to the stored index — the
-    * post-admission half of the daily motion, through the
-    * staleness-CHECKED append (the banding params are frozen constants,
-    * so the check is a stamp-equality no-op here; the point is that no
-    * append path bypasses the stamp read). */
-  def appendBatch(s: SparkSession, dir: String, batch: DataFrame): Unit =
-    Indexes.appendToIndex(s, dir, "mhbands",
-      Dedup.bandedSigs(Dedup.shingled(batch)), Dedup.minhashIndexParams)
+    * post-admission half of the daily motion, through the RECOVERY path
+    * (r15 verdict #3: the throwing checked append was fine while the
+    * banding was frozen, but a calibrated banding makes the ingest gate
+    * the one consumer that would crash on a decade crossing): when the
+    * stored stamp still matches the calibrated banding, the batch's
+    * band rows append (the cheap daily motion); when the corpus has
+    * crossed a banding rung, the index transparently REBUILDS at the
+    * current rung from `corpusSoFar` — base + every admitted batch,
+    * which the CALLER owns (a production gate reads it back from its
+    * admitted-output table; the stored index has only band rows, not
+    * text) — and re-stamps. Returns true iff the rebuild was taken, so
+    * the gate can surface the event in its run log. */
+  def appendBatch(s: SparkSession, dir: String, batch: DataFrame)(
+      corpusSoFar: => DataFrame =
+        Tables.documents(s, dir).filter(!residuePred(0, 5)).unionByName(batch)
+  ): Boolean =
+    appendBatchAt(s, dir, batch, bandingParams(s, dir))(corpusSoFar)
+
+  /** [[appendBatch]] at an EXPLICIT calibrated banding — the seam the
+    * spec uses to drive the mid-stream rung crossing (the fixture
+    * corpus is immutable, so its own calibration never flips; a grown
+    * corpus's params are passed in to play the decade-crossing day). */
+  private[graft] def appendBatchAt(s: SparkSession, dir: String,
+      batch: DataFrame, current: Map[String, Long])(
+      corpusSoFar: => DataFrame): Boolean = {
+    val (r, b) = rowsBands(current)
+    Indexes.appendToIndexOrRebuild(s, dir, "mhbands",
+      Dedup.bandedSigs(Dedup.shingled(batch), rows = r, bands = b), current)(
+      Dedup.bandedSigs(Dedup.shingled(corpusSoFar), rows = r, bands = b))
+  }
 
   /** Parquet-backed document stream over a staged arrival DIRECTORY
     * (one "day's" feed; the file source needs a directory it can watch,
@@ -84,8 +124,12 @@ object StreamingDedup {
     * stream's rejections are provably the batch probe's pairs
     * (StreamingDedupSpec pins stream ≡ batch for both snapshots). */
   def admissionFilter(s: SparkSession, dir: String, newDocs: DataFrame): DataFrame = {
+    // the stream side MUST band at the stored index's calibrated
+    // (rows, bands) — a mismatched layout would probe foreign buckets
+    val (r, b) = rowsBands(bandingParams(s, dir))
     val banded = Dedup.bandedSigs(
-        Dedup.shingled(newDocs), keep = Seq("n_chars", "shingles"))
+        Dedup.shingled(newDocs), keep = Seq("n_chars", "shingles"),
+        rows = r, bands = b)
       .withColumn("ingest_ts",
         timestamp_micros(col("doc_id") + 86400000000L))
       .withWatermark("ingest_ts", "24 hours")
@@ -114,11 +158,12 @@ object StreamingDedup {
     * with parameterized sides). */
   private[graft] def batchTruth(s: SparkSession, dir: String,
       newPred: Column, corpusPred: Column): DataFrame = {
+    val (r, b) = rowsBands(bandingParams(s, dir))
     val docs = Tables.documents(s, dir)
     val newSh = Dedup.shingled(docs.filter(newPred))
     val corpusSh = Dedup.shingled(docs.filter(corpusPred))
-    Dedup.bandedSigs(newSh).as("n")
-      .join(Dedup.bandedSigs(corpusSh).as("c"),
+    Dedup.bandedSigs(newSh, rows = r, bands = b).as("n")
+      .join(Dedup.bandedSigs(corpusSh, rows = r, bands = b).as("c"),
         col("n.band") === col("c.band") && col("n.bucket") === col("c.bucket"))
       .select(col("n.doc_id").as("new_id"), col("c.doc_id").as("dup_of"))
       .dropDuplicates("new_id", "dup_of")

@@ -208,6 +208,49 @@ class CalibrateSpec extends AnyFunSuite {
     assert(allHot === declared)
   }
 
+  test("minhash banding rule: S-curve fixed point at 0.5, rung monotone, fixture pin") {
+    // b = 2^r puts the collision S-curve's fixed point EXACTLY at the
+    // declared 0.5 threshold on every rung: (1/b)^(1/r) = 0.5
+    for (r <- 4 to 8) {
+      val b = Calibrate.minhashBandsFor(r)
+      assert(b === (1 << r))
+      assert(math.abs(math.pow(1.0 / b, 1.0 / r) - 0.5) < 1e-12)
+    }
+    // corpus rung: one row per 16x growth, clamped to [4, 8]
+    assert(Calibrate.minhashRowsFor(0) === 4)
+    assert(Calibrate.minhashRowsFor(1) === 4)
+    assert(Calibrate.minhashRowsFor(500) === 4) // fixture sf0.001
+    assert(Calibrate.minhashRowsFor(5000) === 4) // fixture sf0.01
+    assert(Calibrate.minhashRowsFor(1L << 16) === 4)
+    assert(Calibrate.minhashRowsFor((1L << 16) + 1) === 5)
+    assert(Calibrate.minhashRowsFor(1L << 20) === 5)
+    assert(Calibrate.minhashRowsFor((1L << 20) + 1) === 6)
+    assert(Calibrate.minhashRowsFor(1L << 24) === 6)
+    assert(Calibrate.minhashRowsFor((1L << 28) + 1) === 8)
+    assert(Calibrate.minhashRowsFor(Long.MaxValue / 2) === 8) // clamp
+    // monotone nondecreasing across decades
+    val rungs = (1 to 12).map(d => Calibrate.minhashRowsFor(math.pow(10, d).toLong))
+    assert(rungs === rungs.sorted)
+  }
+
+  test("declared minhash routing: fixture serves (4, 16) pinned; pair set banding-invariant") {
+    val p = Calibrate.storedParams(spark, dir)
+    assert(Calibrate.minhashRowsFor(p.nDocs) === 4)
+    val routedDf = Calibrate.dedupMinhashRouted(spark, dir)
+    assert(routedDf.columns.toSeq ===
+      Seq("a_id", "b_id", "jaccard", "mh_rows", "mh_bands"))
+    val rows = routedDf.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(3) === 4L && r.getLong(4) === 16L),
+      "the consumed calibrated banding must be pinned into every row")
+    // exact verification makes the pair set banding-invariant: the
+    // calibrated 16-band rung reproduces the frozen 8x4 teaching
+    // config's pair set (which DedupSpec pins == brute-force Jaccard)
+    val routed = routedDf.drop("mh_rows", "mh_bands").collect().toSeq
+    val teaching = ops.Dedup.dedupMinhashLsh(spark, dir).collect().toSeq
+    assert(routed === teaching)
+  }
+
   test("stored calibration: fresh on the immutable fixture, stale after snapshot growth") {
     import spark.implicits._
     assert(!Calibrate.storedCalibrationIsStale(spark, dir))

@@ -48,12 +48,53 @@ class StreamingDedupSpec extends AnyFunSuite {
 
   test("snapshot 2 after append: batch-2 dups against batch-1 docs are caught") {
     StreamingDedup.corpusBandIndex(spark, dir)
-    StreamingDedup.appendBatch(spark, dir,
-      Tables.documents(spark, dir).filter(StreamingDedup.residuePred(0)))
+    // same-rung day: the recovery path takes the cheap append branch
+    val rebuilt = StreamingDedup.appendBatch(spark, dir,
+      Tables.documents(spark, dir).filter(StreamingDedup.residuePred(0)))()
+    assert(!rebuilt, "a same-rung batch must append, not rebuild")
     val streamed = runStream(5, "dedup_stream_b2")
     val expected = truth(5, Seq(0, 1, 2, 3, 4, 6, 7, 8, 9))
     assert(streamed === expected)
     assert(streamed.exists(_._2 % 10 == 0),
       "no cross-snapshot catch: fixture should have a res5~res0 near-dup pair")
+  }
+
+  test("a banding rung crossing mid-stream transparently rebuilds the gate's index") {
+    import graft.ops.{Calibrate, Dedup, Indexes}
+    // day 0: the stored index at the fixture's calibrated banding (4, 16)
+    StreamingDedup.corpusBandIndex(spark, dir)
+    val p0 = StreamingDedup.bandingParams(spark, dir)
+    assert(p0 === Map("minhash_rows" -> 4L, "minhash_bands" -> 16L))
+    assert(Indexes.indexStamp(spark, dir, "mhbands") === Some(p0))
+
+    // the corpus-so-far crosses the 2^16-doc banding rung: the
+    // calibrator now answers (5, 32) — the day the old throwing append
+    // would have crashed the ingest job (r15 verdict #3)
+    val p1Rows = Calibrate.minhashRowsFor((1L << 16) + 1)
+    assert(p1Rows === 5)
+    val p1 = Map("minhash_rows" -> p1Rows.toLong,
+      "minhash_bands" -> Calibrate.minhashBandsFor(p1Rows).toLong)
+    val batch = Tables.documents(spark, dir)
+      .filter(StreamingDedup.residuePred(0))
+    val corpusSoFar = Tables.documents(spark, dir)
+      .filter(!StreamingDedup.residuePred(5))
+    val rebuilt = StreamingDedup.appendBatchAt(spark, dir, batch, p1)(corpusSoFar)
+    assert(rebuilt, "a flipped banding rung must take the rebuild branch")
+    assert(Indexes.indexStamp(spark, dir, "mhbands") === Some(p1))
+
+    // the rebuilt index is the corpus-so-far banded at the NEW rung,
+    // row for row — later micro-batches probe a coherent artifact
+    val served = Indexes.materializedIndex(spark, dir, "mhbands")(
+      sys.error("rebuilt index must serve from the store"))
+    val expect = Dedup.bandedSigs(Dedup.shingled(corpusSoFar),
+      rows = 5, bands = 32)
+    assert(served.count() === expect.count())
+    assert(served.exceptAll(expect).isEmpty && expect.exceptAll(served).isEmpty)
+
+    // restore the fixture-rung index for any later consumer in this
+    // session (the other tests build through corpusBandIndex's stamp)
+    Indexes.rebuildIndex(spark, dir, "mhbands", p0)(
+      Dedup.bandedSigs(Dedup.shingled(Tables.documents(spark, dir)
+        .filter(!StreamingDedup.residuePred(0, 5))), rows = 4, bands = 16))
   }
 }
