@@ -401,16 +401,37 @@ object StressScale {
     for (d <- (if (needDocs) Seq(base) else Nil) ++ scaledDirs) {
       println(ops.Calibrate.params(spark, d).logLine(d))
     }
-    def time(q: (org.apache.spark.sql.SparkSession, String) =>
+    // r15 verdict #6: the third-decade banded-join step measured
+    // 16x/decade with the overage attributed to ~380 MB/partition spill
+    // at the session's fixed cpus-count shuffle partitions — the thing
+    // cluster jobs size from input splits. Apply the same rule locally
+    // for the self-join probes: partitions from input rows (~500 k
+    // event rows ≈ 60 MB per shuffle partition), floored at the core
+    // count, capped at 4096. Scoped to the events self-join family —
+    // every other probe keeps the session default so its cross-round
+    // numbers stay comparable.
+    val partitionsCache = scala.collection.mutable.Map[String, Int]()
+    def shufflePartitionsFor(name: String, dir: String): Int =
+      if (!name.startsWith("events_cooccurrence")) cpus.toInt
+      else partitionsCache.getOrElseUpdate(dir, {
+        val rows = spark.read.parquet(s"$dir/events.parquet").count()
+        math.max(cpus.toInt, math.min(4096, (rows / 500000L).toInt + 1))
+      })
+    def time(name: String,
+        q: (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame, dir: String): Double = {
       spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      q(spark, dir).write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      val parts = shufflePartitionsFor(name, dir)
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      try {
+        val t0 = System.nanoTime()
+        q(spark, dir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } finally spark.conf.set("spark.sql.shuffle.partitions", cpus)
     }
     // warm up codegen/classloading before the first timed query
     spark.range(1000000).selectExpr("sum(id)").collect()
-    try time(probes.head._2, base) catch { case _: Throwable => }
+    try time(probes.head._1, probes.head._2, base) catch { case _: Throwable => }
 
     // tf-idf probes run against the stationary-df (df-aware) corpus —
     // the meaningful null for a relative-df-cap operator; everything
@@ -419,8 +440,8 @@ object StressScale {
       if (name.startsWith("text_tfidf")) s"${out}_dfaware" else out
     val mins = for (leg <- Seq("base", "scaled"); (name, q) <- probes) yield {
       val dir = if (leg == "base") base else scaledDir(name)
-      val p1 = time(q, dir)
-      val p2 = time(q, dir)
+      val p1 = time(name, q, dir)
+      val p2 = time(name, q, dir)
       val m = math.min(p1, p2)
       println(s"""{"probe":"$name","dir":"$dir","p1":${fmt(p1)},"p2":${fmt(p2)},"min":${fmt(m)}}""")
       (name, leg, m)

@@ -51,8 +51,12 @@ import graft.Tables
   *    volume, so the cap is chosen from a log₂-bucketed df histogram —
   *    the largest power-of-2 boundary whose CUMULATIVE Σ df² stays
   *    within `100 · n_docs` (the same ≤ 100-candidates-per-doc budget
-  *    `textSalienceMonitor` enforces), floored at 16 so tiny corpora
-  *    never cap everything. Per-bucket Σ df² is EXACT (summed inside the
+  *    `textSalienceMonitor` enforces), floored at 16 so hot corpora
+  *    never cap everything; when the WHOLE histogram fits the budget the
+  *    cap is the `UncappedSentinel` — every boundary is admissible, so
+  *    "no cap" is the honest answer (r16; the pre-r16 data-max-bucket
+  *    value was a cosmetic a sampled pass could not reproduce).
+  *    Per-bucket Σ df² is EXACT (summed inside the
   *    bucket), so the choice is deterministic and oracle-replayable.
   *
   * Scale shape: two scans of `documents` (3-shingle distinct sets for
@@ -142,31 +146,257 @@ object Calibrate {
         .map(p => s"WHEN $p THEN ${srpTablesFor(p)}").mkString(" ") +
       s" ELSE ${srpTablesFor(MaxPlanes)} END"
 
+  /** "No cap needed" sentinel (r16): when the ENTIRE histogram's Σ count²
+    * fits the budget, every power-of-2 boundary is admissible, so the
+    * honest cap is unbounded — emitting the data's incidental top bucket
+    * (the pre-r16 behavior) made the value a cosmetic of the corpus's
+    * max count, which a sampled estimator cannot (and should not have
+    * to) reproduce: a 10 % sample of counts ≤ 15 inflates to multiples
+    * of 10 and lands one bucket higher, diverging on a value no
+    * consumer uses (the under-budget regime routes to the exact/plain
+    * leg, and the containment prefix order is lossless at ANY
+    * threshold). With the sentinel, full and sampled passes agree
+    * whenever they agree on the budget VERDICT — the quantity sampling
+    * actually concentrates on. */
+  private[graft] val UncappedSentinel = Long.MaxValue
+
   /** Largest power-of-2-boundary cap whose cumulative Σ count² stays in
     * budget, from a log₂-bucketed histogram of `cntCol` (≥ 2 only —
     * df = 1 postings generate no pairs). The window is unpartitioned but
     * the histogram is ≤ 63 rows by construction (log₂ buckets of a
-    * 64-bit count). Empty histogram / nothing-in-budget → the floor. */
+    * 64-bit count). Everything-in-budget (incl. an empty histogram) →
+    * [[UncappedSentinel]]; nothing-in-budget → the floor. */
   private def capFrom(counts: DataFrame, cntCol: String,
-      nDocsDf: DataFrame, outName: String): DataFrame = {
+      nDocsDf: DataFrame, outName: String, massCol: Option[String] = None): DataFrame = {
+    val mass = massCol.fold(col(cntCol) * col(cntCol))(col)
     val hist = counts.filter(col(cntCol) >= 2)
       .groupBy((length(bin(col(cntCol))) - 1).as("g"))
-      .agg(sum(col(cntCol) * col(cntCol)).as("v"))
+      .agg(sum(mass).as("v"))
     val w = Window.orderBy(col("g"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     hist.withColumn("cum", sum(col("v")).over(w))
       .crossJoin(broadcast(nDocsDf))
-      .filter(col("cum") <= lit(CandidatesPerDoc) * col("n_docs"))
-      .agg(max(col("g")).as("gsel"))
-      .select(greatest(lit(CapFloor),
-        coalesce(expr("shiftleft(1L, CAST(gsel + 1 AS INT)) - 1"), lit(0L)))
+      .agg(coalesce(max(col("cum")), lit(0L)).as("total"),
+        max(when(col("cum") <= lit(CandidatesPerDoc) * col("n_docs"),
+          col("g"))).as("gsel"),
+        coalesce(max(lit(CandidatesPerDoc) * col("n_docs")), lit(0L))
+          .as("budget"))
+      .select(when(col("total") <= col("budget"), lit(UncappedSentinel))
+        .otherwise(greatest(lit(CapFloor),
+          coalesce(expr("shiftleft(1L, CAST(gsel + 1 AS INT)) - 1"), lit(0L))))
         .cast("long").as(outName))
   }
+
+  /** The cap rule as DuckDB CTE text — ONE builder for every oracle
+    * that replays a cap derivation (calibrate, sampled calibrate,
+    * spans-routed, containment-routed), so the rule can never drift
+    * between replicas. `cumCte` must expose (g, cum); emits
+    * `gselCte` + `capCte` with the cap as `outName`. */
+  private def capCtesSql(cumCte: String, gselCte: String, capCte: String,
+      outName: String): String =
+    s"""$gselCte AS (SELECT coalesce(max(cum), 0) AS total,
+       |    max(CASE WHEN cum <= $CandidatesPerDoc * n_docs THEN g END) AS gsel,
+       |    coalesce(max($CandidatesPerDoc * n_docs), 0) AS budget
+       |  FROM $cumCte, n),
+       |$capCte AS (SELECT CAST(CASE WHEN total <= budget THEN $UncappedSentinel
+       |    ELSE greatest($CapFloor,
+       |      coalesce((CAST(1 AS BIGINT) << (gsel + 1)) - 1, 0)) END AS BIGINT)
+       |  AS $outName FROM $gselCte)""".stripMargin
 
   /** The declared stats+parameters query — one row, every column the
     * oracle recomputes with the same integer rules. */
   def calibrateSimilarity(s: SparkSession, dir: String): DataFrame =
     calibrateFromDocs(Tables.documents(s, dir))
+
+  /** SAMPLED calibration — the full stats pass made sublinear (r15
+    * verdict #1: `StressRebuild` measured the two-scan df/occurrence
+    * histogram pass at 2.56 → 13.3 → 165.5 s across three decades, the
+    * dominant lifecycle cost at every scale). Design:
+    *
+    *  - '''What never needs sampling''': n_docs is EXACT (one
+    *    count-only scan, parquet answers it from footers), so every
+    *    rung rule (SRP planes/tables, signature width, MinHash banding)
+    *    — pure integer functions of n_docs — is EXACTLY the full
+    *    pass's answer by construction. Sampling only estimates the two
+    *    df/occurrence HISTOGRAMS behind the caps.
+    *  - '''Deterministic hash-sample''': the `text_sample_hash` LCG
+    *    coin on doc_id, at a basis of 10 000 (the mod-100 coin can't
+    *    express sub-percent rates), so both engines — and every re-run
+    *    — select the SAME documents.
+    *  - '''Self-sizing rate''': the rate steps down one DECADE per
+    *    decade of corpus growth over [[SampleBudgetDocs]] — `bp =
+    *    10^(4 − decades_over_budget)`, decades via ceil-division +
+    *    decimal-string length (integer-replayable) — so the sampled
+    *    doc count stays in [0.9·S, 9·S] at ANY corpus size: detection
+    *    cost is FLAT across decades (the probe's readout), not merely
+    *    p× linear. At or under the budget the rate is 10 000 bp and
+    *    the pass IS the full pass (tiny corpora never sample; the
+    *    sf0.01 driver gate runs exact, the sf0.1 corpus runs a real
+    *    10 % sample).
+    *  - '''Inverse-rate scaling''': a shingle with sampled df s
+    *    estimates full df ≈ s·inv (inv = 10000/bp, integer by
+    *    construction); histograms are built from the INFLATED counts
+    *    and fed through the SAME power-of-2-boundary budget rule
+    *    ([[capFrom]]), so at inv = 1 the sampled pass degenerates to
+    *    the full pass bit-for-bit. Sampled SINGLETONS are dropped
+    *    before inflation (the full rule's df ≥ 2 pair-evidence filter,
+    *    applied where the evidence lives — in the sample): a
+    *    once-sampled shingle is overwhelmingly a low-df shingle whose
+    *    inflated s·inv would manufacture tail mass the corpus doesn't
+    *    have. The concentration argument is the usual one — the cap
+    *    rules key off the Σdf² TAIL, carried by hot shingles whose
+    *    sampled df concentrates at df/inv (Chernoff), and the decision
+    *    is quantized to power-of-2 boundaries, so a boundary-preserving
+    *    sample preserves the routing; CalibrateSpec pins equality on
+    *    the fixtures and a 10× grown corpus, and the planted-boilerplate
+    *    probe (r15 verdict #5) measures where it breaks.
+    *
+    * Output mirrors `calibrate_similarity` (same rung columns, derived
+    * from exact n_docs) with the sampled-estimate stats
+    * (`sum_df2_est`, `sum_c2_est`), the chosen caps, and the sampling
+    * decision itself (`sample_bp`, `n_docs_sampled`) pinned so the
+    * driver hash covers the rate rule. */
+  def calibrateSimilaritySampled(s: SparkSession, dir: String): DataFrame =
+    calibrateSampledFromDocs(Tables.documents(s, dir))
+
+  /** Target sampled-doc count for [[calibrateSimilaritySampled]] — the
+    * knee of the rate ladder. 500 is sized to the FIXTURES (the sf0.01
+    * driver corpus runs exact, sf0.1 runs a genuine 10 % sample, so the
+    * declared query exercises real sampling under the manual sf0.1
+    * oracle); production raises it by the MEASURED minimum-rate rule
+    * (`StressSampleRate` on the 10× planted-boilerplate corpus,
+    * BASELINE.md r16):
+    *
+    *  - the budget VERDICT (capped vs uncapped) and the hot-item cut
+    *    are rate-robust down to ~50 sampled docs — a df = n/10 header
+    *    gram's sampled count concentrates at any practical rate, so the
+    *    quadratic blow-up the caps exist to remove is always removed;
+    *    total evidence collapse (sentinel instead of capped) appeared
+    *    only at 5 sampled docs (1 bp at n = 50 k).
+    *  - the exact BOUNDARY rung is resolvable only where the boundary
+    *    df B exceeds ~8× the inflation inv = 10000/bp (below that, the
+    *    mid-tail sits under the df ≥ 2 evidence filter or quantizes a
+    *    bucket off): measured span boundary B = 31 at n = 50 k was one
+    *    bucket off at 25 % (inv 4) and 3 buckets at 1 % (inv 100),
+    *    while the hot family's floor-compressed boundary matched at
+    *    every rate. Rule: to pin a boundary at df = B, size
+    *    S ≥ 8·n/B (equivalently inv ≤ B/8); when the smallest boundary
+    *    that matters is unknown, a hot-item sketch (count the top-k
+    *    heavy hitters exactly, sample the tail) is the fallback. A
+    *    boundary error is bounded-cost either way: the hot cut always
+    *    lands, and an over-admitted rung adds at most one histogram
+    *    bucket of candidate mass. */
+  private[graft] val SampleBudgetDocs = 500L
+
+  /** Scala mirror of the rate rule, for specs and probes: basis points
+    * out of 10 000, one decade down per decade of corpus over budget,
+    * floored at 1 bp. */
+  private[graft] def sampleBpFor(nDocs: Long): Long = {
+    if (nDocs <= SampleBudgetDocs) return 10000L
+    val q = (nDocs + SampleBudgetDocs - 1) / SampleBudgetDocs
+    math.min(4, q.toString.length - 1) match {
+      case 0 => 10000L
+      case 1 => 1000L
+      case 2 => 100L
+      case 3 => 10L
+      case _ => 1L
+    }
+  }
+
+  // the rate rule as a Column over the 1-row n_docs aggregate (the
+  // input column is named n_docs by construction; decades over budget =
+  // decimal length of ceil(n/S) minus one — pure integer text both
+  // engines replay)
+  private def sampleBpCol: Column = {
+    val k = least(lit(4), length(expr(
+      s"cast((n_docs + ${SampleBudgetDocs - 1}) div $SampleBudgetDocs as string)")) - 1)
+    when(col("n_docs") <= SampleBudgetDocs, lit(10000L))
+      .otherwise(when(k <= 0, 10000L).when(k === 1, 1000L)
+        .when(k === 2, 100L).when(k === 3, 10L).otherwise(1L))
+  }
+
+  /** `forceBp`: probe-only override of the self-sizing rate (the
+    * divergence-onset sweep, r15 verdict #5); the declared query always
+    * passes None. Must be a divisor of 10 000. */
+  private[graft] def calibrateSampledFromDocs(docs: DataFrame,
+      forceBp: Option[Long] = None): DataFrame = {
+    forceBp.foreach(bp => require(10000L % bp == 0, s"bp $bp must divide 10000"))
+    val nDocsDf = docs.agg(count(lit(1)).cast("long").as("n_docs"))
+    // one broadcast 1-row relation carries the whole sampling decision
+    val spDf = nDocsDf.select(col("n_docs"),
+        forceBp.fold(sampleBpCol)(bp => lit(bp)).as("sample_bp"))
+      .select(col("n_docs"), col("sample_bp"),
+        expr("10000L div sample_bp").as("inv"))
+    val coin = pmod((col("doc_id") * 1103515245L + 12345L) % 2147483647L,
+      lit(10000L))
+    val sampled = docs.crossJoin(broadcast(spDf))
+      .filter(coin < col("sample_bp"))
+      .select(col("doc_id"), col("text"))
+    val nSampledDf =
+      sampled.agg(count(lit(1)).cast("long").as("n_docs_sampled"))
+
+    // Jaccard-family histogram on the sample: sampled df ≥ 2 (the pair-
+    // evidence filter, pre-inflation), then inflate. The squared mass
+    // uses the UNBIASED binomial estimator d̂² = s·inv·(s·inv − inv + 1)
+    // (E[s²] = p²d² + p(1−p)d, so the naive (s·inv)² overshoots by
+    // d·(inv − 1) per item — enough to flip the budget verdict on a
+    // corpus sitting near the boundary); the histogram BUCKET keys off
+    // the inflated count s·inv (the point estimate of d). At inv = 1
+    // both reduce to the full pass's df² bit-for-bit.
+    def inflated(counts: DataFrame, cnt: String): DataFrame =
+      counts.filter(col(cnt) >= 2)
+        .crossJoin(broadcast(spDf.select(col("inv"))))
+        .select((col(cnt) * col("inv")).as(cnt),
+          (col(cnt) * col("inv") *
+            (col(cnt) * col("inv") - col("inv") + 1)).as("m2"))
+    val df3s = sampled
+      .select(graft.functions.VectorExpressions
+        .wordShingles(col("text"), 3, distinct = true).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .select(explode(col("shingles")).as("shingle"))
+      .groupBy(col("shingle")).agg(count(lit(1)).cast("long").as("df"))
+    val df3e = inflated(df3s, "df")
+    val st3 = df3e.agg(
+      coalesce(sum(col("m2")), lit(0L)).cast("long").as("sum_df2_est"))
+    val cap3 = capFrom(df3e, "df", nDocsDf, "shingle_hot_df", massCol = Some("m2"))
+
+    val k = 10
+    val g10s = sampled
+      .select(split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= k)
+      .select(explode(transform(sequence(lit(0), size(col("w")) - k),
+        i => md5(array_join(slice(col("w"), i + 1, lit(k)), " ")))).as("gh"))
+      .groupBy(col("gh")).agg(count(lit(1)).cast("long").as("c"))
+    val g10e = inflated(g10s, "c")
+    val st10 = g10e.agg(
+      coalesce(sum(col("m2")), lit(0L)).cast("long").as("sum_c2_est"))
+    val cap10 = capFrom(g10e, "c", nDocsDf, "span_gram_cap", massCol = Some("m2"))
+
+    val planes = planesCol(col("n_docs"))
+    spDf
+      .crossJoin(broadcast(nSampledDf))
+      .crossJoin(broadcast(st3)).crossJoin(broadcast(cap3))
+      .crossJoin(broadcast(st10)).crossJoin(broadcast(cap10))
+      .select(col("n_docs"), col("n_docs_sampled"), col("sample_bp"),
+        col("sum_df2_est"), col("shingle_hot_df"),
+        col("sum_c2_est"), col("span_gram_cap"),
+        planes.cast("long").as("srp_planes"),
+        tablesCaseCol(planes).cast("long").as("srp_tables"),
+        when(planes <= 4, 64L).when(planes <= 9, 128L)
+          .when(planes <= 19, 256L).otherwise(512L).as("simhash_bits"),
+        when(planes <= 4, 4L).when(planes <= 9, 9L)
+          .when(planes <= 19, 19L).otherwise(39L).as("simhash_band_bits"),
+        (planes > 39).as("simhash_saturated"))
+  }
+
+  /** The sampled row as name → value longs, for specs and probes. */
+  private[graft] def sampledParamsFromDocs(docs: DataFrame,
+      forceBp: Option[Long] = None): Map[String, Long] = {
+    val r = calibrateSampledFromDocs(docs, forceBp).head()
+    r.schema.fields.filter(_.dataType ==
+        org.apache.spark.sql.types.LongType)
+      .map(f => f.name -> r.getLong(r.fieldIndex(f.name))).toMap
+  }
 
   private[graft] def calibrateFromDocs(docs: DataFrame): DataFrame = {
     val nDocsDf = docs.agg(count(lit(1)).cast("long").as("n_docs"))
@@ -485,7 +715,8 @@ object Calibrate {
     "dedup_substring_spans_routed" -> dedupSubstringSpansRouted _,
     "dedup_ngram_jaccard_routed" -> dedupNgramJaccardRouted _,
     "dedup_containment_routed" -> dedupContainmentRouted _,
-    "dedup_minhash_routed" -> dedupMinhashRouted _)
+    "dedup_minhash_routed" -> dedupMinhashRouted _,
+    "calibrate_similarity_sampled" -> calibrateSimilaritySampled _)
 
   /** The n_docs → planes → rung derivation as outer CTEs the routed
     * oracle's guarded legs reference — the SAME integer text as the
@@ -541,11 +772,7 @@ object Calibrate {
        |h10 AS (SELECT length(bin(c)) - 1 AS g, sum(c * c) AS v
        |        FROM cnt WHERE c >= 2 GROUP BY 1),
        |c10 AS (SELECT g, sum(v) OVER (ORDER BY g) AS cum FROM h10),
-       |gsel AS (SELECT max(g) AS gsel FROM c10, n
-       |         WHERE cum <= $CandidatesPerDoc * n_docs),
-       |cap AS (SELECT CAST(greatest($CapFloor,
-       |    coalesce((CAST(1 AS BIGINT) << (gsel + 1)) - 1, 0)) AS BIGINT)
-       |  AS span_gram_cap FROM gsel),
+       |${capCtesSql("c10", "gsel", "cap", "span_gram_cap")},
        |hu AS (
        |  SELECT g.doc_id, g.pos FROM g
        |  JOIN (SELECT gh FROM g GROUP BY gh
@@ -605,9 +832,81 @@ object Calibrate {
       |      CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.5
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** DuckDB replay of the SAMPLED pass — the LCG coin, the decade rate
+    * rule, the pre-inflation df ≥ 2 filter, the inverse-rate inflation,
+    * and the inflated histogram chain are all integer text, so the
+    * driver hash pins the sample AND the scaling, not just the row. */
+  private def calibrateSampledOracle: String = {
+    val S = SampleBudgetDocs
+    s"""WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+       |sp AS (SELECT n_docs,
+       |  CAST(CASE WHEN n_docs <= $S THEN 10000 ELSE
+       |    CASE least(4, length(CAST((n_docs + ${S - 1}) // $S AS VARCHAR)) - 1)
+       |      WHEN 0 THEN 10000 WHEN 1 THEN 1000 WHEN 2 THEN 100
+       |      WHEN 3 THEN 10 ELSE 1 END
+       |  END AS BIGINT) AS sample_bp FROM n),
+       |spi AS (SELECT n_docs, sample_bp,
+       |  CAST(10000 // sample_bp AS BIGINT) AS inv FROM sp),
+       |samp AS MATERIALIZED (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE ((doc_id * 1103515245 + 12345) % 2147483647) % 10000 <
+       |        (SELECT sample_bp FROM spi)),
+       |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_docs_sampled FROM samp),
+       |sh AS (
+       |  SELECT list_distinct([array_to_string(words[i:i+2], ' ')
+       |                        FOR i IN range(1, len(words) - 1)]) AS shingles
+       |  FROM (SELECT string_split(text, ' ') AS words FROM samp)
+       |  WHERE len(words) >= 3),
+       |df3s AS (
+       |  SELECT shingle, CAST(count(*) AS BIGINT) AS dfs
+       |  FROM (SELECT unnest(shingles) AS shingle FROM sh) GROUP BY shingle),
+       |df3e AS MATERIALIZED (
+       |  SELECT dfs * inv AS df,
+       |         dfs * inv * (dfs * inv - inv + 1) AS m2
+       |  FROM df3s, spi WHERE dfs >= 2),
+       |st3 AS (SELECT CAST(coalesce(sum(m2), 0) AS BIGINT)
+       |        AS sum_df2_est FROM df3e),
+       |h3 AS (SELECT length(bin(df)) - 1 AS g, sum(m2) AS v
+       |       FROM df3e WHERE df >= 2 GROUP BY 1),
+       |c3 AS (SELECT g, sum(v) OVER (ORDER BY g) AS cum FROM h3),
+       |${capCtesSql("c3", "g3", "cap3", "shingle_hot_df")},
+       |w10 AS (SELECT string_split(text, ' ') AS words FROM samp
+       |        WHERE len(string_split(text, ' ')) >= 10),
+       |g10s AS (
+       |  SELECT gh, CAST(count(*) AS BIGINT) AS cs FROM (
+       |    SELECT md5(array_to_string(words[i:i+9], ' ')) AS gh
+       |    FROM (SELECT words, unnest(range(1, len(words) - 8)) AS i FROM w10))
+       |  GROUP BY gh),
+       |g10e AS MATERIALIZED (
+       |  SELECT cs * inv AS c,
+       |         cs * inv * (cs * inv - inv + 1) AS m2
+       |  FROM g10s, spi WHERE cs >= 2),
+       |st10 AS (SELECT CAST(coalesce(sum(m2), 0) AS BIGINT)
+       |         AS sum_c2_est FROM g10e),
+       |h10 AS (SELECT length(bin(c)) - 1 AS g, sum(m2) AS v
+       |        FROM g10e WHERE c >= 2 GROUP BY 1),
+       |c10 AS (SELECT g, sum(v) OVER (ORDER BY g) AS cum FROM h10),
+       |${capCtesSql("c10", "gsel10", "cap10", "span_gram_cap")},
+       |drv AS (SELECT CASE WHEN n_docs <= 0 THEN $MinPlanes
+       |    ELSE least($MaxPlanes, greatest($MinPlanes,
+       |      length(bin(CAST((n_docs + ${TargetBucketDocs - 1}) // $TargetBucketDocs
+       |        - 1 AS BIGINT))))) END AS planes FROM n)
+       |SELECT n_docs, n_docs_sampled, sample_bp, sum_df2_est, shingle_hot_df,
+       |  sum_c2_est, span_gram_cap,
+       |  CAST(planes AS BIGINT) AS srp_planes,
+       |  CAST(${tablesCaseSql("planes")} AS BIGINT) AS srp_tables,
+       |  CAST(CASE WHEN planes <= 4 THEN 64 WHEN planes <= 9 THEN 128
+       |       WHEN planes <= 19 THEN 256 ELSE 512 END AS BIGINT) AS simhash_bits,
+       |  CAST(CASE WHEN planes <= 4 THEN 4 WHEN planes <= 9 THEN 9
+       |       WHEN planes <= 19 THEN 19 ELSE 39 END AS BIGINT) AS simhash_band_bits,
+       |  planes > 39 AS simhash_saturated
+       |FROM spi, ns, st3, cap3, st10, cap10, drv""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "dedup_simhash_routed" -> dedupSimhashRoutedOracle,
     "dedup_minhash_routed" -> dedupMinhashRoutedOracle,
+    "calibrate_similarity_sampled" -> calibrateSampledOracle,
     // both routes are lossless (prefix theorem), so one brute-force
     // oracle pins whichever the budget rule selects
     "dedup_ngram_jaccard_routed" -> Dedup.jaccardPairsSql,
@@ -629,11 +928,7 @@ object Calibrate {
          |h3 AS (SELECT length(bin(df)) - 1 AS g, sum(df * df) AS v
          |       FROM df3 WHERE df >= 2 GROUP BY 1),
          |c3 AS (SELECT g, sum(v) OVER (ORDER BY g) AS cum FROM h3),
-         |g3 AS (SELECT max(g) AS gsel FROM c3, n
-         |       WHERE cum <= $CandidatesPerDoc * n_docs),
-         |cap3 AS (SELECT CAST(greatest($CapFloor,
-         |    coalesce((CAST(1 AS BIGINT) << (gsel + 1)) - 1, 0)) AS BIGINT)
-         |  AS hot_df FROM g3)
+         |${capCtesSql("c3", "g3", "cap3", "hot_df")}
          |SELECT a_id, b_id, containment,
          |  (SELECT hot_df FROM cap3) AS hot_df
          |FROM (
@@ -659,11 +954,7 @@ object Calibrate {
          |h3 AS (SELECT length(bin(df)) - 1 AS g, sum(df * df) AS v
          |       FROM df3 WHERE df >= 2 GROUP BY 1),
          |c3 AS (SELECT g, sum(v) OVER (ORDER BY g) AS cum FROM h3),
-         |g3 AS (SELECT max(g) AS gsel FROM c3, n
-         |       WHERE cum <= $CandidatesPerDoc * n_docs),
-         |cap3 AS (SELECT CAST(greatest($CapFloor,
-         |    coalesce((CAST(1 AS BIGINT) << (gsel + 1)) - 1, 0)) AS BIGINT)
-         |  AS shingle_hot_df FROM g3),
+         |${capCtesSql("c3", "g3", "cap3", "shingle_hot_df")},
          |w10 AS (SELECT string_split(text, ' ') AS words FROM documents
          |        WHERE len(string_split(text, ' ')) >= 10),
          |g10 AS MATERIALIZED (
@@ -676,11 +967,7 @@ object Calibrate {
          |h10 AS (SELECT length(bin(c)) - 1 AS g, sum(c * c) AS v
          |        FROM g10 WHERE c >= 2 GROUP BY 1),
          |c10 AS (SELECT g, sum(v) OVER (ORDER BY g) AS cum FROM h10),
-         |gsel10 AS (SELECT max(g) AS gsel FROM c10, n
-         |           WHERE cum <= $CandidatesPerDoc * n_docs),
-         |cap10 AS (SELECT CAST(greatest($CapFloor,
-         |    coalesce((CAST(1 AS BIGINT) << (gsel + 1)) - 1, 0)) AS BIGINT)
-         |  AS span_gram_cap FROM gsel10),
+         |${capCtesSql("c10", "gsel10", "cap10", "span_gram_cap")},
          |drv AS (SELECT CASE WHEN n_docs <= 0 THEN $MinPlanes
          |    ELSE least($MaxPlanes, greatest($MinPlanes,
          |      length(bin(CAST((n_docs + ${TargetBucketDocs - 1}) // $TargetBucketDocs

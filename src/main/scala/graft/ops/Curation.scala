@@ -911,8 +911,12 @@ object Curation {
     * aggregate, the `profile_tables_approx` shape, and the drift rule
     * compares estimates with the `ndv_ok`-style tolerance), then a
     * broadcast join of two 4-row panels — the corpus never joins. */
-  def profileDrift(s: SparkSession, dir: String): DataFrame = {
-    val cols = Seq("doc_id", "lang", "source", "n_chars")
+  /** The v1/v2 snapshot pair behind the drift profilers — the SAME
+    * deterministic v2 simulation `curation_snapshot_diff` replays
+    * (drop ≡0 mod 97, rewrite ≡0 mod 89, add one synthetic doc per
+    * removed at the corpus-derived [[addedIdStride]]), with derived
+    * columns recomputed from the rewritten text. */
+  private def driftSnapshots(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val v1 = documents(s, dir)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
     val d1 = documents(s, dir)
@@ -928,6 +932,12 @@ object Curation {
     val v2 = changed.unionAll(added)
       .select(col("doc_id"), col("lang"), col("source"),
         length(col("text")).cast("long").as("n_chars"))
+    (v1, v2)
+  }
+
+  def profileDrift(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("doc_id", "lang", "source", "n_chars")
+    val (v1, v2) = driftSnapshots(s, dir)
     def panel(df: DataFrame, v: String): DataFrame = {
       val aggs = cols.flatMap { c =>
         Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
@@ -953,6 +963,64 @@ object Curation {
           col("n_distinct_v1") =!= col("n_distinct_v2") ||
           col("min_v1") =!= col("min_v2") ||
           col("max_v1") =!= col("max_v2")).as("drifted"))
+      .orderBy(col("col_name"))
+  }
+
+  /** [[profileDrift]]'s 100 TB shape, DECLARED (r15 verdict #4 — the
+    * `profile_columns` → `profile_columns_approx` motion applied to the
+    * drift panel): both snapshot panels ride the Expand-free
+    * `approx_count_distinct` aggregate (ONE plain hash pass per
+    * snapshot — the only legs a production drift check runs), the NDV
+    * drift rule compares the two ESTIMATES with the `ndv_ok`-style
+    * tolerance (|Δ| > max(1, 10 %·max) → drifted; at rsd 0.01 the
+    * independent-estimate delta's σ is ~1.4 %, putting the 10 % bound
+    * at ~7σ — rsd tightened below the profiler's 0.02 because drift
+    * differences TWO sketches where `ndv_ok` differences one against
+    * an exact), and each panel keeps the exact-NDV validation leg with
+    * its per-panel `ndv_ok` verdict, exactly as `profile_tables_approx`
+    * does — the oracle recomputes the exact panels and asserts every
+    * verdict. Everything non-NDV (rows, nulls, min/max) is exact and
+    * shares the approx pass. */
+  def profileDriftApprox(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("doc_id", "lang", "source", "n_chars")
+    val (v1, v2) = driftSnapshots(s, dir)
+    def wide(df: DataFrame, v: String): DataFrame = {
+      val approxAggs = cols.flatMap { c =>
+        Seq(approx_count_distinct(col(c), 0.01).as(s"${c}_andv_$v"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls_$v"),
+          min(col(c)).cast("string").as(s"${c}_min_$v"),
+          max(col(c)).cast("string").as(s"${c}_max_$v"))
+      } :+ count(lit(1)).as(s"n_rows_$v")
+      val exactAggs = cols.map(c => countDistinct(col(c)).as(s"${c}_ndv_$v"))
+      df.agg(approxAggs.head, approxAggs.tail: _*)
+        .crossJoin(broadcast(df.agg(exactAggs.head, exactAggs.tail: _*)))
+    }
+    val joined = wide(v1, "v1").crossJoin(broadcast(wide(v2, "v2")))
+    val stacked = cols.map { c =>
+      s"'$c', ${c}_nulls_v1, ${c}_nulls_v2, ${c}_ndv_v1, ${c}_ndv_v2, " +
+        s"abs(${c}_andv_v1 - ${c}_ndv_v1) <= " +
+        s"greatest(1L, CAST(${c}_ndv_v1 * 0.10 AS BIGINT)), " +
+        s"abs(${c}_andv_v2 - ${c}_ndv_v2) <= " +
+        s"greatest(1L, CAST(${c}_ndv_v2 * 0.10 AS BIGINT)), " +
+        s"${c}_min_v1, ${c}_min_v2, ${c}_max_v1, ${c}_max_v2, " +
+        s"abs(${c}_andv_v1 - ${c}_andv_v2) > greatest(1L, " +
+        s"CAST(greatest(${c}_andv_v1, ${c}_andv_v2) * 0.10 AS BIGINT))"
+    }.mkString(", ")
+    joined.select(col("n_rows_v1"), col("n_rows_v2"), expr(
+        s"stack(${cols.length}, $stacked) AS " +
+          "(col_name, n_nulls_v1, n_nulls_v2, n_distinct_v1, n_distinct_v2, " +
+          "ndv_ok_v1, ndv_ok_v2, min_v1, min_v2, max_v1, max_v2, ndv_drifted)"))
+      .select(col("col_name"), col("n_rows_v1"), col("n_rows_v2"),
+        col("n_nulls_v1"), col("n_nulls_v2"),
+        col("n_distinct_v1"), col("n_distinct_v2"),
+        col("ndv_ok_v1"), col("ndv_ok_v2"),
+        col("min_v1"), col("min_v2"), col("max_v1"), col("max_v2"),
+        col("ndv_drifted"),
+        (col("n_rows_v1") =!= col("n_rows_v2") ||
+          col("n_nulls_v1") =!= col("n_nulls_v2") ||
+          col("min_v1") =!= col("min_v2") ||
+          col("max_v1") =!= col("max_v2") ||
+          col("ndv_drifted")).as("drifted"))
       .orderBy(col("col_name"))
   }
 
@@ -1008,6 +1076,7 @@ object Curation {
     "profile_columns_approx" -> profileColumnsApprox _,
     "profile_tables_approx" -> profileTablesApprox _,
     "profile_drift" -> profileDrift _,
+    "profile_drift_approx" -> profileDriftApprox _,
     "curation_snapshot_diff" -> curationSnapshotDiff _,
     "dedup_source_overlap" -> dedupSourceOverlap _,
     "profile_sources" -> profileSources _,
@@ -1480,6 +1549,49 @@ object Curation {
          |  (n_rows_v1 <> n_rows_v2 OR n_nulls_v1 <> n_nulls_v2
          |    OR n_distinct_v1 <> n_distinct_v2
          |    OR min_v1 <> min_v2 OR max_v1 <> max_v2) AS drifted
+         |FROM p1 JOIN p2 USING (col_name) ORDER BY col_name""".stripMargin
+    },
+    // approx drift: exact panels recomputed; both per-panel ndv_ok
+    // verdicts asserted true (rsd 0.01 vs a 10% tolerance) and the
+    // ndv_drifted rule replayed on the EXACT NDVs — valid whenever the
+    // exact delta sits far from the 10% boundary, which the ~7-sigma
+    // margin (see profileDriftApprox scaladoc) guarantees for a
+    // fixture whose exact deltas are ~0
+    "profile_drift_approx" -> {
+      val cols = Seq("doc_id", "lang", "source", "n_chars")
+      def panel(rel: String, v: String) = cols.map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows_$v,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_nulls_$v,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct_$v,
+           |  CAST(min($c) AS VARCHAR) AS min_$v,
+           |  CAST(max($c) AS VARCHAR) AS max_$v
+           |FROM $rel""".stripMargin
+      }.mkString("(", "\nUNION ALL\n", ")")
+      s"""WITH $addedIdStrideSql,
+         |v2 AS MATERIALIZED (
+         |  SELECT doc_id, lang, source,
+         |    CAST(length(CASE WHEN doc_id % 89 = 0 THEN upper(text)
+         |                     ELSE text END) AS BIGINT) AS n_chars
+         |  FROM documents WHERE doc_id % 97 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + (SELECT id_stride FROM stride), lang, source,
+         |    CAST(length('new ' || text) AS BIGINT)
+         |  FROM documents WHERE doc_id % 97 = 0),
+         |p1 AS ${panel("documents", "v1")},
+         |p2 AS ${panel("v2", "v2")}
+         |SELECT col_name, n_rows_v1, n_rows_v2, n_nulls_v1, n_nulls_v2,
+         |  n_distinct_v1, n_distinct_v2,
+         |  true AS ndv_ok_v1, true AS ndv_ok_v2,
+         |  min_v1, min_v2, max_v1, max_v2,
+         |  abs(n_distinct_v1 - n_distinct_v2) > greatest(1,
+         |    CAST(greatest(n_distinct_v1, n_distinct_v2) * 0.10 AS BIGINT))
+         |    AS ndv_drifted,
+         |  (n_rows_v1 <> n_rows_v2 OR n_nulls_v1 <> n_nulls_v2
+         |    OR min_v1 <> min_v2 OR max_v1 <> max_v2
+         |    OR abs(n_distinct_v1 - n_distinct_v2) > greatest(1,
+         |      CAST(greatest(n_distinct_v1, n_distinct_v2) * 0.10 AS BIGINT)))
+         |    AS drifted
          |FROM p1 JOIN p2 USING (col_name) ORDER BY col_name""".stripMargin
     },
     "curation_snapshot_diff" ->

@@ -53,8 +53,68 @@ class CalibrateSpec extends AnyFunSuite {
     // 500 docs need 5 bits per band > the 64-bit layout's 4 -> 128
     assert(r.simhashBits === 128 && r.simhashBandBits === 9)
     assert(!r.simhashSaturated)
-    assert(r.shingleHotDf >= 16 && r.spanGramCap >= 16)
+    // at 500 docs BOTH families' pair-evidence (df >= 2) histogram mass
+    // fits the 100*n budget -> the uncapped sentinel (r16 cap
+    // semantics; note the jaccard ROUTE rule keys off the full sum_df2
+    // including singletons, which exceeds the budget here — route and
+    // cap answer different questions)
+    assert(r.shingleHotDf === Calibrate.UncappedSentinel)
+    assert(r.spanGramCap === Calibrate.UncappedSentinel)
     assert(r.nShingles > 0 && r.sumDf2 >= r.nPostings)
+  }
+
+  test("sampled calibration: rate rule decades, full pass at/under budget") {
+    // at or under the 500-doc budget the rate is 10000 bp == full pass
+    assert(Calibrate.sampleBpFor(0) === 10000L)
+    assert(Calibrate.sampleBpFor(500) === 10000L)
+    assert(Calibrate.sampleBpFor(4500) === 10000L) // ceil(4500/500)=9, 0 decades
+    // one decade down per decade over budget -> sampled count stays
+    // in [0.9 S, 9 S]: detection cost is FLAT across corpus decades
+    assert(Calibrate.sampleBpFor(4501) === 1000L)
+    assert(Calibrate.sampleBpFor(5000) === 1000L) // the sf0.1 fixture: 10%
+    assert(Calibrate.sampleBpFor(49500) === 1000L) // ceil(n/500) = 99
+    assert(Calibrate.sampleBpFor(49501) === 100L) // ceil(n/500) = 100
+    assert(Calibrate.sampleBpFor(499501) === 10L) // ceil(n/500) = 1000
+    assert(Calibrate.sampleBpFor(4999501) === 1L) // ceil(n/500) = 10000
+    assert(Calibrate.sampleBpFor(Long.MaxValue / 2) === 1L) // floor
+    // monotone nonincreasing
+    val rates = (1 to 15).map(d => Calibrate.sampleBpFor(1L << (d + 8)))
+    assert(rates === rates.sorted.reverse)
+  }
+
+  test("sampled calibration picks the SAME rung and caps as the full pass, fixture and 10x") {
+    val docs = Tables.documents(spark, dir)
+    // fixture (500 docs): at the budget -> the sampled pass IS the full
+    // pass (bp = 10000), so equality is structural
+    val full1 = Calibrate.paramsFromDocs(Calibrate.calibrateFromDocs(docs))
+    val samp1 = Calibrate.sampledParamsFromDocs(docs)
+    assert(samp1("sample_bp") === 10000L)
+    assert(samp1("n_docs_sampled") === full1.nDocs)
+    assert(samp1("shingle_hot_df") === full1.shingleHotDf)
+    assert(samp1("span_gram_cap") === full1.spanGramCap)
+    assert(samp1("simhash_bits") === full1.simhashBits.toLong)
+    // 10x grown corpus (the namespaced null): the sampled pass runs a
+    // GENUINE 10% sample (bp = 1000, ~500 of 5000 docs) and must land
+    // on the same caps and rung as the full stats pass
+    val scaled = (0 until 10).map { k =>
+      if (k == 0) docs
+      else docs.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+        array_join(transform(split(col("text"), " "),
+          t => concat(t, lit(s"_$k"))), " ").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+    val full10 = Calibrate.paramsFromDocs(Calibrate.calibrateFromDocs(scaled))
+    val samp10 = Calibrate.sampledParamsFromDocs(scaled)
+    assert(samp10("sample_bp") === 1000L)
+    assert(samp10("n_docs_sampled") > 0L &&
+      samp10("n_docs_sampled") < full10.nDocs / 5,
+      s"a 10% rate must actually sample: ${samp10("n_docs_sampled")}")
+    assert(samp10("n_docs") === full10.nDocs) // n_docs stays EXACT
+    assert(samp10("shingle_hot_df") === full10.shingleHotDf)
+    assert(samp10("span_gram_cap") === full10.spanGramCap)
+    assert(samp10("srp_planes") === full10.srpPlanes.toLong)
+    assert(samp10("simhash_bits") === full10.simhashBits.toLong)
+    assert(samp10("simhash_band_bits") === full10.simhashBandBits.toLong)
   }
 
   test("10x namespaced corpus: planes grow with log n, df caps invariant") {
@@ -85,11 +145,14 @@ class CalibrateSpec extends AnyFunSuite {
 
   test("degenerate corpora yield well-typed rows, not NPEs") {
     import spark.implicits._
-    // empty corpus: counts 0, sums coalesce to 0, caps at the floor
+    // empty corpus: counts 0, sums coalesce to 0; an empty histogram
+    // trivially fits the budget, so the caps are the UNCAPPED sentinel
+    // (r16 — nothing to cap is "no cap", not the floor)
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val p0 = Calibrate.paramsFromDocs(Calibrate.calibrateFromDocs(empty))
     assert(p0.nDocs === 0 && p0.nShingles === 0 && p0.sumDf2 === 0)
-    assert(p0.shingleHotDf === 16 && p0.spanGramCap === 16)
+    assert(p0.shingleHotDf === Calibrate.UncappedSentinel)
+    assert(p0.spanGramCap === Calibrate.UncappedSentinel)
     // the n_docs = 0 guard: the un-guarded formula would evaluate
     // bin(-1) and clamp to MaxPlanes, spuriously saturating the ladder
     assert(p0.srpPlanes === 4 && p0.simhashBits === 64 && !p0.simhashSaturated)

@@ -468,6 +468,16 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly 4 Expands (one exact leg per table), plan:\n$p")
   }
 
+  test("approx drift: both snapshot panels Expand-free — exactly 2 Expands (the exact validation legs)") {
+    // the production drift check runs ONLY the two approx panels; the
+    // exact-NDV legs exist for the per-panel ndv_ok verdicts. A third
+    // Expand would mean an approx panel regressed into the
+    // multi-countDistinct plan.
+    val p = plan(ops.Curation.profileDriftApprox(spark, dir))
+    assert(countNodes(p, "Expand") === 2,
+      s"expected exactly 2 Expands (one exact leg per snapshot), plan:\n$p")
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipelines") {
     val df = ops.Relational.q6RevenueFilter(spark, dir)
     df.collect() // AQE finalizes the executed plan only after execution
