@@ -405,17 +405,18 @@ object StressScale {
     // 16x/decade with the overage attributed to ~380 MB/partition spill
     // at the session's fixed cpus-count shuffle partitions — the thing
     // cluster jobs size from input splits. Apply the same rule locally
-    // for the self-join probes: partitions from input rows (~500 k
-    // event rows ≈ 60 MB per shuffle partition), floored at the core
-    // count, capped at 4096. Scoped to the events self-join family —
-    // every other probe keeps the session default so its cross-round
-    // numbers stay comparable.
+    // for the self-join probes: partitions from the SHUFFLED volume —
+    // the banded probe side is the 3x-exploded relation, so size from
+    // 3x input rows at ~170 k rows (≈ 60 MB) per shuffle partition,
+    // floored at the core count, capped at 4096. Scoped to the events
+    // self-join family — every other probe keeps the session default
+    // so its cross-round numbers stay comparable.
     val partitionsCache = scala.collection.mutable.Map[String, Int]()
     def shufflePartitionsFor(name: String, dir: String): Int =
       if (!name.startsWith("events_cooccurrence")) cpus.toInt
       else partitionsCache.getOrElseUpdate(dir, {
         val rows = spark.read.parquet(s"$dir/events.parquet").count()
-        math.max(cpus.toInt, math.min(4096, (rows / 500000L).toInt + 1))
+        math.max(cpus.toInt, math.min(4096, (3 * rows / 500000L).toInt + 1))
       })
     def time(name: String,
         q: (org.apache.spark.sql.SparkSession, String) =>
