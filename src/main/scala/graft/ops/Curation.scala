@@ -983,6 +983,12 @@ object Curation {
     * shares the approx pass. */
   def profileDriftApprox(s: SparkSession, dir: String): DataFrame = {
     val cols = Seq("doc_id", "lang", "source", "n_chars")
+    // each snapshot feeds TWO aggregate legs (approx panel + exact
+    // validation = 4 tiny jobs + the stride aggregates); the ~2.9 s
+    // sf0.1 bench line is that fixed per-job overhead, not data —
+    // persisting the projected snapshots was measured at parity and
+    // would be wrong at scale anyway (it materializes the corpus; the
+    // production shape drops the exact legs and runs 2 approx panels)
     val (v1, v2) = driftSnapshots(s, dir)
     def wide(df: DataFrame, v: String): DataFrame = {
       val approxAggs = cols.flatMap { c =>
