@@ -82,7 +82,7 @@ object PlanDump {
       "events_cooccurrence_routed" -> "guard-routed events self-join: the per-user count aggregate replays joinVolumeGuard's 16x rule; over budget (this corpus) the plan is the TIME-BANDED join — probe exploded to its 3 adjacent 5-min buckets, build keyed by bucket — so candidates scale with per-bucket density, not n^2 (the volume fix; salting is the skew sibling)",
       "profile_tables_approx" -> "warehouse profiler: one Expand-free approx aggregate per table (orders/documents/events/embeddings), each scan column-pruned to its profiled columns, unioned by name — no joins, no corpus shuffle",
       "calibrate_similarity_sampled" -> "sampled calibration: exact n_docs (count-only) + self-sized LCG sample rate as a broadcast 1-row decision; both histograms run on the sample at unbiased-inflated counts, so detection is scan-bound, not shingle-bound — the full pass's rung/cap rules over ~500 docs at any corpus size",
-      "dedup_minhash_routed" -> "calibrated LSH banding: the stored calibration's n_docs picks the b = 2^r S-curve rung ((4, 16) on this corpus), so the plan IS the banded-join LSH at that config with (mh_rows, mh_bands) pinned as literals — exact verification keeps the pair set banding-invariant",
+      "dedup_minhash_routed" -> "calibrated LSH banding: the stored calibration's n_docs picks the b = 2^r S-curve rung ((4, 16) on this corpus), so the plan IS the banded-join LSH at that config with (mh_rows, mh_bands) pinned as literals — recall is a superset of the proven 8-band config (shared permutation constants), precision exact by verification",
       "profile_drift_approx" -> "approx drift: two Expand-free approx snapshot panels + two exact-NDV validation legs, all crossing as broadcast 1-row aggregates — the NDV drift verdict compares the two sketch estimates; the corpus never joins")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries (sf0.001)\n\n")

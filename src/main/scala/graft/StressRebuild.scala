@@ -56,13 +56,7 @@ object StressRebuild {
     // grown corpus: namespaced re-keyed copies (StressScale's null),
     // written to parquet so the rebuild reads a real snapshot dir
     val docs = spark.read.parquet(s"$base/documents.parquet")
-    val stride = {
-      val row = docs.agg(max(col("doc_id")).cast("long")).head()
-      val maxId = if (row.isNullAt(0)) 0L else row.getLong(0)
-      var s = 10000000L
-      while (s <= maxId) s *= 10
-      s
-    }
+    val stride = Tables.rekeyStride(docs, "doc_id")
     (0 until scale).map { k =>
       if (k == 0) docs
       else docs.select(

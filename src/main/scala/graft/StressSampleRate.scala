@@ -52,13 +52,7 @@ object StressSampleRate {
     // the StressScale boilerplate null: namespaced copies + a fixed
     // (NOT namespaced) header on every 10th doc of every copy
     val docs = spark.read.parquet(s"$base/documents.parquet")
-    val stride = {
-      val row = docs.agg(max(col("doc_id")).cast("long")).head()
-      val maxId = if (row.isNullAt(0)) 0L else row.getLong(0)
-      var s = 10000000L
-      while (s <= maxId) s *= 10
-      s
-    }
+    val stride = Tables.rekeyStride(docs, "doc_id")
     val header = (1 to 16).map(i => s"bplic$i").mkString(" ")
     (0 until scale).map { k =>
       if (k == 0) docs

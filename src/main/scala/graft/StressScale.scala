@@ -227,15 +227,8 @@ object StressScale {
     // back as the base of a further scaling run (the third-decade
     // chain: 100x output ids reach ~1e9, where a fixed 10M stride
     // would collide copy k of id x with copy k' of id x').
-    def strideFor(df: DataFrame, key: String): Long = {
-      // max over an empty table is null -> keep the historical stride
-      // (an empty base still produces a valid, empty scaled output)
-      val row = df.agg(max(col(key)).cast("long")).head()
-      val maxId = if (row.isNullAt(0)) 0L else row.getLong(0)
-      var s = 10000000L
-      while (s <= maxId) s *= 10
-      s
-    }
+    def strideFor(df: DataFrame, key: String): Long =
+      Tables.rekeyStride(df, key) // one shared rule (r16 review)
     def copiesWith(df: DataFrame, stride: Long)(
         rekey: (DataFrame, Int, Long) => DataFrame): DataFrame =
       (0 until scale).map(k => if (k == 0) df else rekey(df, k, stride))

@@ -327,11 +327,21 @@ object Calibrate {
         forceBp.fold(sampleBpCol)(bp => lit(bp)).as("sample_bp"))
       .select(col("n_docs"), col("sample_bp"),
         expr("10000L div sample_bp").as("inv"))
+    // nonnegative-id contract (the text_sample_hash discipline): Spark's
+    // pmod and the oracle's sign-preserving % agree only for doc_id ≥ 0
+    // and products below 2^63 (doc_id < ~8.3e9) — the documented id
+    // contract every LCG-coin query in this engine shares
     val coin = pmod((col("doc_id") * 1103515245L + 12345L) % 2147483647L,
       lit(10000L))
+    // persisted: the sample is BOUNDED (≤ 9·SampleBudgetDocs docs by the
+    // rate rule), and three consumers read it (count, shingle histogram,
+    // gram histogram) — without the persist each re-runs the corpus
+    // scan + coin filter, turning the one-scan sampled pass into three
+    // corpus scans (the r16 review's finding)
     val sampled = docs.crossJoin(broadcast(spDf))
       .filter(coin < col("sample_bp"))
       .select(col("doc_id"), col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nSampledDf =
       sampled.agg(count(lit(1)).cast("long").as("n_docs_sampled"))
 
@@ -667,12 +677,18 @@ object Calibrate {
     *
     * Both rules are integer-replayable (`length(bin(x − 1))` ceil-log2,
     * `(bits + 3) div 4` ceil-division, `1 << r`), so the DuckDB oracle
-    * recomputes the SELECTION itself. Recall is monotone in bands at
-    * fixed rows (shared permutation constants — see
+    * recomputes the SELECTION itself. Oracle contract, stated honestly:
+    * exact verification means banding moves RECALL odds, never
+    * precision, so equality with the brute-force oracle is
+    * probabilistic for near-threshold pairs at any rung (the teaching
+    * config's documented position — its ~1e-9 miss odds are quoted at
+    * the fixtures' planted similarity, J ≈ 0.98). What the rung ladder
+    * adds is strictly favorable: recall is monotone in bands at fixed
+    * rows (shared permutation constants — see
     * `Dedup.minhashLshPairsFrom`), so the fixture rung (r = 4, b = 16)
-    * is a strict candidate superset of the proven 8-band teaching
-    * config, and exact verification makes the pair set banding-
-    * invariant: ONE brute-force oracle covers every rung. */
+    * generates a strict SUPERSET of the proven 8-band config's
+    * candidates, and the brute-force oracle that pins the teaching
+    * config pins the routed query a fortiori. */
   private[graft] def minhashRowsFor(nDocs: Long): Int = {
     if (nDocs <= 0) return 4
     val bits =
@@ -805,10 +821,11 @@ object Calibrate {
     * [[srpTablesFor]] integers), so the driver hash pins every rule. */
   /** The calibrated-banding oracle: the (rows, bands) derivation replays
     * in integer CTEs (the same ceil-log2 / ceil-div-4 / 1<<r text the
-    * engine's Scala mirror computes), the pair set is the ONE brute-force
-    * Jaccard oracle (exact verification makes it banding-invariant at
-    * every rung), and the chosen banding rides the output so the driver
-    * hash pins the selection. */
+    * engine's Scala mirror computes), the pair set is the SAME
+    * brute-force Jaccard body (incl. the ±100-char blocking) that
+    * `Dedup.jaccardPairsSql` pins for the teaching config — so the two
+    * minhash oracles can never disagree on a pair — and the chosen
+    * banding rides the output so the driver hash pins the selection. */
   private def dedupMinhashRoutedOracle: String =
     """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
       |mh AS (SELECT CASE WHEN n_docs <= 0 THEN 4
@@ -827,7 +844,7 @@ object Calibrate {
       |  CAST((SELECT mh_rows FROM mh) AS BIGINT) AS mh_rows,
       |  CAST(CAST(1 AS BIGINT) << (SELECT mh_rows FROM mh) AS BIGINT) AS mh_bands
       |FROM sh a JOIN sh b
-      |  ON a.doc_id < b.doc_id
+      |  ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 100
       |WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
       |      CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.5
       |ORDER BY a_id, b_id""".stripMargin

@@ -265,7 +265,7 @@ object Indexes {
     * scoring per consumer is the anti-pattern. Builder:
     * `Similarity.buildKnnGraph`. */
   def knnGraphEdges(s: SparkSession, dir: String): DataFrame =
-    materializedIndexStamped(s, dir, "knngraph", Map("knn_k" -> 5L))(
+    materializedIndexStamped(s, dir, "knngraph", Similarity.knnIndexParams)(
       Similarity.buildKnnGraph(s, dir))
 
   /** Sign-random-projection LSH signatures, one row per vector:

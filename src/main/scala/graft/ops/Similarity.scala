@@ -71,6 +71,12 @@ object Similarity {
     Map("srp_tables" -> Tables.toLong, "srp_planes" -> Planes.toLong)
   private[graft] def ivfIndexParams: Map[String, Long] =
     Map("ivf_probes" -> 2L)
+  // k shared between buildKnnGraph's top-k filter and the stored
+  // knngraph stamp (r16 review: an inline 5 in each would let the
+  // stamp and the build disagree — the exact hole stamps close)
+  private[graft] val KnnK = 5
+  private[graft] def knnIndexParams: Map[String, Long] =
+    Map("knn_k" -> KnnK.toLong)
 
   /** Multi-table LSH signature design: bucket for table t = 4 sign bits
     * from deterministic ±1 hyperplanes (LCG-parity weights — pure integer
@@ -785,7 +791,7 @@ object Similarity {
         (dot("aq", "bq").cast("double") /
           sqrt(col("an").cast("double") * col("bn").cast("double"))).as("cosine"))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
+      .filter(col("rn") <= KnnK)
       .select(col("a_id"), col("b_id"), col("rn").cast("long").as("rn"), col("cosine"))
       // consumed twice below (both join sides): persist the k·n edge
       // relation, not the all-pairs subtree behind it

@@ -53,6 +53,19 @@ object StreamingDedup {
   private[graft] def bandingParams(s: SparkSession, dir: String): Map[String, Long] =
     Calibrate.currentMinhashBanding(Calibrate.storedParams(s, dir))
 
+  /** The banding the STREAM side must probe at: the stored index's OWN
+    * stamp — layout coherence with the artifact that actually exists,
+    * including right after a mid-stream re-rung through
+    * [[appendBatchAt]] (probing a (5, 32) index with (4, 16) stream
+    * bands would hit only foreign buckets and silently admit every
+    * dup — the r16 review's finding). Forces the index build first, so
+    * an unbuilt gate starts at the calibrated answer and the stamp is
+    * always present after. */
+  private def activeBanding(s: SparkSession, dir: String): Map[String, Long] = {
+    corpusBandIndex(s, dir)
+    Indexes.indexStamp(s, dir, "mhbands").getOrElse(bandingParams(s, dir))
+  }
+
   private def rowsBands(params: Map[String, Long]): (Int, Int) =
     (params("minhash_rows").toInt, params("minhash_bands").toInt)
 
@@ -78,15 +91,17 @@ object StreamingDedup {
     * stored stamp still matches the calibrated banding, the batch's
     * band rows append (the cheap daily motion); when the corpus has
     * crossed a banding rung, the index transparently REBUILDS at the
-    * current rung from `corpusSoFar` — base + every admitted batch,
-    * which the CALLER owns (a production gate reads it back from its
-    * admitted-output table; the stored index has only band rows, not
-    * text) — and re-stamps. Returns true iff the rebuild was taken, so
+    * current rung from `corpusSoFar` and re-stamps. `corpusSoFar` is a
+    * REQUIRED caller obligation — base plus EVERY batch admitted so
+    * far, which only the caller can supply (a production gate reads it
+    * back from its admitted-output table; the stored index holds band
+    * rows, not text, so it cannot reconstruct the corpus itself; a
+    * convenience default was rejected because any fixed expression
+    * silently drops earlier batches on the rebuild branch — the
+    * r16 review's finding). Returns true iff the rebuild was taken, so
     * the gate can surface the event in its run log. */
   def appendBatch(s: SparkSession, dir: String, batch: DataFrame)(
-      corpusSoFar: => DataFrame =
-        Tables.documents(s, dir).filter(!residuePred(0, 5)).unionByName(batch)
-  ): Boolean =
+      corpusSoFar: => DataFrame): Boolean =
     appendBatchAt(s, dir, batch, bandingParams(s, dir))(corpusSoFar)
 
   /** [[appendBatch]] at an EXPLICIT calibrated banding — the seam the
@@ -124,9 +139,8 @@ object StreamingDedup {
     * stream's rejections are provably the batch probe's pairs
     * (StreamingDedupSpec pins stream ≡ batch for both snapshots). */
   def admissionFilter(s: SparkSession, dir: String, newDocs: DataFrame): DataFrame = {
-    // the stream side MUST band at the stored index's calibrated
-    // (rows, bands) — a mismatched layout would probe foreign buckets
-    val (r, b) = rowsBands(bandingParams(s, dir))
+    // band the stream at the stored index's OWN layout ([[activeBanding]])
+    val (r, b) = rowsBands(activeBanding(s, dir))
     val banded = Dedup.bandedSigs(
         Dedup.shingled(newDocs), keep = Seq("n_chars", "shingles"),
         rows = r, bands = b)
@@ -158,7 +172,8 @@ object StreamingDedup {
     * with parameterized sides). */
   private[graft] def batchTruth(s: SparkSession, dir: String,
       newPred: Column, corpusPred: Column): DataFrame = {
-    val (r, b) = rowsBands(bandingParams(s, dir))
+    // truth side probes at the same layout the stream does
+    val (r, b) = rowsBands(activeBanding(s, dir))
     val docs = Tables.documents(s, dir)
     val newSh = Dedup.shingled(docs.filter(newPred))
     val corpusSh = Dedup.shingled(docs.filter(corpusPred))

@@ -296,7 +296,7 @@ class CalibrateSpec extends AnyFunSuite {
     assert(rungs === rungs.sorted)
   }
 
-  test("declared minhash routing: fixture serves (4, 16) pinned; pair set banding-invariant") {
+  test("declared minhash routing: fixture serves (4, 16) pinned; pair set == teaching config") {
     val p = Calibrate.storedParams(spark, dir)
     assert(Calibrate.minhashRowsFor(p.nDocs) === 4)
     val routedDf = Calibrate.dedupMinhashRouted(spark, dir)
@@ -306,7 +306,8 @@ class CalibrateSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     assert(rows.forall(r => r.getLong(3) === 4L && r.getLong(4) === 16L),
       "the consumed calibrated banding must be pinned into every row")
-    // exact verification makes the pair set banding-invariant: the
+    // verification is exact and the 16-band candidates are a strict
+    // superset of the 8-band config's (shared permutation constants): the
     // calibrated 16-band rung reproduces the frozen 8x4 teaching
     // config's pair set (which DedupSpec pins == brute-force Jaccard)
     val routed = routedDf.drop("mh_rows", "mh_bands").collect().toSeq

@@ -48,9 +48,12 @@ class StreamingDedupSpec extends AnyFunSuite {
 
   test("snapshot 2 after append: batch-2 dups against batch-1 docs are caught") {
     StreamingDedup.corpusBandIndex(spark, dir)
-    // same-rung day: the recovery path takes the cheap append branch
+    // same-rung day: the recovery path takes the cheap append branch.
+    // corpusSoFar (base + this batch) is the caller's REQUIRED
+    // obligation — it is only consumed on the rebuild branch.
     val rebuilt = StreamingDedup.appendBatch(spark, dir,
-      Tables.documents(spark, dir).filter(StreamingDedup.residuePred(0)))()
+      Tables.documents(spark, dir).filter(StreamingDedup.residuePred(0)))(
+      Tables.documents(spark, dir).filter(!StreamingDedup.residuePred(5)))
     assert(!rebuilt, "a same-rung batch must append, not rebuild")
     val streamed = runStream(5, "dedup_stream_b2")
     val expected = truth(5, Seq(0, 1, 2, 3, 4, 6, 7, 8, 9))
@@ -90,6 +93,17 @@ class StreamingDedupSpec extends AnyFunSuite {
       rows = 5, bands = 32)
     assert(served.count() === expect.count())
     assert(served.exceptAll(expect).isEmpty && expect.exceptAll(served).isEmpty)
+
+    // LAYOUT COHERENCE across the crossing (the r16 review's finding):
+    // the stream side must band at the rebuilt index's stamp (5, 32),
+    // not the base snapshot's calibrated (4, 16) — streamed rejections
+    // against the re-rung index still equal the batch truth
+    val streamed = runStream(5, "dedup_stream_rerung")
+    val expected = StreamingDedup.batchTruth(spark, dir,
+        StreamingDedup.residuePred(5), !StreamingDedup.residuePred(5))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed === expected)
+    assert(streamed.nonEmpty, "re-rung gate must still catch dups")
 
     // restore the fixture-rung index for any later consumer in this
     // session (the other tests build through corpusBandIndex's stamp)
