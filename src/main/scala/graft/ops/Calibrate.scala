@@ -290,7 +290,14 @@ object Calibrate {
 
   /** Scala mirror of the rate rule, for specs and probes: basis points
     * out of 10 000, one decade down per decade of corpus over budget,
-    * floored at 1 bp. */
+    * floored at 1 bp. The floor bounds the LADDER, not the design: at
+    * 1 bp the sample is flat only through ~10 000·S docs (≈ 5 M at the
+    * fixture budget; ≈ 1 G at a production S = 100 k) and degrades
+    * gracefully to rate-1bp linear past it — still 10 000× cheaper
+    * than the full pass; extending the coin's basis beyond 10⁴ (more
+    * ladder decades) is mechanical if a corpus ever outgrows it, the
+    * same one-line change in the rule, its oracle CTE, and this
+    * mirror. */
   private[graft] def sampleBpFor(nDocs: Long): Long = {
     if (nDocs <= SampleBudgetDocs) return 10000L
     val q = (nDocs + SampleBudgetDocs - 1) / SampleBudgetDocs
@@ -719,8 +726,19 @@ object Calibrate {
     val p = storedParams(s, dir)
     val r = minhashRowsFor(p.nDocs)
     val b = minhashBandsFor(r)
-    Dedup.minhashLshPairsFrom(
-        Dedup.shingled(Tables.documents(s, dir)), rows = r, bands = b)
+    // served from a STORED index stamped with the calibrated banding —
+    // the same materialized-artifact convention as the teaching
+    // config's `Indexes.nearDupPairs`, and precisely the artifact the
+    // staleness machinery protects: a corpus decade that moves the
+    // (rows, bands) rung flips this stamp, so the recovery path
+    // rebuilds rather than serving stale-rung pairs. The pinned
+    // routing columns ride OUTSIDE the stored rows (literals over the
+    // scan), so the artifact stays pure pair data.
+    Indexes.materializedIndexStamped(s, dir, "mhpairs_routed",
+        Map("minhash_rows" -> r.toLong, "minhash_bands" -> b.toLong))(
+        Dedup.minhashLshPairsFrom(
+          Dedup.shingled(Tables.documents(s, dir)), rows = r, bands = b))
+      .orderBy(col("a_id"), col("b_id"))
       .withColumn("mh_rows", lit(r.toLong))
       .withColumn("mh_bands", lit(b.toLong))
   }
