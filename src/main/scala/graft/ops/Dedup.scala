@@ -244,10 +244,20 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
-    // exact verification: attach shingles only for the (tiny) candidate set
+    // exact verification: attach shingles only for the (tiny) candidate
+    // set. The ±100-char length band is the batch family's blocking rule
+    // (dedupNgramJaccardCapped, the incremental path, and BOTH minhash
+    // oracles apply it) — without it here, a J ≥ 0.5 pair whose lengths
+    // differ by >100 chars (a doc vs itself repeated: near-identical
+    // distinct shingle set, doubled length) would be emitted by this leg
+    // but omitted by the shared oracle, so "blocking parity" held only
+    // oracle-to-oracle (r16 advice). DedupSpec plants exactly that pair.
     val withSets = candidates
-      .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("a_sh")), "a_id")
-      .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("b_sh")), "b_id")
+      .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("a_sh"),
+        col("n_chars").as("a_nc")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("b_sh"),
+        col("n_chars").as("b_nc")), "b_id")
+      .filter(abs(col("a_nc") - col("b_nc")) <= lit(100))
     withSets
       .select(col("a_id"), col("b_id"),
         (size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /

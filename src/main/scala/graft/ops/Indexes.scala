@@ -119,6 +119,35 @@ object Indexes {
     }
   }
 
+  /** Materialized LAYOUT: like [[materialize]] but the caller owns the
+    * write (partitionBy / sortWithinPartitions — the physical layout IS
+    * the artifact, so a generic unpartitioned writer would defeat it),
+    * and the stamp is written at build time (layouts are consumed
+    * through their stamp — e.g. the coin layout's `n_docs` — so an
+    * unstamped layout dir is useless, not merely unprovable). The stamp
+    * thunk runs only on the build path: a stamp that costs a corpus
+    * scan (a count) is paid once, beside the one full-scan write. */
+  private[graft] def materializedLayout(s: SparkSession, dir: String,
+      tag: String, stamp: => Map[String, Long])(
+      write: String => Unit): DataFrame = {
+    val key = (s, dir, tag)
+    val hit = cache.get(key)
+    if (hit != null) hit
+    else {
+      val path = Option(paths.get(key)).getOrElse {
+        val p = java.nio.file.Files
+          .createTempDirectory(s"graft_index_$tag").toString
+        write(p)
+        writeStamp(p, stamp)
+        paths.putIfAbsent(key, p)
+        paths.get(key)
+      }
+      val scan = s.read.parquet(path)
+      val prev = cache.putIfAbsent(key, scan)
+      if (prev != null) prev else scan
+    }
+  }
+
   /** Daily-snapshot index REFRESH: append one batch's rows to a stored
     * index's parquet dir (a new file commit, exactly how a production
     * index table takes its daily delta) and drop the cached scan so the
@@ -230,11 +259,52 @@ object Indexes {
     * story — `calibrate_similarity` derives the rung from corpus stats,
     * and the stamp records which rung a stored index was actually built
     * at, so [[isStale]]/the checked [[appendToIndex]] can detect the
-    * decade crossing that silently invalidates stored signatures. The
-    * stamp is written once, beside the first build; a racing duplicate
-    * write is benign (same content). */
+    * decade crossing that silently invalidates stored signatures.
+    *
+    * The SERVE is staleness-CHECKED (r16 verdict #1 — the pre-r17 body
+    * wrote the stamp when absent and never compared an existing one, so
+    * a consumer whose calibrator had moved would happily serve old-rung
+    * rows under new-rung literals, the exact silent-rung-mix the stamp
+    * machinery exists to prevent): when a stored build's stamp differs
+    * from the caller's current parameters, the serve takes the
+    * [[rebuildIndex]] branch — build at the current rung, re-stamp,
+    * swap — so `dedup_minhash_routed`'s stale-rung-rebuild claim is now
+    * mechanism, not scaladoc (IndexRefreshSpec drives the rung flip).
+    * The check also fails closed on a built-but-UNSTAMPED dir (the
+    * checked-append posture: freshness must be provable). Cost on the
+    * hot path: one local stamp-file read per serve. Callers whose
+    * stamp is intentionally allowed to differ from the stored one — the
+    * streaming gate's `mhbands`, whose rung transitions are owned by
+    * [[appendToIndexOrRebuild]] and whose probes must follow the
+    * artifact's ACTUAL layout — use [[materializedIndexAtStoredStamp]]
+    * instead. A racing duplicate stamp write is benign (same content). */
   private[graft] def materializedIndexStamped(s: SparkSession, dir: String,
       tag: String, stamp: Map[String, Long])(build: => DataFrame): DataFrame = {
+    if (isStale(s, dir, tag, stamp)) rebuildIndex(s, dir, tag, stamp)(build)
+    else {
+      val df = materialize(s, dir, tag)(build)
+      val path = paths.get((s, dir, tag))
+      if (path != null && !stampFile(path).exists()) writeStamp(path, stamp)
+      df
+    }
+  }
+
+  /** Serve-at-STORED-stamp variant of [[materializedIndexStamped]], for
+    * the one index family whose stored stamp may legitimately differ
+    * from the calibrator's answer for the FIXTURE corpus: the streaming
+    * gate's `mhbands`, whose rung transitions are owned by the append
+    * path ([[appendToIndexOrRebuild]] rebuilds on a decade crossing and
+    * re-stamps at the GROWN corpus's banding) and whose stream-side
+    * probes must band at whatever layout the stored rows actually have
+    * (probing a (5, 32) index with (4, 16) bands hits only foreign
+    * buckets and silently admits every dup — the r16 review's finding).
+    * A checked serve here would "recover" the index right back to the
+    * pre-crossing rung. Builds + stamps when absent; otherwise serves
+    * the store as-is and lets the caller read the stamp
+    * ([[indexStamp]]) to learn the active layout. */
+  private[graft] def materializedIndexAtStoredStamp(s: SparkSession,
+      dir: String, tag: String, stamp: Map[String, Long])(
+      build: => DataFrame): DataFrame = {
     val df = materialize(s, dir, tag)(build)
     val path = paths.get((s, dir, tag))
     if (path != null && !stampFile(path).exists()) writeStamp(path, stamp)

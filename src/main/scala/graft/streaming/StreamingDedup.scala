@@ -61,26 +61,52 @@ object StreamingDedup {
     * dup — the r16 review's finding). Forces the index build first, so
     * an unbuilt gate starts at the calibrated answer and the stamp is
     * always present after. */
-  private def activeBanding(s: SparkSession, dir: String): Map[String, Long] = {
+  private[graft] def activeBanding(s: SparkSession, dir: String): Map[String, Long] = {
     corpusBandIndex(s, dir)
-    Indexes.indexStamp(s, dir, "mhbands").getOrElse(bandingParams(s, dir))
+    Indexes.indexStamp(s, dir, "mhbands") match {
+      case Some(st) if st.contains("minhash_rows") && st.contains("minhash_bands") =>
+        st
+      case _ =>
+        // a FOREIGN or legacy stamp (e.g. the pre-r16 minhash_perms/bands
+        // keys) means the stored rows' banding is unprovable — probing
+        // them at any guessed layout silently admits dups, and the old
+        // unchecked map lookups threw NoSuchElementException instead of
+        // recovering (r16 advice). Fail closed the way the checked
+        // append does: rebuild at the calibrated banding and re-stamp.
+        val params = bandingParams(s, dir)
+        val (r, b) = rowsBands(params)
+        Indexes.rebuildIndex(s, dir, "mhbands", params)(
+          corpusBandRows(s, dir, r, b))
+        params
+    }
   }
 
+  /** Total only for calibrator-derived maps ([[bandingParams]] and
+    * stamps [[activeBanding]] has already key-validated). */
   private def rowsBands(params: Map[String, Long]): (Int, Int) =
     (params("minhash_rows").toInt, params("minhash_bands").toInt)
+
+  private def corpusBandRows(s: SparkSession, dir: String,
+      r: Int, b: Int): DataFrame =
+    Dedup.bandedSigs(Dedup.shingled(
+      Tables.documents(s, dir).filter(!residuePred(0, 5))),
+      rows = r, bands = b)
 
   /** The stored band index of the corpus-so-far (tag `mhbands`): same
     * row format as `Dedup.bandedSigs` — (doc_id, band, bucket). First
     * call builds + materializes, STAMPED with the calibrated banding;
     * `appendBatch` adds snapshots through the staleness-checked
-    * recovery path. */
+    * recovery path. Serves at the STORED stamp (not the checked serve):
+    * after a mid-stream rung crossing rebuilds this index at the grown
+    * corpus's banding, the fixture corpus's own calibration still
+    * answers the old rung, and a checked serve would "recover" the
+    * index right back down — rung transitions for this tag are owned by
+    * the append path, and the stream probes the layout that exists. */
   def corpusBandIndex(s: SparkSession, dir: String): DataFrame = {
     val params = bandingParams(s, dir)
     val (r, b) = rowsBands(params)
-    Indexes.materializedIndexStamped(s, dir, "mhbands", params)(
-      Dedup.bandedSigs(Dedup.shingled(
-        Tables.documents(s, dir).filter(!residuePred(0, 5))),
-        rows = r, bands = b))
+    Indexes.materializedIndexAtStoredStamp(s, dir, "mhbands", params)(
+      corpusBandRows(s, dir, r, b))
   }
 
   /** Append one admitted batch's band rows to the stored index — the
