@@ -117,6 +117,40 @@ class CalibrateSpec extends AnyFunSuite {
     assert(samp10("simhash_band_bits") === full10.simhashBandBits.toLong)
   }
 
+  test("pruned sampled calibration == scanning pass, layout stamp exact, genuine pruned sample at 10x") {
+    import graft.ops.Indexes
+    // fixture (500 docs, bp = 10000): the pruned read keeps every block,
+    // so equality with the scanning pass is structural
+    val a = Calibrate.calibrateSimilaritySampled(spark, dir).collect().toSeq
+    val b = Calibrate.calibrateSimilaritySampledPruned(spark, dir).collect().toSeq
+    assert(b === a)
+    // detection never re-counts the corpus: n_docs rides the layout stamp
+    val st = Indexes.indexStamp(spark, dir, "coinlayout").get
+    assert(st("n_docs") === Tables.documents(spark, dir).count())
+    assert(st("coin_block_width") === Calibrate.CoinBlockWidth)
+    // 10x snapshot in its own dir (the layout path reads a corpus DIR):
+    // bp = 1000 → the pruned scan reads blocks 0-9 only and must land on
+    // the scanning pass's row bit-for-bit (same coin, same estimators)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_prune10x").toString
+    val docs = Tables.documents(spark, dir)
+    (0 until 10).map { k =>
+      if (k == 0) docs
+      else docs.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+        array_join(transform(split(col("text"), " "),
+          t => concat(t, lit(s"_$k"))), " ").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val s10 = Calibrate.calibrateSimilaritySampled(spark, tmp).collect().toSeq
+    val p10 = Calibrate.calibrateSimilaritySampledPruned(spark, tmp).collect().toSeq
+    assert(p10 === s10)
+    val row = p10.head
+    assert(row.getLong(row.fieldIndex("sample_bp")) === 1000L)
+    assert(row.getLong(row.fieldIndex("n_docs_sampled")) <
+      row.getLong(row.fieldIndex("n_docs")) / 5,
+      "a 10% rate must actually sample through the pruned read")
+  }
+
   test("10x namespaced corpus: planes grow with log n, df caps invariant") {
     val docs = Tables.documents(spark, dir)
     val scaled = (0 until 10).map { k =>

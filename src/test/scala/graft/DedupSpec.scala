@@ -27,6 +27,38 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh === brutePairs)
   }
 
+  test("minhash verification applies the family's ±100-char length blocking (planted long/short pair)") {
+    // r16 advice: the minhash oracles block on abs(Δn_chars) ≤ 100 but the
+    // engine's exact-verification leg didn't, so a J ≥ 0.5 pair with
+    // length diff > 100 (a doc vs the same doc repeated — near-identical
+    // DISTINCT shingle set, quadrupled length) was emitted by the engine
+    // and omitted by the oracle. Post-fix both drop it; the control pair
+    // (identical text, Δ = 0) stays.
+    import org.apache.spark.sql.functions._
+    val t = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = spark.createDataFrame(Seq(
+      (1L, t),                                 // short
+      (2L, Seq(t, t, t, t).mkString(" ")),     // long: J = 38/40 = 0.95, Δchars ≈ 3·|t| > 100
+      (3L, "alpha beta gamma delta epsilon"),
+      (4L, "alpha beta gamma delta epsilon"))) // exact copy: J = 1, Δ = 0
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    // the planted pair IS a genuine near-dup — only the blocking excludes it
+    val sh = Dedup.shingled(docs)
+    val j12 = sh.where(col("doc_id") === 1L).select(col("shingles").as("a"))
+      .crossJoin(sh.where(col("doc_id") === 2L).select(col("shingles").as("b")))
+      .select((size(array_intersect(col("a"), col("b"))).cast("double") /
+        size(array_union(col("a"), col("b"))).cast("double")).as("j"))
+      .head().getDouble(0)
+    assert(j12 >= 0.5, s"planted pair must pass the similarity bar (got $j12)")
+    val pairs = Dedup.minhashLshPairsFrom(sh, rows = 4, bands = 16)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((3L, 4L)))
+    assert(!pairs.contains((1L, 2L)),
+      "length-blocked pair must not be emitted by the engine leg")
+  }
+
   test("incremental LSH probe equals the batch×corpus slice of the exact pairs") {
     // restriction of the full exact pair set to pairs with exactly one
     // endpoint in the batch (doc_id ≡ 0 mod 10), re-oriented (new, old)

@@ -206,6 +206,79 @@ class IndexRefreshSpec extends AnyFunSuite {
     assert(served.exceptAll(expect).isEmpty && expect.exceptAll(served).isEmpty)
   }
 
+  test("mid-session corpus growth flips the minhash rung and the CHECKED SERVE rebuilds mhpairs_routed") {
+    // r16 verdict #1: materializedIndexStamped used to write the stamp
+    // when absent and never compare an existing one — a consumer whose
+    // calibrator had moved would serve OLD-rung pairs under NEW-rung
+    // literals. This drives the full chain: grown corpus → refreshed
+    // stored calibration → the SAME declared-query call detects the
+    // stamp mismatch on serve and rebuilds at the new rung.
+    import org.apache.spark.sql.functions._
+    import graft.ops.Calibrate
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rungflip").toString
+    def corpus(from: Long, until: Long) = spark.range(from, until).select(
+      col("id").as("doc_id"),
+      when(col("id").isin(498L, 499L), lit("alpha beta gamma delta epsilon"))
+        .otherwise(concat(
+          lit("a"), col("id").cast("string"), lit(" b"), col("id").cast("string"),
+          lit(" c"), col("id").cast("string"), lit(" d"), col("id").cast("string")))
+        .as("text"))
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
+    // v1 snapshot: 500 docs → the (rows 4, bands 16) rung, one planted dup
+    corpus(0L, 500L).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r1 = Calibrate.dedupMinhashRouted(spark, tmp).collect()
+    assert(r1.head.getLong(r1.head.fieldIndex("mh_rows")) === 4L)
+    assert(Indexes.indexStamp(spark, tmp, "mhpairs_routed")
+      === Some(Map("minhash_rows" -> 4L, "minhash_bands" -> 16L)))
+    assert(r1.map(r => (r.getLong(0), r.getLong(1))).contains((498L, 499L)))
+
+    // the corpus grows past 2^16 docs mid-session: bits 17 → rows 5
+    corpus(500L, 66500L).write.mode("append").parquet(s"$tmp/documents.parquet")
+    Calibrate.refreshStoredCalibration(spark, tmp)
+
+    // the SAME serve call now rebuilds at the new rung and re-stamps —
+    // new-rung literals can never ride old-rung stored pairs
+    val r2 = Calibrate.dedupMinhashRouted(spark, tmp).collect()
+    assert(r2.head.getLong(r2.head.fieldIndex("mh_rows")) === 5L)
+    assert(r2.head.getLong(r2.head.fieldIndex("mh_bands")) === 32L)
+    assert(Indexes.indexStamp(spark, tmp, "mhpairs_routed")
+      === Some(Map("minhash_rows" -> 5L, "minhash_bands" -> 32L)))
+    assert(r2.map(r => (r.getLong(0), r.getLong(1))).contains((498L, 499L)),
+      "the planted dup must survive the rung flip (recall monotone, verification exact)")
+  }
+
+  test("a foreign mhbands stamp fails closed: the gate rebuilds at the calibrated banding") {
+    // r16 advice: activeBanding's unchecked map lookups threw
+    // NoSuchElementException on a legacy stamp (pre-r16 minhash_perms/
+    // bands keys) instead of recovering; probing legacy-built rows at a
+    // guessed layout would silently admit dups.
+    import org.apache.spark.sql.functions._
+    import graft.ops.Dedup
+    import graft.streaming.StreamingDedup
+    val tmp = java.nio.file.Files.createTempDirectory("graft_foreignstamp").toString
+    spark.range(200).select(col("id").as("doc_id"),
+        concat(lit("p"), col("id").cast("string"), lit(" q"),
+          col("id").cast("string"), lit(" r"), col("id").cast("string")).as("text"))
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val calibrated = StreamingDedup.bandingParams(spark, tmp)
+    StreamingDedup.corpusBandIndex(spark, tmp).count()
+    assert(Indexes.indexStamp(spark, tmp, "mhbands") === Some(calibrated))
+
+    // a legacy artifact lands: same row shape, pre-r16 stamp keys
+    Indexes.rebuildIndex(spark, tmp, "mhbands",
+      Map("minhash_perms" -> 32L, "bands" -> 8L))(
+      Dedup.bandedSigs(Dedup.shingled(
+        Tables.documents(spark, tmp)), rows = 4, bands = 8))
+    val active = StreamingDedup.activeBanding(spark, tmp)
+    assert(active === calibrated,
+      "a key-invalid stamp must rebuild at the calibrated banding, not throw")
+    assert(Indexes.indexStamp(spark, tmp, "mhbands") === Some(calibrated))
+  }
+
   test("storedParams == per-call params, served from the snapshot artifact") {
     import graft.ops.Calibrate
     val direct = Calibrate.params(spark, dir)

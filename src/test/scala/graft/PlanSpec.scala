@@ -619,4 +619,21 @@ class PlanSpec extends AnyFunSuite {
     // plane explode; an equi-join keyed on band/bucket must survive
     assert(p.contains("band"), s"no banded join keys in plan:\n$p")
   }
+
+  test("pruned sampled calibration: coin_block partition filter + coin pushed to the layout scan") {
+    // detection IO must come from PRUNING, not a full read: the layout
+    // scan carries the coin_block directory-partition filter (block
+    // elimination) and the residual coin predicate as a pushed parquet
+    // filter (row-group stats prune it — files are coin-sorted in-block)
+    val p = plan(ops.Calibrate.calibrateSimilaritySampledPruned(spark, dir))
+    val scan = p.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert(scan.contains("coin_block"), s"no coin_block partition filter:\n$p")
+    assert(p.contains("LessThan(coin,"), s"coin filter not pushed:\n$p")
+  }
+
+  test("approx-only drift panel: zero Expand — two plain hash passes") {
+    val p = plan(ops.Curation.profileDriftApproxOnly(spark, dir))
+    assert(countNodes(p, "Expand") === 0, s"plan:\n$p")
+    assert(countNodes(p, "CartesianProduct") === 0, s"plan:\n$p")
+  }
 }
