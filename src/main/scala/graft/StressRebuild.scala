@@ -132,6 +132,91 @@ object StressRebuild {
       s""""bp_base":${sampBase("sample_bp")},"bp_grown":${sampGrown("sample_bp")},""" +
       s""""n_sampled_base":${sampBase("n_docs_sampled")},""" +
       s""""n_sampled_grown":${sampGrown("n_docs_sampled")},"params_match":true}}""")
+    // 3c. the PRUNED-LAYOUT detection pass (r16 verdict #2/#6): the
+    // sampled pass above is CPU-flat but still SCANS the whole corpus
+    // through the coin filter — IO-bound linear, a full-corpus read per
+    // detection at 100 TB. The coin-partitioned layout makes that scan
+    // prunable; this measures detection BYTES READ (task input metrics)
+    // as well as wall for all three shapes on both corpora. Expected:
+    // full and sampled-scan bytes grow ~10x with the corpus; pruned
+    // bytes stay bounded by max(bp, 100)/10^4 of the corpus — the block
+    // floor holds bytes ~FLAT across the decade (the sub-block lever is
+    // the in-block coin sort's row-group pruning, which engages at
+    // production file sizes, not fixture-sized single-row-group files).
+    // IO is measured as the byte size of the file SELECTION each shape
+    // scans — deterministic and exact: the full/sampled passes select
+    // the whole corpus (their plans carry no partition filter), the
+    // pruned pass selects the coin_block dirs its literal filter keeps
+    // (Catalyst partition pruning is plan-pinned in PlanSpec; runtime
+    // byte counters were tried and rejected — the listener bus
+    // attributes whole blocks to their successors, and Hadoop's global
+    // FS statistics miss parquet's vectored/positioned reads).
+    def treeBytes(p: java.nio.file.Path): Long = {
+      val s = java.nio.file.Files.walk(p)
+      try s.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      finally s.close()
+    }
+    def corpusBytes(d: String): Long =
+      treeBytes(java.nio.file.Paths.get(s"$d/documents.parquet"))
+    def prunedBytes(d: String, bp: Long): Long = {
+      val root = java.nio.file.Paths.get(
+        Indexes.indexPath(spark, d, "coinlayout")
+          .getOrElse(sys.error(s"coin layout for $d not built")))
+      val keep = (bp - 1) / Calibrate.CoinBlockWidth
+      val s = java.nio.file.Files.list(root)
+      try s.filter(p => p.getFileName.toString.startsWith("coin_block="))
+        .filter(p => p.getFileName.toString.stripPrefix("coin_block=").toLong <= keep)
+        .mapToLong(treeBytes(_)).sum()
+      finally s.close()
+    }
+    def measured[T](f: => T): (T, Double) = {
+      spark.catalog.clearCache() // a prior pass's persisted sample must not serve this one
+      Calibrate.releaseSampled()
+      timed(f)
+    }
+    def rowMap(df: DataFrame): Map[String, Long] = {
+      val r = df.head()
+      r.schema.fields
+        .filter(_.dataType == org.apache.spark.sql.types.LongType)
+        .map(f => f.name -> r.getLong(r.fieldIndex(f.name))).toMap
+    }
+    val mb = 1.0 / (1 << 20)
+    // layout build: the once-per-snapshot cost every detection amortizes
+    val (_, layBaseS) = timed { Calibrate.coinLayout(spark, base) }
+    val (_, layGrownS) = timed { Calibrate.coinLayout(spark, out) }
+    val (_, fullBaseS2) =
+      measured { Calibrate.paramsFromDocs(Calibrate.calibrateFromDocs(docs)) }
+    val (sampBase2, sampBaseS2) =
+      measured { Calibrate.sampledParamsFromDocs(docs) }
+    val (prBase, prBaseS) = measured {
+      rowMap(Calibrate.calibrateSimilaritySampledPruned(spark, base)) }
+    val (_, fullGrownS2) =
+      measured { Calibrate.paramsFromDocs(Calibrate.calibrateFromDocs(grown)) }
+    val (sampGrown2, sampGrownS2) =
+      measured { Calibrate.sampledParamsFromDocs(grown) }
+    val (prGrown, prGrownS) = measured {
+      rowMap(Calibrate.calibrateSimilaritySampledPruned(spark, out)) }
+    for ((samp, pr) <- Seq((sampBase2, prBase), (sampGrown2, prGrown));
+         k <- Seq("sample_bp", "n_docs_sampled", "shingle_hot_df",
+           "span_gram_cap", "simhash_bits"))
+      require(samp(k) == pr(k),
+        s"pruned detection must reproduce the scanning pass's $k: " +
+          s"${pr(k)} vs ${samp(k)}")
+    // full and sampled scanning passes read the corpus (full reads it
+    // twice — shingle + gram relations share no scan); pruned reads its
+    // kept blocks only
+    println(s"""{"rebuild_probe":{"step":"detect_io",""" +
+      s""""layout_base_s":${fmt(layBaseS)},"layout_grown_s":${fmt(layGrownS)},""" +
+      s""""corpus_base_mb":${fmt(corpusBytes(base) * mb)},""" +
+      s""""corpus_grown_mb":${fmt(corpusBytes(out) * mb)},""" +
+      s""""pruned_base_mb":${fmt(prunedBytes(base, sampBase2("sample_bp")) * mb)},""" +
+      s""""pruned_grown_mb":${fmt(prunedBytes(out, sampGrown2("sample_bp")) * mb)},""" +
+      s""""full_base_s":${fmt(fullBaseS2)},"samp_base_s":${fmt(sampBaseS2)},""" +
+      s""""pruned_base_s":${fmt(prBaseS)},""" +
+      s""""full_grown_s":${fmt(fullGrownS2)},"samp_grown_s":${fmt(sampGrownS2)},""" +
+      s""""pruned_grown_s":${fmt(prGrownS)},"params_match":true}}""")
+
     val stamp1 = Calibrate.currentSimhashParams(p1)
     require(stamp1 != stamp0,
       s"the $scale x corpus must move the rung (got ${p1.simhashBits} " +

@@ -55,6 +55,13 @@ object Indexes {
       body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
+  /** Where a built index/layout lives on disk, for probes that need to
+    * reason about the artifact's physical layout (e.g. StressRebuild
+    * summing the byte size of the partition-pruned block selection). */
+  private[graft] def indexPath(
+      s: SparkSession, dir: String, tag: String): Option[String] =
+    Option(paths.get((s, dir, tag)))
+
   /** The parameters a stored index was built with, or None if the index
     * was never built (or predates stamping). */
   private[graft] def indexStamp(
