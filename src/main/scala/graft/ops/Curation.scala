@@ -789,17 +789,37 @@ object Curation {
     val o = orders(s, dir).withColumn("price_cents", cents(col("o_totalprice")))
     val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
       "o_orderpriority", "price_cents")
-    val aggs = cols.flatMap { c =>
-      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
-        countDistinct(col(c)).as(s"${c}_ndv"),
-        min(col(c)).cast("string").as(s"${c}_min"),
-        max(col(c)).cast("string").as(s"${c}_max"))
-    } :+ count(lit(1)).as("n_rows")
-    val wide = o.agg(aggs.head, aggs.tail: _*)
+    // r17 (guide §1.1): the single wide aggregate planned as Expand(×6)
+    // → Sort → SortAggregate — the min/max(string) buffers disqualify
+    // HashAggregate for the WHOLE panel, so every Expand-multiplied row
+    // paid the interpreted sort-aggregate path (measured 3.3 s isolated
+    // at sf0.1). Split by buffer type: the 5 countDistincts alone (the
+    // Expand leg — its dedup phase has long-only buffers → codegen'd
+    // HashAggregate), the null/count/numeric-min-max leg (plain
+    // HashAggregate, no Expand), and the two string min/max pairs (a
+    // global SortAggregate with no sort — empty grouping). Three 1-row
+    // legs crossJoin broadcast; values identical, min/max cast to
+    // string after aggregation exactly as before.
+    val numCols = Seq("o_orderkey", "o_custkey", "price_cents")
+    val strCols = Seq("o_orderstatus", "o_orderpriority")
+    val exactAggs = cols.map(c => countDistinct(col(c)).as(s"${c}_ndv"))
+    val legExact = o.agg(exactAggs.head, exactAggs.tail: _*)
+    val plainAggs = cols.map(c =>
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls")) ++
+      numCols.flatMap(c =>
+        Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"))) :+
+      count(lit(1)).as("n_rows")
+    val legPlain = o.agg(plainAggs.head, plainAggs.tail: _*)
+    val strAggs = strCols.flatMap(c =>
+      Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))
+    val legStr = o.agg(strAggs.head, strAggs.tail: _*)
+    val wide = legPlain.crossJoin(broadcast(legStr))
+      .crossJoin(broadcast(legExact))
     // stack takes FLAT arguments (5 per output row), not tuples —
     // parenthesized groups would become per-column struct types
     val stacked = cols.map(c =>
-      s"'$c', ${c}_nulls, ${c}_ndv, ${c}_min, ${c}_max").mkString(", ")
+      s"'$c', ${c}_nulls, ${c}_ndv, " +
+        s"CAST(${c}_min AS STRING), CAST(${c}_max AS STRING)").mkString(", ")
     wide.select(col("n_rows"), expr(
         s"stack(${cols.length}, $stacked) AS (col_name, n_nulls, n_distinct, min_val, max_val)"))
       .select(col("col_name"), col("n_rows"), col("n_nulls"),
@@ -837,6 +857,17 @@ object Curation {
     * ~5σ; the sketch is still KB-sized per column and the aggregate
     * stays one plain partial-aggregable pass. */
   private def approxProfileOf(o: DataFrame, cols: Seq[String]): DataFrame = {
+    // r17 audit note (guide §1.1): a buffer-type-homogeneous split of
+    // this panel (HLLs into a HashAggregate leg, string min/max into
+    // their own leg) was implemented and MEASURED SLOWER —
+    // profile_tables_approx 2.2 → 3.0 s, profile_columns_approx
+    // 1.2 → 1.4 s. Probe (StressProbeR17): 4 HLL sketches are 2.4×
+    // FASTER under the interpreted SortAggregate (0.89 s) than under
+    // HashAggregate (2.16 s) — each rsd-0.01 sketch is ~1.6 k long
+    // buffer ATTRIBUTES and the hash path degrades with buffer width —
+    // and the extra broadcast legs add per-job overhead. The pre-r17
+    // two-leg shape (one SortAggregate approx leg, one Expand exact
+    // leg) is the measured optimum; kept.
     val approxAggs = cols.flatMap { c =>
       Seq(approx_count_distinct(col(c), 0.02).as(s"${c}_andv"),
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
@@ -983,27 +1014,51 @@ object Curation {
     * [[profileDriftApproxOnly]]. */
   def profileDriftApprox(s: SparkSession, dir: String): DataFrame = {
     val cols = Seq("doc_id", "lang", "source", "n_chars")
-    // ONE aggregate per snapshot (r16 verdict #4 — the pre-r17 shape ran
-    // the exact validation legs as a second aggregate crossJoined onto
-    // the approx one, 4 tiny jobs whose fixed per-job overhead WAS the
-    // 2.8 s bench line): the exact countDistincts ride the approx
-    // aggregate in a single pass over each snapshot. The multi-distinct
-    // rewrite gives this TEACHING panel the same Expand the exact
-    // profiler pays — which is precisely the cost the declared
-    // production shape (profileDriftApproxOnly, Expand-free) drops
-    // along with the exact legs.
+    // r17 MEASURED REWRITE (guide §1.1/§2.3): the r16-verdict-#4 "one
+    // aggregate per snapshot" collapse planned as Expand(×5) → Sort →
+    // SortAggregate, and the multi-distinct rewrite made every
+    // (gid, value) partial group carry FOUR rsd-0.01 HLL buffers
+    // (~13 KB each): ~50 k groups × 52 KB of sketch churn — measured
+    // 9.6 s isolated at sf0.1 (vs 2.8 s before the collapse). Fixed
+    // shape, from the StressProbeR17 measurements:
+    //   - the APPROX leg (HLLs + nulls + min/max + count) stays ONE
+    //     aggregate on the interpreted SortAggregate path — measured
+    //     2.4× FASTER than HashAggregate for rsd-0.01 sketches (each is
+    //     ~1.6 k long buffer attributes; the hash path degrades with
+    //     buffer width) — but now grouped BY a snapshot tag over the
+    //     UNION of the two snapshots, so both panels ride one job;
+    //   - the exact countDistinct VALIDATION legs move to their own
+    //     Expand aggregate whose dedup phase carries long-only buffers
+    //     (codegen'd HashAggregate) — never again multiplied against
+    //     the sketch buffers;
+    //   - each leg pivots its 2 rows wide (max-of-when over the tag);
+    //     the tiny legs cross as broadcasts, exactly as before.
+    // Output values are identical: HLL register merges are
+    // order-independent, and min/max/nulls/counts are per-group exact.
     val (v1, v2) = driftSnapshots(s, dir)
-    def wide(df: DataFrame, v: String): DataFrame = {
-      val aggs = cols.flatMap { c =>
-        Seq(approx_count_distinct(col(c), 0.01).as(s"${c}_andv_$v"),
-          countDistinct(col(c)).as(s"${c}_ndv_$v"),
-          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls_$v"),
-          min(col(c)).cast("string").as(s"${c}_min_$v"),
-          max(col(c)).cast("string").as(s"${c}_max_$v"))
-      } :+ count(lit(1)).as(s"n_rows_$v")
-      df.agg(aggs.head, aggs.tail: _*)
+    val tagged = v1.withColumn("v", lit(1))
+      .unionByName(v2.withColumn("v", lit(2)))
+    def pivoted(df: DataFrame, names: Seq[String]): DataFrame = {
+      val aggs = names.flatMap(n => Seq(
+        max(when(col("v") === 1, col(n))).as(s"${n}_v1"),
+        max(when(col("v") === 2, col(n))).as(s"${n}_v2")))
+      df.groupBy().agg(aggs.head, aggs.tail: _*)
     }
-    val joined = wide(v1, "v1").crossJoin(broadcast(wide(v2, "v2")))
+    val approxAggs = cols.flatMap { c =>
+      Seq(approx_count_distinct(col(c), 0.01).as(s"${c}_andv"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        min(col(c)).cast("string").as(s"${c}_min"),
+        max(col(c)).cast("string").as(s"${c}_max"))
+    } :+ count(lit(1)).as("n_rows")
+    val legApprox = pivoted(
+      tagged.groupBy(col("v")).agg(approxAggs.head, approxAggs.tail: _*),
+      cols.flatMap(c =>
+        Seq(s"${c}_andv", s"${c}_nulls", s"${c}_min", s"${c}_max")) :+ "n_rows")
+    val exactAggs = cols.map(c => countDistinct(col(c)).as(s"${c}_ndv"))
+    val legExact = pivoted(
+      tagged.groupBy(col("v")).agg(exactAggs.head, exactAggs.tail: _*),
+      cols.map(c => s"${c}_ndv"))
+    val joined = legApprox.crossJoin(broadcast(legExact))
     val stacked = cols.map { c =>
       s"'$c', ${c}_nulls_v1, ${c}_nulls_v2, ${c}_ndv_v1, ${c}_ndv_v2, " +
         s"abs(${c}_andv_v1 - ${c}_ndv_v1) <= " +
@@ -1048,17 +1103,33 @@ object Curation {
     * zero-Expand plan. */
   def profileDriftApproxOnly(s: SparkSession, dir: String): DataFrame = {
     val cols = Seq("doc_id", "lang", "source", "n_chars")
+    // r17 (guide §1.1): the two per-snapshot aggregates now ride ONE
+    // job — union the snapshots under a tag, group the whole panel by
+    // the tag, pivot the 2 rows wide. The panel deliberately stays one
+    // SortAggregate (StressProbeR17: rsd-0.01 HLL sketches are 2.4×
+    // faster there than under HashAggregate — each sketch is ~1.6 k
+    // long buffer attributes and the hash path degrades with buffer
+    // width; the "sort" is 2 groups over narrow rows). Zero Expand as
+    // before (PlanSpec pin unchanged). Values identical.
     val (v1, v2) = driftSnapshots(s, dir)
-    def wide(df: DataFrame, v: String): DataFrame = {
-      val aggs = cols.flatMap { c =>
-        Seq(approx_count_distinct(col(c), 0.01).as(s"${c}_andv_$v"),
-          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls_$v"),
-          min(col(c)).cast("string").as(s"${c}_min_$v"),
-          max(col(c)).cast("string").as(s"${c}_max_$v"))
-      } :+ count(lit(1)).as(s"n_rows_$v")
-      df.agg(aggs.head, aggs.tail: _*)
+    val tagged = v1.withColumn("v", lit(1))
+      .unionByName(v2.withColumn("v", lit(2)))
+    def pivoted(df: DataFrame, names: Seq[String]): DataFrame = {
+      val aggs = names.flatMap(n => Seq(
+        max(when(col("v") === 1, col(n))).as(s"${n}_v1"),
+        max(when(col("v") === 2, col(n))).as(s"${n}_v2")))
+      df.groupBy().agg(aggs.head, aggs.tail: _*)
     }
-    val joined = wide(v1, "v1").crossJoin(broadcast(wide(v2, "v2")))
+    val approxAggs = cols.flatMap { c =>
+      Seq(approx_count_distinct(col(c), 0.01).as(s"${c}_andv"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        min(col(c)).cast("string").as(s"${c}_min"),
+        max(col(c)).cast("string").as(s"${c}_max"))
+    } :+ count(lit(1)).as("n_rows")
+    val joined = pivoted(
+      tagged.groupBy(col("v")).agg(approxAggs.head, approxAggs.tail: _*),
+      cols.flatMap(c =>
+        Seq(s"${c}_andv", s"${c}_nulls", s"${c}_min", s"${c}_max")) :+ "n_rows")
     val stacked = cols.map { c =>
       s"'$c', ${c}_nulls_v1, ${c}_nulls_v2, " +
         s"${c}_min_v1, ${c}_min_v2, ${c}_max_v1, ${c}_max_v2, " +

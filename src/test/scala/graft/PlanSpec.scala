@@ -468,14 +468,16 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly 4 Expands (one exact leg per table), plan:\n$p")
   }
 
-  test("approx drift: both snapshot panels Expand-free — exactly 2 Expands (the exact validation legs)") {
-    // the production drift check runs ONLY the two approx panels; the
-    // exact-NDV legs exist for the per-panel ndv_ok verdicts. A third
-    // Expand would mean an approx panel regressed into the
-    // multi-countDistinct plan.
+  test("approx drift: both snapshot panels Expand-free — exactly 1 Expand (the shared exact validation leg)") {
+    // the production drift check runs ONLY the approx panels; the
+    // exact-NDV legs exist for the per-panel ndv_ok verdicts and since
+    // r17 BOTH snapshots' countDistincts ride one tag-grouped aggregate
+    // (one Expand total, long-only buffers — never multiplied against
+    // the HLL sketch buffers). A second Expand would mean an approx
+    // panel regressed into the multi-countDistinct plan.
     val p = plan(ops.Curation.profileDriftApprox(spark, dir))
-    assert(countNodes(p, "Expand") === 2,
-      s"expected exactly 2 Expands (one exact leg per snapshot), plan:\n$p")
+    assert(countNodes(p, "Expand") === 1,
+      s"expected exactly 1 Expand (the shared exact leg), plan:\n$p")
   }
 
   test("whole-stage codegen covers the scan→filter→project pipelines") {
