@@ -862,6 +862,257 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** md5 keys of every contiguous k-gram of a word array in ONE compiled
+    * pass — the gram-hashing kernel shared by the substring-span family
+    * (spansFromDocs and its calibrator probes) and the winnowing
+    * fingerprinter. Replaces the interpreted
+    * `transform(sequence(0, size(w) − k), i ->
+    *   md5(array_join(slice(w, i + 1, k), ' ')))`
+    * HOF chain — one lambda dispatch + slice/array_join/hex allocations
+    * per position per row — with an incremental `MessageDigest.update`
+    * loop over the words' UTF-8 bytes (the separator byte written
+    * directly, no gram string ever materialized).
+    *
+    * `nHex = 32` emits the full lowercase hex digest (array<string>,
+    * bit-identical to `md5()`); `nHex ∈ [1, 15]` emits the integer value
+    * of the first nHex hex digits (array<long>, bit-identical to
+    * `conv(substring(md5(g), 1, nHex), 16, 10)` — ≤ 60 bits, so the Long
+    * stays positive). Fewer than k words yield an empty array (callers
+    * guard `size(w) >= k`, as the HOF form and the oracle do).
+    * Equivalence pinned in VectorExpressionsSpec. */
+  case class Md5GramKeys(child: Expression, k: Int, nHex: Int)
+      extends UnaryExpression {
+    require(k >= 1 && (nHex == 32 || (nHex >= 1 && nHex <= 15)),
+      s"md5_gram_keys: k=$k must be >= 1 and nHex=$nHex must be 32 (full hex) or 1..15 (head long)")
+    override def dataType: DataType =
+      if (nHex == 32) ArrayType(StringType, containsNull = false)
+      else ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"md5_gram_keys requires array<string> input, got ${other.catalogString}")
+    }
+
+    private val HexChars = "0123456789abcdef".toCharArray
+
+    def compute(arr: ArrayData): ArrayData = {
+      val n = arr.numElements()
+      if (n < k) return new GenericArrayData(Array.empty[Any])
+      val count = n - k + 1
+      val wb = new Array[Array[Byte]](n)
+      var i = 0
+      while (i < n) {
+        // split() never yields null elements; a null word would NPE in
+        // the HOF form's array_join too, so fail the same way here
+        wb(i) = arr.getUTF8String(i).getBytes
+        i += 1
+      }
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val out = new Array[Any](count)
+      i = 0
+      while (i < count) {
+        md.reset()
+        var j = 0
+        while (j < k) {
+          if (j > 0) md.update(' '.toByte)
+          md.update(wb(i + j)); j += 1
+        }
+        val d = md.digest()
+        if (nHex == 32) {
+          val fp = new Array[Char](32)
+          var t = 0
+          while (t < 16) {
+            fp(2 * t) = HexChars((d(t) >> 4) & 0xF)
+            fp(2 * t + 1) = HexChars(d(t) & 0xF)
+            t += 1
+          }
+          out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(new String(fp))
+        } else {
+          var v = 0L
+          var t = 0
+          while (t < nHex) {
+            val nib =
+              if (t % 2 == 0) (d(t / 2) >> 4) & 0xF else d(t / 2) & 0xF
+            v = (v << 4) | nib
+            t += 1
+          }
+          out(i) = v
+        }
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override def nullSafeEval(v: Any): Any =
+      compute(v.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("gramKeys", this, classOf[Md5GramKeys].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** All six per-document Gopher-rule statistics in ONE compiled pass
+    * over the text — the map-side replacement for the shape
+    * `text_gopher_rules` carried through r16: four interpreted HOF
+    * lambdas (aggregate/filter/rlike/array_intersect) over the token
+    * array PLUS an explode → shuffle → per-(doc, width, gram) count →
+    * top-1 window / dup-mass aggregate → two broadcast joins. Every
+    * gram statistic is a pure per-row function of the document's own
+    * token sequence, so the corpus-wide gram shuffle was paying
+    * distribution cost for row-local work (guide §2.4: remove shuffles
+    * outright). Output struct, all Long:
+    *
+    *  - n_tokens        = size(split(text, ' '))          (split keeps
+    *    trailing empties — `split(s, " ", -1)`, the Spark semantics);
+    *  - chars_in_tokens = Σ length(token)   (code points, = `length()`);
+    *  - n_alpha         = #tokens matching rlike '[a-z]' (contains any
+    *    lowercase ASCII letter);
+    *  - stop_hits       = |array_intersect(array_distinct(toks), stops)|
+    *    (# DISTINCT stopwords present);
+    *  - top2_chars      = cnt·length(gram) of the most frequent
+    *    contiguous 2-gram, ties by the binary-UTF8-smallest gram (the
+    *    `row_number over (cnt DESC, gram ASC)` tie-break), 0 when
+    *    n_tokens < 2 (the old left join's null → coalesce 0);
+    *  - dup5_chars      = Σ_{5-grams with cnt ≥ 2} (cnt−1)·length(gram),
+    *    0 when n_tokens < 5.
+    *
+    * Bit-for-bit equal to the exploded formulation — the
+    * `textGopherRulesTwin` equivalence is pinned in
+    * VectorExpressionsSpec (fixture + adversarial tie/empty-token
+    * cases). */
+  case class GopherTextStats(child: Expression, stops: Seq[String])
+      extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("chars_in_tokens", LongType, nullable = false),
+      StructField("n_alpha", LongType, nullable = false),
+      StructField("stop_hits", LongType, nullable = false),
+      StructField("top2_chars", LongType, nullable = false),
+      StructField("dup5_chars", LongType, nullable = false)))
+    override def nullable: Boolean = child.nullable
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"gopher_text_stats requires a string input, got ${other.catalogString}")
+    }
+
+    // immutable per-expression lookup; tokens are short so String
+    // hashing is cheap next to the per-token regex the HOF form paid
+    @transient private lazy val stopSet: java.util.HashSet[String] = {
+      val s = new java.util.HashSet[String](stops.length * 2)
+      stops.foreach(s.add)
+      s
+    }
+
+    /** `gram ASC` under Spark string ordering = unsigned byte-wise
+      * UTF-8 comparison (UTF8String.compareTo), NOT Java's UTF-16
+      * String.compareTo — the two differ on supplementary characters.
+      * Only evaluated on count ties. */
+    private def utf8Less(a: String, b: String): Boolean = {
+      if (b == null) return true
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val m = math.min(x.length, y.length)
+      var i = 0
+      while (i < m) {
+        val d = (x(i) & 0xFF) - (y(i) & 0xFF)
+        if (d != 0) return d < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+
+    // `length()` on StringType counts code points (UTF8String.numChars)
+    private def numChars(s: String): Long =
+      s.codePointCount(0, s.length).toLong
+
+    private def gramCounts(words: Array[String], n: Int)
+        : java.util.HashMap[String, Integer] = {
+      val count = words.length - n + 1
+      val m = new java.util.HashMap[String, Integer](count * 2)
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i < count) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(words(i + j)); j += 1
+        }
+        m.merge(sb.toString, 1, (a: Integer, b: Integer) =>
+          Integer.valueOf(a.intValue() + b.intValue()))
+        i += 1
+      }
+      m
+    }
+
+    def compute(s: org.apache.spark.unsafe.types.UTF8String): InternalRow = {
+      val words = s.toString.split(" ", -1)
+      val n = words.length
+      var chars = 0L
+      var alpha = 0L
+      val seenStops = new java.util.HashSet[String](16)
+      var i = 0
+      while (i < n) {
+        val w = words(i)
+        chars += numChars(w)
+        var hasAlpha = false
+        var j = 0
+        while (j < w.length && !hasAlpha) {
+          val c = w.charAt(j)
+          if (c >= 'a' && c <= 'z') hasAlpha = true
+          j += 1
+        }
+        if (hasAlpha) alpha += 1
+        if (stopSet.contains(w)) seenStops.add(w)
+        i += 1
+      }
+      var top2 = 0L
+      if (n >= 2) {
+        val m = gramCounts(words, 2)
+        var bestCnt = 0
+        var best: String = null
+        val it = m.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val c = e.getValue.intValue()
+          if (c > bestCnt || (c == bestCnt && utf8Less(e.getKey, best))) {
+            bestCnt = c; best = e.getKey
+          }
+        }
+        top2 = bestCnt.toLong * numChars(best)
+      }
+      var dup5 = 0L
+      if (n >= 5) {
+        val m = gramCounts(words, 5)
+        val it = m.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val c = e.getValue.intValue()
+          if (c >= 2) dup5 += (c - 1).toLong * numChars(e.getKey)
+        }
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](n.toLong, chars, alpha, seenStops.size.toLong, top2, dup5))
+    }
+
+    override def nullSafeEval(v: Any): Any =
+      compute(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("gopher", this, classOf[GopherTextStats].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   def dotLongs(a: Column, b: Column): Column =
     ColumnBridge.column(LongArrayDot(ColumnBridge.expression(a),
       ColumnBridge.expression(b)))
@@ -898,4 +1149,10 @@ object VectorExpressions {
   def longIntersectCount(a: Column, b: Column): Column =
     ColumnBridge.column(LongArrayIntersectCount(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def gopherTextStats(c: Column, stops: Seq[String]): Column =
+    ColumnBridge.column(GopherTextStats(ColumnBridge.expression(c), stops))
+
+  def md5GramKeys(words: Column, k: Int, nHex: Int): Column =
+    ColumnBridge.column(Md5GramKeys(ColumnBridge.expression(words), k, nHex))
 }

@@ -409,8 +409,8 @@ object Calibrate {
     val g10s = sampled
       .select(split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= k)
-      .select(explode(transform(sequence(lit(0), size(col("w")) - k),
-        i => md5(array_join(slice(col("w"), i + 1, lit(k)), " ")))).as("gh"))
+      .select(explode(graft.functions.VectorExpressions
+        .md5GramKeys(col("w"), k, 32)).as("gh"))
       .groupBy(col("gh")).agg(count(lit(1)).cast("long").as("c"))
     val g10e = inflated(g10s, "c")
     val st10 = g10e.agg(
@@ -547,8 +547,8 @@ object Calibrate {
     val g10 = docs
       .select(split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= k)
-      .select(explode(transform(sequence(lit(0), size(col("w")) - k),
-        i => md5(array_join(slice(col("w"), i + 1, lit(k)), " ")))).as("gh"))
+      .select(explode(graft.functions.VectorExpressions
+        .md5GramKeys(col("w"), k, 32)).as("gh"))
       .groupBy(col("gh")).agg(count(lit(1)).cast("long").as("c"))
     val st10 = g10.agg(count(lit(1)).cast("long").as("n_grams"),
       coalesce(sum(col("c") * col("c")), lit(0L)).cast("long").as("sum_c2"))

@@ -963,12 +963,13 @@ object Dedup {
     val toks = docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= k)
+    // compiled gram hashing (Md5GramKeys ≡ the transform/slice/
+    // array_join/md5 HOF chain — VectorExpressionsSpec); posexplode's
+    // ordinal IS the gram position the struct used to carry
     val gramsAll = toks.select(col("doc_id"),
-        explode(transform(sequence(lit(0), size(col("w")) - k),
-          i => struct(i.cast("long").as("pos"),
-            md5(array_join(slice(col("w"), i + 1, lit(k)), " ")).as("gh"))))
-          .as("g"))
-      .select(col("doc_id"), col("g.pos").as("pos"), col("g.gh").as("gh"))
+        posexplode(graft.functions.VectorExpressions
+          .md5GramKeys(col("w"), k, 32)).as(Seq("p", "gh")))
+      .select(col("doc_id"), col("p").cast("long").as("pos"), col("gh"))
     val grams = if (dfCap > 0L) {
       val hot = gramsAll.groupBy(col("gh")).agg(count(lit(1)).as("c"))
         .filter(col("c") > dfCap).select(col("gh"))

@@ -984,14 +984,15 @@ object TextAnalysis {
         concat(lit("winnow: doc "), col("doc_id"),
           lit(s" exceeds $WinnowPosSpace grams; chunk it before" +
             " fingerprinting"))).isNull)
+      // compiled gram hashing (Md5GramKeys nHex=10 ≡ the conv∘substring∘
+      // md5∘array_join∘slice HOF chain — VectorExpressionsSpec);
+      // posexplode's ordinal is the gram position
       .select(col("doc_id"),
-        explode(transform(sequence(lit(0), size(col("w")) - k),
-          i => struct(i.cast("long").as("pos"),
-            conv(substring(md5(array_join(slice(col("w"), i + 1, lit(k)), " ")),
-              1, 10), 16, 10).cast("long").as("h")))).as("g"))
-      .select(col("doc_id"), col("g.pos").as("pos"),
-        (col("g.h") * WinnowPosSpace + (lit(WinnowPosSpace - 1) - col("g.pos")))
-          .as("key"))
+        posexplode(graft.functions.VectorExpressions
+          .md5GramKeys(col("w"), k, 10)).as(Seq("p", "h")))
+      .select(col("doc_id"), col("p").cast("long").as("pos"),
+        (col("h") * WinnowPosSpace +
+          (lit(WinnowPosSpace - 1) - col("p").cast("long"))).as("key"))
     val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(-(w - 1), 0)
     grams
@@ -1070,15 +1071,56 @@ object TextAnalysis {
     *   occurrences of duplicated 5-grams.
     *
     * Everything is exact-integer until the final ratio: gram char mass
-    * is count·length(gram) over the doc's raw length. Plan: one map-only
-    * projection for the per-word rules + two per-doc gram aggregates
-    * (partial-aggregation-friendly: keyed on (doc_id, gram), then
-    * doc_id — never corpus-global; the top-2-gram window partitions by
-    * doc). `keep` is the conjunction — the bundle's FineWeb-measured
-    * value is that it deletes boilerplate the perplexity filters rate
-    * fluent. */
-  def textGopherRules(s: SparkSession, dir: String): DataFrame = {
-    val base = documents(s, dir)
+    * is count·length(gram) over the doc's raw length.
+    *
+    * Plan (r17, guide §2.4 "remove shuffles outright"): every statistic
+    * here — including both gram masses — is a pure per-row function of
+    * the document's own token sequence, so the whole rule battery is ONE
+    * compiled map-side expression ([[graft.functions.VectorExpressions
+    * .GopherTextStats]]) and the query's only exchange is the final
+    * sort. The r16 shape paid a corpus-wide explode → (doc, width, gram)
+    * shuffle → window/aggregate → two broadcast joins for row-local
+    * work, plus four interpreted HOF lambdas per token (measured 2.8 s
+    * isolated at sf0.1 → 0.6 s fused; plans/r17/text_gopher_rules_*).
+    * The exploded twin survives as [[textGopherRulesTwin]], pinned
+    * bit-for-bit against this path in VectorExpressionsSpec; the DuckDB
+    * oracle is unchanged. `keep` is the conjunction — the bundle's
+    * FineWeb-measured value is that it deletes boilerplate the
+    * perplexity filters rate fluent. */
+  def textGopherRules(s: SparkSession, dir: String): DataFrame =
+    gopherRulesFused(documents(s, dir))
+
+  private[graft] def gopherRulesFused(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars_raw"),
+        graft.functions.VectorExpressions
+          .gopherTextStats(col("text"), stopwords).as("g"))
+      .select(col("doc_id"), col("g.n_tokens").as("n_tokens"),
+        (col("g.top2_chars").cast("double") /
+          col("n_chars_raw").cast("double")).as("top2_frac"),
+        (col("g.dup5_chars").cast("double") /
+          col("n_chars_raw").cast("double")).as("dup5_frac"),
+        (col("g.n_tokens") >= 50 && col("g.n_tokens") <= 100000)
+          .as("pass_wordcount"),
+        (col("g.chars_in_tokens") >= col("g.n_tokens") * 3 &&
+          col("g.chars_in_tokens") <= col("g.n_tokens") * 10).as("pass_wordlen"),
+        (col("g.n_alpha") * 5 >= col("g.n_tokens") * 4).as("pass_alpha"),
+        (col("g.stop_hits") >= 2).as("pass_stopwords"),
+        (col("g.top2_chars") * 5 <= col("n_chars_raw")).as("pass_top2gram"),
+        (col("g.dup5_chars") * 10 <= col("n_chars_raw") * 3).as("pass_dup5gram"))
+      .withColumn("keep",
+        col("pass_wordcount") && col("pass_wordlen") && col("pass_alpha") &&
+          col("pass_stopwords") && col("pass_top2gram") && col("pass_dup5gram"))
+      .orderBy(col("doc_id"))
+
+  /** The r16 exploded/HOF formulation of the Gopher bundle, kept as the
+    * equivalence TWIN for the fused expression path (the repo's
+    * fused≡twin discipline — VectorExpressionsSpec pins
+    * [[gopherRulesFused]] bit-for-bit against this on the fixture and
+    * on adversarial tie/empty-token corpora). Not on the declared
+    * surface. */
+  private[graft] def textGopherRulesTwin(docs: DataFrame): DataFrame = {
+    val base = docs
       .select(col("doc_id"), length(col("text")).cast("long").as("n_chars_raw"),
         split(col("text"), " ").as("toks"))
       .select(col("doc_id"), col("n_chars_raw"),
@@ -1090,7 +1132,7 @@ object TextAnalysis {
     // both gram widths ride ONE corpus scan and ONE shuffle: the 2-gram
     // and 5-gram arrays concatenate under a width tag before the explode,
     // and the per-(doc, width, gram) count serves both rules
-    val gramCounts = documents(s, dir)
+    val gramCounts = docs
       .filter(size(split(col("text"), " ")) >= 2)
       .select(col("doc_id"), explode(concat(
         transform(graft.functions.VectorExpressions

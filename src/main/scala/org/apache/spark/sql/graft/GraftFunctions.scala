@@ -3,7 +3,7 @@ package org.apache.spark.sql.graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.VectorExpressions.{ContentChunks, HashOrderKeys, LongArrayDot, LongArrayIntersectCount, SignRandomProjection, SimhashVotes, UniversalMinHash, WordShingles, XxHashModArray}
+import graft.functions.VectorExpressions.{ContentChunks, GopherTextStats, HashOrderKeys, LongArrayDot, LongArrayIntersectCount, Md5GramKeys, SignRandomProjection, SimhashVotes, UniversalMinHash, WordShingles, XxHashModArray}
 
 /** SQL-surface registration for the graft custom expressions, so
   * `spark.sql("SELECT dot_longs(a, b) ...")` works alongside the Column
@@ -108,7 +108,22 @@ object GraftFunctions {
         case other => sys.error(s"hashInput must be a boolean literal, got $other")
       }
       SimhashVotes(exprs(0), order, hashInput, algo)
-    }, "SimHash signature words (array<bigint>) of a feature array"))
+    }, "SimHash signature words (array<bigint>) of a feature array"),
+    // stopwords ride a comma-joined string literal (a SQL array literal
+    // is not a Literal at builder time; the Column API takes a Seq)
+    ("gopher_text_stats", { exprs: Seq[Expression] =>
+      require(exprs.length == 2, "gopher_text_stats(text, stopwordsCsv)")
+      val stops = exprs(1) match {
+        case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) =>
+          v.toString.split(",", -1).toSeq
+        case other => sys.error(s"stopwordsCsv must be a string literal, got $other")
+      }
+      GopherTextStats(exprs(0), stops)
+    }, "per-document Gopher-rule stats struct (tokens/chars/alpha/stopwords/gram masses)"),
+    ("md5_gram_keys", { exprs: Seq[Expression] =>
+      require(exprs.length == 3, "md5_gram_keys(words, k, nHex)")
+      Md5GramKeys(exprs(0), intLit(exprs(1), "k"), intLit(exprs(2), "nHex"))
+    }, "md5 keys (full hex or first-nHex-digits long) of every contiguous word k-gram"))
 
   /** Register into an existing session's function registry. */
   def registerAll(spark: SparkSession): Unit = {

@@ -602,12 +602,19 @@ class PlanSpec extends AnyFunSuite {
     assert(countNodes(sigs512, "Scan parquet") === 1, s"plan:\n$sigs512")
   }
 
-  test("Gopher rules: both gram widths share ONE fused gram aggregate (cached)") {
+  test("Gopher rules: fused map-side stats — single sort exchange, no gram shuffle") {
+    // r17: every Gopher statistic is row-local (GopherTextStats), so the
+    // plan must be scan → project → sort with NO aggregate, NO join and
+    // NO exchange beyond the final rangepartitioning (the r16 shape paid
+    // a corpus-wide (doc, width, gram) shuffle + window + two broadcast
+    // joins for per-row work — plans/r17/text_gopher_rules_before.txt)
     val p = plan(ops.TextAnalysis.textGopherRules(spark, dir))
-    // top2 and dup5 must read the persisted (doc,width,gram) counts, not
-    // re-explode the corpus per width
-    assert(countNodes(p, "InMemoryTableScan") >= 2, s"plan:\n$p")
-    assert(countNodes(p, "CartesianProduct") === 0, s"plan:\n$p")
+    assert(countNodes(p, "Exchange") === 1, s"plan:\n$p")
+    assert(countNodes(p, "HashAggregate") + countNodes(p, "SortAggregate") +
+      countNodes(p, "ObjectHashAggregate") === 0, s"plan:\n$p")
+    assert(countNodes(p, "Join") === 0, s"plan:\n$p")
+    assert(countNodes(p, "Generate") === 0, s"plan:\n$p")
+    assert(countNodes(p, "Scan parquet") === 1, s"plan:\n$p")
   }
 
   test("tf-idf MinHash path: banded equi-join candidates, no cartesian") {

@@ -309,4 +309,72 @@ class VectorExpressionsSpec extends AnyFunSuite {
       assert(sql.join(api, "doc_id").filter(col("s") =!= col("s2")).count() === 0)
     }
   }
+
+  test("GopherTextStats fused == exploded/HOF twin (fixture + adversarial)") {
+    import spark.implicits._
+    def assertSame(docs: org.apache.spark.sql.DataFrame): Unit = {
+      val fused = graft.ops.TextAnalysis.gopherRulesFused(docs)
+      val twin = graft.ops.TextAnalysis.textGopherRulesTwin(docs)
+      assert(fused.exceptAll(twin).count() === 0)
+      assert(twin.exceptAll(fused).count() === 0)
+    }
+    assertSame(Tables.documents(spark, dir))
+    // adversarial: 2-gram count ties (binary-smallest gram wins), empty
+    // tokens from doubled spaces, exact 5-gram repeats, short docs where
+    // one or both gram legs are absent (twin's left-join null -> 0)
+    val edge = Seq(
+      1L -> "b a b a b",                       // "a b" vs "b a" both cnt 2
+      2L -> "x  y  x  y",                      // empty tokens are tokens
+      3L -> "a b c d e a b c d e a b c d e",   // dup 5-grams
+      4L -> "onlyword",                        // no 2-grams, no 5-grams
+      5L -> "two words",                       // 2-grams only
+      6L -> "the a of and to in the a",        // all stopwords
+      7L -> "Z9 ! Z9 ! Z9",                    // no lowercase alpha
+      8L -> "!").toDF("doc_id", "text")        // 1 token, no grams at all
+    assertSame(edge)
+    // interpreted path too (codegen disabled)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try assertSame(edge)
+    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    // SQL registration matches the Column API
+    org.apache.spark.sql.graft.GraftFunctions.registerAll(spark)
+    edge.createOrReplaceTempView("vx_gopher")
+    val viaSql = spark.sql(
+      "SELECT doc_id, gopher_text_stats(text, 'the,a,of,and,to,in') AS g FROM vx_gopher")
+    val viaCol = edge.select(col("doc_id"), VectorExpressions.gopherTextStats(
+      col("text"), Seq("the", "a", "of", "and", "to", "in")).as("g2"))
+    assert(viaSql.join(viaCol, "doc_id").filter(col("g") =!= col("g2")).count() === 0)
+  }
+
+  test("Md5GramKeys == transform(md5(array_join(slice))) HOF chain") {
+    for (k <- Seq(3, 10)) {
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= k)
+      // full 32-hex digests
+      val hex = docs.select(col("doc_id"),
+        VectorExpressions.md5GramKeys(col("w"), k, 32).as("native"),
+        expr(s"""transform(sequence(0, size(w) - $k),
+               |  i -> md5(array_join(slice(w, i + 1, $k), ' ')))""".stripMargin)
+          .as("hof"))
+      assert(hex.filter(col("native") =!= col("hof")).count() === 0)
+      // head-N longs (winnow uses 10)
+      val head = docs.select(col("doc_id"),
+        VectorExpressions.md5GramKeys(col("w"), k, 10).as("native"),
+        expr(s"""transform(sequence(0, size(w) - $k),
+               |  i -> CAST(conv(substring(md5(array_join(slice(w, i + 1, $k), ' ')),
+               |    1, 10), 16, 10) AS BIGINT))""".stripMargin).as("hof"))
+      assert(head.filter(col("native") =!= col("hof")).count() === 0)
+    }
+    // edge semantics: fewer than k words -> empty array; empty words
+    // (doubled/trailing spaces) hash as empty strings, same as the HOF
+    import spark.implicits._
+    val edge = Seq("a b", "x  y ", "one").toDF("text")
+      .select(split(col("text"), " ").as("w"))
+      .select(VectorExpressions.md5GramKeys(col("w"), 3, 32).as("native"),
+        expr("""CASE WHEN size(w) >= 3 THEN transform(sequence(0, size(w) - 3),
+               |  i -> md5(array_join(slice(w, i + 1, 3), ' ')))
+               |  ELSE array() END""".stripMargin).as("hof"))
+    assert(edge.filter(col("native") =!= col("hof")).count() === 0)
+  }
 }
