@@ -956,6 +956,55 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** Integer value of the first nHex hex digits of md5(s) — the
+    * engine-portable hash-bucket idiom `CAST(conv(substring(md5(s), 1,
+    * nHex), 16, 10) AS BIGINT)` as ONE compiled step. The builtin chain
+    * hex-encodes the full 16-byte digest to a 32-char string, substrings
+    * it, and re-parses the prefix in base 16 (NumberConverter) — three
+    * UTF8String allocations per call; this digests and masks the leading
+    * nibbles directly. nHex ≤ 15 keeps the value ≤ 60 bits (always a
+    * positive Long), exactly like the conv() form. Bit-for-bit
+    * equivalence pinned in VectorExpressionsSpec. Feeds the hashed
+    * feature buckets of the NB classifier family, DSIR, the SRP term
+    * hash and the chunk signatures — per-token work on the corpus' hot
+    * paths. */
+  case class Md5HeadLong(child: Expression, nHex: Int)
+      extends UnaryExpression {
+    require(nHex >= 1 && nHex <= 15,
+      s"md5_head_long: nHex=$nHex must be in 1..15 (60 bits max)")
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = child.nullable
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"md5_head_long requires a string input, got ${other.catalogString}")
+    }
+
+    def compute(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val d = md.digest(s.getBytes)
+      var v = 0L
+      var t = 0
+      while (t < nHex) {
+        val nib = if (t % 2 == 0) (d(t / 2) >> 4) & 0xF else d(t / 2) & 0xF
+        v = (v << 4) | nib
+        t += 1
+      }
+      v
+    }
+
+    override def nullSafeEval(v: Any): Any =
+      compute(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("md5head", this, classOf[Md5HeadLong].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   /** All six per-document Gopher-rule statistics in ONE compiled pass
     * over the text — the map-side replacement for the shape
     * `text_gopher_rules` carried through r16: four interpreted HOF
@@ -1155,4 +1204,7 @@ object VectorExpressions {
 
   def md5GramKeys(words: Column, k: Int, nHex: Int): Column =
     ColumnBridge.column(Md5GramKeys(ColumnBridge.expression(words), k, nHex))
+
+  def md5HeadLong(c: Column, nHex: Int): Column =
+    ColumnBridge.column(Md5HeadLong(ColumnBridge.expression(c), nHex))
 }

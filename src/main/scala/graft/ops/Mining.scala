@@ -108,9 +108,13 @@ object Mining {
   private val Buckets = 64
   /** md5-derived token bucket: the first 8 hex chars as a positive
     * 32-bit integer, mod `Buckets` — the one hash both engines spell
-    * identically (`Dedup.scala` uses the same trick for simhash). */
+    * identically (`Dedup.scala` uses the same trick for simhash).
+    * Computed by the compiled Md5HeadLong kernel (≡ the
+    * conv∘substring∘md5 chain — VectorExpressionsSpec); this runs once
+    * per token occurrence, the hottest expression in the family. */
   private val bucket =
-    pmod(conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long"), lit(Buckets.toLong))
+    pmod(graft.functions.VectorExpressions.md5HeadLong(col("t"), 8),
+      lit(Buckets.toLong))
 
   /** DSIR-style importance selection: target domain = English documents,
     * raw = whole corpus. Per hashed-unigram bucket b:
@@ -519,7 +523,7 @@ object Mining {
       .select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("t"))
       .select(col("doc_id"), col("lang"),
-        pmod(conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long"),
+        pmod(graft.functions.VectorExpressions.md5HeadLong(col("t"), 8),
           lit(NbBuckets.toLong)).as("bk"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val train = toks.filter(pmod(col("doc_id"), lit(3L)) =!= 0)

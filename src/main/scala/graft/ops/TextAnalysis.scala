@@ -272,6 +272,11 @@ object TextAnalysis {
   private def tfidfWeighted(s: SparkSession, dir: String): DataFrame = {
     val docs = documents(s, dir)
     val nDf = docs.agg(count(lit(1)).as("n_docs"))
+    // tf is referenced by both the posting leg and the df aggregate;
+    // a persist was tried here (r17) and measured a WASH — Spark's
+    // exchange reuse already deduplicates the identical explode +
+    // (doc, term) aggregate subtree at runtime, so the cache write only
+    // added memory pressure.
     val tf = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy(col("doc_id"), col("term"))
@@ -307,23 +312,44 @@ object TextAnalysis {
     * (doc, hash table). Plane weights are ±1 per (plane, term), derived
     * from an md5-based term hash through an LCG — pure integer math both
     * engines replay exactly; sign(Σ w·s) = sign(Σ ŵ·s), so raw integer
-    * weights give the exact same buckets as normalized ones. */
+    * weights give the exact same buckets as normalized ones.
+    *
+    * Shape (r17, guide §2.3/§2.4): ONE hash aggregate keyed on doc_id
+    * with `planes` long sum buffers — each plane's signed projection is
+    * a conditional column of the same posting row, so the partial
+    * aggregation runs map-side over the posting relation and a single
+    * narrow exchange carries ~one row per doc. The r16 form exploded
+    * every posting row `planes`× (sequence + explode) and paid TWO
+    * aggregate exchanges — (doc, p) then (doc, tbl) — over the
+    * 32×-multiplied relation; per-plane arithmetic is unchanged
+    * (p is a compile-time literal per column, the LCG and the
+    * sign-to-bit packing are the same integer ops), so the emitted
+    * (doc_id, tbl, bucket) rows are identical and every consumer's
+    * oracle is untouched. The bucket id assembles map-side from the
+    * aggregated sign sums; tables explode AFTER aggregation (8 rows per
+    * doc, not 32 per posting). */
   private def tfidfBuckets(weighted: DataFrame,
       tables: Int, planesPerTable: Int): DataFrame = {
     val planes = tables * planesPerTable
+    val planeSums = (0 until planes).map { p =>
+      sum(when(
+        expr(s"((h + $p * 2654435761L) % 1000003L) * 1103515245L % 65536 < 32768"),
+        col("w")).otherwise(-col("w"))).as(s"sp$p")
+    }
+    val tblStructs = (0 until tables).map { t =>
+      val bucket = (0 until planesPerTable).map { b =>
+        when(col(s"sp${t * planesPerTable + b}") > 0, lit(1L << b))
+          .otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_))
+      struct(lit(t.toLong).as("tbl"), bucket.as("bucket"))
+    }
     weighted
-      .withColumn("h",
-        expr("CAST(conv(substring(md5(term), 1, 8), 16, 10) AS BIGINT)"))
-      .select(col("doc_id"), col("w"), col("h"),
-        explode(expr(s"sequence(0, ${planes - 1})")).as("p"))
-      .groupBy(col("doc_id"), col("p"))
-      .agg(sum(when(
-          expr("((h + p * 2654435761L) % 1000003L) * 1103515245L % 65536 < 32768"),
-          col("w")).otherwise(-col("w"))).as("sp"))
-      .groupBy(col("doc_id"), expr(s"p div $planesPerTable").as("tbl"))
-      .agg(sum(when(col("sp") > 0,
-          expr(s"shiftleft(1L, CAST(p % $planesPerTable AS INT))"))
-        .otherwise(lit(0L))).as("bucket"))
+      .withColumn("h", graft.functions.VectorExpressions
+        .md5HeadLong(col("term"), 8))
+      .groupBy(col("doc_id"))
+      .agg(planeSums.head, planeSums.tail: _*)
+      .select(col("doc_id"), explode(array(tblStructs: _*)).as("tb"))
+      .select(col("doc_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
   }
 
   /** All-pairs tf-idf cosine via SRP-LSH candidates + exact verify —
@@ -575,10 +601,9 @@ object TextAnalysis {
         col("chunk_start"),
         least(lit(ChunkSize.toLong), col("n") - col("chunk_start"))
           .as("chunk_tokens"),
-        conv(substring(md5(array_join(
+        graft.functions.VectorExpressions.md5HeadLong(array_join(
           slice(col("toks"), (col("chunk_start") + 1).cast("int"),
-            lit(ChunkSize)), " ")), 1, 8), 16, 10)
-          .cast("long").as("chunk_sig"))
+            lit(ChunkSize)), " "), 8).as("chunk_sig"))
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 

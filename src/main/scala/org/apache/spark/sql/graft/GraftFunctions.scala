@@ -3,7 +3,7 @@ package org.apache.spark.sql.graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.VectorExpressions.{ContentChunks, GopherTextStats, HashOrderKeys, LongArrayDot, LongArrayIntersectCount, Md5GramKeys, SignRandomProjection, SimhashVotes, UniversalMinHash, WordShingles, XxHashModArray}
+import graft.functions.VectorExpressions.{ContentChunks, GopherTextStats, HashOrderKeys, LongArrayDot, LongArrayIntersectCount, Md5GramKeys, Md5HeadLong, SignRandomProjection, SimhashVotes, UniversalMinHash, WordShingles, XxHashModArray}
 
 /** SQL-surface registration for the graft custom expressions, so
   * `spark.sql("SELECT dot_longs(a, b) ...")` works alongside the Column
@@ -123,7 +123,11 @@ object GraftFunctions {
     ("md5_gram_keys", { exprs: Seq[Expression] =>
       require(exprs.length == 3, "md5_gram_keys(words, k, nHex)")
       Md5GramKeys(exprs(0), intLit(exprs(1), "k"), intLit(exprs(2), "nHex"))
-    }, "md5 keys (full hex or first-nHex-digits long) of every contiguous word k-gram"))
+    }, "md5 keys (full hex or first-nHex-digits long) of every contiguous word k-gram"),
+    ("md5_head_long", { exprs: Seq[Expression] =>
+      require(exprs.length == 2, "md5_head_long(s, nHex)")
+      Md5HeadLong(exprs(0), intLit(exprs(1), "nHex"))
+    }, "integer value of the first nHex hex digits of md5(s)"))
 
   /** Register into an existing session's function registry. */
   def registerAll(spark: SparkSession): Unit = {

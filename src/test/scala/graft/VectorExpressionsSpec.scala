@@ -377,4 +377,28 @@ class VectorExpressionsSpec extends AnyFunSuite {
                |  ELSE array() END""".stripMargin).as("hof"))
     assert(edge.filter(col("native") =!= col("hof")).count() === 0)
   }
+
+  test("Md5HeadLong == conv(substring(md5)) builtin chain") {
+    val toks = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("t"))
+    for (nHex <- Seq(8, 15)) {
+      val both = toks.select(
+        VectorExpressions.md5HeadLong(col("t"), nHex).as("native"),
+        expr(s"CAST(conv(substring(md5(t), 1, $nHex), 16, 10) AS BIGINT)")
+          .as("builtin"))
+      assert(both.filter(col("native") =!= col("builtin")).count() === 0)
+      // interpreted path too
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      try assert(both.filter(col("native") =!= col("builtin")).count() === 0)
+      finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+    // empty string and null propagate like the builtin chain
+    import spark.implicits._
+    val edge = Seq(Some(""), None, Some("x")).toDF("t")
+      .select(VectorExpressions.md5HeadLong(col("t"), 8).as("native"),
+        expr("CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT)").as("builtin"))
+    assert(edge.filter(
+      coalesce(col("native"), lit(-1L)) =!= coalesce(col("builtin"), lit(-1L)))
+      .count() === 0)
+  }
 }
