@@ -64,6 +64,22 @@ object StressProbeR17 {
       .select(col("doc_id"), col("lang"), col("source"),
         length(col("text")).cast("long").as("n_chars"))
     time("scan text + length") { noop(text.agg(count(lit(1)), sum(col("n_chars")))) }
+
+    // --- agg_weighted_median decomposition (near-unique histogram keys) ---
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        (round(col("l_extendedprice") * 100.0, 0)).cast("long").as("v"),
+        col("l_quantity").cast("long").as("wt"))
+    time("wm: scan+project only") { noop(li.agg(count(lit(1)))) }
+    val h = li.groupBy(col("l_returnflag"), col("v")).agg(sum(col("wt")).as("w"))
+    time("wm: histogram aggregate") { noop(h) }
+    import org.apache.spark.sql.expressions.Window
+    val byFlag = Window.partitionBy(col("l_returnflag"))
+    time("wm: hist + cum window") {
+      noop(h.withColumn("cw", sum(col("w")).over(byFlag.orderBy(col("v"))))) }
+    time("wm: hist + both windows") {
+      noop(h.withColumn("cw", sum(col("w")).over(byFlag.orderBy(col("v"))))
+        .withColumn("tw", sum(col("w")).over(byFlag))) }
     spark.stop()
   }
 }

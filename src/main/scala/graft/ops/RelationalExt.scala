@@ -914,26 +914,53 @@ object RelationalExt {
   /** WEIGHTED median — the aggregate plain `median`/percentile can't
     * express: the smallest price v whose cumulative QUANTITY mass
     * reaches half the group's total (what "median unit price" actually
-    * means when line items carry different volumes). Exact-integer
-    * formulation: value histogram keyed (flag, cents) with summed
-    * long weights, per-flag cumulative window over the histogram, then
-    * min v with 2·cum ≥ total. No ntile, no sort of the raw relation —
-    * the only data-sized work is the map-side-combinable histogram
-    * aggregate. The group total is an UNBOUNDED window over the SAME
-    * per-flag partitioning as the cumulative (one shuffle serves both),
-    * not a separate aggregate + broadcast join — the aggregate
-    * formulation re-executed the whole lineitem histogram subtree for
-    * the totals (a DataFrame referenced twice re-runs its subtree;
-    * measured 3.3 → 2.7 s in the full sf0.1 bench, 2.0 s isolated).
-    * Note the histogram-width claim is
-    * data-dependent: near-unique prices (this fixture) make the
-    * histogram row-sized, so the single-shuffle shape is what keeps the
-    * query one lineitem pass rather than two. */
-  def aggWeightedMedianLineitem(s: SparkSession, dir: String): DataFrame = {
-    val h = lineitem(s, dir)
+    * means when line items carry different volumes).
+    *
+    * Shape (r17): the cumulative window runs DIRECTLY over the raw
+    * (flag, v, wt) rows — one exchange on the flag, no histogram
+    * aggregate. Correctness of skipping the histogram: the cumulative
+    * `sum(wt) over (partition by flag order by v)` is a RANGE frame, so
+    * at EVERY row of a tied v-group the frame covers the whole group —
+    * cw is already the group-complete histogram cumulative, and
+    * `min(v) where 2·cw ≥ total` picks the identical median
+    * (WeightedMedianShapeSpec pins raw ≡ histogram on the fixture and
+    * on a heavily duplicated-v corpus). The r16 histogram shape paid a
+    * (flag, cents) hash aggregate whose map-side partials built
+    * ~600 k-entry maps for near-unique prices before shuffling the same
+    * row count anyway — measured 0.87 s of the query's 2.25 s (probe in
+    * StressProbeR17); dropping it and its exchange took the query
+    * 2.56 → 1.60 s isolated. ON A DUPLICATED-VALUE corpus the histogram
+    * becomes a genuine reducer — the twin below IS that shape; the
+    * declared query pins the fixture-measured optimum, the same
+    * measured-shape discipline as the r17 profile panels. The group
+    * total is an UNBOUNDED window over the SAME per-flag partitioning
+    * as the cumulative (one shuffle serves both), not a separate
+    * aggregate + broadcast join — the aggregate formulation re-executed
+    * the whole subtree for the totals (measured 3.3 → 2.7 s in r12). */
+  def aggWeightedMedianLineitem(s: SparkSession, dir: String): DataFrame =
+    weightedMedianRaw(lineitem(s, dir)
       .select(col("l_returnflag"), cents(col("l_extendedprice")).as("v"),
-        col("l_quantity").cast("long").as("wt"))
-      .groupBy(col("l_returnflag"), col("v"))
+        col("l_quantity").cast("long").as("wt")))
+
+  /** Raw-row RANGE-frame formulation (the declared shape). */
+  private[graft] def weightedMedianRaw(rows: DataFrame): DataFrame = {
+    val byFlag = Window.partitionBy(col("l_returnflag"))
+    rows
+      .withColumn("cw", sum(col("wt")).over(byFlag.orderBy(col("v"))))
+      .withColumn("total_weight", sum(col("wt")).over(byFlag))
+      .filter(col("cw") * 2 >= col("total_weight"))
+      .groupBy(col("l_returnflag"), col("total_weight"))
+      .agg(min(col("v")).as("weighted_median_cents"))
+      .select(col("l_returnflag"), col("total_weight"),
+        col("weighted_median_cents"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** r16 histogram formulation — the shape for duplicated-value corpora
+    * (pre-aggregates (flag, v) before the shuffle). Equivalence twin
+    * for [[weightedMedianRaw]]; not on the declared surface. */
+  private[graft] def weightedMedianHistogramTwin(rows: DataFrame): DataFrame = {
+    val h = rows.groupBy(col("l_returnflag"), col("v"))
       .agg(sum(col("wt")).as("w"))
     val byFlag = Window.partitionBy(col("l_returnflag"))
     h.withColumn("cw", sum(col("w")).over(byFlag.orderBy(col("v"))))
