@@ -19,6 +19,34 @@ import org.apache.spark.sql.types._
   */
 object VectorExpressions {
 
+  /** Per-thread MessageDigest cache. `MessageDigest.getInstance` does a
+    * provider lookup plus an allocation on every call; on the per-token
+    * hot paths (Md5HeadLong feeds the NB/DSIR/SRP bucket of EVERY token,
+    * Md5GramKeys every gram position) that was one allocation per
+    * evaluation (r17 advice). Instances are cached per (thread, algo) —
+    * a plan's expression objects are shared across concurrently running
+    * tasks in local mode, so a per-expression mutable field would race,
+    * while a thread-local is safe under whole-stage codegen and the
+    * interpreted path alike. `reset()` before handing out keeps a
+    * half-updated digest from a failed row from leaking into the next. */
+  private[functions] object Digests {
+    private val local =
+      new ThreadLocal[java.util.HashMap[String, java.security.MessageDigest]] {
+        override def initialValue() =
+          new java.util.HashMap[String, java.security.MessageDigest](4)
+      }
+    def get(algo: String): java.security.MessageDigest = {
+      val m = local.get()
+      var md = m.get(algo)
+      if (md == null) {
+        md = java.security.MessageDigest.getInstance(algo)
+        m.put(algo, md)
+      }
+      md.reset()
+      md
+    }
+  }
+
   /** Analysis-time input check shared by the array<bigint> expressions.
     * These are registered on the public SQL surface (GraftFunctions), so
     * a wrong input type must fail descriptively at analysis, not as a
@@ -672,7 +700,7 @@ object VectorExpressions {
         }
         i += 1
       }
-      val md = java.security.MessageDigest.getInstance("MD5")
+      val md = Digests.get("MD5")
       val out = scala.collection.mutable.ArrayBuffer.empty[Any]
       var st = 0
       var k = 0
@@ -780,9 +808,7 @@ object VectorExpressions {
       val nWords32 = wordOrder.length
       val nBits = 32 * nWords32
       val counts = new Array[Int](nBits)
-      val md =
-        if (hashInput) java.security.MessageDigest.getInstance(algoName)
-        else null
+      val md = if (hashInput) Digests.get(algoName) else null
       val n = arr.numElements()
       var i = 0
       while (i < n) {
@@ -878,7 +904,10 @@ object VectorExpressions {
     * of the first nHex hex digits (array<long>, bit-identical to
     * `conv(substring(md5(g), 1, nHex), 16, 10)` — ≤ 60 bits, so the Long
     * stays positive). Fewer than k words yield an empty array (callers
-    * guard `size(w) >= k`, as the HOF form and the oracle do).
+    * guard `size(w) >= k`, as the HOF form and the oracle do). Null
+    * elements are skipped exactly as `array_join` skips them in the HOF
+    * chain (no separator emitted), so the SQL-registered surface matches
+    * the documented equivalence for containsNull inputs too.
     * Equivalence pinned in VectorExpressionsSpec. */
   case class Md5GramKeys(child: Expression, k: Int, nHex: Int)
       extends UnaryExpression {
@@ -904,20 +933,30 @@ object VectorExpressions {
       val wb = new Array[Array[Byte]](n)
       var i = 0
       while (i < n) {
-        // split() never yields null elements; a null word would NPE in
-        // the HOF form's array_join too, so fail the same way here
-        wb(i) = arr.getUTF8String(i).getBytes
+        // internal feeders (split() output) never yield null elements,
+        // but the expression is SQL-registered: a null word is SKIPPED —
+        // array_join in the equivalent HOF chain skips nulls (no
+        // separator is emitted for them), so the digests stay
+        // bit-identical for containsNull inputs too
+        val w = arr.getUTF8String(i)
+        wb(i) = if (w == null) null else w.getBytes
         i += 1
       }
-      val md = java.security.MessageDigest.getInstance("MD5")
+      val md = Digests.get("MD5")
       val out = new Array[Any](count)
       i = 0
       while (i < count) {
         md.reset()
         var j = 0
+        var written = false
         while (j < k) {
-          if (j > 0) md.update(' '.toByte)
-          md.update(wb(i + j)); j += 1
+          val w = wb(i + j)
+          if (w != null) {
+            if (written) md.update(' '.toByte)
+            md.update(w)
+            written = true
+          }
+          j += 1
         }
         val d = md.digest()
         if (nHex == 32) {
@@ -982,7 +1021,7 @@ object VectorExpressions {
     }
 
     def compute(s: org.apache.spark.unsafe.types.UTF8String): Long = {
-      val md = java.security.MessageDigest.getInstance("MD5")
+      val md = Digests.get("MD5")
       val d = md.digest(s.getBytes)
       var v = 0L
       var t = 0

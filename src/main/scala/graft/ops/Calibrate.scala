@@ -699,10 +699,10 @@ object Calibrate {
   }
 
   /** Jaccard-family route rule: Σdf² over the 3-shingle posting lists
-    * within the 100·n_docs budget → the plain posting join; over it →
-    * the PPJoin prefix join, whose candidate volume is governed by
-    * prefix length, not posting-list size (frequent shingles sort LAST
-    * in the rarest-first order and never enter a prefix). The r14
+    * within the 100·n_docs budget → the declared body; over it →
+    * the exact-df PPJoin prefix join, whose candidate volume is governed
+    * by prefix length, not posting-list size (frequent shingles sort
+    * LAST in the rarest-first order and never enter a prefix). The r14
     * planted-boilerplate probe measured WHY this is the route and not
     * the salted df-cap: the salted block-split is result-preserving, so
     * it spreads the C(f,2) hot-shingle pair volume across reducers
@@ -710,7 +710,14 @@ object Calibrate {
     * (14 shingles at df 50 k → ~17.5 G candidate intersects) both the
     * plain and salted joins are >20-minute queries while the prefix
     * join's volume stays near-linear. Both routes are lossless, so the
-    * declared query keeps ONE oracle. */
+    * declared query keeps ONE oracle.
+    *
+    * r18 note: `Dedup.dedupNgramJaccard` itself is now the HASH-ordered
+    * prefix join (r17 verdict #2), so the two routes differ only in the
+    * global order (map-side hash vs exact-df rarest-first, which pays a
+    * df join + rank window for tighter prefixes). The route rule keeps
+    * its meaning: under heavy posting skew the exact-df order's better
+    * candidate selectivity is worth its two extra shuffles. */
   private[graft] def jaccardRoutePlain(p: SimilarityParams): Boolean =
     p.sumDf2 <= CandidatesPerDoc * p.nDocs
 

@@ -11,7 +11,8 @@ import graft.Tables._
   *
   * Scale design (100 TB): exact dedup is a single hash-aggregate shuffle
   * on the dedup key. Pairwise similarity is never materialized as a full
-  * cross join — `dedupNgramJaccard` is the small-data exact baseline, and
+  * cross join — `dedupNgramJaccard` is the exact baseline (hash-ordered
+  * prefix join since r18), and
   * `dedupMinhashLsh` is the scale path: shingle → minhash signature →
   * band buckets → shuffle join on (band, bucket) → exact verification of
   * the (tiny) candidate set only. With b=8 bands × r=4 rows, a pair at
@@ -44,17 +45,92 @@ object Dedup {
         graft.functions.VectorExpressions
           .wordShingles(col("text"), 3, distinct = true).as("shingles"))
 
-  /** Exact n-gram-Jaccard near-dup pairs via an inverted shingle index —
-    * the scalable exact set-similarity join: explode distinct shingles,
-    * equi-join on the shingle (so only pairs that share at least one
-    * shingle ever materialize), count matches per pair = |A∩B|, and
-    * derive |A∪B| = |A|+|B|−|A∩B| with no array ops at all. A pairwise
-    * cross join with array_intersect computes the same result ~100×
-    * slower and cannot scale; this shape shuffles once on the shingle
-    * and once on the pair. Pairs below Jaccard 0.5 or outside the
-    * length band are dropped; zero-overlap pairs never appear (J=0). */
+  /** Exact n-gram-Jaccard near-dup pairs. Since r18 the declared body is
+    * the HASH-ORDERED PREFIX join (r17 verdict #2 — the plain posting
+    * join was the slowest bench line): the same map-side
+    * (is_hot, xxhash64, value) global order, prefix extraction,
+    * PPJoin positional filter and two-stage hashed/exact verify that
+    * [[dedupContainment]] runs, instantiated at the symmetric Jaccard
+    * threshold. Result-identical to the inverted-index posting join —
+    * the prefix theorem is lossless at any fixed global order, every
+    * emitted pair is exact-verified on the shingle strings, and
+    * DedupSpec pins this == capped posting join == df-exact prefix ==
+    * verified MinHash, all against the shared brute-force DuckDB
+    * oracle.
+    *
+    * Why this displaces the posting join as the declared shape: the
+    * posting join materializes a row per SHARED SHINGLE per pair
+    * (Σ_s C(df_s, 2) rows through the pair aggregate — quadratic in
+    * posting-list length; the salted variant only SPREADS that volume,
+    * [[dedupNgramJaccardCapped]] keeps it for StressScale's skew
+    * probes), while the prefix join materializes a row only per shared
+    * PREFIX key per pair, with hot shingles excluded from prefixes
+    * entirely and the positional filter pruning deep matches. Measured
+    * at sf0.1: 2.42 s → 1.17 s isolated (2.96 s → ~1.2 s on the
+    * driver's r17 line). */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
-    dedupNgramJaccardCapped(s, dir, hotDf = 256L, saltBuckets = 8)
+    ngramJaccardHashPrefix(s, dir, hotDf = 256L)
+
+  /** The hash-ordered prefix body at any hot-df threshold — the
+    * symmetric-Jaccard sibling of [[containmentPairs]]. */
+  private[graft] def ngramJaccardHashPrefix(s: SparkSession, dir: String,
+      hotDf: Long): DataFrame = {
+    val t = 0.5
+    val sh = shingled(documents(s, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex0 = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    // hot set: one linear df aggregate, collapsed to a single broadcast
+    // array row (the containmentPairs pattern — the exploded index is
+    // never shuffled before the candidate join)
+    val hotShingles = ex0.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > hotDf)
+      .agg(collect_list(col("shingle")).as("hot"))
+    val keyed = sh.crossJoin(broadcast(hotShingles))
+      .select(col("doc_id"), col("n_chars"), col("shingles"),
+        graft.functions.VectorExpressions
+          .hashOrderKeys(col("shingles"), col("hot")).as("keys"))
+      .withColumn("n_sh", size(col("keys")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = keyed.select(col("doc_id"), col("n_chars"), col("n_sh"),
+      posexplode(col("keys")).as(Seq("pos", "hk")))
+    // symmetric prefix: the first |S| − ceil(t·|S|) + 1 keys of BOTH
+    // sides (pos is 0-based); J ≥ t pairs have intersecting prefixes
+    // under ANY fixed global order (prefix theorem), so the candidate
+    // set is lossless
+    val prefix = ex.filter(
+      col("pos") < col("n_sh") - ceil(col("n_sh") * t) + 1)
+    // overlap requirement J ≥ t ⟺ |A∩B| ≥ t/(1+t)·(|A|+|B|); the PPJoin
+    // positional ubound at a shared key with 0-based positions (i, j)
+    // is min(|A|−i, |B|−j) — a true pair always survives via its FIRST
+    // common element (inside both prefixes by the theorem), deeper
+    // matches are pruned in the join condition. Length-band and
+    // size-ratio prunes as in the posting join (lossless at J ≥ 0.5).
+    val need = (col("a.n_sh") + col("b.n_sh")) * lit(t / (1.0 + t))
+    val candidates = prefix.as("a").join(prefix.as("b"),
+        col("a.hk") === col("b.hk") && col("a.doc_id") < col("b.doc_id") &&
+          abs(col("a.n_chars") - col("b.n_chars")) <= lit(100) &&
+          col("a.n_sh") <= col("b.n_sh") * 2 && col("b.n_sh") <= col("a.n_sh") * 2 &&
+          least(col("a.n_sh") - col("a.pos"), col("b.n_sh") - col("b.pos"))
+            .cast("double") >= need)
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .dropDuplicates("a_id", "b_id")
+    // two-stage verify (the containmentPairs pattern): codegen'd hashed
+    // multiset count (≥ the exact intersection — lossless) prunes, the
+    // exact string intersect/union computes the emitted jaccard
+    candidates
+      .join(keyed.select(col("doc_id").as("a_id"), col("keys").as("a_hk"),
+        col("shingles").as("a_sh")), "a_id")
+      .join(keyed.select(col("doc_id").as("b_id"), col("keys").as("b_hk"),
+        col("shingles").as("b_sh")), "b_id")
+      .filter(graft.functions.VectorExpressions
+        .longIntersectCount(col("a_hk"), col("b_hk")).cast("double") >=
+        (size(col("a_sh")) + size(col("b_sh"))) * lit(t / (1.0 + t)))
+      .select(col("a_id"), col("b_id"),
+        (size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+          size(array_union(col("a_sh"), col("b_sh"))).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= t)
+      .orderBy(col("a_id"), col("b_id"))
+  }
 
   /** Result-identical variant of the inverted-index join with a HOT-
     * SHINGLE document-frequency cap: a shingle appearing in f documents

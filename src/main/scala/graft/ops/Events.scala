@@ -188,10 +188,20 @@ object Events {
       .select(col("day"),
         greatest(col("s_us"), col("day") * dayUs).as("cs"),
         least(col("e_us"), (col("day") + 1) * dayUs - 1).as("ce"))
+    // r18 (guide §2.4): the start/end change points used to come from a
+    // self-UNION of `parts` — two copies of the whole sessionize
+    // subtree (window + session aggregate + day explode) in the plan,
+    // re-computed per branch past the shared exchange. One explode of a
+    // 2-struct array emits both rows in a single pass — identical rows,
+    // half the post-exchange work.
     val deltas = parts
-      .select(col("day"), expr(s"cs div $widthUs").as("t"),
-        lit(1L).as("st"), lit(0L).as("en"))
-      .unionAll(parts.select(col("day"), expr(s"ce div $widthUs"), lit(0L), lit(1L)))
+      .select(col("day"), explode(array(
+        struct(expr(s"cs div $widthUs").as("t"),
+          lit(1L).as("st"), lit(0L).as("en")),
+        struct(expr(s"ce div $widthUs").as("t"),
+          lit(0L).as("st"), lit(1L).as("en")))).as("d"))
+      .select(col("day"), col("d.t").as("t"), col("d.st").as("st"),
+        col("d.en").as("en"))
       .groupBy(col("day"), col("t"))
       .agg(sum(col("st")).as("st"), sum(col("en")).as("en"))
     val byDay = Window.partitionBy(col("day")).orderBy(col("t").asc)

@@ -916,33 +916,43 @@ object RelationalExt {
     * reaches half the group's total (what "median unit price" actually
     * means when line items carry different volumes).
     *
-    * Shape (r17): the cumulative window runs DIRECTLY over the raw
-    * (flag, v, wt) rows — one exchange on the flag, no histogram
-    * aggregate. Correctness of skipping the histogram: the cumulative
-    * `sum(wt) over (partition by flag order by v)` is a RANGE frame, so
-    * at EVERY row of a tied v-group the frame covers the whole group —
-    * cw is already the group-complete histogram cumulative, and
-    * `min(v) where 2·cw ≥ total` picks the identical median
-    * (WeightedMedianShapeSpec pins raw ≡ histogram on the fixture and
-    * on a heavily duplicated-v corpus). The r16 histogram shape paid a
-    * (flag, cents) hash aggregate whose map-side partials built
-    * ~600 k-entry maps for near-unique prices before shuffling the same
-    * row count anyway — measured 0.87 s of the query's 2.25 s (probe in
-    * StressProbeR17); dropping it and its exchange took the query
-    * 2.56 → 1.60 s isolated. ON A DUPLICATED-VALUE corpus the histogram
-    * becomes a genuine reducer — the twin below IS that shape; the
-    * declared query pins the fixture-measured optimum, the same
-    * measured-shape discipline as the r17 profile panels. The group
-    * total is an UNBOUNDED window over the SAME per-flag partitioning
-    * as the cumulative (one shuffle serves both), not a separate
-    * aggregate + broadcast join — the aggregate formulation re-executed
-    * the whole subtree for the totals (measured 3.3 → 2.7 s in r12). */
+    * Shape (r18, the r17 verdict's #1): the HISTOGRAM formulation is the
+    * declared query — pre-aggregate `(flag, v) → Σwt` BEFORE the window,
+    * so the cumulative RANGE window's input is bounded by
+    * |distinct prices| × |flags| REGARDLESS of row count.
+    * `l_returnflag` has ~3 distinct values, so the raw-row shape
+    * (`sum(wt) over (partition by flag order by v)` directly on the full
+    * lineitem projection, the twin below) funnels the ENTIRE table into
+    * ~3 window partitions and sorts there — fine at sf0.1 (it measured
+    * 0.4 s faster on the fixture's near-unique prices, r17), a skew
+    * cliff at 100 TB. The histogram's hash aggregate does map-side
+    * partial aggregation, so the per-flag sort sees at most
+    * (price-range × flags) rows — the scale-safe shape wins the declared
+    * slot even though the fixture measures it ~0.9 s slower
+    * (RelationalSpec "weighted median: raw RANGE-frame shape ==
+    * histogram twin" pins the equivalence on the fixture and on a
+    * heavily duplicated-v corpus; the oracle is unchanged).
+    *
+    * Correctness of the two being identical: the cumulative window is a
+    * RANGE frame, so at EVERY row of a tied v-group the frame covers the
+    * whole group — the raw cw is already the group-complete histogram
+    * cumulative, and `min(v) where 2·cw ≥ total` picks the same median.
+    * The group total is an UNBOUNDED window over the SAME per-flag
+    * partitioning as the cumulative (one shuffle serves both), not a
+    * separate aggregate + broadcast join — the aggregate formulation
+    * re-executed the whole subtree for the totals (measured 3.3 → 2.7 s
+    * in r12). */
   def aggWeightedMedianLineitem(s: SparkSession, dir: String): DataFrame =
-    weightedMedianRaw(lineitem(s, dir)
+    weightedMedianHistogram(lineitem(s, dir)
       .select(col("l_returnflag"), cents(col("l_extendedprice")).as("v"),
         col("l_quantity").cast("long").as("wt")))
 
-  /** Raw-row RANGE-frame formulation (the declared shape). */
+  /** Raw-row RANGE-frame formulation — the shape for corpora whose
+    * (flag, v) pairs are near-unique (the pre-aggregate is pure overhead
+    * there, r17 measurement). Equivalence twin for
+    * [[weightedMedianHistogram]]; not on the declared surface because
+    * its window partitions by the ~3-value flag over UNBOUNDED input —
+    * the 100 TB skew cliff the r17 verdict flagged. */
   private[graft] def weightedMedianRaw(rows: DataFrame): DataFrame = {
     val byFlag = Window.partitionBy(col("l_returnflag"))
     rows
@@ -956,10 +966,10 @@ object RelationalExt {
       .orderBy(col("l_returnflag"))
   }
 
-  /** r16 histogram formulation — the shape for duplicated-value corpora
-    * (pre-aggregates (flag, v) before the shuffle). Equivalence twin
-    * for [[weightedMedianRaw]]; not on the declared surface. */
-  private[graft] def weightedMedianHistogramTwin(rows: DataFrame): DataFrame = {
+  /** Histogram formulation — THE DECLARED SHAPE (r18): pre-aggregates
+    * (flag, v) before the window so the per-flag sort input is bounded
+    * by value cardinality, not row count. */
+  private[graft] def weightedMedianHistogram(rows: DataFrame): DataFrame = {
     val h = rows.groupBy(col("l_returnflag"), col("v"))
       .agg(sum(col("wt")).as("w"))
     val byFlag = Window.partitionBy(col("l_returnflag"))

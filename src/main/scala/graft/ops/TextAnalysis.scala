@@ -188,8 +188,16 @@ object TextAnalysis {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // df as count(1) OVER the tf relation — identical to
+    // countDistinct(doc_id) since tf has exactly one row per
+    // (doc_id, term). The countDistinct form planned its own
+    // (term, doc_id) dedup aggregate from a SECOND scan+tokenize of the
+    // whole corpus (r18, found while pinning the r17 verdict's #8); see
+    // tfidfWeighted for why the tf persist (not exchange reuse) is what
+    // makes the sharing real.
     val df = tf.groupBy(col("term"))
-      .agg(countDistinct(col("doc_id")).as("df"))
+      .agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score_q").desc, col("term").asc)
     tf.join(broadcast(df), Seq("term"))
@@ -269,18 +277,26 @@ object TextAnalysis {
     * Σdf² volume explodes — the r10 10× scaling probe measured exactly
     * this (BASELINE.md: 71 756× join volume on a split-vocab corpus).
     * [[textTfidfCosineLsh]] is the drift-robust scale path. */
-  private def tfidfWeighted(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def tfidfWeighted(s: SparkSession, dir: String): DataFrame = {
     val docs = documents(s, dir)
     val nDf = docs.agg(count(lit(1)).as("n_docs"))
-    // tf is referenced by both the posting leg and the df aggregate;
-    // a persist was tried here (r17) and measured a WASH — Spark's
-    // exchange reuse already deduplicates the identical explode +
-    // (doc, term) aggregate subtree at runtime, so the cache write only
-    // added memory pressure.
+    // tf is referenced by both the posting leg and the df aggregate.
+    // r17 reverted a persist here as a WASH, believing exchange reuse
+    // deduplicated the subtree at runtime; r18's PlanSpec pin attempt
+    // DISPROVED that: the df leg uses no tf column, so Catalyst prunes
+    // the count out of it (and rewrites count(tf) → count(1) via null
+    // propagation), the two tf subtrees differ, ReusedExchange never
+    // fires, and the corpus was scanned + tokenized TWICE. The persist
+    // is what makes the sharing real: one tokenize pass at any scale,
+    // both legs served from the cached narrow (doc, term, tf) rows.
+    // Measured a wash at sf0.1 (cache write ≈ second tokenize there);
+    // at 100 TB the second corpus pass is the dominant avoidable cost —
+    // the same declare-the-scale-safe-shape call as agg_weighted_median.
     val tf = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     tf.join(broadcast(df), Seq("term"))
       .crossJoin(broadcast(nDf))
@@ -328,7 +344,7 @@ object TextAnalysis {
     * oracle is untouched. The bucket id assembles map-side from the
     * aggregated sign sums; tables explode AFTER aggregation (8 rows per
     * doc, not 32 per posting). */
-  private def tfidfBuckets(weighted: DataFrame,
+  private[graft] def tfidfBuckets(weighted: DataFrame,
       tables: Int, planesPerTable: Int): DataFrame = {
     val planes = tables * planesPerTable
     val planeSums = (0 until planes).map { p =>
@@ -350,6 +366,29 @@ object TextAnalysis {
       .agg(planeSums.head, planeSums.tail: _*)
       .select(col("doc_id"), explode(array(tblStructs: _*)).as("tb"))
       .select(col("doc_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+  }
+
+  /** The r16 explode-per-plane SRP bucket formulation — equivalence twin
+    * for [[tfidfBuckets]] (the r17 single-aggregate rewrite), pinned
+    * row-for-row in TextAnalysisSpec so a bucket-math drift in the fused
+    * form can never surface as silent LSH recall degradation (r17
+    * advice). Not on any query path. */
+  private[graft] def tfidfBucketsTwin(weighted: DataFrame,
+      tables: Int, planesPerTable: Int): DataFrame = {
+    val planes = tables * planesPerTable
+    weighted
+      .withColumn("h",
+        expr("CAST(conv(substring(md5(term), 1, 8), 16, 10) AS BIGINT)"))
+      .select(col("doc_id"), col("w"), col("h"),
+        explode(expr(s"sequence(0, ${planes - 1})")).as("p"))
+      .groupBy(col("doc_id"), col("p"))
+      .agg(sum(when(
+          expr("((h + p * 2654435761L) % 1000003L) * 1103515245L % 65536 < 32768"),
+          col("w")).otherwise(-col("w"))).as("sp"))
+      .groupBy(col("doc_id"), expr(s"p div $planesPerTable").as("tbl"))
+      .agg(sum(when(col("sp") > 0,
+          expr(s"shiftleft(1L, CAST(p % $planesPerTable AS INT))"))
+        .otherwise(lit(0L))).as("bucket"))
   }
 
   /** All-pairs tf-idf cosine via SRP-LSH candidates + exact verify —
@@ -797,6 +836,9 @@ object TextAnalysis {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("f"))
+      // referenced by the candidate prune AND the df aggregate — same
+      // single-tokenize persist rationale as tfidfWeighted (r18)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val tot = docs.agg(count(lit(1)).as("n"),
       sum(size(split(col("text"), " ")).cast("long")).as("l"))

@@ -29,19 +29,33 @@ object Tpch {
     * eligible relation — one evaluation, no self-join back onto an
     * unpersisted aggregate (an agg+equality-join form would run the
     * lineitem aggregate twice). lineitem shuffles once on
-    * (partkey, suppkey); the window shuffles only the tiny eligible set. */
+    * (partkey, suppkey); the window shuffles only the tiny eligible set.
+    *
+    * r18 (guide §3.2 — reduce the big side BEFORE shuffling it): the
+    * part filter (LARGE, size ≤ 5) and the Europe-supplier set used to
+    * join the (partkey, suppkey) aggregate AFTER its shuffle; Spark
+    * cannot push an inner join below an aggregate, so every lineitem
+    * row paid the aggregate exchange only for ~all of them to be
+    * dropped by the dimension filters. Two broadcast SEMI joins on the
+    * scan side now prune lineitem to qualifying (part, supplier) rows
+    * before the aggregate — identical min per surviving key, identical
+    * result (the later inner joins apply the same predicates). */
   def q2MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
-    val ps = lineitem(s, dir)
-      .groupBy(col("l_partkey"), col("l_suppkey"))
-      .agg(min(cents(col("l_extendedprice"))).as("cost_cents"))
+    val largeParts = part(s, dir)
+      .filter(col("p_type") === "LARGE" && col("p_size") <= 5)
     val euroSupp = supplier(s, dir)
       .join(broadcast(nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region(s, dir).filter(col("r_name") === "EUROPE")),
         col("n_regionkey") === col("r_regionkey"))
+    val ps = lineitem(s, dir)
+      .join(broadcast(largeParts.select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(broadcast(euroSupp.select(col("s_suppkey"))),
+        col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(cents(col("l_extendedprice"))).as("cost_cents"))
     val eligible = ps
-      .join(broadcast(part(s, dir)
-          .filter(col("p_type") === "LARGE" && col("p_size") <= 5)),
-        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(largeParts), col("l_partkey") === col("p_partkey"))
       .join(broadcast(euroSupp), col("l_suppkey") === col("s_suppkey"))
       .select(cents(col("s_acctbal")).as("s_acctbal_cents"), col("s_name"),
         col("n_name"), col("p_partkey").cast("long").as("p_partkey"),
@@ -135,11 +149,20 @@ object Tpch {
   }
 
   /** Q16 shape: distinct supplier counts per brand/type/size, excluding a
-    * NOT IN supplier set (negative balance — the complaints proxy). The
-    * derived partsupp is one distinct shuffle; part and the exclusion set
-    * broadcast (anti join). */
+    * NOT IN supplier set (negative balance — the complaints proxy). Part
+    * and the exclusion set broadcast (anti join).
+    *
+    * r18 (guide §2.4 — remove shuffles outright): the derived partsupp
+    * used to pay its own `distinct()` exchange on (partkey, suppkey)
+    * BEFORE the joins; but the final `countDistinct(l_suppkey)` already
+    * dedups — its partial aggregate dedups (brand, type, size, suppkey)
+    * map-side — so the extra distinct bought nothing the aggregate was
+    * not already doing. Dropping it removes one full exchange of the
+    * fact keys (3 → 2), and the map-side partial dedup now runs on
+    * part-filtered survivors only. Result identical: duplicate
+    * (partkey, suppkey) rows cannot change a distinct supplier count. */
   def q16SupplierCounts(s: SparkSession, dir: String): DataFrame = {
-    val ps = lineitem(s, dir).select(col("l_partkey"), col("l_suppkey")).distinct()
+    val ps = lineitem(s, dir).select(col("l_partkey"), col("l_suppkey"))
     val excluded = supplier(s, dir).filter(col("s_acctbal") < 0)
       .select(col("s_suppkey"))
     ps
@@ -197,11 +220,18 @@ object Tpch {
       .select(col("l_orderkey"), col("l_suppkey"),
         (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
           .as("late"))
+    // r18 (guide §2.3 — shuffle fewer bytes): countDistinct mixed with
+    // the non-distinct collect_set planned as Expand(×2) + a two-level
+    // distinct aggregate — every joined lineitem row shuffled twice
+    // over. collect_set IS a distinct set, so n_supp = size of a second
+    // collect_set: one ObjectHashAggregate, no Expand, half the
+    // aggregate input rows (l_suppkey is non-null, and countDistinct /
+    // collect_set both ignore nulls, so the counts are identical).
     val blamed = l1
       .groupBy(col("l_orderkey"))
-      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+      .agg(collect_set(col("l_suppkey")).as("supps"),
         collect_set(when(col("late"), col("l_suppkey"))).as("late_supps"))
-      .filter(col("n_supp") > 1 && size(col("late_supps")) === 1)
+      .filter(size(col("supps")) > 1 && size(col("late_supps")) === 1)
       .select(element_at(col("late_supps"), 1).as("l_suppkey"))
     blamed
       .join(broadcast(supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))

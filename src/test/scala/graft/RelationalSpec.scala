@@ -46,9 +46,10 @@ class RelationalSpec extends AnyFunSuite {
   }
 
   test("weighted median: raw RANGE-frame shape == histogram twin (ties included)") {
-    // the r17 declared shape drops the (flag, v) pre-aggregate; RANGE
-    // framing makes cw group-complete at every tied row, so the two
-    // formulations must agree even on heavily duplicated values
+    // the r18 declared shape is the HISTOGRAM ((flag, v) pre-aggregate
+    // below the window — scale-safe when the flag has ~3 values); RANGE
+    // framing makes the raw shape's cw group-complete at every tied row,
+    // so the two formulations must agree even on heavily duplicated values
     import spark.implicits._
     def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
@@ -56,7 +57,7 @@ class RelationalSpec extends AnyFunSuite {
       .select(col("l_returnflag"), Tables.cents(col("l_extendedprice")).as("v"),
         col("l_quantity").cast("long").as("wt"))
     assert(rowsOf(graft.ops.RelationalExt.weightedMedianRaw(fixture)) ===
-      rowsOf(graft.ops.RelationalExt.weightedMedianHistogramTwin(fixture)))
+      rowsOf(graft.ops.RelationalExt.weightedMedianHistogram(fixture)))
     // duplicated-v corpus: every value appears many times, median lands
     // mid-tie; also a single-row group and an even/odd mass split
     val dup = Seq(
@@ -64,7 +65,7 @@ class RelationalSpec extends AnyFunSuite {
       ("A", 30L, 10L), ("B", 5L, 1L), ("C", 7L, 2L), ("C", 7L, 2L))
       .toDF("l_returnflag", "v", "wt")
     assert(rowsOf(graft.ops.RelationalExt.weightedMedianRaw(dup)) ===
-      rowsOf(graft.ops.RelationalExt.weightedMedianHistogramTwin(dup)))
+      rowsOf(graft.ops.RelationalExt.weightedMedianHistogram(dup)))
   }
 
   test("approx_count_distinct (HLL++) lands within 5% of exact") {

@@ -173,6 +173,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("SRP buckets: fused single-aggregate form == r16 explode-per-plane twin") {
+    // the r17 rewrite collapsed the explode(planes) + two-stage aggregate
+    // into one 32-buffer hash aggregate; a bucket-math drift there would
+    // surface only as silent LSH recall degradation (candidates are
+    // exact-verified downstream), so the (doc_id, tbl, bucket) rows are
+    // pinned row-for-row against the r16 formulation — on the fixture
+    // corpus AND on an adversarial frame with negative/zero/tied weights
+    import spark.implicits._
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val weighted = TextAnalysis.tfidfWeighted(spark, dir)
+    assert(rowsOf(TextAnalysis.tfidfBuckets(weighted, 8, 4)) ===
+      rowsOf(TextAnalysis.tfidfBucketsTwin(weighted, 8, 4)))
+    val adv = Seq(
+      (1L, "alpha", 5L), (1L, "beta", -5L), (1L, "gamma", 0L),
+      (2L, "alpha", -7L), (2L, "delta", 7L),
+      (3L, "epsilon", 1L)).toDF("doc_id", "term", "w")
+    assert(rowsOf(TextAnalysis.tfidfBuckets(adv, 8, 4)) ===
+      rowsOf(TextAnalysis.tfidfBucketsTwin(adv, 8, 4)))
+    assert(rowsOf(TextAnalysis.tfidfBuckets(adv, 2, 12)) ===
+      rowsOf(TextAnalysis.tfidfBucketsTwin(adv, 2, 12)))
+  }
+
   test("tf-idf MinHash pairs reproduce the exact pair set bit-for-bit") {
     val exact = ops.TextAnalysis.textTfidfCosine(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap

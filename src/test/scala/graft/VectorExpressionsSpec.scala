@@ -376,6 +376,21 @@ class VectorExpressionsSpec extends AnyFunSuite {
                |  i -> md5(array_join(slice(w, i + 1, 3), ' ')))
                |  ELSE array() END""".stripMargin).as("hof"))
     assert(edge.filter(col("native") =!= col("hof")).count() === 0)
+    // null elements (SQL-registered surface only — split() never yields
+    // them): skipped exactly like array_join skips them in the HOF
+    // chain, no separator emitted for the missing word (r17 advice: the
+    // old code NPEd here while claiming HOF parity)
+    val withNulls = Seq(
+      (1L, Seq(Some("a"), None, Some("b"), Some("c"))),
+      (2L, Seq(None, None, Some("x"))),
+      (3L, Seq(Some("p"), Some("q"), None))).toDF("doc_id", "w")
+      .select(col("doc_id"),
+        VectorExpressions.md5GramKeys(col("w"), 3, 32).as("native"),
+        expr("""transform(sequence(0, size(w) - 3),
+               |  i -> md5(array_join(slice(w, i + 1, 3), ' ')))""".stripMargin)
+          .as("hof"))
+    assert(withNulls.filter(col("native") =!= col("hof")).count() === 0)
+    assert(withNulls.count() === 3)
   }
 
   test("Md5HeadLong == conv(substring(md5)) builtin chain") {
