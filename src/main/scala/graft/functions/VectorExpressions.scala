@@ -679,11 +679,16 @@ object VectorExpressions {
     def compute(bin: Array[Byte]): ArrayData = {
       val nb = bin.length
       if (nb < Win) return new GenericArrayData(Array.empty[Any])
-      val hx = new Array[Char](nb * 2)
+      // hex as ASCII BYTES: md5 of a hex string digests its UTF-8 bytes,
+      // and hex chars are ASCII, so digesting this array's slice directly
+      // equals md5(new String(...).getBytes(UTF_8)) while skipping the
+      // per-chunk String + getBytes allocations (r18, guide §1.2)
+      val hx = new Array[Byte](nb * 2)
       var t = 0
       while (t < nb) {
         val b = bin(t) & 0xFF
-        hx(2 * t) = HexChars(b >> 4); hx(2 * t + 1) = HexChars(b & 0xF)
+        hx(2 * t) = HexChars(b >> 4).toByte
+        hx(2 * t + 1) = HexChars(b & 0xF).toByte
         t += 1
       }
       // h = hash of the window ending at byte i-1, initialized for i=8
@@ -708,8 +713,8 @@ object VectorExpressions {
         val en = if (k < bounds.length) bounds(k) else nb
         if (en > st) {
           md.reset()
-          val digest = md.digest(new String(hx, st * 2, (en - st) * 2)
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          md.update(hx, st * 2, (en - st) * 2)
+          val digest = md.digest()
           val fp = new Array[Char](32)
           var d = 0
           while (d < 16) {
